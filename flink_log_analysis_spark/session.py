@@ -1,0 +1,94 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference job configures its environment in
+``LogAnalysis.java:36-52`` (checkpointing, state backend, restart
+strategy). In Spark those concerns are session/stream options; this
+module centralizes the session config we want everywhere:
+
+- AQE on (runtime coalescing + skew-join handling at scale),
+- a shuffle-partition count sized to the local harness but overridable
+  via ``SPARK_GRAFT_CPUS`` / explicit argument for cluster runs,
+- UTC session timezone (deterministic timestamp semantics; the
+  reference discards timezone offsets when parsing log dates —
+  SURVEY §2.E.3),
+- Arrow enabled for the few pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "flink-log-analysis-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    On a real cluster, ``master`` comes from spark-submit and
+    ``shuffle_partitions`` should be sized ~2-3x total cores (or left
+    to AQE's coalescing with a high initial value). Locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep broadcast joins available for dim tables (the reference's
+        # lookup joins are point lookups against small MySQL dims).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
+    """Load the driver-provided parquet tables for one scale factor.
+
+    Returns a dict name -> DataFrame; optionally registers each as a
+    temp view so plans can be written in SQL too. Parquet scans give
+    Catalyst column pruning + predicate pushdown for free.
+    """
+    dfs = {}
+    for name in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        dfs[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return dfs
