@@ -1,0 +1,110 @@
+"""End-to-end log pipeline over driver testdata: format -> parse -> project.
+
+The driver testdata has no raw Apache log lines, so this plan
+*manufactures* them deterministically from ``events`` (pure column
+expressions), then runs the real parser chain
+(:mod:`flink_log_analysis_spark.logparse`, the engine's A2-A8 surface)
+over the manufactured lines. The DuckDB oracle derives the expected
+parse output *independently* (it never sees the parser) — so a hash
+match certifies the full regex-parse -> status-filter -> date-normalize
+-> id-extract -> sentinel pipeline against an independent
+implementation, at every scale factor.
+
+Line construction (mirrored exactly in the oracle SQL):
+  ip     = '10.0.' || (event_id % 250) || '.' || (event_id % 199)
+  time   = strftime(ts) as 'dd/MMM/yyyy:HH:mm:ss +0800'  (zone dropped
+           by the parser — SURVEY §2.E.3)
+  uri    = forumdisplay&fid=k%25 for views / viewthread&tid=user_id for
+           clicks / plain page otherwise
+  status = 500 for error events (parser's ==200 filter drops them),
+           200 otherwise
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import logparse
+from ..session import read_table
+from .declared import K_REGEX, N_SECTIONS
+
+
+def _log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", K_REGEX, 1).try_cast("int")
+    ip = F.concat(
+        F.lit("10.0."),
+        (F.col("event_id") % 250).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 199).cast("string"),
+    )
+    apache_time = F.concat(
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0800")
+    )
+    uri = (
+        F.when(
+            F.col("event_type") == "view",
+            F.concat(
+                F.lit("/forum.php?mod=forumdisplay&fid="),
+                (k % N_SECTIONS).cast("string"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.concat(
+                F.lit("/forum.php?mod=viewthread&tid="),
+                F.col("user_id").cast("string"),
+                F.lit("&extra=page%3D1"),
+            ),
+        )
+        .otherwise(F.lit("/index.php"))
+    )
+    status = F.when(F.col("event_type") == "error", F.lit("500")).otherwise(F.lit("200"))
+    line = F.concat(
+        ip,
+        F.lit(" - - ["),
+        apache_time,
+        F.lit('] "GET '),
+        uri,
+        F.lit(' HTTP/1.1" '),
+        status,
+        F.lit(" "),
+        (F.col("value") * 100).cast("long").cast("string"),
+        F.lit(' "-" "Mozilla/5.0 (synthetic)"'),
+    )
+    return ev.select(line.alias("line"))
+
+
+def log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manufactured lines through the REAL parser -> projected log view."""
+    lines = _log_lines(spark, sf_dir)
+    parsed = logparse.parse_access_logs(lines)
+    return parsed.select(
+        F.col("clientIP").alias("client_ip"),
+        F.col("accessDate").alias("access_date"),
+        F.col("sectionId").alias("section_id"),
+        F.col("articleId").alias("article_id"),
+    )
+
+
+# The oracle computes the EXPECTED parser output straight from events —
+# an independent re-derivation, not a re-run of the parser.
+_K = f"(CAST(regexp_extract(e.props, '{K_REGEX}', 1) AS INTEGER) % {N_SECTIONS})"
+
+ORACLE = {
+    "log_roundtrip": f"""
+        SELECT
+            '10.0.' || CAST(e.event_id % 250 AS VARCHAR) || '.'
+                    || CAST(e.event_id % 199 AS VARCHAR)      AS client_ip,
+            strftime(e.ts, '%Y-%m-%d %H:%M:%S')               AS access_date,
+            CASE WHEN e.event_type = 'view' THEN {_K} ELSE 0 END
+                ::INTEGER                                     AS section_id,
+            CASE WHEN e.event_type = 'click' THEN e.user_id ELSE 0 END
+                ::INTEGER                                     AS article_id
+        FROM events e
+        WHERE e.event_type <> 'error'
+    """,
+}
+
+QUERIES = {"log_roundtrip": log_roundtrip}

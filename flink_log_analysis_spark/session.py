@@ -58,6 +58,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Driver testdata stores TIMESTAMP(NANOS) parquet, which Spark
+        # has no native type for (SPARK-40819): read as int64 nanos and
+        # convert in read_table().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -78,6 +82,28 @@ TABLES = (
 )
 
 
+# Columns written as parquet TIMESTAMP(NANOS) by the data generator;
+# they surface as int64 nanos under nanosAsLong and are normalized to
+# TimestampType (microsecond) here — same truncation DuckDB applies.
+NANO_TS_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver parquet table, normalizing nano-timestamps."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in NANO_TS_COLUMNS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
     """Load the driver-provided parquet tables for one scale factor.
 
@@ -87,7 +113,7 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
     """
     dfs = {}
     for name in TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = read_table(spark, sf_dir, name)
         dfs[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
