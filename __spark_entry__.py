@@ -25,9 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _plan_modules():
-    from flink_log_analysis_spark.plans import declared, logpipe
+    from flink_log_analysis_spark.plans import analytics, declared, logpipe
 
-    return [declared, logpipe]
+    return [declared, logpipe, analytics]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
