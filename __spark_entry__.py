@@ -25,9 +25,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _plan_modules():
-    from flink_log_analysis_spark.plans import analytics, declared, logpipe
+    from flink_log_analysis_spark.plans import (
+        analytics,
+        declared,
+        llm_dedup,
+        llm_multimodal,
+        llm_similarity,
+        llm_text,
+        logpipe,
+    )
 
-    return [declared, logpipe, analytics]
+    return [
+        declared,
+        logpipe,
+        analytics,
+        llm_text,
+        llm_dedup,
+        llm_similarity,
+        llm_multimodal,
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,228 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, Jaccard.
+
+Standard LLM-corpus dedup stack (Broder'97 MinHash resemblance,
+Charikar'02 SimHash, banding LSH per Mining of Massive Datasets ch.3),
+engineered Spark-first for 100 TB:
+
+- **Exact dedup** groups on a 16-byte md5 content fingerprint, not the
+  raw text — the shuffle carries digests, not documents.
+- **MinHash signatures are computed map-side** with array lambdas
+  (``array_min(transform(tokens, hash))``) — zero shuffle, no explode,
+  no state. A 100 TB corpus streams through as a projection.
+- **LSH banding** explodes only B small (doc_id, band, band_hash) rows
+  per doc; the candidate self-join shuffles on band_hash (uniform md5
+  values -> no skew; AQE skew-join covers pathological buckets).
+- **Verification** joins token sets back only for candidate pairs
+  (tiny vs the corpus) and computes exact Jaccard.
+
+Every step is deterministic md5 arithmetic, so the DuckDB oracle
+reproduces signatures, bands, candidates, and Jaccard values exactly
+(see plans/llm_dedup.py for the mirrored SQL).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import content_fingerprint, token_hash
+from .textstats import tokens
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SIMHASH_BITS = 32
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct (normalized) content: representative id
+    (min), copy count. ``n_copies > 1`` rows are the duplicate sets."""
+    return (
+        df.select(
+            content_fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_set(col: Column) -> Column:
+    """Distinct word-bigram shingles (fallback: unigrams for 1-token
+    docs). Shingling is what makes MinHash discriminative — unigram
+    sets over a small vocabulary collapse to near-identical sets and
+    the LSH candidate count explodes quadratically.
+
+    DuckDB twin:
+      CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+               generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]))
+           ELSE list_distinct(w) END
+    """
+    w = tokens(col)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1)
+        ),
+    )
+    return F.array_distinct(F.when(F.size(w) >= 2, bigrams).otherwise(w))
+
+
+def distinct_token_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, toks) where toks = the distinct shingle set used by every
+    downstream dedup operator (MinHash, SimHash, Jaccard verify).
+
+    Text is case/whitespace-normalized first — near-dup detection that
+    treats "The quick" and "the quick" as different shingles misses
+    the most common duplicate class (reformatted copies)."""
+    from ..functions.hashing import normalized_text
+
+    return df.select(
+        F.col(id_col), shingle_set(normalized_text(F.col(text_col))).alias("toks")
+    )
+
+
+def _minhash_col(i: int, toks: Column = None) -> Column:
+    toks = F.col("toks") if toks is None else toks
+    return F.array_min(F.transform(toks, lambda t: token_hash(t, i))).alias(f"mh{i}")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """doc_id + mh0..mh{n-1}, computed per-row (no shuffle).
+
+    mh_i = min over distinct tokens of the salt-i md5 hash — the
+    classic MinHash estimator of Jaccard resemblance.
+    """
+    t = distinct_token_sets(df, text_col, id_col)
+    return t.select(id_col, *[_minhash_col(i) for i in range(n_hashes)])
+
+
+def lsh_bands(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Signature -> (doc_id, band, band_hash) long form.
+
+    band_hash = md5 of the comma-joined band rows; docs agreeing on all
+    rows of any band collide."""
+    bands = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    return sig.select(
+        id_col, F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, "bb.band", "bb.band_hash")
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any LSH bucket."""
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), "band", "band_hash"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), "band", "band_hash"
+    )
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return F.round(
+        inter.cast("double") / (F.size(a) + F.size(b) - inter), 4
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures (map-side) ->
+    banding -> candidate pairs -> exact Jaccard verify >= threshold."""
+    toks = distinct_token_sets(df, text_col, id_col)
+    sig = toks.select(id_col, *[_minhash_col(i) for i in range(N_HASHES)])
+    cands = candidate_pairs(lsh_bands(sig, id_col), id_col)
+    ta = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("toks_a"), F.col("toks_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def near_dedup_keep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Greedy near-dedup: drop every doc that near-matches a lower id
+    (deterministic, one-pass; full clustering would need connected
+    components — see operators/graph roadmap)."""
+    drop = near_dup_pairs(df, text_col, id_col, threshold).select(
+        F.col("doc_b").alias(id_col)
+    ).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-doc SimHash (Charikar) over distinct tokens, map-side only.
+
+    bit_j set iff sum over tokens of (2*((h>>j)&1)-1) > 0; returned as
+    one BIGINT. Hamming-near signatures => near-duplicate texts.
+    """
+    t = distinct_token_sets(df, text_col, id_col)
+    ht = F.transform(F.col("toks"), lambda tok: token_hash(tok, "sim"))
+    t = t.select(id_col, ht.alias("ht"))
+
+    def bit(j: int) -> Column:
+        weight = F.aggregate(
+            F.col("ht"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        return F.when(weight > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sim = reduce(lambda a, b: a + b, [bit(j) for j in range(n_bits)])
+    return t.select(id_col, sim.alias("simhash"))

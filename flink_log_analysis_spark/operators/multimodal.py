@@ -1,0 +1,115 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media lives in DataFrames as **opaque binary columns + typed metadata**
+(the pattern used by large-scale multimodal training pipelines):
+
+    content  BINARY                 -- raw encoded bytes
+    meta     STRUCT<mime: STRING, n_bytes: INT, sha: STRING>
+
+Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` so
+bytes never round-trip per row. The actual codec step needs image/audio
+libraries that are NOT in this container — it is STUBBED: with
+``fake=True`` (default) a deterministic byte-statistics "decode" stands
+in so the Spark-side plumbing (schema, batching, partitioning) is real
+and tested; ``fake=False`` raises NotImplementedError where a real
+pillow/librosa call would go.
+
+Scale notes: binary payloads dominate row size — keep media tables
+separate from text/metadata tables and join on id; decode stages should
+``repartition`` by id to right-size Arrow batches, and feature outputs
+(small, fixed-width) should be written to their own table so downstream
+training-data queries never rescan the media bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize the binary-column convention from a text column
+    (stand-in for reading real media files at ingest)."""
+    blob = F.encode(F.col(text_col), "utf-8")
+    return df.withColumn("content", blob).withColumn(
+        "meta",
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(blob).alias("n_bytes"),
+            F.md5(blob).alias("sha"),
+        ),
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary media.
+
+    Real decode path is stubbed (no media libs in this container); the
+    mapInPandas contract — batch iterator in, fixed schema out — is the
+    production shape either way.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decode needs pillow/librosa (not installed); "
+            "run with fake=True for the deterministic byte-stats stand-in"
+        )
+
+    # Self-contained closure: everything the worker runs is captured by
+    # value (no reference to this module), so externally-launched
+    # sessions whose Python workers lack this package on PYTHONPATH
+    # still execute it.
+    feature_dim = FEATURE_DIM
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def decode(buf: bytes) -> list[float]:
+            # Deterministic stand-in for a real image/audio decode:
+            # fixed-width byte-statistics vector (mean per stripe).
+            n = max(len(buf), 1)
+            stripe = max(n // feature_dim, 1)
+            out = []
+            for i in range(feature_dim):
+                chunk = buf[i * stripe : (i + 1) * stripe] or b"\x00"
+                out.append(round(sum(chunk) / len(chunk) / 255.0, 6))
+            return out
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf[content_col].map(len).astype("int32"),
+                    "features": pdf[content_col].map(decode),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, FEATURE_SCHEMA)

@@ -1,0 +1,166 @@
+"""Embedding similarity search: exact brute-force + LSH-bucketed ANN.
+
+Spark-first design for an ``embedding ARRAY<FLOAT>`` column:
+
+- **Brute-force top-k** is the exactness baseline: broadcast the (small)
+  query set against the corpus, compute cosine with array lambdas
+  (JVM-side fold in double — bit-identical to DuckDB's
+  ``list_cosine_similarity``), rank with a per-query window. At scale
+  the corpus side stays partition-parallel; no shuffle until the final
+  per-query top-k (k rows per partition per query after the window
+  pushdown).
+- **Random-hyperplane LSH ANN** is the scale path: H md5-derived
+  hyperplanes -> H sign bits -> bucket id; candidates = same-bucket
+  vectors, searched exactly. Bucketing is a map-side projection; the
+  search joins on bucket id. Approximate -> rows-only driver check +
+  recall test vs brute force (tests/test_similarity.py).
+
+Hyperplane components are md5-derived pseudo-randoms in [-1,1] — fully
+deterministic, no RNG state, reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import token_hash
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold double dot product (== DuckDB's)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos) — self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 (python twin of
+    the column expression; planes are tiny -> computed driver-side)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"plane|{plane}|{d}".encode()).hexdigest()[:8], 16)
+        out.append((h / 0xFFFFFFFF) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for one vector under the given hyperplanes."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe ANN: exact search over the query's LSH bucket plus
+    every Hamming-1 neighbor bucket (flip one sign bit).
+
+    A vector near a hyperplane lands on either side with ~equal
+    probability; probing the adjacent buckets recovers most of those
+    misses at (n_planes+1)/2^n_planes of brute-force cost. Bucketing
+    is a pure projection over the corpus; only the (small) query set
+    is expanded and broadcast.
+    """
+    planes = [_hyperplane(dim, p) for p in range(n_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket0"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket0"),
+            *[
+                F.col("bucket0").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+    else:
+        probes = F.array(F.col("bucket0"))
+    q = qb.select(
+        "query_id", "qv", F.explode(probes).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )

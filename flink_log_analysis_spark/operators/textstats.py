@@ -1,0 +1,97 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path logic is built-in column expressions (split / filter /
+aggregate lambdas / regexp) — JVM-side, codegen-friendly, no Python per
+row. Designed so every statistic is *exactly* reproducible in the
+DuckDB oracle (integer arithmetic or single IEEE double ops).
+
+Operators:
+- :func:`with_tokens`        — whitespace tokenization (array column)
+- :func:`text_stats`         — length/token/type-token statistics
+- :func:`quality_features`   — stopword ratio, language ID heuristic,
+                               composite quality score
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Compact English function-word list for the n-gram-free language-ID
+# heuristic: a text with a healthy share of these is almost surely
+# English. (Public-knowledge stopword set, not tied to any library.)
+EN_STOPWORDS = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "this", "was", "are", "be",
+)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty strings dropped (leading/trailing
+    whitespace would otherwise create phantom tokens)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens(F.col(text_col)))
+
+
+def token_char_sum(toks: Column) -> Column:
+    """Total characters across tokens (exact int arithmetic)."""
+    return F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def stopword_count(toks: Column, stopwords=EN_STOPWORDS) -> Column:
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics: sizes, distinct tokens, type-token ratio."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return df.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        token_char_sum(toks).alias("token_chars"),
+        F.round(n_distinct.cast("double") / n_tokens, 4).alias("ttr"),
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword ratio, heuristic language ID, and a composite quality
+    score in [0,1] (the standard pretraining-corpus filter features).
+
+    score = 0.3*saturating(len) + 0.4*stop_ratio_component + 0.3*ttr —
+    every term one deterministic double op, reproducible in SQL.
+    """
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_stop = stopword_count(toks)
+    stop_ratio = F.round(n_stop.cast("double") / n_tokens, 4)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    len_sat = F.least(F.lit(1.0), n_tokens.cast("double") / 64)
+    score = F.round(
+        0.3 * len_sat + 0.4 * F.least(F.lit(1.0), stop_ratio * 8) + 0.3 * ttr, 4
+    )
+    lang = (
+        F.when(n_tokens == 0, "und")
+        .when(stop_ratio >= 0.03, "en")
+        .otherwise("und")
+    )
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stop_ratio"),
+        lang.alias("lang_pred"),
+        score.alias("quality_score"),
+    )

@@ -1,0 +1,158 @@
+"""Dedup plans over ``documents`` with fully mirrored DuckDB oracles.
+
+Because every hash in operators/dedup.py is md5-derived, the oracle SQL
+below re-derives the complete MinHash -> LSH-band -> candidate ->
+Jaccard pipeline (and SimHash) inside DuckDB and must agree hash-for-
+hash — a far stronger check than "similar pairs found".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashing import token_hash_sql
+from ..operators import dedup
+from ..session import read_table
+
+# Distinct word-bigram shingles over normalized text (twin of
+# operators.dedup.distinct_token_sets)
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_W = f"list_filter(string_split_regex({_NORM}, '\\s+'), x -> x <> '')"
+_TOKS = f"""
+    CASE WHEN len({_W}) >= 2
+         THEN list_distinct(list_transform(
+                  generate_series(1, len({_W}) - 1),
+                  i -> {_W}[i] || ' ' || {_W}[i + 1]))
+         ELSE list_distinct({_W}) END
+"""
+NEAR_DUP_THRESHOLD = 0.6
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(read_table(spark, sf_dir, "documents"))
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_dup_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=NEAR_DUP_THRESHOLD
+    )
+
+
+def near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = dedup.near_dedup_keep(
+        read_table(spark, sf_dir, "documents"), threshold=NEAR_DUP_THRESHOLD
+    )
+    return kept.select("doc_id", "source", "lang")
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(read_table(spark, sf_dir, "documents"))
+
+
+def _mh_expr(i: int) -> str:
+    h = token_hash_sql("t", i)
+    return f"CAST(list_min(list_transform(toks, t -> {h})) AS BIGINT) AS mh{i}"
+
+
+def _sig_cte() -> str:
+    mh = ",\n               ".join(_mh_expr(i) for i in range(dedup.N_HASHES))
+    return f"""
+        toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sig AS (SELECT doc_id, {mh} FROM toks)
+    """
+
+
+def _bands_cte() -> str:
+    parts = []
+    for b in range(dedup.N_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh{b * dedup.ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(dedup.ROWS_PER_BAND)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM sig"
+        )
+    return "bands AS (" + " UNION ALL ".join(parts) + ")"
+
+
+_PAIRS_SQL = f"""
+    WITH {_sig_cte()},
+    {_bands_cte()},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
+                 / (len(ta.toks) + len(tb.toks)
+                    - len(list_intersect(ta.toks, tb.toks))), 4) AS jaccard
+    FROM cands
+    JOIN toks ta ON ta.doc_id = doc_a
+    JOIN toks tb ON tb.doc_id = doc_b
+    WHERE ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
+                / (len(ta.toks) + len(tb.toks)
+                   - len(list_intersect(ta.toks, tb.toks))), 4)
+          >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def _simhash_sql() -> str:
+    h = token_hash_sql("t", "sim")
+    bits = " + ".join(
+        f"CASE WHEN CAST(list_sum(list_transform(ht, h -> ((h >> {j}) & 1) * 2 - 1)) "
+        f"AS BIGINT) > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        hashed AS (SELECT doc_id, list_transform(toks, t -> {h}) AS ht FROM toks)
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM hashed
+    """
+
+
+ORACLE = {
+    "exact_dedup_groups": """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "minhash_signatures": f"WITH {_sig_cte()} SELECT * FROM sig",
+    "near_dup_pairs": _PAIRS_SQL,
+    "near_dedup_docs": f"""
+        WITH {_sig_cte()},
+        {_bands_cte()},
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        dropped AS (
+            SELECT DISTINCT doc_b AS doc_id
+            FROM cands
+            JOIN toks ta ON ta.doc_id = doc_a
+            JOIN toks tb ON tb.doc_id = doc_b
+            WHERE ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
+                        / (len(ta.toks) + len(tb.toks)
+                           - len(list_intersect(ta.toks, tb.toks))), 4)
+                  >= {NEAR_DUP_THRESHOLD}
+        )
+        SELECT d.doc_id, d.source, d.lang FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
+    """,
+    "simhash": _simhash_sql(),
+}
+
+QUERIES = {
+    "exact_dedup_groups": exact_dedup_groups,
+    "minhash_signatures": minhash_signatures,
+    "near_dup_pairs": near_dup_pairs,
+    "near_dedup_docs": near_dedup_docs,
+    "simhash": simhash,
+}

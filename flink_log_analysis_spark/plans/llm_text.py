@@ -1,0 +1,116 @@
+"""Text-analysis plans over ``documents`` (SURVEY §2.D extensions).
+
+DuckDB-twin notes: Spark ``size``/``length`` return INT while DuckDB
+``len``/``list_sum`` return BIGINT/HUGEINT — every oracle casts down to
+INTEGER/BIGINT explicitly so schemas align.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import textstats
+from ..session import read_table
+
+# DuckDB token expression (twin of textstats.tokens)
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_STOP = "(" + ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + ")"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_stats(read_table(spark, sf_dir, "documents"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_features(read_table(spark, sf_dir, "documents"))
+
+
+def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup: token volume and doc count per source."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(textstats.tokens(F.col("text")))
+    return (
+        docs.select("source", "lang", n_tokens.alias("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_tokens"
+            ),
+        )
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (md5 of normalized text) + binary-column
+    surface: utf-8 byte length and digest of the encoded bytes."""
+    from ..functions.hashing import content_fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        content_fingerprint(F.col("text")).alias("fp"),
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(blob).alias("blob_md5"),
+    )
+
+
+ORACLE = {
+    "text_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER)                    AS n_chars,
+               CAST(len({_TOKS}) AS INTEGER)                    AS n_tokens,
+               CAST(len(list_distinct({_TOKS})) AS INTEGER)     AS n_distinct_tokens,
+               CAST(list_sum(list_transform({_TOKS}, t -> length(t)))
+                    AS INTEGER)                                 AS token_chars,
+               ROUND(len(list_distinct({_TOKS})) * 1.0
+                     / len({_TOKS}), 4)                         AS ttr
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   CAST(len(list_filter(toks, x -> lower(x) IN {_STOP}))
+                        AS INTEGER) AS n_stopwords,
+                   CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct
+            FROM t
+        )
+        SELECT doc_id, n_tokens, n_stopwords,
+               ROUND(n_stopwords * 1.0 / n_tokens, 4) AS stop_ratio,
+               CASE WHEN n_tokens = 0 THEN 'und'
+                    WHEN ROUND(n_stopwords * 1.0 / n_tokens, 4) >= 0.03 THEN 'en'
+                    ELSE 'und' END AS lang_pred,
+               ROUND(0.3 * least(1.0, n_tokens / 64.0)
+                     + 0.4 * least(1.0, ROUND(n_stopwords * 1.0 / n_tokens, 4) * 8)
+                     + 0.3 * (n_distinct * 1.0 / n_tokens), 4) AS quality_score
+        FROM s
+    """,
+    "source_token_stats": f"""
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(len({_TOKS})) AS DOUBLE) / COUNT(*), 4)
+                   AS avg_tokens
+        FROM documents GROUP BY source, lang
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               -- DuckDB md5(VARCHAR) hashes the utf-8 bytes == Spark md5(binary)
+               md5(text) AS blob_md5
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "source_token_stats": source_token_stats,
+    "doc_fingerprints": doc_fingerprints,
+}

@@ -96,6 +96,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing nano-timestamps."""
     from pyspark.sql import functions as F
 
+    # Runtime-set so externally-built sessions (the driver's) read the
+    # generator's TIMESTAMP(NANOS) parquet too, not only our factory's.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # locked conf: session factory already set it
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in NANO_TS_COLUMNS.get(name, ()):

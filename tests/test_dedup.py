@@ -1,0 +1,88 @@
+"""Semantic tests for the dedup operators (the oracle-parity tests in
+test_oracle_parity.py cover cross-engine hash equality; these pin the
+*meaning*: known dups found, distinct docs kept)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_log_analysis_spark.operators import dedup
+
+DOCS = [
+    # two exact dups (after normalization) of doc 1
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "  The quick   brown fox jumps over the lazy dog  "),
+    (3, "the quick brown fox jumps over the lazy dog"),
+    # near-dup of doc 1 (one word changed)
+    (4, "the quick brown fox leaps over the lazy dog"),
+    # unrelated
+    (5, "completely different content about spark engines"),
+    (6, "yet another unrelated document with other words"),
+    # single-token doc (shingle fallback path)
+    (7, "singleton"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+def test_exact_dedup_groups(spark):
+    groups = dedup.exact_dedup_groups(_df(spark)).collect()
+    by_rep = {r.doc_id: r.n_copies for r in groups}
+    assert by_rep[1] == 3  # docs 1,2,3 collapse (case/whitespace normalized)
+    assert by_rep[4] == 1 and by_rep[5] == 1
+    assert len(groups) == 5
+
+
+def test_near_dup_pairs_finds_known_pair(spark):
+    """Identical shingle sets ALWAYS collide (same signature in every
+    band), so docs 1/2/3 must pair up. Doc 4 (one-word edit, j≈0.56)
+    is BELOW the banding threshold (1/b)^(1/r)≈0.71 — LSH finding it
+    is coin-flip by design, so it is not asserted here; its exact
+    jaccard is pinned in test_jaccard_exact instead."""
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.near_dup_pairs(_df(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # case/whitespace-normalized dup
+    assert pairs[(1, 3)] == 1.0  # exact dup
+    assert pairs[(2, 3)] == 1.0
+    assert (5, 6) not in pairs
+
+
+def test_jaccard_exact(spark):
+    """Direct check of the verify-stage arithmetic on the 1-edit pair:
+    9 words -> 8 distinct bigrams; one word changed breaks 2 bigrams
+    on each side: |∩|=6, |∪|=10 -> 0.6."""
+    toks = {r.doc_id: r.toks for r in dedup.distinct_token_sets(_df(spark)).collect()}
+    pair = spark.createDataFrame([Row(ta=toks[1], tb=toks[4])])
+    j = pair.select(dedup.jaccard(F.col("ta"), F.col("tb")).alias("j")).first().j
+    assert j == 0.6
+    a, b = set(toks[1]), set(toks[4])
+    assert len(a & b) == 6 and len(a | b) == 10
+
+
+def test_near_dedup_keep_drops_higher_ids(spark):
+    kept = {r.doc_id for r in dedup.near_dedup_keep(_df(spark), threshold=0.5).collect()}
+    assert 1 in kept
+    assert 2 not in kept and 3 not in kept  # guaranteed collisions
+    assert {5, 6, 7} <= kept
+
+
+def test_simhash_near_for_near_dups(spark):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(_df(spark)).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert sh[1] == sh[3]  # identical text -> identical simhash
+    assert hamming(sh[1], sh[4]) < hamming(sh[1], sh[5])  # near < far
+
+
+def test_minhash_estimates_jaccard(spark):
+    sig = dedup.minhash_signatures(_df(spark)).collect()
+    by_id = {r.doc_id: [r[f"mh{i}"] for i in range(dedup.N_HASHES)] for r in sig}
+    agree_14 = sum(a == b for a, b in zip(by_id[1], by_id[4])) / dedup.N_HASHES
+    agree_15 = sum(a == b for a, b in zip(by_id[1], by_id[5])) / dedup.N_HASHES
+    assert by_id[1] == by_id[3]
+    assert agree_14 > agree_15  # signature agreement tracks similarity
