@@ -33,11 +33,13 @@ def _plan_modules():
         llm_similarity,
         llm_text,
         logpipe,
+        streamed,
     )
 
     return [
         declared,
         logpipe,
+        streamed,
         analytics,
         llm_text,
         llm_dedup,

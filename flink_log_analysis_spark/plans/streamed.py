@@ -1,0 +1,115 @@
+"""Oracle-checked STREAMING parity queries.
+
+These entries run the reference's actual streaming topology — file
+stream of raw log lines -> columnar parse -> stream-static broadcast
+join -> unbounded agg -> keyed upsert sink (``streaming.runner``) —
+to completion with ``availableNow``, then return the sink's final
+keyed state as a DataFrame. Because the reference's aggregations are
+unbounded (SURVEY §1.1.4), the stream's final state over a finite
+input equals the batch query over the same input, so DuckDB can
+oracle-check a genuinely streamed result: the oracle re-derives the
+expected sink state straight from ``events`` (it never sees the
+parser, the stream, or the sink).
+
+Input manufacture reuses :mod:`.logpipe`'s deterministic
+events->log-line mapping; dims reuse :mod:`.declared`'s role mapping
+(nation == pre_forum_forum).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import read_table
+from ..streaming.runner import (
+    client_ip_access_agg,
+    hot_section_agg,
+    parsed_log_stream,
+    read_log_file_stream,
+    start_upsert_stream,
+)
+from ..streaming.upsert import MemoryUpsertSink
+from .declared import K_REGEX, N_SECTIONS
+from .logpipe import _log_lines
+
+
+def _run_stream(spark: SparkSession, sf_dir: str, build_agg, key_cols,
+                top_k=None, order_by=None) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="loganalysis_stream_")
+    try:
+        _log_lines(spark, sf_dir).write.mode("overwrite").text(f"{work}/lines")
+        lines = read_log_file_stream(spark, f"{work}/lines")
+        logs = parsed_log_stream(lines)
+        sink = MemoryUpsertSink(key_cols, complete=top_k is not None)
+        q = start_upsert_stream(
+            build_agg(logs),
+            sink,
+            f"{work}/ckpt",
+            top_k=top_k,
+            order_by=order_by,
+            stat_time="1970-01-01 00:00:00",  # pinned; dropped below
+            available_now=True,
+        )
+        q.awaitTermination(timeout=600)
+        return sink.to_df(spark).drop("statistic_time")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def hot_section_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 through the real stream: top-10 sections by pv, final state."""
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("fid"), F.col("n_name").alias("name")
+    )
+    return _run_stream(
+        spark,
+        sf_dir,
+        lambda logs: hot_section_agg(logs, nation),
+        ["section_id"],
+        top_k=10,
+        order_by=[F.desc("section_pv"), F.asc("section_id")],
+    )
+
+
+def client_ip_access_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 through the real stream: per-client hit counts, final state."""
+    return _run_stream(spark, sf_dir, client_ip_access_agg, ["client_ip"])
+
+
+# Oracles re-derive expected sink state from events (see logpipe's
+# line-construction contract): views carry fid = k % N_SECTIONS, clicks
+# carry tid = user_id, errors get status 500 and are dropped by the
+# parser's ==200 filter.
+_K = f"(CAST(regexp_extract(e.props, '{K_REGEX}', 1) AS INTEGER) % {N_SECTIONS})"
+_IP = (
+    "'10.0.' || CAST(e.event_id % 250 AS VARCHAR) || '.' || "
+    "CAST(e.event_id % 199 AS VARCHAR)"
+)
+
+ORACLE = {
+    "hot_section_stream": f"""
+        SELECT section_id, name, section_pv FROM (
+            SELECT {_K} AS section_id, n.n_name AS name, COUNT(*) AS section_pv
+            FROM events e
+            JOIN nation n ON {_K} = n.n_nationkey
+            WHERE e.event_type = 'view' AND {_K} <> 0
+            GROUP BY 1, 2
+        ) ORDER BY section_pv DESC, section_id ASC LIMIT 10
+    """,
+    "client_ip_access_stream": f"""
+        SELECT {_IP} AS client_ip, COUNT(*) AS client_access_cnt
+        FROM events e
+        WHERE (CASE WHEN e.event_type = 'click' THEN e.user_id ELSE 0 END) <> 0
+           OR (CASE WHEN e.event_type = 'view' THEN {_K} ELSE 0 END) <> 0
+        GROUP BY 1
+    """,
+}
+
+QUERIES = {
+    "hot_section_stream": hot_section_stream,
+    "client_ip_access_stream": client_ip_access_stream,
+}

@@ -1,0 +1,281 @@
+"""Streaming-layer tests: stream-final state == batch twin (SURVEY §5.3).
+
+The reference's aggregations are unbounded, so the stream's final
+state over a finite input must equal the batch query over the same
+input — that equivalence is the core assertion here, plus unit tests
+of the upsert sinks and stateful operators.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_log_analysis_spark import logparse
+from flink_log_analysis_spark.sources.synthetic import write_log_file
+from flink_log_analysis_spark.streaming import (
+    MemoryUpsertSink,
+    ParquetUpsertSink,
+    jdbc_upsert_statement,
+)
+from flink_log_analysis_spark.streaming.runner import (
+    client_ip_access_agg,
+    hot_article_agg,
+    hot_section_agg,
+    run_log_job,
+)
+from flink_log_analysis_spark.streaming import stateful
+
+N_SECTIONS = 40
+N_ARTICLES = 1000
+STAT_TIME = "2020-08-27 12:00:00"
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    from datetime import datetime
+
+    d = tmp_path_factory.mktemp("loglanding")
+    # Several files -> several input splits; availableNow drains them
+    # all. Disjoint increasing time ranges (like real log rotation) so
+    # event-time watermark tests see no late data across files.
+    write_log_file(str(d / "part0.log"), 400, seed=1,
+                   start=datetime(2020, 8, 27, 10, 0, 0))
+    write_log_file(str(d / "part1.log"), 400, seed=2,
+                   start=datetime(2020, 8, 27, 11, 0, 0))
+    write_log_file(str(d / "part2.log"), 400, seed=3,
+                   start=datetime(2020, 8, 27, 12, 0, 0))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    section = spark.createDataFrame(
+        [(i, f"section-{i}") for i in range(1, N_SECTIONS + 1)], "fid int, name string"
+    )
+    article = spark.createDataFrame(
+        [(i, f"article-{i}") for i in range(1, N_ARTICLES + 1)],
+        "tid int, subject string",
+    )
+    return section, article
+
+
+def _batch_logs(spark, log_dir):
+    return logparse.parse_access_logs(
+        spark.read.text(log_dir).withColumnRenamed("value", "line")
+    )
+
+
+def _rows(df, *order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def test_stream_final_state_equals_batch(spark, log_dir, dims, tmp_path):
+    section_dim, article_dim = dims
+    sinks = {
+        "hot_section": MemoryUpsertSink(["section_id"], complete=True),
+        "hot_article": MemoryUpsertSink(["article_id"], complete=True),
+        "client_ip_access": MemoryUpsertSink(["client_ip"]),
+    }
+    queries = run_log_job(
+        spark,
+        log_dir,
+        section_dim,
+        article_dim,
+        sinks,
+        checkpoint_root=str(tmp_path / "ckpt"),
+        available_now=True,
+        stat_time=STAT_TIME,
+    )
+    for q in queries:
+        q.awaitTermination(timeout=120)
+
+    logs = _batch_logs(spark, log_dir)
+
+    exp_section = (
+        hot_section_agg(logs, section_dim)
+        .orderBy(F.desc("section_pv"), F.asc("section_id"))
+        .limit(10)
+        .withColumn("statistic_time", F.lit(STAT_TIME))
+    )
+    got_section = sinks["hot_section"].to_df(spark)
+    assert _rows(got_section, "section_id") == _rows(exp_section, "section_id")
+
+    exp_article = (
+        hot_article_agg(logs, article_dim)
+        .orderBy(F.desc("article_pv"), F.asc("article_id"))
+        .limit(10)
+        .withColumn("statistic_time", F.lit(STAT_TIME))
+    )
+    got_article = sinks["hot_article"].to_df(spark)
+    assert _rows(got_article, "article_id") == _rows(exp_article, "article_id")
+
+    exp_ip = client_ip_access_agg(logs).withColumn("statistic_time", F.lit(STAT_TIME))
+    got_ip = sinks["client_ip_access"].to_df(spark)
+    assert _rows(got_ip, "client_ip") == _rows(exp_ip, "client_ip")
+    assert got_ip.count() > 0
+
+
+def test_incremental_batches_accumulate(spark, dims, tmp_path):
+    """Files arriving across micro-batches accumulate state (unbounded
+    agg), and the upsert sink converges to the batch-over-all result."""
+    section_dim, _ = dims
+    land = tmp_path / "land"
+    land.mkdir()
+    write_log_file(str(land / "a.log"), 150, seed=10)
+
+    sink = MemoryUpsertSink(["client_ip"])
+    from flink_log_analysis_spark.streaming.runner import (
+        parsed_log_stream,
+        read_log_file_stream,
+        start_upsert_stream,
+    )
+
+    # One file per trigger -> deterministic multi-batch run.
+    lines = read_log_file_stream(spark, str(land), max_files_per_trigger=1)
+    agg = client_ip_access_agg(parsed_log_stream(lines))
+    q = start_upsert_stream(
+        agg, sink, str(tmp_path / "ckpt2"), stat_time=STAT_TIME
+    )
+    try:
+        q.processAllAvailable()
+        write_log_file(str(land / "b.log"), 150, seed=11)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(sink.applied_batches) >= 2
+
+    logs = _batch_logs(spark, str(land))
+    exp = client_ip_access_agg(logs).withColumn("statistic_time", F.lit(STAT_TIME))
+    assert _rows(sink.to_df(spark), "client_ip") == _rows(exp, "client_ip")
+
+
+def test_parquet_upsert_sink_merges_by_key(spark, tmp_path):
+    sink = ParquetUpsertSink(str(tmp_path / "state.parquet"), ["k"])
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    b1 = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int")
+    sink(b0, 0)
+    sink(b1, 1)
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+
+
+def test_jdbc_upsert_statement_dialects():
+    mysql = jdbc_upsert_statement(
+        "hot_section", ["section_id", "name", "section_pv"], ["section_id"]
+    )
+    assert mysql == (
+        "INSERT INTO hot_section (section_id, name, section_pv) VALUES (?, ?, ?) "
+        "ON DUPLICATE KEY UPDATE name = VALUES(name), section_pv = VALUES(section_pv)"
+    )
+    pg = jdbc_upsert_statement("t", ["k", "v"], ["k"], dialect="postgres")
+    assert "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v" in pg
+
+
+def test_jdbc_upsert_writer_against_sqlite(spark, tmp_path):
+    """Exercise the production foreachBatch writer through a real DB-API
+    connection (sqlite speaks the postgres ON CONFLICT dialect)."""
+    import sqlite3
+
+    db = str(tmp_path / "sink.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE t (k TEXT PRIMARY KEY, v INTEGER)")
+
+    from flink_log_analysis_spark.streaming.upsert import jdbc_upsert_writer
+
+    def factory(path=db):
+        import sqlite3 as s
+
+        return s.connect(path, timeout=30)
+
+    write = jdbc_upsert_writer(factory, "t", ["k"], dialect="postgres")
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int").coalesce(1)
+    b1 = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int").coalesce(1)
+    write(b0, 0)
+    write(b1, 1)
+    with sqlite3.connect(db) as conn:
+        got = dict(conn.execute("SELECT k, v FROM t").fetchall())
+    assert got == {"a": 1, "b": 20, "c": 3}
+
+
+def test_session_window_stream_equals_batch(spark, log_dir, tmp_path):
+    """session_window agg through a real stream == same agg in batch."""
+    from flink_log_analysis_spark.streaming.runner import (
+        parsed_log_stream,
+        read_log_file_stream,
+    )
+
+    # One file per micro-batch so the watermark advances between
+    # batches and closes earlier sessions (a single batch would leave
+    # every window open -> zero append-mode output).
+    lines = read_log_file_stream(spark, log_dir, max_files_per_trigger=1)
+    sess = stateful.session_counts(
+        parsed_log_stream(lines), gap="5 minutes", watermark="10 seconds"
+    )
+    out = []
+
+    q = (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+
+    batch = stateful.session_counts(
+        _batch_logs(spark, log_dir), gap="5 minutes", watermark="10 seconds"
+    )
+    exp = sorted(tuple(r) for r in batch.collect())
+    # Append mode only emits windows closed by the watermark; over a
+    # finite input the last open window per key never closes, so the
+    # stream output is a prefix subset of the batch sessions.
+    got = sorted(tuple(r) for r in out)
+    assert set(got) <= set(exp)
+    assert len(got) > 0
+
+
+def test_sessionize_with_state_gap_splits(spark, tmp_path):
+    """applyInPandasWithState emits gap-closed sessions matching a
+    hand-computed expectation."""
+    rows = [
+        ("u1", "2020-01-01 10:00:00"),
+        ("u1", "2020-01-01 10:10:00"),
+        ("u1", "2020-01-01 12:00:00"),  # > 30 min gap -> closes session 1
+        ("u2", "2020-01-01 09:00:00"),
+        ("u2", "2020-01-01 11:00:00"),  # closes u2 session 1
+        ("u2", "2020-01-01 11:05:00"),
+    ]
+    src = tmp_path / "events"
+    src.mkdir()
+    import json
+
+    with open(src / "data.json", "w") as f:
+        for k, ts in rows:
+            f.write(json.dumps({"clientIP": k, "accessTs": ts}) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("clientIP", T.StringType()),
+            T.StructField("accessTs", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    sess = stateful.sessionize_with_state(stream, gap_seconds=1800)
+    out = []
+    q = (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+
+    got = {(r["key"], str(r["session_start"]), r["session_hits"], r["closed_by"])
+           for r in out}
+    assert got == {
+        ("u1", "2020-01-01 10:00:00", 2, "gap"),
+        ("u2", "2020-01-01 09:00:00", 1, "gap"),
+    }
