@@ -201,6 +201,63 @@ def near_dedup_keep(
     return df.join(drop, id_col, "left_anti")
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-pruned then verified.
+
+    Candidate generation: each vector gets a random-hyperplane sign
+    bucket (map-side projection, :mod:`.similarity`); candidates are
+    pairs whose buckets differ in <= 1 bit — found by exploding one
+    side to its bucket + all Hamming-1 flips and equi-joining on the
+    other side's base bucket, so the join shuffles (n_planes+1) small
+    rows per vector instead of crossing the corpus with itself.
+    Verification computes the exact cosine on candidates only and
+    keeps pairs >= ``threshold``.
+
+    Deterministic end-to-end (md5-derived hyperplanes), so the DuckDB
+    oracle reproduces the same candidate set with
+    ``bit_count(xor(bucket_a, bucket_b)) <= 1`` and the same cosines
+    (plans/llm_similarity.py).
+    """
+    from .similarity import _hyperplane, as_double, cosine, lsh_bucket
+
+    planes = [_hyperplane(dim, p) for p in range(n_planes)]
+    v = emb.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("e"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    a = v.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.explode(probes).alias("bucket"),
+    )
+    b = v.select(
+        F.col(id_col).alias("vec_b"), F.col("e").alias("eb"), F.col("bucket")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+        # No distinct needed: a pair collides on exactly one probe
+        # (base==base when Hamming-0, the single flipped bit when
+        # Hamming-1), so the join emits each candidate once.
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -108,6 +108,106 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: KMeans centroids + nearest-cell assignment.
+
+    Returns (assigned corpus DataFrame with a ``cell`` column, the
+    centroid list). The model is fit once (sampled at real scale) and
+    the assignment is a pure projection — at 100 TB the corpus is
+    written out partitioned by cell, so a query touches only
+    ``n_probe`` cells' files (partition pruning does the rest).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("arr")
+    ).withColumn("features", array_to_vector(F.col("arr")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(vecs)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def cell_of(arr: Column, probe: int) -> Column:
+        """probe-th nearest centroid by squared L2 (0 = nearest)."""
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        arr,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias(f"d{i}")
+                for i, c in enumerate(centroids)
+            ]
+        )
+        order = F.array_sort(
+            F.transform(
+                dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+            )
+        )
+        return F.element_at(order, probe + 1).getField("cell")
+
+    assigned = vecs.select(
+        id_col, F.col("arr"), cell_of(F.col("arr"), 0).alias("cell")
+    )
+    return assigned, centroids, cell_of
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: exact search restricted to each query's n_probe nearest
+    cells. Complements LSH: cells adapt to the data distribution, so
+    recall at equal candidate budget is typically higher on clustered
+    corpora (the centroid fit is the price).
+    """
+    assigned, centroids, cell_of = ivf_assign(
+        corpus, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("arr").alias("cv"), "cell"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(*[cell_of(F.col("qv"), p) for p in range(n_probe)])
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3,8 +3,13 @@
 The brute-force top-k is exactly oracle-checked: the Spark cosine is a
 sequential double fold, bit-identical to DuckDB's
 ``list_cosine_similarity`` (verified empirically — no rounding in the
-comparison). The LSH ANN variant is approximate by construction ->
-rows-only driver check + a recall-vs-bruteforce unit test.
+comparison). The LSH variants are *also* exactly oracle-checked even
+though they are approximate algorithms: the md5-derived hyperplanes
+are deterministic, so the oracle embeds the same plane constants and
+reproduces the bucket assignment; multiprobe candidacy (own bucket +
+all Hamming-1 flips) is exactly ``bit_count(xor(b1, b2)) <= 1``. The
+KMeans-based IVF variant depends on MLlib's fit -> rows-only driver
+check + a recall-vs-bruteforce unit test.
 """
 
 from __future__ import annotations
@@ -12,11 +17,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import similarity
+from ..operators import dedup, similarity
 from ..session import read_table
 
 N_QUERIES = 10  # query set = vec_id < 10
 K = 5
+N_PLANES = 4
+DIM = 64
+NEAR_DUP_THRESHOLD = 0.4
+
+
+def _planes_sql() -> list[str]:
+    """The operator's hyperplanes as DuckDB array literals (python
+    float repr round-trips exactly through DuckDB's double parser)."""
+    planes = [similarity._hyperplane(DIM, p) for p in range(N_PLANES)]
+    return ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+
+
+def _bucket_expr(vec: str) -> str:
+    """bucket = sum of sign bits of <vec, plane_i> — mirror of
+    operators.similarity.lsh_bucket."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes_sql())
+    ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,6 +54,19 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return similarity.knn_lsh(emb, queries, k=K)
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.knn_ivf(emb, queries, k=K)
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(
+        emb, threshold=NEAR_DUP_THRESHOLD, n_planes=N_PLANES, dim=DIM
+    )
 
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,11 +102,45 @@ ORACLE = {
                CAST(len(embedding) AS INTEGER) AS dim
         FROM embeddings
     """,
-    # knn_lsh: approximate -> rows-only check (no oracle by design)
+    "knn_lsh": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                          {{bucket}} AS bucket
+                   FROM embeddings),
+             s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          list_cosine_similarity(q.e, c.e) AS cos
+                   FROM v q JOIN v c
+                     ON bit_count(xor(q.bucket, c.bucket)) <= 1
+                    AND c.vec_id <> q.vec_id
+                   WHERE q.vec_id < {N_QUERIES}),
+             r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rn
+                   FROM s)
+        SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= {K}
+    """,
+    "embedding_near_dups": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                          {{bucket}} AS bucket
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_cosine_similarity(a.e, b.e) AS cos
+        FROM v a JOIN v b
+          ON a.vec_id < b.vec_id
+         AND bit_count(xor(a.bucket, b.bucket)) <= 1
+        WHERE list_cosine_similarity(a.e, b.e) >= {NEAR_DUP_THRESHOLD}
+    """,
+    # knn_ivf: MLlib KMeans fit -> rows-only check (recall unit test
+    # vs brute force in tests/test_similarity.py)
 }
+
+# Splice the (long) embedded-hyperplane bucket expression in once.
+for _name in ("knn_lsh", "embedding_near_dups"):
+    ORACLE[_name] = ORACLE[_name].replace("{bucket}", _bucket_expr("e"))
 
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
+    "embedding_near_dups": embedding_near_dups,
     "embedding_norms": embedding_norms,
 }

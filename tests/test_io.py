@@ -1,0 +1,82 @@
+"""IO layer: file readers/writers, TTL dim cache, rate source."""
+
+from pyspark.sql import functions as F
+
+from flink_log_analysis_spark.sources import io
+
+
+def test_text_roundtrip(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\n")
+    df = io.read_text_lines(spark, str(p))
+    assert df.columns == ["line"]
+    assert {r.line for r in df.collect()} == {"alpha", "beta"}
+
+
+def test_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "dim.csv"
+    p.write_text("fid,name\n1,general\n2,tech\n")
+    df = io.read_csv(spark, str(p), schema="fid int, name string")
+    assert dict(df.dtypes) == {"fid": "int", "name": "string"}
+    assert df.count() == 2
+
+
+def test_json_reader(spark, tmp_path):
+    p = tmp_path / "d.json"
+    p.write_text('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+    df = io.read_json(spark, str(p), schema="k int, v string")
+    assert {(r.k, r.v) for r in df.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_parquet_write_partitioned_and_pruned(spark, tmp_path):
+    df = spark.range(100).withColumn("part", (F.col("id") % 4).cast("int"))
+    path = str(tmp_path / "t.parquet")
+    io.write_parquet(df, path, partition_by=["part"])
+    back = io.read_parquet(spark, path, columns=["id"])
+    assert back.columns == ["id"]
+    assert back.count() == 100
+    # partition pruning: a part filter must not scan all 4 dirs
+    pruned = io.read_parquet(spark, path).filter(F.col("part") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 25
+    assert "part" in plan
+
+
+def test_dim_cache_ttl(spark):
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return spark.createDataFrame([(len(calls),)], "version int")
+
+    cache = io.DimCache(loader, ttl_seconds=1000)
+    v1 = cache.get().first().version
+    v2 = cache.get().first().version
+    assert (v1, v2) == (1, 1) and len(calls) == 1  # within TTL: one load
+
+    cache.ttl = 0.0  # expire immediately -> reload
+    v3 = cache.get().first().version
+    assert v3 == 2 and len(calls) == 2
+
+
+def test_dim_cache_max_rows(spark):
+    cache = io.DimCache(lambda: spark.range(100), ttl_seconds=1000, max_rows=7)
+    assert cache.get().count() == 7
+
+
+def test_rate_stream_is_streaming(spark):
+    df = io.rate_stream(spark, rows_per_second=5)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_jdbc_reader_wiring(spark):
+    """No JDBC driver in the container: assert the reader builds with
+    the right options up to load() (which needs the driver jar)."""
+    import pytest
+
+    with pytest.raises(Exception):
+        io.read_jdbc_dim(
+            spark, "jdbc:mysql://localhost:3306/forum", "pre_forum_forum",
+            properties={"user": "x", "password": "y"},
+        ).take(1)

@@ -50,3 +50,50 @@ def test_lsh_recall_vs_bruteforce(spark, emb):
     # every ANN result must also be correctly ranked within its bucket
     for r in approx:
         assert r.rn <= 5
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    """IVF with 2-cell probe must beat the LSH floor on clustered data
+    (the embeddings table has 10 labeled clusters)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.knn_bruteforce(emb, q, k=5).collect()
+    approx = similarity.knn_ivf(emb, q, k=5, n_cells=8, n_probe=2).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    hits = {(r.query_id, r.neighbor_id) for r in approx} & truth
+    recall = len(hits) / len(truth)
+    assert recall >= 0.3, f"IVF recall {recall} below floor"
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rn)
+    for rns in by_q.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_embedding_near_dups_subset_of_bruteforce(spark, emb):
+    """LSH-pruned cosine near-dup pairs: every reported pair must be a
+    true pair (>= threshold, ordered), and candidate pruning must keep
+    a decent fraction of the brute-force truth."""
+    from flink_log_analysis_spark.operators import dedup
+
+    got = dedup.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    v = emb.select(
+        F.col("vec_id"), similarity.as_double(F.col("embedding")).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            similarity.cosine(F.col("ea"), F.col("eb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+        .collect()
+    )
+    truth_pairs = {(r.vec_a, r.vec_b) for r in truth}
+    got_pairs = {(r.vec_a, r.vec_b) for r in got}
+    assert got_pairs <= truth_pairs  # no false positives (exact verify)
+    assert all(r.cos >= 0.4 and r.vec_a < r.vec_b for r in got)
+    if truth_pairs:
+        assert len(got_pairs) / len(truth_pairs) >= 0.25
