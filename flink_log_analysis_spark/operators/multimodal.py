@@ -112,4 +112,15 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(batches, FEATURE_SCHEMA)
+    from ..session import ensure_min_partitions
+
+    # Wide partitioning -> parallel Python workers + right-sized Arrow
+    # batches (a single-partition input would serialize the UDF). The
+    # cap bounds cold-start cost: each fresh Python worker pays the
+    # pandas import, so more workers than needed hurts short jobs;
+    # long/large inputs on a warm cluster can pass a higher target.
+    sc = df.sparkSession.sparkContext
+    target = min(sc.defaultParallelism, 8)
+    return ensure_min_partitions(df.select(id_col, content_col), target).mapInPandas(
+        batches, FEATURE_SCHEMA
+    )

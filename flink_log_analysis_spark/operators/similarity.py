@@ -59,10 +59,12 @@ def knn_bruteforce(
 
     Output: (query_id, neighbor_id, cos) — self-matches excluded.
     """
+    from ..session import ensure_min_partitions
+
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     scored = c.crossJoin(F.broadcast(q)).filter(
@@ -127,10 +129,21 @@ def ivf_assign(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from ..session import ensure_min_partitions
+
+    emb = ensure_min_partitions(emb)
     vecs = emb.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("arr")
     ).withColumn("features", array_to_vector(F.col("arr")))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(vecs)
+    # Fit on few fat partitions: KMeans iterates, and per-task overhead
+    # on many tiny partitions dominates a small/sampled training set.
+    # (At real scale the fit input is a sample, never the corpus.)
+    fit_input = vecs.coalesce(min(vecs.sparkSession.sparkContext.defaultParallelism, 8))
+    # A coarse quantizer doesn't need converged centroids — 8 rounds
+    # places cells well enough for n_probe>=2 recall at half the fit cost.
+    model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="features").fit(
+        fit_input
+    )
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     def cell_of(arr: Column, probe: int) -> Column:
@@ -227,8 +240,10 @@ def knn_lsh(
     is a pure projection over the corpus; only the (small) query set
     is expanded and broadcast.
     """
+    from ..session import ensure_min_partitions
+
     planes = [_hyperplane(dim, p) for p in range(n_planes)]
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),

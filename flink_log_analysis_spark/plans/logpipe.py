@@ -26,12 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import logparse
-from ..session import read_table
+from ..session import ensure_min_partitions, read_table
 from .declared import K_REGEX, N_SECTIONS
 
 
 def _log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
+    # The 9-group parse regex downstream is CPU-bound per line; widen
+    # the single-row-group local parquet so it runs on all cores.
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
     k = F.regexp_extract("props", K_REGEX, 1).try_cast("int")
     ip = F.concat(
         F.lit("10.0."),

@@ -110,6 +110,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def ensure_min_partitions(df, target: int | None = None):
+    """Widen a DataFrame to at least ``target`` partitions (default:
+    the session's core count) before CPU-bound per-row work.
+
+    Small local parquet files arrive as one unsplittable partition
+    (single row group), which would serialize expression-heavy
+    operators (MinHash, SimHash, cosine) onto one core. The shuffle
+    this inserts moves only the small input; on a real cluster where
+    scans already produce >= cores splits it is a no-op, so plans
+    keep their scale posture.
+    """
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
     """Load the driver-provided parquet tables for one scale factor.
 
