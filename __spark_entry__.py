@@ -27,6 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _plan_modules():
     from flink_log_analysis_spark.plans import (
         analytics,
+        analytics2,
         declared,
         llm_dedup,
         llm_multimodal,
@@ -41,6 +42,7 @@ def _plan_modules():
         logpipe,
         streamed,
         analytics,
+        analytics2,
         llm_text,
         llm_dedup,
         llm_similarity,

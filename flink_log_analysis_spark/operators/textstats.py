@@ -64,6 +64,67 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+# Characteristic character-trigram profiles (space-padded word edges
+# matter: ' th'/'he ' are English signatures, 'sch' German, etc.).
+# Public-knowledge n-gram frequency facts, small on purpose — this is
+# the deterministic heuristic tier, not a trained model.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", " an", "and", "ion", " of"),
+    "de": ("der", "sch", "ich", "ein", "und", " de", "en ", "cht"),
+    "fr": (" le", "les", "de ", "ent", " qu", "que", "ait", " et"),
+    "es": (" de", "os ", " la", "ión", "ado", "que", " el", "ar "),
+}
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via length difference —
+    identical arithmetic in DuckDB:
+    (length(t) - length(replace(t, n, ''))) / length(n)."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle)))
+    ) / len(needle)
+
+
+def trigram_lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language score: summed occurrences of that language's
+    characteristic trigrams, normalized by text length."""
+    t = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: F.round(
+            sum(
+                (_count_occurrences(t, g) for g in grams), F.lit(0).cast("double")
+            )
+            / F.greatest(F.length(t), F.lit(1)),
+            6,
+        )
+        for lang, grams in LANG_TRIGRAM_PROFILES.items()
+    }
+
+
+def language_id_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_score: float = 0.01,
+) -> DataFrame:
+    """N-gram language ID: argmax of trigram-profile scores, 'und' when
+    no profile clears ``min_score``. Deterministic ties: profile order
+    (en > de > fr > es). Pure column expressions — a 100 TB corpus
+    lang-IDs as a single projection pass."""
+    scores = trigram_lang_scores(F.col(text_col))
+    langs = list(scores)
+    best = F.greatest(*[scores[g] for g in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier profiles win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best >= min_score, pred).otherwise(F.lit("und"))
+    return df.select(
+        id_col,
+        *[scores[g].alias(f"score_{g}") for g in langs],
+        pred.alias("lang_pred"),
+    )
+
+
 def quality_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,246 @@
+"""Analytics surface, part 2: cube, window frames, quantiles,
+correlated-subquery shapes, and approximate sketches.
+
+Same determinism rules as :mod:`.analytics` (exact decimal sums,
+rounded-double divisions, total tie-break orders). The Q17-shaped
+threshold compare is kept *exact* by clearing denominators:
+``qty < 0.2 * avg(qty)``  ⇔  ``5 * qty * cnt < sum_qty`` — integer/
+decimal arithmetic on both engines, no float boundary flakiness.
+
+Scale notes: the moving-average and market-share windows partition on
+low-cardinality keys after pre-aggregation, so window state is tiny;
+the Q17 join is an agg-then-broadcast of per-part thresholds (the
+classic rewrite that avoids recomputing the correlated subquery per
+row); sketches (HLL / KLL) are the 100 TB cardinality/quantile answer
+— single pass, mergeable, no exact distinct shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import read_table
+from .analytics import DEC, _dec
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE(status, priority): all grouping-set combinations."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("revenue"),
+    )
+
+
+def monthly_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame over pre-aggregated months: 3-month trailing mean.
+
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW over ~tens of rows after
+    the group-by — frame evaluation never sees raw fact rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    # .cast("date"): Spark's date_trunc returns TIMESTAMP, DuckDB's
+    # returns DATE — align the output type for the value comparison.
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(_dec("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy("month").rowsBetween(-2, 0)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.avg(F.col("revenue").cast("double")).over(w), 4).alias(
+            "trailing3_avg"
+        ),
+    )
+
+
+def quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag.
+
+    ``percentile`` (Spark) and ``quantile_cont`` (DuckDB) both use
+    linear interpolation on the sorted values; rounding to 4 absorbs
+    any last-ulp difference in the interpolation arithmetic.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity (correlated subquery ->
+    agg + join rewrite; threshold compare exact via 5*qty*cnt < sum)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    joined = li.join(per_part, li.l_partkey == per_part.pk)
+    below = joined.filter(
+        _dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return below.agg(
+        F.sum(_dec("l_extendedprice")).alias("small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share of each nation within its region (window over a
+    pre-aggregated 25-row frame; dims broadcast onto the fact agg)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum(F.col("revenue").cast("double")).over(w),
+            4,
+        ).alias("share"),
+    )
+
+
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: per-customer mean days between consecutive orders
+    (exact integer day diffs, one rounded division per customer)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_days").alias("total_gap_days"),
+            F.round(F.sum("gap_days") / F.count(F.lit(1)), 4).alias("avg_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+    )
+
+
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct + quantile sketches — the single-pass
+    100 TB substitutes for exact distinct counts and sorts.
+
+    HLL++ / KLL-style sketch internals differ across engines, so this
+    is rows-only checked by the driver; tests/test_analytics2.py bounds
+    the relative error against the exact answers instead.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "orders_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "monthly_revenue_moving_avg": """
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               ROUND(AVG(CAST(revenue AS DOUBLE)) OVER (
+                   ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ), 4) AS trailing3_avg
+        FROM m
+    """,
+    "quantity_quantiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+               ROUND(quantile_cont(l_quantity, 0.5), 4)  AS q50,
+               ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "small_quantity_revenue": """
+        WITH p AS (
+            SELECT l_partkey AS pk,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1
+        )
+        SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                   AS small_qty_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN p ON l.l_partkey = p.pk
+        WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * p.cnt < p.sum_qty
+    """,
+    "nation_market_share": """
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT region, nation, revenue,
+               ROUND(CAST(revenue AS DOUBLE) /
+                     SUM(CAST(revenue AS DOUBLE)) OVER (PARTITION BY region),
+                     4) AS share
+        FROM rev
+    """,
+    "customer_order_cadence": """
+        WITH g AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       lag(o_orderdate) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+            FROM orders
+        )
+        SELECT o_custkey, COUNT(*) AS n_gaps,
+               SUM(gap_days) AS total_gap_days,
+               ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 4)
+                   AS avg_gap_days
+        FROM g WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey HAVING COUNT(*) >= 3
+    """,
+    # approx_sketches: engine-specific sketch internals -> rows-only
+}
+
+QUERIES = {
+    "orders_cube": orders_cube,
+    "monthly_revenue_moving_avg": monthly_revenue_moving_avg,
+    "quantity_quantiles": quantity_quantiles,
+    "small_quantity_revenue": small_quantity_revenue,
+    "nation_market_share": nation_market_share,
+    "customer_order_cadence": customer_order_cadence,
+    "approx_sketches": approx_sketches,
+}

@@ -43,6 +43,22 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (the n-gram heuristic tier)."""
+    return textstats.language_id_ngram(read_table(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(grams: tuple[str, ...]) -> str:
+    """DuckDB twin of textstats.trigram_lang_scores for one profile:
+    same occurrence counting, same left-to-right double summation."""
+    t = "(' ' || lower(text) || ' ')"
+    terms = " + ".join(
+        f"((length({t}) - length(replace({t}, '{g}', ''))) / {len(g)})"
+        for g in grams
+    )
+    return f"ROUND((0 + {terms}) / GREATEST(length({t}), 1), 6)"
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints (md5 of normalized text) + binary-column
     surface: utf-8 byte length and digest of the encoded bytes."""
@@ -98,6 +114,29 @@ ORACLE = {
                    AS avg_tokens
         FROM documents GROUP BY source, lang
     """,
+    "lang_id_ngram": "\n".join(
+        ["WITH s AS (", "    SELECT doc_id,"]
+        + [
+            f"        {_lang_score_sql(g)} AS score_{lang},"
+            for lang, g in textstats.LANG_TRIGRAM_PROFILES.items()
+        ]
+        + [
+            "        1 AS _one",
+            "    FROM documents",
+            ")",
+            "SELECT doc_id, "
+            + ", ".join(f"score_{g}" for g in textstats.LANG_TRIGRAM_PROFILES),
+            "     , CASE",
+            "         WHEN GREATEST(score_en, score_de, score_fr, score_es)"
+            " < 0.01 THEN 'und'",
+        ]
+        + [
+            f"         WHEN score_{lang} = GREATEST(score_en, score_de,"
+            f" score_fr, score_es) THEN '{lang}'"
+            for lang in textstats.LANG_TRIGRAM_PROFILES
+        ]
+        + ["         ELSE 'und' END AS lang_pred", "FROM s"]
+    ),
     "doc_fingerprints": """
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
@@ -112,5 +151,6 @@ QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
     "source_token_stats": source_token_stats,
+    "lang_id_ngram": lang_id_ngram,
     "doc_fingerprints": doc_fingerprints,
 }

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..session import read_table
 from ..streaming.runner import (
     client_ip_access_agg,
+    hot_article_agg,
     hot_section_agg,
     parsed_log_stream,
     read_log_file_stream,
@@ -75,6 +76,25 @@ def hot_section_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hot_article_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 through the real stream: top-10 articles by pv, final state.
+
+    Dim role mapping: customer == pre_forum_post (tid = c_custkey,
+    subject = c_name), as in plans.declared.
+    """
+    customer = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("tid"), F.col("c_name").alias("subject")
+    )
+    return _run_stream(
+        spark,
+        sf_dir,
+        lambda logs: hot_article_agg(logs, customer),
+        ["article_id"],
+        top_k=10,
+        order_by=[F.desc("article_pv"), F.asc("article_id")],
+    )
+
+
 def client_ip_access_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 through the real stream: per-client hit counts, final state."""
     return _run_stream(spark, sf_dir, client_ip_access_agg, ["client_ip"])
@@ -100,6 +120,16 @@ ORACLE = {
             GROUP BY 1, 2
         ) ORDER BY section_pv DESC, section_id ASC LIMIT 10
     """,
+    "hot_article_stream": """
+        SELECT article_id, subject, article_pv FROM (
+            SELECT e.user_id AS article_id, c.c_name AS subject,
+                   COUNT(*) AS article_pv
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+            WHERE e.event_type = 'click' AND e.user_id <> 0
+            GROUP BY 1, 2
+        ) ORDER BY article_pv DESC, article_id ASC LIMIT 10
+    """,
     "client_ip_access_stream": f"""
         SELECT {_IP} AS client_ip, COUNT(*) AS client_access_cnt
         FROM events e
@@ -111,5 +141,6 @@ ORACLE = {
 
 QUERIES = {
     "hot_section_stream": hot_section_stream,
+    "hot_article_stream": hot_article_stream,
     "client_ip_access_stream": client_ip_access_stream,
 }

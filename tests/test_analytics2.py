@@ -1,0 +1,54 @@
+"""Analytics part-2 semantics the oracle can't check: sketch error
+bounds, cube grouping-set structure."""
+
+from pyspark.sql import functions as F
+
+from flink_log_analysis_spark.plans import analytics2
+from flink_log_analysis_spark.session import read_table
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    row = analytics2.approx_sketches(spark, sf_dir).first()
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.countDistinct("l_partkey").alias("parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+    ).first()
+    assert abs(row.approx_orders - exact.orders) / exact.orders < 0.05
+    assert abs(row.approx_parts - exact.parts) / exact.parts < 0.05
+    assert abs(row.approx_median_price - exact.median) / exact.median < 0.05
+    assert row.n_rows == li.count()
+
+
+def test_cube_contains_all_grouping_sets(spark, sf_dir):
+    out = analytics2.orders_cube(spark, sf_dir).collect()
+    shapes = {(r.o_orderstatus is None, r.o_orderpriority is None) for r in out}
+    # (s,p), (s,NULL), (NULL,p), (NULL,NULL)
+    assert shapes == {(False, False), (False, True), (True, False), (True, True)}
+    grand = [r for r in out if r.o_orderstatus is None and r.o_orderpriority is None]
+    o = read_table(spark, sf_dir, "orders")
+    assert len(grand) == 1 and grand[0].n_orders == o.count()
+
+
+def test_language_id_ngram_known_texts(spark):
+    from flink_log_analysis_spark.operators.textstats import language_id_ngram
+
+    rows = [
+        (1, "The quick brown fox jumped over the lazy dog and then "
+            "ran along the winding road into the morning"),
+        (2, "Der schnelle braune Fuchs springt über den faulen Hund "
+            "und rennt dann durch das schöne ruhige Dorf"),
+        (3, "Le renard brun rapide saute par dessus le chien paresseux "
+            "et court ensuite dans les rues de la ville"),
+        (4, "El rápido zorro marrón salta sobre el perro perezoso y "
+            "luego corre por las calles de la ciudad"),
+        (5, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.lang_pred for r in language_id_ngram(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "es"
+    assert got[5] == "und"
