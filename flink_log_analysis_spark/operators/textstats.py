@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import token_hash
+
 # Compact English function-word list for the n-gram-free language-ID
 # heuristic: a text with a healthy share of these is almost surely
 # English. (Public-knowledge stopword set, not tied to any library.)
@@ -61,6 +63,63 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         n_distinct.alias("n_distinct_tokens"),
         token_char_sum(toks).alias("token_chars"),
         F.round(n_distinct.cast("double") / n_tokens, 4).alias("ttr"),
+    )
+
+
+# BPE-ish pre-tokenization classes (letter runs / digit runs / single
+# punctuation marks) — the regex split BPE vocabularies apply before
+# merging; counting these approximates trained-tokenizer token counts
+# far better than whitespace words. Same regex dialect in Java and RE2.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+ROLLING_HASH_MULT = 1_000_003
+ROLLING_HASH_MOD = 2_147_483_647
+
+
+def bpe_tokens(col: Column) -> Column:
+    return F.regexp_extract_all(col, F.lit(BPE_TOKEN_REGEX), 0)
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counts under the BPE-ish regex: total, word, number and
+    punctuation tokens per document (single projection pass)."""
+    toks = bpe_tokens(F.col(text_col))
+    n_words = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+    n_nums = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_bpe_tokens"),
+        n_words.alias("n_word_tokens"),
+        n_nums.alias("n_number_tokens"),
+        (F.size(toks) - n_words - n_nums).alias("n_punct_tokens"),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over whitespace tokens:
+
+        h = fold(tokens, 0, (acc, t) -> (acc*M + md5_32(t)) mod P)
+
+    Unlike the md5 content fingerprint it is *incremental* — streaming
+    ingest can extend a document's hash without re-reading it — and
+    mirrors exactly in DuckDB via list_reduce (plans/llm_text.py).
+    """
+    toks = tokens(F.col(text_col))
+    h = F.aggregate(
+        F.transform(toks, lambda t: token_hash(t, "roll")),
+        F.lit(0).cast("long"),
+        lambda acc, v: F.pmod(
+            acc * ROLLING_HASH_MULT + v, F.lit(ROLLING_HASH_MOD).cast("long")
+        ),
+    )
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        h.alias("rolling_fp"),
     )
 
 

@@ -43,6 +43,16 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under the BPE-ish pre-tokenization regex."""
+    return textstats.bpe_token_stats(read_table(spark, sf_dir, "documents"))
+
+
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash per document."""
+    return textstats.rolling_fingerprint(read_table(spark, sf_dir, "documents"))
+
+
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram-profile language ID (the n-gram heuristic tier)."""
     return textstats.language_id_ngram(read_table(spark, sf_dir, "documents"))
@@ -114,6 +124,37 @@ ORACLE = {
                    AS avg_tokens
         FROM documents GROUP BY source, lang
     """,
+    "bpe_token_stats": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(text, '{textstats.BPE_TOKEN_REGEX}')
+                       AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+               CAST(len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+')))
+                    AS INTEGER) AS n_word_tokens,
+               CAST(len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+')))
+                    AS INTEGER) AS n_number_tokens,
+               CAST(len(toks)
+                    - len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+')))
+                    - len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+')))
+                    AS INTEGER) AS n_punct_tokens
+        FROM t
+    """,
+    "rolling_fingerprints": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               list_reduce(
+                   [0::BIGINT] || list_transform(toks,
+                       t -> ('0x' || substr(md5('roll|' || t), 1, 8))::BIGINT),
+                   (acc, v) -> (acc * {textstats.ROLLING_HASH_MULT} + v)
+                               % {textstats.ROLLING_HASH_MOD}
+               ) AS rolling_fp
+        FROM t
+    """,
     "lang_id_ngram": "\n".join(
         ["WITH s AS (", "    SELECT doc_id,"]
         + [
@@ -151,6 +192,8 @@ QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
     "source_token_stats": source_token_stats,
+    "bpe_token_stats": bpe_token_stats,
+    "rolling_fingerprints": rolling_fingerprints,
     "lang_id_ngram": lang_id_ngram,
     "doc_fingerprints": doc_fingerprints,
 }
