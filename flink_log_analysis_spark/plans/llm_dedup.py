@@ -53,6 +53,17 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(read_table(spark, sf_dir, "documents"))
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: iterative label-propagation
+    connected components over the LSH candidate pairs (the oracle
+    re-derives components with a recursive CTE)."""
+    from ..operators.graph import near_dup_clusters as _clusters
+
+    return _clusters(
+        read_table(spark, sf_dir, "documents"), threshold=NEAR_DUP_THRESHOLD
+    )
+
+
 def _mh_expr(i: int) -> str:
     h = token_hash_sql("t", i)
     return f"CAST(list_min(list_transform(toks, t -> {h})) AS BIGINT) AS mh{i}"
@@ -147,6 +158,27 @@ ORACLE = {
         WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
     """,
     "simhash": _simhash_sql(),
+    # Components via transitive closure: WITH RECURSIVE reach = all
+    # vertices reachable from u; component = min reachable id. Agrees
+    # exactly with Spark's hash-min label propagation at fixpoint.
+    "near_dup_clusters": f"""
+        WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                 FROM reach GROUP BY u)
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
 }
 
 QUERIES = {
@@ -154,5 +186,6 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "near_dup_pairs": near_dup_pairs,
     "near_dedup_docs": near_dedup_docs,
+    "near_dup_clusters": near_dup_clusters,
     "simhash": simhash,
 }

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import read_table
+from ..session import ensure_min_partitions, read_table
 from ..streaming.runner import (
     client_ip_access_agg,
     hot_article_agg,
@@ -100,6 +100,36 @@ def client_ip_access_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, sf_dir, client_ip_access_agg, ["client_ip"])
 
 
+def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation through a real parquet
+    file stream, update-mode upserted by (hour, event_type); final
+    sink state must equal the batch hourly rollup, so the batch oracle
+    checks a genuinely streamed windowed aggregate."""
+    work = tempfile.mkdtemp(prefix="loganalysis_stream_")
+    try:
+        ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+        ev.write.mode("overwrite").parquet(f"{work}/events")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{work}/events")
+        agg = stream.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        sink = MemoryUpsertSink(["hour", "event_type"])
+        q = start_upsert_stream(
+            agg,
+            sink,
+            f"{work}/ckpt",
+            stat_time="1970-01-01 00:00:00",
+            available_now=True,
+        )
+        q.awaitTermination(timeout=600)
+        return sink.to_df(spark).drop("statistic_time")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # Oracles re-derive expected sink state from events (see logpipe's
 # line-construction contract): views carry fid = k % N_SECTIONS, clicks
 # carry tid = user_id, errors get status 500 and are dropped by the
@@ -137,10 +167,17 @@ ORACLE = {
            OR (CASE WHEN e.event_type = 'view' THEN {_K} ELSE 0 END) <> 0
         GROUP BY 1
     """,
+    "hourly_event_stats_stream": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
 }
 
 QUERIES = {
     "hot_section_stream": hot_section_stream,
     "hot_article_stream": hot_article_stream,
     "client_ip_access_stream": client_ip_access_stream,
+    "hourly_event_stats_stream": hourly_event_stats_stream,
 }

@@ -52,3 +52,31 @@ def test_language_id_ngram_known_texts(spark):
     assert got[3] == "fr"
     assert got[4] == "es"
     assert got[5] == "und"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from flink_log_analysis_spark.operators import skew
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(20)] + [(9, 0)],
+        "k bigint, v bigint",
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "warm"), (3, "unused")],
+                                "dk bigint, name string")
+    plain = fact.join(dim, fact.k == dim.dk).select("k", "v", "name")
+    salted = skew.salted_join(fact, dim, "k", "dk").select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join keeps unmatched fact rows exactly once
+    lp = fact.join(dim, fact.k == dim.dk, "left").select("k", "v", "name")
+    ls = skew.salted_join(fact, dim, "k", "dk", how="left").select("k", "v", "name")
+    assert sorted(map(tuple, ls.collect())) == sorted(map(tuple, lp.collect()))
+
+
+def test_salted_count_equals_groupby_count(spark):
+    from flink_log_analysis_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("a",)] * 1000 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    got = {r.k: r.cnt for r in skew.salted_count(df, ["k"]).collect()}
+    assert got == {"a": 1000, "b": 3, "c": 1}

@@ -86,3 +86,45 @@ def test_minhash_estimates_jaccard(spark):
     agree_15 = sum(a == b for a, b in zip(by_id[1], by_id[5])) / dedup.N_HASHES
     assert by_id[1] == by_id[3]
     assert agree_14 > agree_15  # signature agreement tracks similarity
+
+
+def test_connected_components_vs_union_find(spark):
+    from flink_log_analysis_spark.operators.graph import connected_components
+
+    edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)]  # {1,2,3,8,9}, {5,6}
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {r.vertex: r.component for r in connected_components(df).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    exp = {v: find(v) for v in parent}
+    assert got == exp
+    assert got[8] == 1 and got[5] == 5
+
+
+def test_near_dup_clusters_transitive(spark):
+    from flink_log_analysis_spark.operators.graph import near_dup_clusters
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta"),   # ~ 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # ~ 2 (maybe not ~1)
+        (4, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.cluster_id for r in
+           near_dup_clusters(df, threshold=0.5).collect()}
+    # 1,2,3 form one transitive cluster rooted at 1; 4 is a singleton
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4

@@ -279,3 +279,44 @@ def test_sessionize_with_state_gap_splits(spark, tmp_path):
         ("u1", "2020-01-01 10:00:00", 2, "gap"),
         ("u2", "2020-01-01 09:00:00", 1, "gap"),
     }
+
+
+def test_checkpoint_recovery_no_double_count(spark, tmp_path):
+    """Stop a stream, land more data, restart from the SAME checkpoint:
+    state must resume (not reset) and the sink must not double-apply —
+    the Spark twin of the reference's FsStateBackend checkpointing."""
+    from flink_log_analysis_spark.streaming.runner import (
+        client_ip_access_agg,
+        parsed_log_stream,
+        read_log_file_stream,
+        start_upsert_stream,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt_recover")
+    write_log_file(str(land / "a.log"), 200, seed=20)
+
+    sink = MemoryUpsertSink(["client_ip"])
+
+    def start():
+        lines = read_log_file_stream(spark, str(land), max_files_per_trigger=1)
+        agg = client_ip_access_agg(parsed_log_stream(lines))
+        return start_upsert_stream(agg, sink, ckpt, stat_time=STAT_TIME)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    batches_before = set(sink.applied_batches)
+
+    write_log_file(str(land / "b.log"), 200, seed=21)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    # restart continued the batch sequence instead of replaying it
+    assert min(set(sink.applied_batches) - batches_before) >= max(batches_before)
+
+    logs = _batch_logs(spark, str(land))
+    exp = client_ip_access_agg(logs).withColumn("statistic_time", F.lit(STAT_TIME))
+    assert _rows(sink.to_df(spark), "client_ip") == _rows(exp, "client_ip")
