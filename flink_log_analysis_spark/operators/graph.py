@@ -27,16 +27,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+LOCAL_EDGE_THRESHOLD = 500_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """(vertex, component) with component = min vertex id reachable.
 
     ``edges`` is an undirected edge list (each pair once, any order).
+
+    Scale-adaptive (the AQE philosophy applied to iteration): LSH
+    candidate graphs are usually *tiny* relative to the corpus —
+    when the edge list fits comfortably on the driver
+    (< ``local_threshold`` edges) a union-find there beats multiple
+    distributed rounds of fixed scheduling overhead; past the
+    threshold, hash-min label propagation runs fully distributed.
     """
+    edges = edges.persist()
+    try:
+        n_edges = edges.count()
+        if n_edges <= local_threshold:
+            pairs = edges.select(src, dst).collect()
+            parent: dict = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in pairs:
+                ra, rb = find(r[0]), find(r[1])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            rows = [(v, find(v)) for v in parent]
+            return edges.sparkSession.createDataFrame(
+                rows, "vertex bigint, component bigint"
+            )
+        return _cc_label_propagation(edges, src, dst, max_iter)
+    finally:
+        edges.unpersist()
+
+
+def _cc_label_propagation(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

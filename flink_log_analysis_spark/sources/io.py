@@ -133,6 +133,28 @@ class DimCache:
         return F.broadcast(self.get())
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+ optionally sorted) managed table.
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables
+    bucketed on the same key with the same bucket count join with NO
+    exchange at read time — the decisive layout for a fact table that
+    is joined on the same key by every downstream query at 100 TB.
+    (Requires a catalog/warehouse; Spark's session catalog suffices.)
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     """Built-in rate source for load/soak tests of the streaming path."""
     return (

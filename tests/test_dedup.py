@@ -128,3 +128,16 @@ def test_near_dup_clusters_transitive(spark):
     # 1,2,3 form one transitive cluster rooted at 1; 4 is a singleton
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == 4
+
+
+def test_connected_components_distributed_path(spark):
+    """Force the label-propagation path (local_threshold=0) and check
+    it agrees with the driver-side union-find path."""
+    from flink_log_analysis_spark.operators.graph import connected_components
+
+    edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    local = {r.vertex: r.component for r in connected_components(df).collect()}
+    dist = {r.vertex: r.component
+            for r in connected_components(df, local_threshold=0).collect()}
+    assert local == dist

@@ -80,3 +80,31 @@ def test_jdbc_reader_wiring(spark):
             spark, "jdbc:mysql://localhost:3306/forum", "pre_forum_forum",
             properties={"user": "x", "password": "y"},
         ).take(1)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join without an Exchange —
+    the write-once pre-shuffle that co-locates every downstream join."""
+    import pyspark.sql.functions as F
+
+    fact = spark.range(10_000).withColumn("v", F.col("id") % 100)
+    dim = spark.range(1_000).withColumn("name", F.concat(F.lit("n"), "id"))
+    io.write_bucketed(fact, "b_fact", ["id"], n_buckets=8)
+    io.write_bucketed(dim, "b_dim", ["id"], n_buckets=8)
+    try:
+        f, d = spark.table("b_fact"), spark.table("b_dim")
+        # disable broadcast so the join strategy decision is real
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = f.join(d, "id")
+            plan = joined._sc._jvm.PythonSQLUtils.explainString(
+                joined._jdf.queryExecution(), "formatted"
+            )
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 1_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_fact")
+        spark.sql("DROP TABLE IF EXISTS b_dim")
