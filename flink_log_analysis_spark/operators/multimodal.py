@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -47,6 +48,23 @@ FEATURE_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("n_bytes", IntegerType()),
         StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
     ]
 )
 
@@ -123,4 +141,107 @@ def extract_features(
     target = min(sc.defaultParallelism, 8)
     return ensure_min_partitions(df.select(id_col, content_col), target).mapInPandas(
         batches, FEATURE_SCHEMA
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched image resize over binary media.
+
+    Real path (``fake=False``) is where a pillow ``Image.resize`` call
+    goes — stubbed (no media libs in this container). The fake path is
+    a deterministic byte resample: the payload is stretched/shrunk to
+    ``width*height`` bytes by index scaling, preserving the contract
+    that output size is shape-determined, not input-determined — which
+    is what downstream batch/memory planning relies on.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resize needs pillow (not installed); "
+            "run with fake=True for the deterministic byte resample"
+        )
+
+    from ..session import ensure_min_partitions
+
+    out_len = width * height
+    w, h = width, height
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def resample(buf: bytes) -> bytes:
+            n = max(len(buf), 1)
+            return bytes(buf[(i * n) // out_len] if buf else 0
+                         for i in range(out_len))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": w,
+                    "height": h,
+                    "content": pdf[content_col].map(resample),
+                }
+            )
+
+    sc = df.sparkSession.sparkContext
+    target = min(sc.defaultParallelism, 8)
+    return ensure_min_partitions(df.select(id_col, content_col), target).mapInPandas(
+        batches, RESIZE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    frame_bytes: int = 256,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched video frame sampling: one input row -> n_frames
+    output rows (the row-expanding mapInPandas shape).
+
+    Real path is where an ffmpeg/pyav keyframe extraction goes —
+    stubbed. The fake path slices the payload into n_frames evenly
+    spaced windows, which exercises the real contract: row explosion,
+    stable frame indexing, bounded per-frame size.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling needs pyav/ffmpeg (not installed); "
+            "run with fake=True for the deterministic byte windows"
+        )
+
+    from ..session import ensure_min_partitions
+
+    nf, fb = n_frames, frame_bytes
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[content_col]):
+                n = len(buf)
+                stride = max(n // nf, 1)
+                for i in range(nf):
+                    start = min(i * stride, max(n - 1, 0))
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(buf[start : start + fb]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    sc = df.sparkSession.sparkContext
+    target = min(sc.defaultParallelism, 8)
+    return ensure_min_partitions(df.select(id_col, content_col), target).mapInPandas(
+        batches, FRAME_SCHEMA
     )

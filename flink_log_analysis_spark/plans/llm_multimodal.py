@@ -30,6 +30,22 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (stubbed codec): fixed-shape binary out."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.resize_images(
+        multimodal.attach_binary(docs), width=16, height=16
+    )
+
+
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (stubbed codec): row-expanding UDF."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.attach_binary(docs), n_frames=4, frame_bytes=64
+    )
+
+
 ORACLE = {
     "binary_meta": """
         SELECT doc_id, 'text/plain' AS mime,
@@ -37,7 +53,13 @@ ORACLE = {
                md5(text) AS sha
         FROM documents
     """,
-    # media_features: pandas-UDF decode stub -> rows-only check
+    # media_features / media_resize / media_frames: pandas-UDF codec
+    # stubs -> rows-only checks (unit tests pin their determinism)
 }
 
-QUERIES = {"binary_meta": binary_meta, "media_features": media_features}
+QUERIES = {
+    "binary_meta": binary_meta,
+    "media_features": media_features,
+    "media_resize": media_resize,
+    "media_frames": media_frames,
+}

@@ -39,3 +39,47 @@ def test_real_decode_is_explicitly_stubbed(spark):
         multimodal.extract_features(
             multimodal.attach_binary(_df(spark)), fake=False
         )
+
+
+def test_resize_images_fixed_output_size(spark, sf_dir):
+    from flink_log_analysis_spark.operators import multimodal
+    from flink_log_analysis_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    binr = multimodal.attach_binary(docs)
+    out = multimodal.resize_images(binr, width=8, height=8).collect()
+    assert len(out) == 20
+    assert all(len(r.content) == 64 for r in out)
+    assert all(r.width == 8 and r.height == 8 for r in out)
+    # deterministic: same input -> same bytes
+    again = multimodal.resize_images(binr, width=8, height=8).collect()
+    assert {r.doc_id: bytes(r.content) for r in out} == \
+           {r.doc_id: bytes(r.content) for r in again}
+
+
+def test_sample_frames_explodes_rows(spark, sf_dir):
+    from flink_log_analysis_spark.operators import multimodal
+    from flink_log_analysis_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(10)
+    binr = multimodal.attach_binary(docs)
+    out = multimodal.sample_frames(binr, n_frames=4, frame_bytes=16).collect()
+    assert len(out) == 40
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+    assert all(0 < len(r.frame) <= 16 for r in out)
+
+
+def test_real_codec_paths_are_stubbed(spark, sf_dir):
+    import pytest
+    from flink_log_analysis_spark.operators import multimodal
+    from flink_log_analysis_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(1)
+    binr = multimodal.attach_binary(docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(binr, fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(binr, fake=False)
