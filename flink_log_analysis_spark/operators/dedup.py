@@ -169,7 +169,12 @@ def near_dup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures (map-side) ->
     banding -> candidate pairs -> exact Jaccard verify >= threshold."""
-    toks = distinct_token_sets(df, text_col, id_col)
+    # Materialize the shingle sets once: they feed three plan branches
+    # (signatures + both sides of the verify join), and the CPU-bound
+    # normalize+shingle pass must not run three times. localCheckpoint
+    # also truncates lineage so the verify join replans from compact
+    # token rows, not from the raw corpus scan.
+    toks = distinct_token_sets(df, text_col, id_col).localCheckpoint(eager=True)
     sig = toks.select(id_col, *[_minhash_col(i) for i in range(N_HASHES)])
     cands = candidate_pairs(lsh_bands(sig, id_col), id_col)
     ta = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))

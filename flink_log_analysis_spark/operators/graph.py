@@ -69,9 +69,18 @@ def connected_components(
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
             rows = [(v, find(v)) for v in parent]
-            return edges.sparkSession.createDataFrame(
-                rows, "vertex bigint, component bigint"
+            # Schema follows the edge id type (ids may be strings/UUIDs,
+            # not only bigints) — same contract as the distributed path.
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = edges.schema[src].dataType
+            schema = StructType(
+                [
+                    StructField("vertex", id_type),
+                    StructField("component", id_type),
+                ]
             )
+            return edges.sparkSession.createDataFrame(rows, schema)
         return _cc_label_propagation(edges, src, dst, max_iter)
     finally:
         edges.unpersist()

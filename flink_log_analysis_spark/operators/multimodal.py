@@ -122,11 +122,14 @@ def extract_features(
             return out
 
         for pdf in it:
+            # NULL media payloads (failed fetch, tombstone rows) must
+            # degrade to the empty-payload vector, not kill the job.
+            content = pdf[content_col].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": pdf[content_col].map(len).astype("int32"),
-                    "features": pdf[content_col].map(decode),
+                    "n_bytes": content.map(len).astype("int32"),
+                    "features": content.map(decode),
                 }
             )
 
@@ -181,12 +184,13 @@ def resize_images(
                          for i in range(out_len))
 
         for pdf in it:
+            content = pdf[content_col].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "width": w,
                     "height": h,
-                    "content": pdf[content_col].map(resample),
+                    "content": content.map(resample),
                 }
             )
 
@@ -229,6 +233,7 @@ def sample_frames(
         for pdf in it:
             ids, idxs, frames = [], [], []
             for doc_id, buf in zip(pdf[id_col], pdf[content_col]):
+                buf = buf if buf is not None else b""
                 n = len(buf)
                 stride = max(n // nf, 1)
                 for i in range(nf):

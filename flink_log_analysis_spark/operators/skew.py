@@ -46,8 +46,18 @@ def salted_join(
 
     Output columns = fact columns + dim columns (minus the helper
     salt columns). Semantics identical to
-    ``fact.join(dim, fact[fact_key] == dim[dim_key], how)``.
+    ``fact.join(dim, fact[fact_key] == dim[dim_key], how)`` for the
+    fact-preserving join types. Right/full outer are rejected: an
+    unmatched dim row would surface once per salt replica (n_salts
+    null-extended copies) — salt the other side instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "cross",
+               "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, not {how!r}; "
+            "for right/full outer, salt the other side"
+        )
     f = with_salt(fact, n_salts)
     d = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -40,14 +40,25 @@ from .logpipe import _log_lines
 
 def _run_stream(spark: SparkSession, sf_dir: str, build_agg, key_cols,
                 top_k=None, order_by=None) -> DataFrame:
+    from pyspark.sql.types import StringType, StructField, StructType
+
     work = tempfile.mkdtemp(prefix="loganalysis_stream_")
     try:
         _log_lines(spark, sf_dir).write.mode("overwrite").text(f"{work}/lines")
         lines = read_log_file_stream(spark, f"{work}/lines")
         logs = parsed_log_stream(lines)
-        sink = MemoryUpsertSink(key_cols, complete=top_k is not None)
+        agg = build_agg(logs)
+        # Declared sink schema (= agg schema + the stamped column) so
+        # an empty input still yields a well-typed empty result.
+        sink_schema = StructType(
+            list(agg.schema.fields)
+            + [StructField("statistic_time", StringType())]
+        )
+        sink = MemoryUpsertSink(
+            key_cols, complete=top_k is not None, schema=sink_schema
+        )
         q = start_upsert_stream(
-            build_agg(logs),
+            agg,
             sink,
             f"{work}/ckpt",
             top_k=top_k,
@@ -55,7 +66,11 @@ def _run_stream(spark: SparkSession, sf_dir: str, build_agg, key_cols,
             stat_time="1970-01-01 00:00:00",  # pinned; dropped below
             available_now=True,
         )
-        q.awaitTermination(timeout=600)
+        if not q.awaitTermination(timeout=600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not drain availableNow input in 600s"
+            )
         return sink.to_df(spark).drop("statistic_time")
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -116,7 +131,13 @@ def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
         )
-        sink = MemoryUpsertSink(["hour", "event_type"])
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        sink_schema = StructType(
+            list(agg.schema.fields)
+            + [StructField("statistic_time", StringType())]
+        )
+        sink = MemoryUpsertSink(["hour", "event_type"], schema=sink_schema)
         q = start_upsert_stream(
             agg,
             sink,
@@ -124,7 +145,11 @@ def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             stat_time="1970-01-01 00:00:00",
             available_now=True,
         )
-        q.awaitTermination(timeout=600)
+        if not q.awaitTermination(timeout=600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not drain availableNow input in 600s"
+            )
         return sink.to_df(spark).drop("statistic_time")
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -143,6 +143,10 @@ def start_upsert_stream(
     deterministic tests; None stamps real wall-clock per batch, which
     is the reference's ``FROM_UNIXTIME(UNIX_TIMESTAMP())``.
     """
+    if top_k is not None and not order_by:
+        # Validate now: inside the foreachBatch closure this would only
+        # surface as an opaque mid-stream StreamingQueryException.
+        raise ValueError("top_k requires order_by (a total tie-break order)")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df

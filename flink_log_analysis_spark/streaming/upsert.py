@@ -55,13 +55,23 @@ def jdbc_upsert_statement(
     placeholders = ", ".join(["?"] * len(columns))
     non_keys = [c for c in columns if c not in key_columns]
     if dialect == "mysql":
-        updates = ", ".join(f"{c} = VALUES({c})" for c in non_keys)
+        # Key-only table: upsert degenerates to "ignore existing" —
+        # MySQL needs a no-op assignment to keep the syntax valid.
+        updates = (
+            ", ".join(f"{c} = VALUES({c})" for c in non_keys)
+            or f"{key_columns[0]} = {key_columns[0]}"
+        )
         return (
             f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
             f"ON DUPLICATE KEY UPDATE {updates}"
         )
     if dialect == "postgres":
         keys = ", ".join(key_columns)
+        if not non_keys:
+            return (
+                f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
+                f"ON CONFLICT ({keys}) DO NOTHING"
+            )
         updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
         return (
             f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
@@ -115,13 +125,16 @@ class MemoryUpsertSink:
     stream-final state against the batch twin exactly (SURVEY §5.3).
     """
 
-    def __init__(self, key_columns: list[str], complete: bool = False):
+    def __init__(self, key_columns: list[str], complete: bool = False,
+                 schema=None):
         self.key_columns = list(key_columns)
         self.complete = complete  # complete-mode batches replace all state
         self.state: dict[tuple, dict] = {}
         self.applied_batches: set[int] = set()
         self._lock = threading.Lock()
-        self._schema = None
+        # Optional declared schema so to_df works even when the stream
+        # produced zero batches (e.g. an empty source directory).
+        self._schema = schema
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.collect()
@@ -138,6 +151,11 @@ class MemoryUpsertSink:
             self.applied_batches.add(batch_id)
 
     def to_df(self, spark: SparkSession) -> DataFrame:
+        if self._schema is None:
+            raise ValueError(
+                "sink received no batches and no schema was declared; "
+                "pass schema= at construction to support empty streams"
+            )
         return spark.createDataFrame(list(self.state.values()), self._schema)
 
 
@@ -168,17 +186,31 @@ class ParquetUpsertSink:
             merged = batch_df
         # Materialize to a tmp dir first: `merged` lazily reads the
         # current state at self.path, so overwriting in place would
-        # race the scan against the rewrite.
-        tmp = f"{self.path}__tmp_batch_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        # race the scan against the rewrite. Then swap directories
+        # with renames — a crash can leave a stale tmp/old dir behind
+        # but never an empty/partial live path (the read() fallback
+        # plus checkpoint replay of the last batch recovers those).
         import shutil
 
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = f"{self.path}__tmp_batch_{batch_id}"
+        old = f"{self.path}__old_batch_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self.path):
-            return None
+            # Crash window between the two renames: the previous state
+            # survives under the __old name — restore it.
+            import glob
+
+            leftovers = sorted(glob.glob(f"{self.path}__old_batch_*"))
+            if leftovers:
+                os.rename(leftovers[-1], self.path)
+            else:
+                return None
         try:
             return spark.read.parquet(self.path)
         except Exception:

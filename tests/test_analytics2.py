@@ -80,3 +80,13 @@ def test_salted_count_equals_groupby_count(spark):
     )
     got = {r.k: r.cnt for r in skew.salted_count(df, ["k"]).collect()}
     assert got == {"a": 1000, "b": 3, "c": 1}
+
+
+def test_salted_join_rejects_dim_preserving_joins(spark):
+    import pytest
+    from flink_log_analysis_spark.operators import skew
+
+    fact = spark.createDataFrame([(1, 1)], "k bigint, v bigint")
+    dim = spark.createDataFrame([(1, "x")], "dk bigint, name string")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        skew.salted_join(fact, dim, "k", "dk", how="full")

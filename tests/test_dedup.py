@@ -141,3 +141,13 @@ def test_connected_components_distributed_path(spark):
     dist = {r.vertex: r.component
             for r in connected_components(df, local_threshold=0).collect()}
     assert local == dist
+
+
+def test_connected_components_string_ids(spark):
+    from flink_log_analysis_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {r.vertex: r.component for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -320,3 +320,29 @@ def test_checkpoint_recovery_no_double_count(spark, tmp_path):
     logs = _batch_logs(spark, str(land))
     exp = client_ip_access_agg(logs).withColumn("statistic_time", F.lit(STAT_TIME))
     assert _rows(sink.to_df(spark), "client_ip") == _rows(exp, "client_ip")
+
+
+def test_upsert_statement_key_only_table():
+    assert jdbc_upsert_statement("t", ["k"], ["k"]).endswith("k = k")
+    assert jdbc_upsert_statement("t", ["k"], ["k"], dialect="postgres").endswith(
+        "DO NOTHING"
+    )
+
+
+def test_memory_sink_declared_schema_empty_stream(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType()), StructField("v", LongType())])
+    sink = MemoryUpsertSink(["k"], schema=schema)
+    df = sink.to_df(spark)
+    assert df.count() == 0 and df.columns == ["k", "v"]
+
+
+def test_start_upsert_stream_validates_topk_order(spark, tmp_path):
+    import pytest
+    from flink_log_analysis_spark.streaming.runner import start_upsert_stream
+
+    with pytest.raises(ValueError, match="order_by"):
+        start_upsert_stream(
+            spark.range(1), MemoryUpsertSink(["id"]), str(tmp_path / "c"), top_k=5
+        )
