@@ -34,6 +34,7 @@ def _plan_modules():
         llm_similarity,
         llm_text,
         logpipe,
+        sqlapi,
         streamed,
     )
 
@@ -41,6 +42,7 @@ def _plan_modules():
         declared,
         logpipe,
         streamed,
+        sqlapi,
         analytics,
         analytics2,
         llm_text,

@@ -143,6 +143,40 @@ def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue by (supplier nation -> customer nation).
+
+    The engine's fact-fact join: lineitem ⨝ orders shuffles on
+    orderkey (the one unavoidable shuffle; AQE handles skew/coalesce),
+    while supplier/customer/nation stay broadcast. Cross-nation flows
+    only (supp != cust nation) to keep the result discriminative.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct + quantile sketches — the single-pass
     100 TB substitutes for exact distinct counts and sorts.
@@ -232,6 +266,21 @@ ORACLE: dict[str, str] = {
         FROM g WHERE gap_days IS NOT NULL
         GROUP BY o_custkey HAVING COUNT(*) >= 3
     """,
+    "nation_trade_flows": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2
+    """,
     # approx_sketches: engine-specific sketch internals -> rows-only
 }
 
@@ -242,5 +291,6 @@ QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
     "nation_market_share": nation_market_share,
     "customer_order_cadence": customer_order_cadence,
+    "nation_trade_flows": nation_trade_flows,
     "approx_sketches": approx_sketches,
 }
