@@ -78,16 +78,30 @@ def _log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(line.alias("line"))
 
 
-def log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Manufactured lines through the REAL parser -> projected log view."""
+def _roundtrip(spark: SparkSession, sf_dir: str, keep_non_200: bool) -> DataFrame:
     lines = _log_lines(spark, sf_dir)
-    parsed = logparse.parse_access_logs(lines)
+    parsed = logparse.parse_access_logs(lines, keep_non_200=keep_non_200)
     return parsed.select(
         F.col("clientIP").alias("client_ip"),
         F.col("accessDate").alias("access_date"),
         F.col("sectionId").alias("section_id"),
         F.col("articleId").alias("article_id"),
     )
+
+
+def log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manufactured lines through the REAL parser -> projected log view."""
+    return _roundtrip(spark, sf_dir, keep_non_200=False)
+
+
+def log_roundtrip_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LITERAL (inverted) status filter — SURVEY §2.E.1.
+
+    ``LogAnalysis.java:318`` keeps status != 200 despite the documented
+    intent; the engine exposes that behavior behind ``keep_non_200``
+    for byte-parity experiments, and this query oracle-checks it: only
+    the error events (status 500 lines) survive."""
+    return _roundtrip(spark, sf_dir, keep_non_200=True)
 
 
 # The oracle computes the EXPECTED parser output straight from events —
@@ -107,6 +121,21 @@ ORACLE = {
         FROM events e
         WHERE e.event_type <> 'error'
     """,
+    # Literal reference-bug twin: status != 200 keeps ONLY the error
+    # lines; error events carry the plain /index.php uri -> ids 0.
+    "log_roundtrip_literal": """
+        SELECT
+            '10.0.' || CAST(e.event_id % 250 AS VARCHAR) || '.'
+                    || CAST(e.event_id % 199 AS VARCHAR)      AS client_ip,
+            strftime(e.ts, '%Y-%m-%d %H:%M:%S')               AS access_date,
+            0::INTEGER                                        AS section_id,
+            0::INTEGER                                        AS article_id
+        FROM events e
+        WHERE e.event_type = 'error'
+    """,
 }
 
-QUERIES = {"log_roundtrip": log_roundtrip}
+QUERIES = {
+    "log_roundtrip": log_roundtrip,
+    "log_roundtrip_literal": log_roundtrip_literal,
+}
