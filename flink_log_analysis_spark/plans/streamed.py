@@ -35,25 +35,7 @@ from ..streaming.runner import (
 )
 from ..streaming.upsert import MemoryUpsertSink
 from .declared import K_REGEX, N_SECTIONS
-from .logpipe import _log_lines
-
-
-# Manufactured-lines directories, shared across the streamed queries
-# in one session (they all stream the same deterministic input);
-# cleaned up at interpreter exit.
-_LINES_CACHE: dict[str, str] = {}
-
-
-def _lines_dir(spark: SparkSession, sf_dir: str) -> str:
-    path = _LINES_CACHE.get(sf_dir)
-    if path is None:
-        import atexit
-
-        path = tempfile.mkdtemp(prefix="loganalysis_lines_")
-        _log_lines(spark, sf_dir).write.mode("overwrite").text(f"{path}/lines")
-        _LINES_CACHE[sf_dir] = path
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-    return path
+from .logpipe import lines_dir
 
 
 def _run_stream(spark: SparkSession, sf_dir: str, build_agg, key_cols,
@@ -62,7 +44,7 @@ def _run_stream(spark: SparkSession, sf_dir: str, build_agg, key_cols,
 
     work = tempfile.mkdtemp(prefix="loganalysis_stream_")
     try:
-        lines = read_log_file_stream(spark, f"{_lines_dir(spark, sf_dir)}/lines")
+        lines = read_log_file_stream(spark, f"{lines_dir(spark, sf_dir)}/lines")
         logs = parsed_log_stream(lines)
         agg = build_agg(logs)
         # Declared sink schema (= agg schema + the stamped column) so
