@@ -177,6 +177,37 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event annotated with the user's latest
+    purchase at-or-before the event time.
+
+    Spark has no native ASOF JOIN — this runs the union+window
+    composition (operators/asof.py, one keyed-window shuffle, no
+    range cross-product) and is checked against DuckDB's *native*
+    ``ASOF JOIN``: two independent algorithms, one result.
+    """
+    from ..operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        key="user_id",
+        ts="ts",
+        payload_cols=["purchase_value", "purchase_ts"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "event_type",
+        "purchase_value", "purchase_ts",
+    )
+
+
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct + quantile sketches — the single-pass
     100 TB substitutes for exact distinct counts and sorts.
@@ -281,6 +312,18 @@ ORACLE: dict[str, str] = {
         WHERE n1.n_name <> n2.n_name
         GROUP BY 1, 2
     """,
+    "last_purchase_asof": """
+        WITH p AS (
+            SELECT user_id, ts, MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        p2 AS (SELECT user_id, ts, purchase_value, ts AS purchase_ts FROM p)
+        SELECT e.event_id, e.user_id, e.ts, e.event_type,
+               p2.purchase_value, p2.purchase_ts
+        FROM events e
+        ASOF LEFT JOIN p2
+          ON e.user_id = p2.user_id AND e.ts >= p2.ts
+    """,
     # approx_sketches: engine-specific sketch internals -> rows-only
 }
 
@@ -292,5 +335,6 @@ QUERIES = {
     "nation_market_share": nation_market_share,
     "customer_order_cadence": customer_order_cadence,
     "nation_trade_flows": nation_trade_flows,
+    "last_purchase_asof": last_purchase_asof,
     "approx_sketches": approx_sketches,
 }

@@ -90,3 +90,26 @@ def test_salted_join_rejects_dim_preserving_joins(spark):
     dim = spark.createDataFrame([(1, "x")], "dk bigint, name string")
     with pytest.raises(ValueError, match="fact-preserving"):
         skew.salted_join(fact, dim, "k", "dk", how="full")
+
+
+def test_asof_join_semantics(spark):
+    from flink_log_analysis_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", "2020-01-01 10:00:00"),
+         (2, "u", "2020-01-01 11:00:00"),
+         (3, "u", "2020-01-01 09:00:00"),   # before any right row
+         (4, "v", "2020-01-01 12:00:00")],  # key with no right rows
+        "id int, k string, ts string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u", "2020-01-01 10:00:00", 100.0),   # equal ts -> inclusive
+         ("u", "2020-01-01 10:30:00", 200.0)],
+        "k string, ts string, val double",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+
+    out = {r.id: r.val for r in asof_join(left, right, "k", "ts", ["val"]).collect()}
+    assert out == {1: 100.0, 2: 200.0, 3: None, 4: None}
+
+    inner = asof_join(left, right, "k", "ts", ["val"], how="inner")
+    assert {r.id for r in inner.collect()} == {1, 2}

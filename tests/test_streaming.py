@@ -346,3 +346,51 @@ def test_start_upsert_stream_validates_topk_order(spark, tmp_path):
         start_upsert_stream(
             spark.range(1), MemoryUpsertSink(["id"]), str(tmp_path / "c"), top_k=5
         )
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join drains to the same rows
+    as the batch join over the same input."""
+    import json as _json
+
+    from flink_log_analysis_spark.streaming.joins import interval_join
+
+    views = [("u1", "2020-01-01 10:00:00"), ("u1", "2020-01-01 12:00:00"),
+             ("u2", "2020-01-01 10:30:00")]
+    buys = [("u1", "2020-01-01 10:20:00", 5.0),   # within 1h of view1
+            ("u1", "2020-01-01 13:30:00", 7.0),   # > 1h after view2 -> no match
+            ("u2", "2020-01-01 10:45:00", 9.0)]
+    vdir, bdir = tmp_path / "views", tmp_path / "buys"
+    vdir.mkdir(), bdir.mkdir()
+    (vdir / "v.json").write_text("\n".join(
+        _json.dumps({"user": u, "view_ts": t}) for u, t in views))
+    (bdir / "b.json").write_text("\n".join(
+        _json.dumps({"user": u, "buy_ts": t, "amount": a}) for u, t, a in buys))
+
+    v_schema = "user string, view_ts timestamp"
+    b_schema = "user string, buy_ts timestamp, amount double"
+
+    def joined(ldf, rdf):
+        return interval_join(ldf, rdf, "user", "view_ts", "buy_ts", upper="1 hour")
+
+    batch = joined(
+        spark.read.schema(v_schema).json(str(vdir)),
+        spark.read.schema(b_schema).json(str(bdir)),
+    )
+    exp = sorted(tuple(r) for r in batch.collect())
+    assert len(exp) == 2  # (u1 view1 -> 5.0), (u2 -> 9.0)
+
+    out = []
+    q = (
+        joined(
+            spark.readStream.schema(v_schema).json(str(vdir)),
+            spark.readStream.schema(b_schema).json(str(bdir)),
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    assert sorted(tuple(r) for r in out) == exp
