@@ -208,6 +208,45 @@ def last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("view", "click", "purchase", "error")
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per user, one count column per event type.
+
+    Spark's ``pivot`` with an explicit value list compiles to a single
+    hash aggregate with conditional counts — no extra shuffle vs the
+    plain group-by (the explicit list also avoids the
+    distinct-values discovery pass, which matters at scale).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+def order_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth: NTILE quartiles + percent_rank per
+    order status (deterministic total order)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct + quantile sketches — the single-pass
     100 TB substitutes for exact distinct counts and sorts.
@@ -324,6 +363,26 @@ ORACLE: dict[str, str] = {
         ASOF LEFT JOIN p2
           ON e.user_id = p2.user_id AND e.ts >= p2.ts
     """,
+    "user_event_pivot": """
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_view,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_click,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_purchase,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_error
+        FROM events GROUP BY user_id
+    """,
+    "order_value_ntile": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
     # approx_sketches: engine-specific sketch internals -> rows-only
 }
 
@@ -336,5 +395,7 @@ QUERIES = {
     "customer_order_cadence": customer_order_cadence,
     "nation_trade_flows": nation_trade_flows,
     "last_purchase_asof": last_purchase_asof,
+    "user_event_pivot": user_event_pivot,
+    "order_value_ntile": order_value_ntile,
     "approx_sketches": approx_sketches,
 }

@@ -53,6 +53,30 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rolling_fingerprint(read_table(spark, sf_dir, "documents"))
 
 
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies via explode (LATERAL/unnest shape):
+    top-50 lowercased tokens with doc frequencies.
+
+    At scale the explode emits one narrow (token) row per occurrence
+    and the count is a partial+final hash agg on the token — the
+    classic vocabulary-building job.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(textstats.tokens(F.col("text"))).alias("tok")
+    )
+    return (
+        exploded.select("doc_id", F.lower("tok").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("token"))
+        .limit(50)
+    )
+
+
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram-profile language ID (the n-gram heuristic tier)."""
     return textstats.language_id_ngram(read_table(spark, sf_dir, "documents"))
@@ -155,6 +179,15 @@ ORACLE = {
                ) AS rolling_fp
         FROM t
     """,
+    "token_frequencies": f"""
+        SELECT lower(t.tok) AS token,
+               COUNT(*) AS occurrences,
+               COUNT(DISTINCT d.doc_id) AS doc_freq
+        FROM documents d, unnest({_TOKS}) AS t(tok)
+        GROUP BY 1
+        ORDER BY occurrences DESC, token ASC
+        LIMIT 50
+    """,
     "lang_id_ngram": "\n".join(
         ["WITH s AS (", "    SELECT doc_id,"]
         + [
@@ -193,6 +226,7 @@ QUERIES = {
     "text_quality": text_quality,
     "source_token_stats": source_token_stats,
     "bpe_token_stats": bpe_token_stats,
+    "token_frequencies": token_frequencies,
     "rolling_fingerprints": rolling_fingerprints,
     "lang_id_ngram": lang_id_ngram,
     "doc_fingerprints": doc_fingerprints,
