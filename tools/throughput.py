@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Parse-path throughput microbench: raw combined-log lines/second.
+
+The reference is a log-parsing streaming job; its per-node ceiling is
+the parser. This measures the engine's full A2-A8 columnar parse chain
+(regex validate -> 9-field extract -> status filter -> date normalize
+-> id extract -> sentinel projection) on generated lines, end to end,
+on local[$SPARK_GRAFT_CPUS].
+
+Prints one JSON line: {"lines": N, "seconds": s, "mlines_per_s": x}.
+Usage: python tools/throughput.py [--lines 2000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lines", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from flink_log_analysis_spark import get_spark, logparse
+    from flink_log_analysis_spark.sources.synthetic import generate_log_lines
+
+    spark = get_spark("throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Seed corpus generated once, replicated to the target volume via
+    # explode (keeps generation out of the measured path).
+    seed_lines = generate_log_lines(20_000, seed=7)
+    reps = max(1, args.lines // len(seed_lines))
+    base = spark.createDataFrame([(ln,) for ln in seed_lines], "line string")
+    df = (
+        base.withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(reps))))
+        .drop("_r")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    n = df.count()  # materialize input outside the timed region
+
+    # Warm-up run: whole-stage codegen JIT compiles on first execution
+    # (~2-3s once per query shape per JVM); steady-state throughput is
+    # the number that scales to a long-running 100 TB job.
+    logparse.parse_access_logs(df).write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    logparse.parse_access_logs(df).write.format("noop").mode("overwrite").save()
+    secs = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "lines": n,
+                "seconds": round(secs, 3),
+                "mlines_per_s": round(n / secs / 1e6, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
