@@ -91,9 +91,10 @@ def distinct_token_sets(
     )
 
 
-def _minhash_col(i: int, toks: Column = None) -> Column:
-    toks = F.col("toks") if toks is None else toks
-    return F.array_min(F.transform(toks, lambda t: token_hash(t, i))).alias(f"mh{i}")
+def _minhash_col(i: int) -> Column:
+    return F.array_min(
+        F.transform(F.col("toks"), lambda t: token_hash(t, i))
+    ).alias(f"mh{i}")
 
 
 def minhash_signatures(

@@ -133,18 +133,13 @@ def extract_features(
                 }
             )
 
-    from ..session import ensure_min_partitions
+    from ..session import ensure_min_partitions, udf_partition_target
 
     # Wide partitioning -> parallel Python workers + right-sized Arrow
-    # batches (a single-partition input would serialize the UDF). The
-    # cap bounds cold-start cost: each fresh Python worker pays the
-    # pandas import, so more workers than needed hurts short jobs;
-    # long/large inputs on a warm cluster can pass a higher target.
-    sc = df.sparkSession.sparkContext
-    target = min(sc.defaultParallelism, 8)
-    return ensure_min_partitions(df.select(id_col, content_col), target).mapInPandas(
-        batches, FEATURE_SCHEMA
-    )
+    # batches (a single-partition input would serialize the UDF).
+    return ensure_min_partitions(
+        df.select(id_col, content_col), udf_partition_target(df)
+    ).mapInPandas(batches, FEATURE_SCHEMA)
 
 
 def resize_images(
@@ -170,7 +165,7 @@ def resize_images(
             "run with fake=True for the deterministic byte resample"
         )
 
-    from ..session import ensure_min_partitions
+    from ..session import ensure_min_partitions, udf_partition_target
 
     out_len = width * height
     w, h = width, height
@@ -194,11 +189,9 @@ def resize_images(
                 }
             )
 
-    sc = df.sparkSession.sparkContext
-    target = min(sc.defaultParallelism, 8)
-    return ensure_min_partitions(df.select(id_col, content_col), target).mapInPandas(
-        batches, RESIZE_SCHEMA
-    )
+    return ensure_min_partitions(
+        df.select(id_col, content_col), udf_partition_target(df)
+    ).mapInPandas(batches, RESIZE_SCHEMA)
 
 
 def sample_frames(
@@ -223,7 +216,7 @@ def sample_frames(
             "run with fake=True for the deterministic byte windows"
         )
 
-    from ..session import ensure_min_partitions
+    from ..session import ensure_min_partitions, udf_partition_target
 
     nf, fb = n_frames, frame_bytes
 
@@ -245,8 +238,6 @@ def sample_frames(
                 {"doc_id": ids, "frame_idx": idxs, "frame": frames}
             )
 
-    sc = df.sparkSession.sparkContext
-    target = min(sc.defaultParallelism, 8)
-    return ensure_min_partitions(df.select(id_col, content_col), target).mapInPandas(
-        batches, FRAME_SCHEMA
-    )
+    return ensure_min_partitions(
+        df.select(id_col, content_col), udf_partition_target(df)
+    ).mapInPandas(batches, FRAME_SCHEMA)

@@ -138,7 +138,9 @@ def ivf_assign(
     # Fit on few fat partitions: KMeans iterates, and per-task overhead
     # on many tiny partitions dominates a small/sampled training set.
     # (At real scale the fit input is a sample, never the corpus.)
-    fit_input = vecs.coalesce(min(vecs.sparkSession.sparkContext.defaultParallelism, 8))
+    from ..session import udf_partition_target
+
+    fit_input = vecs.coalesce(udf_partition_target(vecs))
     # A coarse quantizer doesn't need converged centroids — 8 rounds
     # places cells well enough for n_probe>=2 recall at half the fit cost.
     model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="features").fit(

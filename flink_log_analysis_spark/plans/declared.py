@@ -119,7 +119,13 @@ def client_ip_access(
     return _with_stat_time(df, clock)
 
 
-_SID = rf"(CAST(regexp_extract(e.props, '{K_REGEX}', 1) AS INTEGER) % {N_SECTIONS})"
+# DuckDB-SQL twin of _section_id over an events alias `e` — shared by
+# the logpipe/streamed oracles so the derivation exists exactly once.
+SECTION_ID_SQL = (
+    f"(CAST(regexp_extract(e.props, '{K_REGEX}', 1) AS INTEGER)"
+    f" % {N_SECTIONS})"
+)
+_SID = SECTION_ID_SQL
 
 ORACLE: dict[str, str] = {
     "hot_section": f"""

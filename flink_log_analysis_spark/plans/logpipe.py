@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .. import logparse
 from ..session import ensure_min_partitions, read_table
-from .declared import K_REGEX, N_SECTIONS
+from .declared import K_REGEX, N_SECTIONS, SECTION_ID_SQL
 
 
 def _log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +129,7 @@ def log_roundtrip_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The oracle computes the EXPECTED parser output straight from events —
 # an independent re-derivation, not a re-run of the parser.
-_K = f"(CAST(regexp_extract(e.props, '{K_REGEX}', 1) AS INTEGER) % {N_SECTIONS})"
+_K = SECTION_ID_SQL
 
 ORACLE = {
     "log_roundtrip": f"""

@@ -34,27 +34,39 @@ from ..streaming.runner import (
     start_upsert_stream,
 )
 from ..streaming.upsert import MemoryUpsertSink
-from .declared import K_REGEX, N_SECTIONS
+from .declared import SECTION_ID_SQL
 from .logpipe import lines_dir
+
+
+def _drain(q) -> None:
+    """availableNow must fully drain; partial state would silently
+    look like wrong data to the oracle."""
+    if not q.awaitTermination(timeout=600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not drain availableNow input in 600s"
+        )
+
+
+def _sink_schema(agg):
+    """Sink schema = agg schema + the stamped statistic_time column, so
+    an empty input still yields a well-typed empty result."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return StructType(
+        list(agg.schema.fields) + [StructField("statistic_time", StringType())]
+    )
 
 
 def _run_stream(spark: SparkSession, sf_dir: str, build_agg, key_cols,
                 top_k=None, order_by=None) -> DataFrame:
-    from pyspark.sql.types import StringType, StructField, StructType
-
     work = tempfile.mkdtemp(prefix="loganalysis_stream_")
     try:
         lines = read_log_file_stream(spark, f"{lines_dir(spark, sf_dir)}/lines")
         logs = parsed_log_stream(lines)
         agg = build_agg(logs)
-        # Declared sink schema (= agg schema + the stamped column) so
-        # an empty input still yields a well-typed empty result.
-        sink_schema = StructType(
-            list(agg.schema.fields)
-            + [StructField("statistic_time", StringType())]
-        )
         sink = MemoryUpsertSink(
-            key_cols, complete=top_k is not None, schema=sink_schema
+            key_cols, complete=top_k is not None, schema=_sink_schema(agg)
         )
         q = start_upsert_stream(
             agg,
@@ -65,11 +77,7 @@ def _run_stream(spark: SparkSession, sf_dir: str, build_agg, key_cols,
             stat_time="1970-01-01 00:00:00",  # pinned; dropped below
             available_now=True,
         )
-        if not q.awaitTermination(timeout=600):
-            q.stop()
-            raise TimeoutError(
-                "streaming query did not drain availableNow input in 600s"
-            )
+        _drain(q)
         return sink.to_df(spark).drop("statistic_time")
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -130,13 +138,7 @@ def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
         )
-        from pyspark.sql.types import StringType, StructField, StructType
-
-        sink_schema = StructType(
-            list(agg.schema.fields)
-            + [StructField("statistic_time", StringType())]
-        )
-        sink = MemoryUpsertSink(["hour", "event_type"], schema=sink_schema)
+        sink = MemoryUpsertSink(["hour", "event_type"], schema=_sink_schema(agg))
         q = start_upsert_stream(
             agg,
             sink,
@@ -144,11 +146,7 @@ def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             stat_time="1970-01-01 00:00:00",
             available_now=True,
         )
-        if not q.awaitTermination(timeout=600):
-            q.stop()
-            raise TimeoutError(
-                "streaming query did not drain availableNow input in 600s"
-            )
+        _drain(q)
         return sink.to_df(spark).drop("statistic_time")
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -158,7 +156,7 @@ def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # line-construction contract): views carry fid = k % N_SECTIONS, clicks
 # carry tid = user_id, errors get status 500 and are dropped by the
 # parser's ==200 filter.
-_K = f"(CAST(regexp_extract(e.props, '{K_REGEX}', 1) AS INTEGER) % {N_SECTIONS})"
+_K = SECTION_ID_SQL
 _IP = (
     "'10.0.' || CAST(e.event_id % 250 AS VARCHAR) || '.' || "
     "CAST(e.event_id % 199 AS VARCHAR)"

@@ -129,6 +129,16 @@ def ensure_min_partitions(df, target: int | None = None):
     return df
 
 
+def udf_partition_target(df, cap: int = 8) -> int:
+    """Partition count for Pandas-UDF stages: parallel, but capped.
+
+    Each fresh Python worker pays the pandas import (~1-2 s cold), so
+    more workers than needed hurts short jobs; long/large inputs on a
+    warm cluster can pass a higher cap.
+    """
+    return min(df.sparkSession.sparkContext.defaultParallelism, cap)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
     """Load the driver-provided parquet tables for one scale factor.
 

@@ -33,7 +33,9 @@ foreachBatch contract.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -190,8 +192,6 @@ class ParquetUpsertSink:
         # with renames — a crash can leave a stale tmp/old dir behind
         # but never an empty/partial live path (the read() fallback
         # plus checkpoint replay of the last batch recovers those).
-        import shutil
-
         tmp = f"{self.path}__tmp_batch_{batch_id}"
         old = f"{self.path}__old_batch_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
@@ -204,8 +204,6 @@ class ParquetUpsertSink:
         if not os.path.exists(self.path):
             # Crash window between the two renames: the previous state
             # survives under the __old name — restore it.
-            import glob
-
             leftovers = sorted(glob.glob(f"{self.path}__old_batch_*"))
             if leftovers:
                 os.rename(leftovers[-1], self.path)
