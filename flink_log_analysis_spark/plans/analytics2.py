@@ -247,6 +247,40 @@ def order_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows in batch: per-user 30-min-gap sessions
+    via ``F.session_window`` — the built-in operator behind
+    ``streaming.stateful.session_counts`` (same expression +
+    watermark runs streaming).
+
+    Spark merges events whose windows overlap: an event extends a
+    session iff its time is strictly before last_event + gap, and the
+    emitted window is [first_event, last_event + gap). The oracle
+    re-derives sessions independently (LAG + running-sum grouping on
+    epoch microseconds — the exact integer domain Spark aggregates
+    in after the nanos→micros normalization), so two different
+    algorithms must agree bit-for-bit. Epoch-µs output columns keep
+    timestamp hashing engine-neutral.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("session_hits"),
+            F.sum(F.col("value").cast(DEC)).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "session_hits",
+            "session_value",
+        )
+    )
+
+
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct + quantile sketches — the single-pass
     100 TB substitutes for exact distinct counts and sorts.
@@ -383,6 +417,32 @@ ORACLE: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_orderstatus
                      ORDER BY o_totalprice ASC, o_orderkey ASC)
     """,
+    # Session-window boundary: Spark opens a new session iff
+    # diff >= gap (window intervals are half-open), hence >= below.
+    "session_windows": """
+        WITH seq AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us, value,
+                   LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+            FROM events
+        ), grp AS (
+            SELECT user_id, us, value,
+                   SUM(CASE WHEN prev_us IS NULL
+                                 OR us - prev_us >= 1800 * 1000000
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY us ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        )
+        SELECT user_id,
+               MIN(us) AS session_start_us,
+               MAX(us) + 1800 * 1000000 AS session_end_us,
+               COUNT(*) AS session_hits,
+               SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+        FROM grp GROUP BY user_id, sid
+    """,
     # approx_sketches: engine-specific sketch internals -> rows-only
 }
 
@@ -397,5 +457,6 @@ QUERIES = {
     "last_purchase_asof": last_purchase_asof,
     "user_event_pivot": user_event_pivot,
     "order_value_ntile": order_value_ntile,
+    "session_windows": session_windows,
     "approx_sketches": approx_sketches,
 }

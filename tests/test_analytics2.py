@@ -113,3 +113,16 @@ def test_asof_join_semantics(spark):
 
     inner = asof_join(left, right, "k", "ts", ["val"], how="inner")
     assert {r.id for r in inner.collect()} == {1, 2}
+
+
+def test_session_windows_invariants(spark, sf_dir):
+    out = analytics2.session_windows(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    agg = out.agg(
+        F.sum("session_hits").alias("total_hits"),
+        F.min(F.col("session_end_us") - F.col("session_start_us")).alias("min_len"),
+    ).first()
+    # Every event lands in exactly one session; window end = last+gap
+    # so even a singleton session spans the full 30-min gap.
+    assert agg.total_hits == ev.count()
+    assert agg.min_len >= 1800 * 1_000_000
