@@ -10,12 +10,15 @@ union + ordered-window trick:
 
   1. tag right rows 0 and left rows 1, union them aligned on
      (key, ts, tag, payload...);
-  2. one window per key ordered by (ts, tag): ``last(payload,
+  2. one window per key ordered by (ts, tag): the payload columns are
+     packed into a single STRUCT per right row (non-null even when
+     every payload field is null, so a right row whose payload value
+     is legitimately NULL still *matches* instead of letting an older
+     non-null value bleed forward) and ``last(struct,
      ignorenulls=True)`` over unbounded-preceding..current carries the
-     most recent right payload forward onto every left row — right
-     rows sort before left rows at equal ts, so the match is
-     inclusive (right.ts == left.ts matches), same as DuckDB/ASOF
-     convention;
+     most recent right row forward onto every left row — right rows
+     sort before left rows at equal ts, so the match is inclusive
+     (right.ts == left.ts matches), same as DuckDB/ASOF convention;
   3. keep the left rows.
 
 Cost: ONE shuffle on the key (the window sort) over |L|+|R| rows — no
@@ -43,19 +46,17 @@ def asof_join(
     payload_cols: list[str],
     how: str = "left",
 ) -> DataFrame:
-    """left columns + latest-preceding right ``payload_cols`` (null when
-    no right row precedes; ``how='inner'`` drops those rows)."""
-    l_tag = F.lit(1)
-    r_tag = F.lit(0)
-    l_part = left.withColumn("_tag", l_tag)
-    for c in payload_cols:
-        l_part = l_part.withColumn(f"_p_{c}", F.lit(None))
+    """left columns + latest-preceding right ``payload_cols`` (all null
+    when no right row precedes; ``how='inner'`` drops those rows)."""
+    l_part = left.withColumn("_tag", F.lit(1))
     r_part = right.select(
         key,
         ts,
-        r_tag.alias("_tag"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(0).alias("_tag"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
     )
+    # allowMissingColumns fills _p with NULL for left rows; right rows
+    # carry a non-null struct even when every payload field is null.
     u = l_part.unionByName(r_part, allowMissingColumns=True)
 
     w = (
@@ -63,13 +64,11 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in payload_cols:
-        u = u.withColumn(
-            f"_p_{c}", F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w)
-        )
-    out = u.filter(F.col("_tag") == 1).drop("_tag")
-    for c in payload_cols:
-        out = out.withColumnRenamed(f"_p_{c}", c)
+    u = u.withColumn("_p", F.last("_p", ignorenulls=True).over(w))
+    out = u.filter(F.col("_tag") == 1)
     if how == "inner":
-        out = out.filter(F.col(payload_cols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("_p").isNotNull())
+    return out.select(
+        *left.columns,
+        *[F.col(f"_p.{c}").alias(c) for c in payload_cols],
+    )

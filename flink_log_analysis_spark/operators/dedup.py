@@ -258,7 +258,11 @@ def embedding_near_dup_pairs(
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos")
+            # round BEFORE the threshold: a 1-ulp cross-engine cosine
+            # divergence exactly at the boundary must not flip a pair
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         # No distinct needed: a pair collides on exactly one probe

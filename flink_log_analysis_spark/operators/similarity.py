@@ -5,7 +5,12 @@ Spark-first design for an ``embedding ARRAY<FLOAT>`` column:
 - **Brute-force top-k** is the exactness baseline: broadcast the (small)
   query set against the corpus, compute cosine with array lambdas
   (JVM-side fold in double — bit-identical to DuckDB's
-  ``list_cosine_similarity``), rank with a per-query window. At scale
+  ``list_cosine_similarity``), rank with a per-query window. The
+  cosine is rounded to 6 digits BEFORE the rank (and any threshold):
+  a 1-ulp cross-engine divergence exactly at the rank-k or threshold
+  boundary would otherwise flip which row qualifies; after rounding,
+  ties resolve by the neighbor-id tie-break identically everywhere.
+  At scale
   the corpus side stays partition-parallel; no shuffle until the final
   per-query top-k (k rows per partition per query after the window
   pushdown).
@@ -71,7 +76,9 @@ def knn_bruteforce(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = scored.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -117,14 +124,20 @@ def ivf_assign(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_rows: int = 100_000,
 ):
     """IVF coarse quantizer: KMeans centroids + nearest-cell assignment.
 
     Returns (assigned corpus DataFrame with a ``cell`` column, the
-    centroid list). The model is fit once (sampled at real scale) and
-    the assignment is a pure projection — at 100 TB the corpus is
-    written out partitioned by cell, so a query touches only
-    ``n_probe`` cells' files (partition pruning does the rest).
+    centroid list). The model is fit once — on a bounded sample, never
+    the full corpus: when the corpus exceeds ``fit_sample_rows`` the
+    fit input is a seeded Bernoulli sample of ~that many rows (a
+    coarse quantizer only needs the density shape, and KMeans
+    centroids from 100k rows are statistically indistinguishable from
+    the full-corpus fit). The assignment is a pure projection — at
+    100 TB the corpus is written out partitioned by cell, so a query
+    touches only ``n_probe`` cells' files (partition pruning does the
+    rest).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -135,12 +148,20 @@ def ivf_assign(
     vecs = emb.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("arr")
     ).withColumn("features", array_to_vector(F.col("arr")))
+    # Bound the fit input. The count is one extra columnar scan of the
+    # id column; the KMeans fit scans its input maxIter times, so
+    # sampling pays for the count many times over at scale.
+    n_rows = vecs.count()
+    fit_input = vecs
+    if n_rows > fit_sample_rows:
+        fit_input = vecs.sample(
+            fraction=fit_sample_rows / n_rows, seed=seed
+        )
     # Fit on few fat partitions: KMeans iterates, and per-task overhead
     # on many tiny partitions dominates a small/sampled training set.
-    # (At real scale the fit input is a sample, never the corpus.)
     from ..session import udf_partition_target
 
-    fit_input = vecs.coalesce(udf_partition_target(vecs))
+    fit_input = fit_input.coalesce(udf_partition_target(fit_input))
     # A coarse quantizer doesn't need converged centroids — 8 rounds
     # places cells well enough for n_probe>=2 recall at half the fit cost.
     model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="features").fit(
@@ -212,7 +233,9 @@ def knn_ivf(
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -272,7 +295,9 @@ def knn_lsh(
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -23,6 +23,16 @@ Determinism across engines (the oracle gate):
 - Averages divide the exact decimal sum by the exact count in double,
   rounded to 4 — one deterministic IEEE division per group.
 - Every ranking has a total tie-break order.
+- **Output columns are pinned to engine-neutral types.** The decimal
+  math stays internal; the *final* projection casts decimals to
+  DOUBLE on both sides (exact-decimal -> double is the correctly
+  rounded IEEE value in both engines while the unscaled digits fit
+  in 2^53 — sums are rounded to scale 2 first where needed), and
+  integer sums are CAST to BIGINT in the oracle (DuckDB widens
+  SUM(int) to HUGEINT, which pandas renders as float). Decimal /
+  HUGEINT / DATE outputs hash differently from Spark's through a
+  pandas conversion even when values are equal, so no query emits
+  them.
 
 Scale notes: all joins against region/nation/customer/supplier/part
 are broadcast; fact-fact joins (orders⨝lineitem) shuffle on the join
@@ -48,6 +58,18 @@ def _avg4(sum_col: Column, cnt_col: Column) -> Column:
     return F.round(sum_col.cast("double") / cnt_col, 4)
 
 
+def _money(col: Column, scale: int | None = None) -> Column:
+    """Pin an exact-decimal aggregate to the engine-neutral DOUBLE.
+
+    ``scale`` rounds first (exactly, in decimal) so the unscaled
+    digits stay well under 2^53 and the final decimal->double cast is
+    the identical correctly-rounded IEEE value in Spark and DuckDB.
+    """
+    if scale is not None:
+        col = F.round(col, scale)
+    return col.cast("double")
+
+
 # --------------------------------------------------------------------------
 # Aggregation
 # --------------------------------------------------------------------------
@@ -64,14 +86,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
+            _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _money(F.sum(disc_price), scale=2).alias("sum_disc_price"),
+            _money(F.sum(charge), scale=2).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .withColumn("avg_qty", _avg4(F.col("sum_qty"), F.col("count_order")))
-        .withColumn("avg_price", _avg4(F.col("sum_base_price"), F.col("count_order")))
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 4))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 4))
     )
     return out.select(
         "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
@@ -98,9 +120,9 @@ def lineitem_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.min(_dec("l_extendedprice")).alias("min_price"),
-        F.max(_dec("l_extendedprice")).alias("max_price"),
-        F.sum(_dec("l_quantity")).alias("total_qty"),
+        _money(F.min(_dec("l_extendedprice"))).alias("min_price"),
+        _money(F.max(_dec("l_extendedprice"))).alias("max_price"),
+        _money(F.sum(_dec("l_quantity"))).alias("total_qty"),
     )
 
 
@@ -111,7 +133,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).alias("revenue"),
+            _money(F.sum(_dec("o_totalprice"))).alias("revenue"),
         )
     )
 
@@ -127,7 +149,7 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).alias("total_value"),
+            _money(F.sum(_dec("value"))).alias("total_value"),
         )
     )
 
@@ -144,7 +166,7 @@ def top_customers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         o.groupBy("o_custkey")
         .agg(
-            F.sum(_dec("o_totalprice")).alias("revenue"),
+            _money(F.sum(_dec("o_totalprice"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -181,7 +203,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.sum(disc_price).alias("revenue"),
+            _money(F.sum(disc_price), scale=2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -230,7 +252,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
-            _dec("o_totalprice").alias("totalprice"),
+            _money(_dec("o_totalprice")).alias("totalprice"),
             "rn",
         )
     )
@@ -288,9 +310,7 @@ def order_scalar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mth"),
         F.day("o_orderdate").alias("dom"),
-        F.round(_dec("o_totalprice") * F.lit(0.1).cast(DEC), 2)
-        .cast(DEC)
-        .alias("fee"),
+        _money(F.round(_dec("o_totalprice") * F.lit(0.1).cast(DEC), 2)).alias("fee"),
         F.abs(-F.col("o_custkey")).alias("abs_cust"),
     )
 
@@ -305,10 +325,12 @@ _CHARGE = f"{_DISC} * (1 + CAST(l_tax AS DECIMAL(18,2)))"
 ORACLE: dict[str, str] = {
     "pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               SUM({_DISC})                                AS sum_disc_price,
-               SUM({_CHARGE})                              AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                                           AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                                                           AS sum_base_price,
+               CAST(ROUND(SUM({_DISC}), 2) AS DOUBLE)      AS sum_disc_price,
+               CAST(ROUND(SUM({_CHARGE}), 2) AS DOUBLE)    AS sum_charge,
                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                      / COUNT(*), 4)                        AS avg_qty,
                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -324,26 +346,30 @@ ORACLE: dict[str, str] = {
     """,
     "lineitem_global_stats": """
         SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
-               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
-               MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS min_price,
+               CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS max_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                    AS total_qty
         FROM lineitem
     """,
     "orders_rollup": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
     "hourly_event_stats": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2
     """,
     "top_customers_revenue": """
         SELECT o.o_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
-               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
                COUNT(*) AS n_orders
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -353,7 +379,8 @@ ORACLE: dict[str, str] = {
     """,
     "regional_revenue": f"""
         SELECT r.r_name AS region, n.n_name AS nation,
-               SUM({_DISC}) AS revenue, COUNT(*) AS n_items
+               CAST(ROUND(SUM({_DISC}), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
         FROM lineitem
         JOIN orders o ON l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -379,7 +406,8 @@ ORACLE: dict[str, str] = {
     """,
     "top_orders_per_customer": """
         SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rn
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                   AS totalprice, rn
         FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY o_custkey
@@ -423,7 +451,7 @@ ORACLE: dict[str, str] = {
                CAST(MONTH(o_orderdate) AS INTEGER) AS mth,
                CAST(DAY(o_orderdate) AS INTEGER) AS dom,
                CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
-                          * CAST(0.1 AS DECIMAL(18,2)), 2) AS DECIMAL(18,2))
+                          * CAST(0.1 AS DECIMAL(18,2)), 2) AS DOUBLE)
                    AS fee,
                ABS(-o_custkey) AS abs_cust
         FROM orders

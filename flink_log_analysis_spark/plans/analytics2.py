@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import read_table
-from .analytics import DEC, _dec
+from .analytics import DEC, _dec, _money
 
 
 def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,7 +29,7 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_dec("o_totalprice")).alias("revenue"),
+        _money(F.sum(_dec("o_totalprice"))).alias("revenue"),
     )
 
 
@@ -40,20 +40,19 @@ def monthly_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group-by — frame evaluation never sees raw fact rows.
     """
     o = read_table(spark, sf_dir, "orders")
-    # .cast("date"): Spark's date_trunc returns TIMESTAMP, DuckDB's
-    # returns DATE — align the output type for the value comparison.
+    # month stays TIMESTAMP (Spark's date_trunc output); the oracle
+    # CASTs DuckDB's DATE to TIMESTAMP so both engines emit the same
+    # logical type (DATE hashes differently through pandas).
     monthly = o.groupBy(
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        F.date_trunc("month", "o_orderdate").alias("month")
     ).agg(
-        F.sum(_dec("o_totalprice")).alias("revenue")
+        _money(F.sum(_dec("o_totalprice"))).alias("revenue")
     )
     w = Window.orderBy("month").rowsBetween(-2, 0)
     return monthly.select(
         "month",
         "revenue",
-        F.round(F.avg(F.col("revenue").cast("double")).over(w), 4).alias(
-            "trailing3_avg"
-        ),
+        F.round(F.avg("revenue").over(w), 4).alias("trailing3_avg"),
     )
 
 
@@ -87,7 +86,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty")
     )
     return below.agg(
-        F.sum(_dec("l_extendedprice")).alias("small_qty_revenue"),
+        _money(F.sum(_dec("l_extendedprice"))).alias("small_qty_revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -106,16 +105,18 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("r_name").alias("region"), F.col("n_name").alias("nation")
         )
-        .agg(F.sum(_dec("o_totalprice")).alias("revenue"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev_dec"))
     )
+    # window-sum in exact decimal (double window sums are
+    # accumulation-order-dependent); one double division at the end
     w = Window.partitionBy("region")
     return rev.select(
         "region",
         "nation",
-        "revenue",
+        _money(F.col("rev_dec")).alias("revenue"),
         F.round(
-            F.col("revenue").cast("double")
-            / F.sum(F.col("revenue").cast("double")).over(w),
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double"),
             4,
         ).alias("share"),
     )
@@ -136,7 +137,7 @@ def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
-            F.sum("gap_days").alias("total_gap_days"),
+            F.sum("gap_days").cast("bigint").alias("total_gap_days"),
             F.round(F.sum("gap_days") / F.count(F.lit(1)), 4).alias("avg_gap_days"),
         )
         .filter(F.col("n_gaps") >= 3)
@@ -171,7 +172,7 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation")
         .agg(
-            F.sum(rev).alias("revenue"),
+            _money(F.sum(rev), scale=2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -269,7 +270,7 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("session_hits"),
-            F.sum(F.col("value").cast(DEC)).alias("session_value"),
+            _money(F.sum(F.col("value").cast(DEC))).alias("session_value"),
         )
         .select(
             "user_id",
@@ -301,17 +302,20 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE: dict[str, str] = {
     "orders_cube": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "monthly_revenue_moving_avg": """
         WITH m AS (
-            SELECT date_trunc('month', o_orderdate) AS month,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                       AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
             FROM orders GROUP BY 1
         )
         SELECT month, revenue,
-               ROUND(AVG(CAST(revenue AS DOUBLE)) OVER (
+               ROUND(AVG(revenue) OVER (
                    ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                ), 4) AS trailing3_avg
         FROM m
@@ -331,7 +335,7 @@ ORACLE: dict[str, str] = {
                    COUNT(*) AS cnt
             FROM lineitem GROUP BY 1
         )
-        SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS small_qty_revenue,
                COUNT(*) AS n_items
         FROM lineitem l JOIN p ON l.l_partkey = p.pk
@@ -340,16 +344,16 @@ ORACLE: dict[str, str] = {
     "nation_market_share": """
         WITH rev AS (
             SELECT r.r_name AS region, n.n_name AS nation,
-                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n   ON c.c_nationkey = n.n_nationkey
             JOIN region r   ON n.n_regionkey = r.r_regionkey
             GROUP BY 1, 2
         )
-        SELECT region, nation, revenue,
-               ROUND(CAST(revenue AS DOUBLE) /
-                     SUM(CAST(revenue AS DOUBLE)) OVER (PARTITION BY region),
+        SELECT region, nation, CAST(rev_dec AS DOUBLE) AS revenue,
+               ROUND(CAST(rev_dec AS DOUBLE) /
+                     CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE),
                      4) AS share
         FROM rev
     """,
@@ -364,7 +368,7 @@ ORACLE: dict[str, str] = {
             FROM orders
         )
         SELECT o_custkey, COUNT(*) AS n_gaps,
-               SUM(gap_days) AS total_gap_days,
+               CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
                ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 4)
                    AS avg_gap_days
         FROM g WHERE gap_days IS NOT NULL
@@ -372,9 +376,10 @@ ORACLE: dict[str, str] = {
     """,
     "nation_trade_flows": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                    * (CAST(1 AS DECIMAL(18,2))
-                      - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+                      - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                   AS revenue,
                COUNT(*) AS n_items
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -440,7 +445,8 @@ ORACLE: dict[str, str] = {
                MIN(us) AS session_start_us,
                MAX(us) + 1800 * 1000000 AS session_end_us,
                COUNT(*) AS session_hits,
-               SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS session_value
         FROM grp GROUP BY user_id, sid
     """,
     # approx_sketches: engine-specific sketch internals -> rows-only

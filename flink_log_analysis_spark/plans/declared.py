@@ -121,8 +121,12 @@ def client_ip_access(
 
 # DuckDB-SQL twin of _section_id over an events alias `e` — shared by
 # the logpipe/streamed oracles so the derivation exists exactly once.
+# TRY_CAST, not CAST: a props blob without a "k" key extracts '' and
+# plain CAST('' AS INTEGER) aborts the whole oracle in DuckDB, while
+# the Spark side degrades to NULL via try_cast — the oracle must make
+# the same data-contract assumption as the engine.
 SECTION_ID_SQL = (
-    f"(CAST(regexp_extract(e.props, '{K_REGEX}', 1) AS INTEGER)"
+    f"(TRY_CAST(regexp_extract(e.props, '{K_REGEX}', 1) AS INTEGER)"
     f" % {N_SECTIONS})"
 )
 _SID = SECTION_ID_SQL

@@ -2,8 +2,10 @@
 
 The brute-force top-k is exactly oracle-checked: the Spark cosine is a
 sequential double fold, bit-identical to DuckDB's
-``list_cosine_similarity`` (verified empirically — no rounding in the
-comparison). The LSH variants are *also* exactly oracle-checked even
+``list_cosine_similarity`` (verified empirically). Both engines still
+round the cosine to 6 digits *before* any rank or threshold compare,
+so a last-ulp divergence at the rank-k / threshold boundary cannot
+flip which rows qualify at larger scale factors. The LSH variants are *also* exactly oracle-checked even
 though they are approximate algorithms: the md5-derived hyperplanes
 are deterministic, so the oracle embeds the same plane constants and
 reproduces the bucket assignment; multiprobe candidacy (own bucket +
@@ -87,7 +89,7 @@ ORACLE = {
              c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
                    FROM embeddings),
              s AS (SELECT query_id, neighbor_id,
-                          list_cosine_similarity(qv, cv) AS cos
+                          ROUND(list_cosine_similarity(qv, cv), 6) AS cos
                    FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
              r AS (SELECT *, CAST(ROW_NUMBER() OVER (
                        PARTITION BY query_id
@@ -107,7 +109,7 @@ ORACLE = {
                           {{bucket}} AS bucket
                    FROM embeddings),
              s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                          list_cosine_similarity(q.e, c.e) AS cos
+                          ROUND(list_cosine_similarity(q.e, c.e), 6) AS cos
                    FROM v q JOIN v c
                      ON bit_count(xor(q.bucket, c.bucket)) <= 1
                     AND c.vec_id <> q.vec_id
@@ -123,11 +125,12 @@ ORACLE = {
                           {{bucket}} AS bucket
                    FROM embeddings)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               list_cosine_similarity(a.e, b.e) AS cos
+               ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
         FROM v a JOIN v b
           ON a.vec_id < b.vec_id
          AND bit_count(xor(a.bucket, b.bucket)) <= 1
-        WHERE list_cosine_similarity(a.e, b.e) >= {NEAR_DUP_THRESHOLD}
+        WHERE ROUND(list_cosine_similarity(a.e, b.e), 6)
+              >= {NEAR_DUP_THRESHOLD}
     """,
     # knn_ivf: MLlib KMeans fit -> rows-only check (recall unit test
     # vs brute force in tests/test_similarity.py)

@@ -37,10 +37,13 @@ SQL = {
     """,
     "sql_order_value_buckets": """
         SELECT o_orderstatus,
-               SUM(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS small_orders,
-               SUM(CASE WHEN o_totalprice >= 50000
-                         AND o_totalprice < 200000 THEN 1 ELSE 0 END) AS mid_orders,
-               SUM(CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END) AS large_orders,
+               CAST(SUM(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS small_orders,
+               CAST(SUM(CASE WHEN o_totalprice >= 50000
+                              AND o_totalprice < 200000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mid_orders,
+               CAST(SUM(CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS large_orders,
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY o_orderstatus

@@ -136,7 +136,11 @@ def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            # final cast to double: engine-neutral output type (the
+            # per-batch sum itself stays exact decimal)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
         sink = MemoryUpsertSink(["hour", "event_type"], schema=_sink_schema(agg))
         q = start_upsert_stream(
@@ -192,7 +196,7 @@ ORACLE = {
     "hourly_event_stats_stream": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2
     """,
 }

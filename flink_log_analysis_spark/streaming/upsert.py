@@ -203,8 +203,13 @@ class ParquetUpsertSink:
     def read(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self.path):
             # Crash window between the two renames: the previous state
-            # survives under the __old name — restore it.
-            leftovers = sorted(glob.glob(f"{self.path}__old_batch_*"))
+            # survives under the __old name — restore the NEWEST by
+            # numeric batch id (lexicographic glob order would pick
+            # '__old_batch_9' over '__old_batch_10').
+            leftovers = sorted(
+                glob.glob(f"{self.path}__old_batch_*"),
+                key=lambda p: int(p.rsplit("_", 1)[1]),
+            )
             if leftovers:
                 os.rename(leftovers[-1], self.path)
             else:

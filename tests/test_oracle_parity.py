@@ -1,5 +1,7 @@
 """Oracle-parity tests: every queries() entry with an oracle must
-hash-match DuckDB at sf0.001 (the driver does the same at sf0.01)."""
+hash-match DuckDB at sf0.001 (the driver does the same at sf0.01),
+under the driver's observed canon (pandas conversion + str cells —
+see tools/check_correctness.py)."""
 
 import duckdb
 import pytest
@@ -23,15 +25,14 @@ ALL_QUERIES = entrymod.queries()
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_query_matches_oracle(spark, sf_dir, con, name):
     sdf = ALL_QUERIES[name](spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
     if name not in ORACLES:
-        assert len(srows) >= 0  # rows-only check (non-SQL-expressible op)
+        assert len(sdf.collect()) >= 0  # rows-only (non-SQL-expressible op)
         return
-    rel = con.sql(ORACLES[name])
-    orows = rel.fetchall()
-    assert len(srows) == len(orows), f"row count {len(srows)} != {len(orows)}"
-    assert sorted(sdf.columns) == sorted(rel.columns)
-    assert value_hash(srows, sdf.columns) == value_hash(orows, rel.columns)
+    spdf = sdf.toPandas()
+    opdf = con.sql(ORACLES[name]).df()
+    assert len(spdf) == len(opdf), f"row count {len(spdf)} != {len(opdf)}"
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert value_hash(spdf) == value_hash(opdf)
 
 
 def test_entry_smoke(spark):
