@@ -43,6 +43,7 @@ def _plan_modules():
         llm_similarity,
         llm_text,
         logpipe,
+        merge_state,
         sqlapi,
         streamed,
     )
@@ -54,6 +55,7 @@ def _plan_modules():
         sqlapi,
         analytics,
         analytics2,
+        merge_state,
         llm_text,
         llm_dedup,
         llm_similarity,
@@ -94,6 +96,9 @@ _DRIVER_WINDOW: list[str] = [
     "session_windows",
     # decimal-output twin pinned alongside (was green by luck only)
     "small_quantity_revenue",
+    # new in round 2: batch MERGE INTO + stateful sessionizer
+    "customer_balance_merge",
+    "stateful_sessions",
     # never driver-checked in round 1 (positions 51+): all
     # oracle-backed llm_similarity / llm_multimodal entries
     "simhash",
@@ -119,8 +124,6 @@ _DRIVER_WINDOW: list[str] = [
     "near_dup_pairs",
     "near_dedup_docs",
     "near_dup_clusters",
-    "token_frequencies",
-    "text_quality",
 ]
 
 

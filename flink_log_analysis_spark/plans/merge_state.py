@@ -1,0 +1,221 @@
+"""Contract queries for the batch MERGE operator and the custom
+stateful sessionizer.
+
+``customer_balance_merge`` exercises every MERGE clause
+(matched-update with cross-side expressions, conditional
+matched-delete, conditional not-matched-insert) in one deterministic
+keyed-state result; the oracle re-derives it as a FULL OUTER JOIN +
+CASE, i.e. by a *different* formulation of the same semantics.
+
+``stateful_sessions`` runs the ``applyInPandasWithState`` sessionizer
+(``streaming/stateful.py`` — the Spark shape of Flink's
+KeyedProcessFunction + timers, SURVEY §2.A) through a real
+availableNow file stream. Determinism: the input is written as ONE
+parquet file so the file source delivers a single batch, and the run
+disables the processing-time timer (``use_timeout=False`` — pending
+timers would also keep an availableNow query alive forever), so the
+output is exactly the gap-closed sessions. That closed-form output is fully
+SQL-expressible — the oracle rebuilds sessions with LAG + running-sum
+grouping in the same truncated-millisecond domain the operator
+computes in, then drops each key's final (still-open) session.
+"""
+
+from __future__ import annotations
+
+import calendar
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.merge import merge_into
+from ..session import read_table
+from ..streaming.stateful import sessionize_with_state
+from .analytics import _dec
+
+
+def customer_balance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO keyed customer state USING per-customer order totals.
+
+    Target: odd-keyed customers' account balances (so even-keyed
+    customers with orders exercise the INSERT arm). Source: per-customer
+    order revenue + counts. Clauses:
+
+      WHEN MATCHED AND s.n_orders > 20 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET balance = t.balance + s.balance,
+                                   n_orders = s.n_orders
+      WHEN NOT MATCHED AND s.n_orders >= 2 THEN INSERT *
+
+    One full-outer shuffle join on custkey — see operators/merge.py.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    target = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("custkey"),
+        _dec("c_acctbal").cast("decimal(30,2)").alias("balance"),
+        F.lit(0).cast("bigint").alias("n_orders"),
+    )
+    source = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(_dec("o_totalprice")).cast("decimal(30,2)").alias("balance"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    merged = merge_into(
+        target,
+        source,
+        ["custkey"],
+        update_set={
+            "balance": F.col("t.balance") + F.col("s.balance"),
+            "n_orders": F.col("s.n_orders"),
+        },
+        matched_delete=F.col("s.n_orders") > 20,
+        insert=True,
+        insert_condition=F.col("s.n_orders") >= 2,
+    )
+    # engine-neutral output types (see plans/analytics.py docstring)
+    return merged.select(
+        "custkey",
+        F.col("balance").cast("double").alias("balance"),
+        "n_orders",
+    )
+
+
+_SESSIONS_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("session_hits", LongType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+
+
+def _naive_dt_to_ms(dt) -> int:
+    """Invert the operator's wall-clock round trip without depending on
+    the session timezone: the pandas fn emits naive UTC-wall-clock
+    timestamps, and collect() hands back the same naive wall clock."""
+    return calendar.timegm(dt.timetuple()) * 1000 + dt.microsecond // 1000
+
+
+def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-closed per-user sessions from the custom stateful operator,
+    driven through a genuine file stream (single-batch availableNow)."""
+    work = tempfile.mkdtemp(prefix="loganalysis_sessions_")
+    try:
+        ev = read_table(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("clientIP"),
+            F.col("ts").alias("accessTs"),
+        )
+        # ONE file => the file source delivers ONE batch => the
+        # operator sees each key's full history at once (determinism
+        # contract in the module docstring).
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{work}/events")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{work}/events")
+        # use_timeout=False: pending processing-time timers would keep
+        # the availableNow query alive forever (see stateful.py)
+        sess = sessionize_with_state(stream, gap_seconds=1800,
+                                     use_timeout=False)
+        rows: list = []
+        q = (
+            sess.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout=600):
+            q.stop()
+            raise TimeoutError("sessionize stream did not drain in 600s")
+        data = [
+            (
+                r["key"],
+                _naive_dt_to_ms(r["session_start"]),
+                _naive_dt_to_ms(r["session_end"]),
+                r["session_hits"],
+                r["closed_by"],
+            )
+            for r in rows
+        ]
+        return spark.createDataFrame(data, _SESSIONS_OUT)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+ORACLE = {
+    "customer_balance_merge": """
+        WITH t AS (
+            SELECT c_custkey AS custkey,
+                   CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(30,2))
+                       AS balance,
+                   CAST(0 AS BIGINT) AS n_orders
+            FROM customer WHERE c_custkey % 2 = 1
+        ), s AS (
+            SELECT o_custkey AS custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(30,2)) AS balance,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT COALESCE(t.custkey, s.custkey) AS custkey,
+               CAST(CASE
+                   WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL
+                       THEN t.balance + s.balance
+                   WHEN s.custkey IS NULL THEN t.balance
+                   ELSE s.balance
+               END AS DOUBLE) AS balance,
+               CAST(CASE
+                   WHEN s.custkey IS NULL THEN t.n_orders
+                   ELSE s.n_orders
+               END AS BIGINT) AS n_orders
+        FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
+        WHERE NOT (t.custkey IS NOT NULL AND s.custkey IS NOT NULL
+                   AND s.n_orders > 20)
+          AND NOT (t.custkey IS NULL AND s.n_orders < 2)
+    """,
+    # Same > gap split and ms truncation as the pandas fn
+    # (ns // 1e6 == epoch_us // 1000 for post-epoch data); each key's
+    # last session is still open when the finite stream ends, so only
+    # sid < max(sid) sessions were gap-closed.
+    "stateful_sessions": """
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+                   epoch_us(ts) // 1000 AS ms
+            FROM events
+        ), seq AS (
+            SELECT key, ms, event_id,
+                   LAG(ms) OVER (PARTITION BY key
+                                 ORDER BY ms ASC, event_id ASC) AS prev_ms
+            FROM e
+        ), grp AS (
+            SELECT key, ms,
+                   SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY key
+                       ORDER BY ms ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        ), sess AS (
+            SELECT key, sid,
+                   MIN(ms) AS session_start_ms,
+                   MAX(ms) AS session_end_ms,
+                   COUNT(*) AS session_hits
+            FROM grp GROUP BY key, sid
+        )
+        SELECT key, session_start_ms, session_end_ms, session_hits,
+               'gap' AS closed_by
+        FROM sess
+        QUALIFY sid < MAX(sid) OVER (PARTITION BY key)
+    """,
+}
+
+QUERIES = {
+    "customer_balance_merge": customer_balance_merge,
+    "stateful_sessions": stateful_sessions,
+}

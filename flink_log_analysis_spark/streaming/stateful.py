@@ -107,6 +107,7 @@ def sessionize_with_state(
     ts_col: str = "accessTs",
     gap_seconds: int = 1800,
     watermark: str = "1 hour",
+    use_timeout: bool = True,
 ) -> DataFrame:
     """Custom stateful sessionization via ``applyInPandasWithState``.
 
@@ -117,6 +118,12 @@ def sessionize_with_state(
     idle sessions. Demonstrates the escape hatch for stateful
     semantics the built-in ``session_window`` can't express (e.g.
     emitting *why* a session closed).
+
+    ``use_timeout=False`` disables the processing-time timer (only
+    gap-closed sessions are ever emitted). Required for drain-and-stop
+    runs: an ``availableNow`` query holding pending processing-time
+    timers never terminates (Spark keeps it alive to fire them), so
+    finite-input contract/batch twins must run without timers.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -127,7 +134,7 @@ def sessionize_with_state(
     ) -> Iterator[Any]:
         import pandas as pd
 
-        if state.hasTimedOut:
+        if use_timeout and state.hasTimedOut:
             start, last, hits = state.get
             state.remove()
             yield pd.DataFrame(
@@ -158,7 +165,8 @@ def sessionize_with_state(
             hits += 1
             last = t
         state.update((start, last, hits))
-        state.setTimeoutDuration(gap_ms)
+        if use_timeout:
+            state.setTimeoutDuration(gap_ms)
         if closed:
             yield pd.DataFrame(
                 {
@@ -178,6 +186,10 @@ def sessionize_with_state(
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -264,14 +264,25 @@ def test_sessionize_with_state_gap_splits(spark, tmp_path):
     stream = spark.readStream.schema(schema).json(str(src))
     sess = stateful.sessionize_with_state(stream, gap_seconds=1800)
     out = []
+    done = []
     q = (
         sess.writeStream.outputMode("append")
-        .foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .foreachBatch(
+            lambda df, bid: (out.extend(df.collect()), done.append(bid))
+        )
         .option("checkpointLocation", str(tmp_path / "ckpt4"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=120)
+    # A query holding processing-time timers never terminates under
+    # availableNow (see stateful.py) — poll for the data batch, then
+    # stop instead of burning the full awaitTermination timeout.
+    import time as _time
+
+    deadline = _time.time() + 120
+    while not done and _time.time() < deadline:
+        _time.sleep(0.5)
+    q.stop()
 
     got = {(r["key"], str(r["session_start"]), r["session_hits"], r["closed_by"])
            for r in out}
