@@ -22,18 +22,12 @@ computes in, then drops each key's final (still-open) session.
 
 from __future__ import annotations
 
-import calendar
+import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from ..operators.merge import merge_into
 from ..session import read_table
@@ -86,27 +80,18 @@ def customer_balance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESSIONS_OUT = StructType(
-    [
-        StructField("key", StringType()),
-        StructField("session_start_ms", LongType()),
-        StructField("session_end_ms", LongType()),
-        StructField("session_hits", LongType()),
-        StructField("closed_by", StringType()),
-    ]
-)
-
-
-def _naive_dt_to_ms(dt) -> int:
-    """Invert the operator's wall-clock round trip without depending on
-    the session timezone: the pandas fn emits naive UTC-wall-clock
-    timestamps, and collect() hands back the same naive wall clock."""
-    return calendar.timegm(dt.timetuple()) * 1000 + dt.microsecond // 1000
-
-
 def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-closed per-user sessions from the custom stateful operator,
-    driven through a genuine file stream (single-batch availableNow)."""
+    driven through a genuine file stream (single-batch availableNow).
+
+    Output stays executor-side end to end: the sink writes each batch
+    straight to parquet (no driver collect — sink volume is
+    O(sessions), which at 100 TB is far beyond driver memory), and
+    ``emit_epoch_ms`` keeps session bounds as timezone-neutral longs.
+    The result is materialized before the temp dir is removed.
+    """
+    from ..streaming.stateful import SESSION_OUTPUT_SCHEMA_MS
+
     work = tempfile.mkdtemp(prefix="loganalysis_sessions_")
     try:
         ev = read_table(spark, sf_dir, "events").select(
@@ -120,12 +105,15 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema(ev.schema).parquet(f"{work}/events")
         # use_timeout=False: pending processing-time timers would keep
         # the availableNow query alive forever (see stateful.py)
-        sess = sessionize_with_state(stream, gap_seconds=1800,
-                                     use_timeout=False)
-        rows: list = []
+        sess = sessionize_with_state(
+            stream, gap_seconds=1800, use_timeout=False, emit_epoch_ms=True
+        )
+        out_dir = f"{work}/sessions"
         q = (
             sess.writeStream.outputMode("append")
-            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
@@ -133,17 +121,12 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(timeout=600):
             q.stop()
             raise TimeoutError("sessionize stream did not drain in 600s")
-        data = [
-            (
-                r["key"],
-                _naive_dt_to_ms(r["session_start"]),
-                _naive_dt_to_ms(r["session_end"]),
-                r["session_hits"],
-                r["closed_by"],
-            )
-            for r in rows
-        ]
-        return spark.createDataFrame(data, _SESSIONS_OUT)
+        if not os.path.exists(out_dir):
+            return spark.createDataFrame([], SESSION_OUTPUT_SCHEMA_MS)
+        # The temp dir is deleted on return — localCheckpoint pins the
+        # result in executor storage (never on the driver) before its
+        # backing files disappear.
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -100,6 +100,21 @@ SESSION_OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# emit_epoch_ms=True twin: epoch-millisecond longs instead of
+# timestamps — timezone-neutral (naive pandas timestamps are
+# reinterpreted in the session zone on the way back to the JVM, so
+# long output is the only representation that survives any session
+# timezone bit-for-bit).
+SESSION_OUTPUT_SCHEMA_MS = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("session_hits", LongType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+
 
 def sessionize_with_state(
     logs: DataFrame,
@@ -108,6 +123,7 @@ def sessionize_with_state(
     gap_seconds: int = 1800,
     watermark: str = "1 hour",
     use_timeout: bool = True,
+    emit_epoch_ms: bool = False,
 ) -> DataFrame:
     """Custom stateful sessionization via ``applyInPandasWithState``.
 
@@ -124,6 +140,10 @@ def sessionize_with_state(
     runs: an ``availableNow`` query holding pending processing-time
     timers never terminates (Spark keeps it alive to fire them), so
     finite-input contract/batch twins must run without timers.
+
+    ``emit_epoch_ms=True`` emits session bounds as epoch-millisecond
+    longs (``SESSION_OUTPUT_SCHEMA_MS``) instead of timestamps —
+    timezone-neutral and cheaper (no per-row Timestamp objects).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -134,18 +154,36 @@ def sessionize_with_state(
     ) -> Iterator[Any]:
         import pandas as pd
 
+        def emit(sessions, reason):
+            # sessions: list of (start_ms, end_ms, hits)
+            if emit_epoch_ms:
+                return pd.DataFrame(
+                    {
+                        "key": [key[0]] * len(sessions),
+                        "session_start_ms": [s for s, _, _ in sessions],
+                        "session_end_ms": [e for _, e, _ in sessions],
+                        "session_hits": [h for _, _, h in sessions],
+                        "closed_by": [reason] * len(sessions),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "key": [key[0]] * len(sessions),
+                    "session_start": [
+                        pd.Timestamp(s, unit="ms") for s, _, _ in sessions
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="ms") for _, e, _ in sessions
+                    ],
+                    "session_hits": [h for _, _, h in sessions],
+                    "closed_by": [reason] * len(sessions),
+                }
+            )
+
         if use_timeout and state.hasTimedOut:
             start, last, hits = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "key": [key[0]],
-                    "session_start": [pd.Timestamp(start, unit="ms")],
-                    "session_end": [pd.Timestamp(last, unit="ms")],
-                    "session_hits": [hits],
-                    "closed_by": ["timeout"],
-                }
-            )
+            yield emit([(start, last, hits)], "timeout")
             return
 
         times: list[int] = []
@@ -168,22 +206,17 @@ def sessionize_with_state(
         if use_timeout:
             state.setTimeoutDuration(gap_ms)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "key": [key[0]] * len(closed),
-                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
-                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
-                    "session_hits": [h for _, _, h in closed],
-                    "closed_by": ["gap"] * len(closed),
-                }
-            )
+            yield emit(closed, "gap")
 
     return (
         logs.select(F.col(key_col).alias("key"), F.col(ts_col))
         .groupBy("key")
         .applyInPandasWithState(
             fn,
-            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputStructType=(
+                SESSION_OUTPUT_SCHEMA_MS if emit_epoch_ms
+                else SESSION_OUTPUT_SCHEMA
+            ),
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=(
