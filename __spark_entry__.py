@@ -44,6 +44,7 @@ def _plan_modules():
         llm_text,
         logpipe,
         merge_state,
+        pipeline_ops,
         sqlapi,
         streamed,
     )
@@ -56,6 +57,7 @@ def _plan_modules():
         analytics,
         analytics2,
         merge_state,
+        pipeline_ops,
         llm_text,
         llm_dedup,
         llm_similarity,
@@ -96,9 +98,15 @@ _DRIVER_WINDOW: list[str] = [
     "session_windows",
     # decimal-output twin pinned alongside (was green by luck only)
     "small_quantity_revenue",
-    # new in round 2: batch MERGE INTO + stateful sessionizer
+    # new in round 2: batch MERGE INTO + stateful sessionizer +
+    # relevance / sampling / range-join pipeline operators
     "customer_balance_merge",
     "stateful_sessions",
+    "bm25_scores",
+    "tfidf_top_terms",
+    "stratified_doc_sample",
+    "train_split_assign",
+    "promo_window_orders",
     # never driver-checked in round 1 (positions 51+): all
     # oracle-backed llm_similarity / llm_multimodal entries
     "simhash",
@@ -117,13 +125,9 @@ _DRIVER_WINDOW: list[str] = [
     "customer_segments_setops",
     "quantity_quantiles",
     "last_purchase_asof",
-    "user_event_pivot",
-    "order_value_ntile",
     "exact_dedup_groups",
-    "minhash_signatures",
     "near_dup_pairs",
     "near_dedup_docs",
-    "near_dup_clusters",
 ]
 
 
