@@ -107,6 +107,10 @@ _DRIVER_WINDOW: list[str] = [
     "stratified_doc_sample",
     "train_split_assign",
     "promo_window_orders",
+    # new in round 2 (late): exact prefix-filter Jaccard join +
+    # watermarked append-mode tumbling window
+    "ngram_jaccard_pairs",
+    "windowed_event_counts_stream",
     # never driver-checked in round 1 (positions 51+): all
     # oracle-backed llm_similarity / llm_multimodal entries
     "simhash",
@@ -124,10 +128,7 @@ _DRIVER_WINDOW: list[str] = [
     "user_session_stats",
     "customer_segments_setops",
     "quantity_quantiles",
-    "last_purchase_asof",
     "exact_dedup_groups",
-    "near_dup_pairs",
-    "near_dedup_docs",
 ]
 
 

@@ -193,6 +193,69 @@ def near_dup_pairs(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard join via prefix filtering.
+
+    Complements :func:`near_dup_pairs`: MinHash-LSH is probabilistic
+    (a true pair can miss every band), while prefix filtering (Bayardo
+    et al., "Scaling Up All Pairs Similarity Search", WWW'07) has **no
+    false negatives** — J(a,b) >= t implies overlap >= ceil(t*|a|), so
+    any qualifying pair must share a token inside each side's
+    (|d| - ceil(t*|d|) + 1)-token prefix when both sets are ordered by
+    one global token order. Candidates = prefix-token equi-join;
+    verification = exact Jaccard on candidates only.
+
+    The global order is ascending document frequency (tie: token
+    string), so the join keys are by construction the *rarest* tokens
+    in the corpus — fan-out per key stays small and the candidate
+    shuffle cannot skew onto stopword-like shingles. Stages at scale:
+    one explode + count agg (map-side partial) for frequencies, one
+    window sort per doc (bounded by the doc's shingle count), one
+    equi-join on rare tokens, one verify join. No cartesian anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    toks = distinct_token_sets(df, text_col, id_col).localCheckpoint(eager=True)
+    ex = toks.select(
+        F.col(id_col), F.size("toks").alias("sz"), F.explode("toks").alias("tok")
+    )
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("dcnt"))
+    # prefix length = sz - ceil(t*sz) + 1 (identical double math in the
+    # DuckDB oracle, so the candidate sets agree bit-for-bit)
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    w = Window.partitionBy(id_col).orderBy("dcnt", "tok")
+    prefix = (
+        ex.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(id_col, "tok")
+    )
+    cands = (
+        prefix.select(F.col(id_col).alias("doc_a"), "tok")
+        .join(prefix.select(F.col(id_col).alias("doc_b"), "tok"), "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("toks_a"), F.col("toks_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def near_dedup_keep(
     df: DataFrame,
     text_col: str = "text",

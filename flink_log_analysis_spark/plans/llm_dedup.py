@@ -53,6 +53,12 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(read_table(spark, sf_dir, "documents"))
 
 
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=NEAR_DUP_THRESHOLD
+    )
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: iterative label-propagation
     connected components over the LSH candidate pairs (the oracle
@@ -158,6 +164,43 @@ ORACLE = {
         WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
     """,
     "simhash": _simhash_sql(),
+    # Prefix filtering is exact (no false negatives), so the oracle
+    # re-derives the same prefix candidate generation: global token
+    # order = (doc frequency asc, token), prefix keeps the first
+    # sz - ceil(t*sz) + 1 tokens, candidates share a prefix token.
+    "ngram_jaccard_pairs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        ex AS (
+            SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM toks
+        ),
+        dfreq AS (SELECT tok, COUNT(*) AS dcnt FROM ex GROUP BY tok),
+        ranked AS (
+            SELECT e.doc_id, e.tok, e.sz,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.doc_id ORDER BY d.dcnt, e.tok
+                   ) AS rn
+            FROM ex e JOIN dfreq d USING (tok)
+        ),
+        pfx AS (
+            SELECT doc_id, tok FROM ranked
+            WHERE rn <= sz - CAST(CEIL({NEAR_DUP_THRESHOLD} * sz) AS BIGINT) + 1
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
+                     / (len(ta.toks) + len(tb.toks)
+                        - len(list_intersect(ta.toks, tb.toks))), 4) AS jaccard
+        FROM cands
+        JOIN toks ta ON ta.doc_id = doc_a
+        JOIN toks tb ON tb.doc_id = doc_b
+        WHERE ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
+                    / (len(ta.toks) + len(tb.toks)
+                       - len(list_intersect(ta.toks, tb.toks))), 4)
+              >= {NEAR_DUP_THRESHOLD}
+    """,
     # Components via transitive closure: WITH RECURSIVE reach = all
     # vertices reachable from u; component = min reachable id. Agrees
     # exactly with Spark's hash-min label propagation at fixpoint.
@@ -188,4 +231,5 @@ QUERIES = {
     "near_dedup_docs": near_dedup_docs,
     "near_dup_clusters": near_dup_clusters,
     "simhash": simhash,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
 }

@@ -156,6 +156,55 @@ def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time tumbling window, APPEND mode — the
+    bounded-state streaming pattern (the update-mode twin above keeps
+    all windows in state forever; this one drops a window's state as
+    soon as the 30-min watermark passes its end).
+
+    Append mode only emits *finalized* windows: with availableNow over
+    one deterministic file batch, the final watermark is
+    max(ts) - 30 min, so the result is every hourly window whose end
+    is <= that watermark — exactly what the oracle derives with a
+    scalar max(ts) subquery. Trailing windows stay in (discarded)
+    state, which is the honest semantic difference between this and
+    the unbounded twin, and the reason both belong in the surface.
+    """
+    work = tempfile.mkdtemp(prefix="loganalysis_stream_")
+    try:
+        ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+        ev.write.mode("overwrite").parquet(f"{work}/events")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{work}/events")
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("event_type"),
+                F.col("n_events"),
+            )
+        )
+        name = f"windowed_counts_{abs(hash(work)) % 10**9}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        # Detach the result from the temp memory sink before cleanup.
+        out = spark.createDataFrame(
+            spark.table(name).collect(), schema=spark.table(name).schema
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # Oracles re-derive expected sink state from events (see logpipe's
 # line-construction contract): views carry fid = k % N_SECTIONS, clicks
 # carry tid = user_id, errors get status 500 and are dropped by the
@@ -199,6 +248,17 @@ ORACLE = {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2
     """,
+    # Append mode emits a window iff window_end <= final watermark
+    # (= max event time - 30 min over the single availableNow batch).
+    "windowed_event_counts_stream": """
+        WITH mx AS (SELECT max(ts) AS m FROM events)
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events
+        FROM events, mx
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= m - INTERVAL 30 MINUTE
+        GROUP BY 1, 2
+    """,
 }
 
 QUERIES = {
@@ -206,4 +266,5 @@ QUERIES = {
     "hot_article_stream": hot_article_stream,
     "client_ip_access_stream": client_ip_access_stream,
     "hourly_event_stats_stream": hourly_event_stats_stream,
+    "windowed_event_counts_stream": windowed_event_counts_stream,
 }

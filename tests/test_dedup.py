@@ -62,6 +62,32 @@ def test_jaccard_exact(spark):
     assert len(a & b) == 6 and len(a | b) == 10
 
 
+def test_ngram_jaccard_pairs_exact_no_false_negatives(spark):
+    """Prefix filtering must return EXACTLY the brute-force all-pairs
+    answer (its whole point vs MinHash-LSH is zero false negatives) —
+    checked at two thresholds, including the (1,4) pair sitting right
+    ON the 0.6 boundary (j = 6/10, see test_jaccard_exact)."""
+    toks = {r.doc_id: set(r.toks) for r in dedup.distinct_token_sets(_df(spark)).collect()}
+
+    def brute(threshold):
+        out = {}
+        ids = sorted(toks)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                j = round(len(toks[a] & toks[b]) / len(toks[a] | toks[b]), 4)
+                if j >= threshold:
+                    out[(a, b)] = j
+        return out
+
+    for t in (0.5, 0.6):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(_df(spark), threshold=t).collect()
+        }
+        assert got == brute(t), f"threshold {t}"
+    assert brute(0.6)[(1, 4)] == 0.6  # boundary pair must be kept (>=)
+
+
 def test_near_dedup_keep_drops_higher_ids(spark):
     kept = {r.doc_id for r in dedup.near_dedup_keep(_df(spark), threshold=0.5).collect()}
     assert 1 in kept

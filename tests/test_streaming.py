@@ -236,6 +236,38 @@ def test_session_window_stream_equals_batch(spark, log_dir, tmp_path):
     assert len(got) > 0
 
 
+def test_windowed_event_counts_stream_matches_batch(spark):
+    """The watermarked append-mode query emits exactly the hourly
+    windows whose end precedes max(ts) - 30min, with batch-equal
+    counts (no late rows exist in a single availableNow batch)."""
+    import datetime
+
+    from flink_log_analysis_spark.plans.streamed import (
+        windowed_event_counts_stream,
+    )
+    from flink_log_analysis_spark.session import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in windowed_event_counts_stream(spark, sf).collect()
+    }
+    ev = read_table(spark, sf, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - datetime.timedelta(minutes=30)
+    exp = {
+        (r.hour, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r.hour + datetime.timedelta(hours=1) <= cutoff
+    }
+    assert got == exp
+    assert len(got) > 0
+
+
 def test_sessionize_with_state_gap_splits(spark, tmp_path):
     """applyInPandasWithState emits gap-closed sessions matching a
     hand-computed expectation."""
