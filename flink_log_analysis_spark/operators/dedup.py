@@ -193,11 +193,51 @@ def near_dup_pairs(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def word_ngram_set(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of normalized text (fallback for
+    docs shorter than n words: the whole doc as one shingle).
+
+    Wider shingles trade recall granularity for selectivity: n-gram
+    document frequency collapses toward 1 as n grows, which is what
+    keeps prefix-filter candidate generation linear — on a
+    small-vocabulary corpus, bigram DF is in the hundreds and any
+    token-equi-join candidate generator (prefix filter AND LSH
+    banding) degenerates quadratically.
+
+    DuckDB twin: see plans/llm_dedup.py `_toks_n`.
+    """
+    from ..functions.hashing import normalized_text
+
+    w = tokens(normalized_text(col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - n + 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+def ngram_token_sets(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, toks) with word n-gram shingles (cf. distinct_token_sets,
+    which is the fixed word-bigram variant the MinHash stack uses)."""
+    from ..session import ensure_min_partitions
+
+    return ensure_min_partitions(df).select(
+        F.col(id_col), word_ngram_set(F.col(text_col), n).alias("toks")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    n: int = 4,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard join via prefix filtering.
 
@@ -217,10 +257,15 @@ def ngram_jaccard_pairs(
     one explode + count agg (map-side partial) for frequencies, one
     window sort per doc (bounded by the doc's shingle count), one
     equi-join on rare tokens, one verify join. No cartesian anywhere.
+
+    ``n`` is the shingle width (default 4 words): wide enough that
+    shingle document frequency stays near 1 even on low-entropy
+    corpora, which is what bounds the candidate join (see
+    :func:`word_ngram_set`).
     """
     from pyspark.sql.window import Window
 
-    toks = distinct_token_sets(df, text_col, id_col).localCheckpoint(eager=True)
+    toks = ngram_token_sets(df, n, text_col, id_col).localCheckpoint(eager=True)
     ex = toks.select(
         F.col(id_col), F.size("toks").alias("sz"), F.explode("toks").alias("tok")
     )
@@ -233,12 +278,23 @@ def ngram_jaccard_pairs(
         ex.join(dfreq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select(id_col, "tok")
+        .select(id_col, "sz", "tok")
     )
+    # Length filter (also lossless): J(a,b) >= t implies overlap >=
+    # t*max(|a|,|b|) and overlap <= min(|a|,|b|), so t*|a| <= |b|.
     cands = (
-        prefix.select(F.col(id_col).alias("doc_a"), "tok")
-        .join(prefix.select(F.col(id_col).alias("doc_b"), "tok"), "tok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        prefix.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"), "tok")
+        .join(
+            prefix.select(
+                F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"), "tok"
+            ),
+            "tok",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(threshold) * F.col("sz_a") <= F.col("sz_b"))
+            & (F.lit(threshold) * F.col("sz_b") <= F.col("sz_a"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

@@ -117,6 +117,45 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _kmeans_fit(sample, n_cells: int, seed: int, max_iter: int = 8):
+    """Driver-side Lloyd iterations on an ndarray sample.
+
+    The coarse-quantizer fit is a bounded-sample problem by
+    construction (``fit_sample_rows`` caps the input), so running the
+    iterations in numpy on the driver removes ~maxIter distributed
+    job rounds of pure scheduling overhead that dominate the fit at
+    every realistic sample size. kmeans++-style seeding is made
+    deterministic with a seeded Generator; empty cells re-seed to the
+    point farthest from its current centroid.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    # kmeans++ init: first centroid uniform, rest D^2-weighted.
+    centers = [sample[rng.integers(n)]]
+    for _ in range(1, n_cells):
+        d2 = np.min(
+            [((sample - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        tot = d2.sum()
+        if tot <= 0:
+            centers.append(sample[rng.integers(n)])
+            continue
+        centers.append(sample[rng.choice(n, p=d2 / tot)])
+    centers = np.array(centers)
+    for _ in range(max_iter):
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            mask = assign == c
+            if mask.any():
+                centers[c] = sample[mask].mean(axis=0)
+            else:  # empty cell: grab the globally worst-served point
+                centers[c] = sample[d2.min(axis=1).argmax()]
+    return centers
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 8,
@@ -134,40 +173,31 @@ def ivf_assign(
     fit input is a seeded Bernoulli sample of ~that many rows (a
     coarse quantizer only needs the density shape, and KMeans
     centroids from 100k rows are statistically indistinguishable from
-    the full-corpus fit). The assignment is a pure projection — at
+    the full-corpus fit). The sampled vectors are collected and the
+    Lloyd iterations run in numpy on the driver (see
+    :func:`_kmeans_fit`) — bounded memory (100k x dim doubles), zero
+    distributed fit jobs. The assignment is a pure projection — at
     100 TB the corpus is written out partitioned by cell, so a query
     touches only ``n_probe`` cells' files (partition pruning does the
     rest).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     from ..session import ensure_min_partitions
 
     emb = ensure_min_partitions(emb)
-    vecs = emb.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("arr")
-    ).withColumn("features", array_to_vector(F.col("arr")))
+    vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("arr"))
     # Bound the fit input. The count is one extra columnar scan of the
-    # id column; the KMeans fit scans its input maxIter times, so
-    # sampling pays for the count many times over at scale.
+    # id column; cheap insurance against collecting an unbounded corpus.
     n_rows = vecs.count()
     fit_input = vecs
     if n_rows > fit_sample_rows:
-        fit_input = vecs.sample(
-            fraction=fit_sample_rows / n_rows, seed=seed
-        )
-    # Fit on few fat partitions: KMeans iterates, and per-task overhead
-    # on many tiny partitions dominates a small/sampled training set.
-    from ..session import udf_partition_target
-
-    fit_input = fit_input.coalesce(udf_partition_target(fit_input))
-    # A coarse quantizer doesn't need converged centroids — 8 rounds
-    # places cells well enough for n_probe>=2 recall at half the fit cost.
-    model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="features").fit(
-        fit_input
+        fit_input = vecs.sample(fraction=fit_sample_rows / n_rows, seed=seed)
+    sample = np.array(
+        [r.arr for r in fit_input.select("arr").collect()], dtype=np.float64
     )
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    centers = _kmeans_fit(sample, n_cells=n_cells, seed=seed)
+    centroids = [list(map(float, c)) for c in centers]
 
     def cell_of(arr: Column, probe: int) -> Column:
         """probe-th nearest centroid by squared L2 (0 = nearest)."""

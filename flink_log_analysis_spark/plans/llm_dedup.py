@@ -25,6 +25,16 @@ _TOKS = f"""
                   i -> {_W}[i] || ' ' || {_W}[i + 1]))
          ELSE list_distinct({_W}) END
 """
+# Word-4-gram twin of operators.dedup.word_ngram_set(n=4) (shorter
+# docs collapse to one whole-doc shingle).
+_TOKS4 = f"""
+    CASE WHEN len({_W}) >= 4
+         THEN list_distinct(list_transform(
+                  generate_series(1, len({_W}) - 3),
+                  i -> {_W}[i] || ' ' || {_W}[i + 1] || ' ' ||
+                       {_W}[i + 2] || ' ' || {_W}[i + 3]))
+         ELSE [array_to_string({_W}, ' ')] END
+"""
 NEAR_DUP_THRESHOLD = 0.6
 
 
@@ -167,9 +177,10 @@ ORACLE = {
     # Prefix filtering is exact (no false negatives), so the oracle
     # re-derives the same prefix candidate generation: global token
     # order = (doc frequency asc, token), prefix keeps the first
-    # sz - ceil(t*sz) + 1 tokens, candidates share a prefix token.
+    # sz - ceil(t*sz) + 1 tokens, candidates share a prefix token and
+    # pass the (lossless) length filter t*|a| <= |b| both ways.
     "ngram_jaccard_pairs": f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        WITH toks AS (SELECT doc_id, {_TOKS4} AS toks FROM documents),
         ex AS (
             SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM toks
         ),
@@ -182,12 +193,15 @@ ORACLE = {
             FROM ex e JOIN dfreq d USING (tok)
         ),
         pfx AS (
-            SELECT doc_id, tok FROM ranked
+            SELECT doc_id, sz, tok FROM ranked
             WHERE rn <= sz - CAST(CEIL({NEAR_DUP_THRESHOLD} * sz) AS BIGINT) + 1
         ),
         cands AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            FROM pfx a JOIN pfx b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+             AND {NEAR_DUP_THRESHOLD} * a.sz <= b.sz
+             AND {NEAR_DUP_THRESHOLD} * b.sz <= a.sz
         )
         SELECT doc_a, doc_b,
                ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0

@@ -10,8 +10,9 @@ CASE, i.e. by a *different* formulation of the same semantics.
 ``stateful_sessions`` runs the ``applyInPandasWithState`` sessionizer
 (``streaming/stateful.py`` — the Spark shape of Flink's
 KeyedProcessFunction + timers, SURVEY §2.A) through a real
-availableNow file stream. Determinism: the input is written as ONE
-parquet file so the file source delivers a single batch, and the run
+availableNow file stream. Determinism: availableNow with
+``maxFilesPerTrigger`` unset plans every initial file into ONE batch
+(so the operator sees each key's full, sorted history), and the run
 disables the processing-time timer (``use_timeout=False`` — pending
 timers would also keep an availableNow query alive forever), so the
 output is exactly the gap-closed sessions. That closed-form output is fully
@@ -98,10 +99,12 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("string").alias("clientIP"),
             F.col("ts").alias("accessTs"),
         )
-        # ONE file => the file source delivers ONE batch => the
-        # operator sees each key's full history at once (determinism
-        # contract in the module docstring).
-        ev.coalesce(1).write.mode("overwrite").parquet(f"{work}/events")
+        # Determinism needs ONE BATCH (each key's full history at
+        # once), not one file: availableNow with maxFilesPerTrigger
+        # unset plans all initial files into a single batch, and the
+        # operator sorts each key's rows, so a parallel multi-file
+        # write is safe — and much faster than a coalesce(1) funnel.
+        ev.write.mode("overwrite").parquet(f"{work}/events")
         stream = spark.readStream.schema(ev.schema).parquet(f"{work}/events")
         # use_timeout=False: pending processing-time timers would keep
         # the availableNow query alive forever (see stateful.py)

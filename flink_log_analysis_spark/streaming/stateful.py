@@ -188,8 +188,11 @@ def sessionize_with_state(
 
         times: list[int] = []
         for pdf in pdfs:
-            ts = pd.to_datetime(pdf[ts_col])
-            times.extend(int(t.value // 1_000_000) for t in ts.dropna())
+            ts = pd.to_datetime(pdf[ts_col]).dropna()
+            # vectorized ns->ms: avoids per-element Timestamp objects
+            # (this fn runs once per key — per-call constant costs are
+            # THE cost at millions of keys)
+            times.extend((ts.astype("int64") // 1_000_000).tolist())
         times.sort()
         if not times:
             return

@@ -65,27 +65,38 @@ def test_jaccard_exact(spark):
 def test_ngram_jaccard_pairs_exact_no_false_negatives(spark):
     """Prefix filtering must return EXACTLY the brute-force all-pairs
     answer (its whole point vs MinHash-LSH is zero false negatives) —
-    checked at two thresholds, including the (1,4) pair sitting right
-    ON the 0.6 boundary (j = 6/10, see test_jaccard_exact)."""
-    toks = {r.doc_id: set(r.toks) for r in dedup.distinct_token_sets(_df(spark)).collect()}
-
-    def brute(threshold):
-        out = {}
-        ids = sorted(toks)
-        for i, a in enumerate(ids):
-            for b in ids[i + 1:]:
-                j = round(len(toks[a] & toks[b]) / len(toks[a] | toks[b]), 4)
-                if j >= threshold:
-                    out[(a, b)] = j
-        return out
-
-    for t in (0.5, 0.6):
-        got = {
-            (r.doc_a, r.doc_b): r.jaccard
-            for r in dedup.ngram_jaccard_pairs(_df(spark), threshold=t).collect()
+    checked at two widths x two thresholds. At n=2 the (1,4) pair sits
+    right ON the 0.6 boundary (j = 6/10, see test_jaccard_exact); at
+    n=4 the one-word edit breaks 4 of 6 shingles (j = 2/10) and must
+    vanish."""
+    for n in (2, 4):
+        toks = {
+            r.doc_id: set(r.toks)
+            for r in dedup.ngram_token_sets(_df(spark), n).collect()
         }
-        assert got == brute(t), f"threshold {t}"
-    assert brute(0.6)[(1, 4)] == 0.6  # boundary pair must be kept (>=)
+
+        def brute(threshold):
+            out = {}
+            ids = sorted(toks)
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    j = round(len(toks[a] & toks[b]) / len(toks[a] | toks[b]), 4)
+                    if j >= threshold:
+                        out[(a, b)] = j
+            return out
+
+        for t in (0.5, 0.6):
+            got = {
+                (r.doc_a, r.doc_b): r.jaccard
+                for r in dedup.ngram_jaccard_pairs(
+                    _df(spark), threshold=t, n=n
+                ).collect()
+            }
+            assert got == brute(t), f"n {n} threshold {t}"
+        if n == 2:
+            assert brute(0.6)[(1, 4)] == 0.6  # kept: >= boundary
+        else:
+            assert (1, 4) not in brute(0.5)  # 4-gram j=0.2: gone
 
 
 def test_near_dedup_keep_drops_higher_ids(spark):
