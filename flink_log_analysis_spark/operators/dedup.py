@@ -51,25 +51,38 @@ def exact_dedup_groups(
     )
 
 
+def _grams_from_tokens(w: Column, n: int) -> Column:
+    """Distinct word n-grams from an already-projected token ARRAY
+    column. ``w`` MUST be a plain column reference: Catalyst does not
+    eliminate common subexpressions across lambda boundaries, so
+    passing the tokenization *expression* here would re-run
+    split+normalize once per ``element_at`` — ~2(n)x per gram
+    position, a >10x slowdown measured at sf0.1."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - n + 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+    fallback = w if n == 2 else F.array(F.concat_ws(" ", w))
+    return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(fallback))
+
+
 def shingle_set(col: Column) -> Column:
     """Distinct word-bigram shingles (fallback: unigrams for 1-token
     docs). Shingling is what makes MinHash discriminative — unigram
     sets over a small vocabulary collapse to near-identical sets and
     the LSH candidate count explodes quadratically.
 
+    Prefer :func:`distinct_token_sets`, which projects the token
+    array before shingling (see :func:`_grams_from_tokens`).
+
     DuckDB twin:
       CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
                generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]))
            ELSE list_distinct(w) END
     """
-    w = tokens(col)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i), F.element_at(w, i + 1)
-        ),
-    )
-    return F.array_distinct(F.when(F.size(w) >= 2, bigrams).otherwise(w))
+    return _grams_from_tokens(tokens(col), 2)
 
 
 def distinct_token_sets(
@@ -86,8 +99,15 @@ def distinct_token_sets(
 
     # Shingling + hashing is CPU-bound per row: make sure it runs wide
     # (single-row-group local files otherwise pin it to one core).
-    return ensure_min_partitions(df).select(
-        F.col(id_col), shingle_set(normalized_text(F.col(text_col))).alias("toks")
+    # Two-step select so the token array is a materialized column when
+    # the gram lambda indexes into it (see _grams_from_tokens).
+    return (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col),
+            tokens(normalized_text(F.col(text_col))).alias("w"),
+        )
+        .select(id_col, _grams_from_tokens(F.col("w"), 2).alias("toks"))
     )
 
 
@@ -177,7 +197,10 @@ def near_dup_pairs(
     # token rows, not from the raw corpus scan.
     toks = distinct_token_sets(df, text_col, id_col).localCheckpoint(eager=True)
     sig = toks.select(id_col, *[_minhash_col(i) for i in range(N_HASHES)])
-    cands = candidate_pairs(lsh_bands(sig, id_col), id_col)
+    # Materialize the band rows: candidate_pairs self-joins them, and
+    # without a cut both sides re-hash the 16 minhash folds.
+    bands = lsh_bands(sig, id_col).localCheckpoint(eager=True)
+    cands = candidate_pairs(bands, id_col)
     ta = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
     verified = (
@@ -193,8 +216,10 @@ def near_dup_pairs(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
-def word_ngram_set(col: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of normalized text (fallback for
+def ngram_token_sets(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, toks) with distinct word n-gram shingles (fallback for
     docs shorter than n words: the whole doc as one shingle).
 
     Wider shingles trade recall granularity for selectivity: n-gram
@@ -204,31 +229,20 @@ def word_ngram_set(col: Column, n: int) -> Column:
     token-equi-join candidate generator (prefix filter AND LSH
     banding) degenerates quadratically.
 
-    DuckDB twin: see plans/llm_dedup.py `_toks_n`.
+    DuckDB twin: plans/llm_dedup.py `_TOKS4`. Cf.
+    :func:`distinct_token_sets`, the fixed word-bigram variant the
+    MinHash stack uses.
     """
     from ..functions.hashing import normalized_text
-
-    w = tokens(normalized_text(col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - n + 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(
-        F.when(F.size(w) >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
-    )
-
-
-def ngram_token_sets(
-    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, toks) with word n-gram shingles (cf. distinct_token_sets,
-    which is the fixed word-bigram variant the MinHash stack uses)."""
     from ..session import ensure_min_partitions
 
-    return ensure_min_partitions(df).select(
-        F.col(id_col), word_ngram_set(F.col(text_col), n).alias("toks")
+    return (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col),
+            tokens(normalized_text(F.col(text_col))).alias("w"),
+        )
+        .select(id_col, _grams_from_tokens(F.col("w"), n).alias("toks"))
     )
 
 
@@ -261,7 +275,7 @@ def ngram_jaccard_pairs(
     ``n`` is the shingle width (default 4 words): wide enough that
     shingle document frequency stays near 1 even on low-entropy
     corpora, which is what bounds the candidate join (see
-    :func:`word_ngram_set`).
+    :func:`ngram_token_sets`).
     """
     from pyspark.sql.window import Window
 
@@ -274,11 +288,14 @@ def ngram_jaccard_pairs(
     # DuckDB oracle, so the candidate sets agree bit-for-bit)
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     w = Window.partitionBy(id_col).orderBy("dcnt", "tok")
+    # Materialize: both sides of the candidate self-join read this —
+    # without it the explode+dfreq+window pipeline runs twice.
     prefix = (
         ex.join(dfreq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
         .select(id_col, "sz", "tok")
+        .localCheckpoint(eager=True)
     )
     # Length filter (also lossless): J(a,b) >= t implies overlap >=
     # t*max(|a|,|b|) and overlap <= min(|a|,|b|), so t*|a| <= |b|.

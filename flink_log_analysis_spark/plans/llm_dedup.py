@@ -25,7 +25,7 @@ _TOKS = f"""
                   i -> {_W}[i] || ' ' || {_W}[i + 1]))
          ELSE list_distinct({_W}) END
 """
-# Word-4-gram twin of operators.dedup.word_ngram_set(n=4) (shorter
+# Word-4-gram twin of operators.dedup.ngram_token_sets(n=4) (shorter
 # docs collapse to one whole-doc shingle).
 _TOKS4 = f"""
     CASE WHEN len({_W}) >= 4
