@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.merge import merge_into
-from ..session import read_table
+from ..session import STREAM_STATE_PARTITIONS, read_table, scoped_conf
 from ..streaming.stateful import sessionize_with_state
 from .analytics import _dec
 
@@ -95,35 +95,40 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="loganalysis_sessions_")
     try:
-        ev = read_table(spark, sf_dir, "events").select(
+        # Shared events snapshot (written once per sf_dir, see
+        # plans/streamed.py) with the key/ts projection applied on the
+        # streaming DataFrame — a stateless column map, so it runs
+        # inside the stream's scan stage. Determinism needs ONE BATCH
+        # (each key's full history at once), not one file: availableNow
+        # with maxFilesPerTrigger unset plans all initial files into a
+        # single batch, and the operator sorts each key's rows.
+        from .streamed import read_events_stream
+
+        stream = read_events_stream(spark, sf_dir).select(
             F.col("user_id").cast("string").alias("clientIP"),
             F.col("ts").alias("accessTs"),
         )
-        # Determinism needs ONE BATCH (each key's full history at
-        # once), not one file: availableNow with maxFilesPerTrigger
-        # unset plans all initial files into a single batch, and the
-        # operator sorts each key's rows, so a parallel multi-file
-        # write is safe — and much faster than a coalesce(1) funnel.
-        ev.write.mode("overwrite").parquet(f"{work}/events")
-        stream = spark.readStream.schema(ev.schema).parquet(f"{work}/events")
         # use_timeout=False: pending processing-time timers would keep
         # the availableNow query alive forever (see stateful.py)
         sess = sessionize_with_state(
             stream, gap_seconds=1800, use_timeout=False, emit_epoch_ms=True
         )
         out_dir = f"{work}/sessions"
-        q = (
-            sess.writeStream.outputMode("append")
-            .foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(out_dir)
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+        ):
+            q = (
+                sess.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                )
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(timeout=600):
-            q.stop()
-            raise TimeoutError("sessionize stream did not drain in 600s")
+            if not q.awaitTermination(timeout=600):
+                q.stop()
+                raise TimeoutError("sessionize stream did not drain in 600s")
         if not os.path.exists(out_dir):
             return spark.createDataFrame([], SESSION_OUTPUT_SCHEMA_MS)
         # The temp dir is deleted on return — localCheckpoint pins the

@@ -24,7 +24,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import ensure_min_partitions, read_table
+from ..session import (
+    STREAM_STATE_PARTITIONS,
+    ensure_min_partitions,
+    read_table,
+    scoped_conf,
+)
 from ..streaming.runner import (
     client_ip_access_agg,
     hot_article_agg,
@@ -36,6 +41,33 @@ from ..streaming.runner import (
 from ..streaming.upsert import MemoryUpsertSink
 from .declared import SECTION_ID_SQL
 from .logpipe import lines_dir
+
+
+# Stream-input parquet dir shared per (session, sf_dir): the three
+# event-stream queries (hourly stats, watermarked windows, stateful
+# sessions) all stream the same events table, so the snapshot write
+# (read_table + repartition + parquet) runs once and the others do a
+# plain file-source scan. Leaked until process exit, like lines_dir.
+_EVENTS_CACHE: dict[str, str] = {}
+
+
+def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    path = _EVENTS_CACHE.get(sf_dir)
+    if path is None:
+        import atexit
+
+        path = tempfile.mkdtemp(prefix="loganalysis_events_")
+        ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+        ev.write.mode("overwrite").parquet(f"{path}/events")
+        _EVENTS_CACHE[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_dir = f"{events_stream_dir(spark, sf_dir)}/events"
+    schema = spark.read.parquet(ev_dir).schema
+    return spark.readStream.schema(schema).parquet(ev_dir)
 
 
 def _drain(q) -> None:
@@ -68,16 +100,19 @@ def _run_stream(spark: SparkSession, sf_dir: str, build_agg, key_cols,
         sink = MemoryUpsertSink(
             key_cols, complete=top_k is not None, schema=_sink_schema(agg)
         )
-        q = start_upsert_stream(
-            agg,
-            sink,
-            f"{work}/ckpt",
-            top_k=top_k,
-            order_by=order_by,
-            stat_time="1970-01-01 00:00:00",  # pinned; dropped below
-            available_now=True,
-        )
-        _drain(q)
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+        ):
+            q = start_upsert_stream(
+                agg,
+                sink,
+                f"{work}/ckpt",
+                top_k=top_k,
+                order_by=order_by,
+                stat_time="1970-01-01 00:00:00",  # pinned; dropped below
+                available_now=True,
+            )
+            _drain(q)
         return sink.to_df(spark).drop("statistic_time")
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -129,9 +164,7 @@ def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks a genuinely streamed windowed aggregate."""
     work = tempfile.mkdtemp(prefix="loganalysis_stream_")
     try:
-        ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
-        ev.write.mode("overwrite").parquet(f"{work}/events")
-        stream = spark.readStream.schema(ev.schema).parquet(f"{work}/events")
+        stream = read_events_stream(spark, sf_dir)
         agg = stream.groupBy(
             F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
         ).agg(
@@ -143,14 +176,17 @@ def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
         sink = MemoryUpsertSink(["hour", "event_type"], schema=_sink_schema(agg))
-        q = start_upsert_stream(
-            agg,
-            sink,
-            f"{work}/ckpt",
-            stat_time="1970-01-01 00:00:00",
-            available_now=True,
-        )
-        _drain(q)
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+        ):
+            q = start_upsert_stream(
+                agg,
+                sink,
+                f"{work}/ckpt",
+                stat_time="1970-01-01 00:00:00",
+                available_now=True,
+            )
+            _drain(q)
         return sink.to_df(spark).drop("statistic_time")
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -172,9 +208,7 @@ def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     work = tempfile.mkdtemp(prefix="loganalysis_stream_")
     try:
-        ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
-        ev.write.mode("overwrite").parquet(f"{work}/events")
-        stream = spark.readStream.schema(ev.schema).parquet(f"{work}/events")
+        stream = read_events_stream(spark, sf_dir)
         agg = (
             stream.withWatermark("ts", "30 minutes")
             .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -186,15 +220,18 @@ def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         name = f"windowed_counts_{abs(hash(work)) % 10**9}"
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain(q)
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+        ):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
         # Detach the result from the temp memory sink before cleanup.
         out = spark.createDataFrame(
             spark.table(name).collect(), schema=spark.table(name).schema

@@ -17,10 +17,45 @@ module centralizes the session config we want everywhere:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+# Shuffle-partition count used while a streaming query runs. This is
+# the state-store partition count (fixed into the checkpoint at first
+# micro-batch), so it should be sized to keyed-state volume, not to
+# scan width: the reference's aggregations keep O(distinct keys) state
+# (SURVEY §2.B B6), which is far narrower than the parse/scan stages.
+# Default 8 suits the local harness; a 100 TB deployment raises it via
+# env (or spark-submit conf) to spread RocksDB state across executors.
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, conf: dict[str, str]):
+    """Temporarily set session confs, restoring priors on exit.
+
+    Used to scope ``spark.sql.shuffle.partitions`` around a streaming
+    query's start+drain so its state-store count is sized independently
+    of the batch default (see ``STREAM_STATE_PARTITIONS``).
+    """
+    old: dict[str, str | None] = {}
+    for k, v in conf.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, str(v))
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def get_spark(
