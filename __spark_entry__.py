@@ -107,6 +107,8 @@ _DRIVER_WINDOW: list[str] = [
     "stratified_doc_sample",
     "train_split_assign",
     "promo_window_orders",
+    "salted_event_counts",
+    "salted_brand_revenue",
     # new in round 2 (late): exact prefix-filter Jaccard join +
     # watermarked append-mode tumbling window
     "ngram_jaccard_pairs",
@@ -127,8 +129,6 @@ _DRIVER_WINDOW: list[str] = [
     "parts_never_ordered",
     "user_session_stats",
     "customer_segments_setops",
-    "quantity_quantiles",
-    "exact_dedup_groups",
 ]
 
 

@@ -1,8 +1,11 @@
 """Contract queries for the pipeline-curation operators: BM25/TF-IDF
-relevance, deterministic hash sampling/splits, and the bucketed range
-join. Every query here is exactly oracle-checked — the sampling
-predicates and score formulas are reproduced in DuckDB from the same
-md5 bucket scheme and repr-injected float constants.
+relevance, deterministic hash sampling/splits, the bucketed range
+join, and the explicit skew-mitigation operators. Every query here is
+exactly oracle-checked — the sampling predicates and score formulas
+are reproduced in DuckDB from the same md5 bucket scheme and
+repr-injected float constants, and the salted operators' oracles are
+the *plain* join/GROUP BY formulations: salting is a physical rewrite
+whose whole contract is bit-identical logical results.
 """
 
 from __future__ import annotations
@@ -10,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import relevance, sampling
+from ..operators import relevance, sampling, skew
 from ..operators.rangejoin import bucketed_range_join
 from ..session import read_table
 from .analytics import _dec
@@ -82,6 +85,40 @@ def promo_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type counts through the two-phase salted aggregation.
+
+    ``event_type`` has a handful of distinct values over the whole
+    events table — the exact shape where one shuffle partition would
+    receive one giant group. The salt spreads each group over 16
+    reducers; the oracle is the plain GROUP BY, because the operator's
+    contract is identical results (operators/skew.py).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return skew.salted_count(ev, ["event_type"], n_salts=16)
+
+
+def salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand quantity/revenue via the salted fact-dim join.
+
+    lineitem (fact) is salted, part (dim, ~5x smaller but modeled as
+    too big to broadcast) is replicated across the 8 salt values —
+    the explicit rewrite for a hot part key that AQE's post-hoc skew
+    split can't fan out. Oracle = the plain equi-join + GROUP BY.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", _dec("l_quantity").alias("qty"),
+        _dec("l_extendedprice").alias("price"),
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = skew.salted_join(li, part, "l_partkey", "p_partkey", n_salts=8)
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("qty").cast("double").alias("total_qty"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
 def _bucket(expr: str) -> str:
     return sampling.sample_bucket_sql(expr, seed=SAMPLE_SEED)
 
@@ -105,6 +142,20 @@ def _split_case() -> str:
 
 
 ORACLE = {
+    # Plain formulations on purpose: the salted rewrites must be
+    # logically invisible (see operators/skew.py docstring).
+    "salted_event_counts": """
+        SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+    """,
+    "salted_brand_revenue": """
+        SELECT p.p_brand AS brand, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_qty,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    """,
     "bm25_scores": relevance.bm25_oracle_sql(QUERY_TERMS),
     "tfidf_top_terms": relevance.tfidf_top_terms_oracle_sql(k=3),
     "stratified_doc_sample": f"""
@@ -138,6 +189,8 @@ ORACLE = {
 }
 
 QUERIES = {
+    "salted_event_counts": salted_event_counts,
+    "salted_brand_revenue": salted_brand_revenue,
     "bm25_scores": bm25_scores,
     "tfidf_top_terms": tfidf_top_terms,
     "stratified_doc_sample": stratified_doc_sample,
