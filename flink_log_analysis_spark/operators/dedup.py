@@ -51,6 +51,28 @@ def exact_dedup_groups(
     )
 
 
+def exact_dedup_keep(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative row (min id) per exact-content group.
+
+    Single shuffle: an unbounded ``min`` window over the fingerprint
+    partition (no sort needed), then a filter — cheaper than the
+    groupBy + self-join formulation, and the shuffle key is a 32-hex
+    digest, so it is uniform regardless of content skew.
+    """
+    from pyspark.sql.window import Window
+
+    fp = content_fingerprint(F.col(text_col))
+    w = Window.partitionBy("_fp")
+    return (
+        df.withColumn("_fp", fp)
+        .withColumn("_keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+
+
 def _grams_from_tokens(w: Column, n: int) -> Column:
     """Distinct word n-grams from an already-projected token ARRAY
     column. ``w`` MUST be a plain column reference: Catalyst does not

@@ -85,10 +85,13 @@ def _mh_expr(i: int) -> str:
     return f"CAST(list_min(list_transform(toks, t -> {h})) AS BIGINT) AS mh{i}"
 
 
-def _sig_cte() -> str:
+def _sig_cte(src: str = "documents") -> str:
+    """MinHash signature CTEs over ``src`` (any relation exposing
+    doc_id + text — lets composition queries run the identical LSH
+    pipeline on a filtered corpus)."""
     mh = ",\n               ".join(_mh_expr(i) for i in range(dedup.N_HASHES))
     return f"""
-        toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        toks AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
         sig AS (SELECT doc_id, {mh} FROM toks)
     """
 
