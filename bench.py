@@ -1,9 +1,17 @@
 #!/usr/bin/env python
 """Bench harness: run the engine's headline queries at one scale factor.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": <sf>}
+Prints TWO JSON lines:
+  line 1 (detail): {"metric": "headline_queries_detail",
+                    "queries": {"q": sec, ...}, "sf": <sf>}
+  last line (compact, tail-safe): {"metric": "headline_queries_total",
+                    "value": <total_sec>, "unit": "sec", "sf": <sf>}
+
+The compact line goes LAST and carries no per-query dict: the driver's
+tail capture is bounded, and a single 71-query JSON line overflows it
+(BENCH_r02/r03 both recorded ``parsed: null`` because the line start was
+truncated). The full per-query detail is also written to
+``BENCH_DETAIL.json`` next to this script.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default all cores).
@@ -52,18 +60,34 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_detail",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(detail))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump({**detail, "value": total, "unit": "sec"}, fh, indent=1)
+    except OSError:
+        pass
+    spark.stop()
+    # Compact line LAST so the driver's bounded tail capture always
+    # contains a complete, parseable JSON object.
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -369,12 +369,19 @@ def near_dedup_keep(
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-pruned then verified.
+
+    ``n_planes=None`` (default) sizes the bucket count to the corpus:
+    the smallest p in [4, 12] keeping expected bucket occupancy <= 32
+    (:func:`.similarity.adaptive_n_planes`). With a fixed p, candidate
+    pairs grow ~(p+1) * n^2 / 2**(p+1) — quadratic; with adaptive p
+    they stay ~(p+1) * 16 * n — linear, which is what survives 100x
+    corpus growth. The count() that sizes p is one column-pruned scan.
 
     Candidate generation: each vector gets a random-hyperplane sign
     bucket (map-side projection, :mod:`.similarity`); candidates are
@@ -391,8 +398,16 @@ def embedding_near_dup_pairs(
     (plans/llm_similarity.py).
     """
     from ..session import ensure_min_partitions
-    from .similarity import _hyperplane, as_double, cosine, lsh_bucket
+    from .similarity import (
+        _hyperplane,
+        adaptive_n_planes,
+        as_double,
+        cosine,
+        lsh_bucket,
+    )
 
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.select(id_col).count())
     planes = [_hyperplane(dim, p) for p in range(n_planes)]
     emb = ensure_min_partitions(emb)
     v = emb.select(

@@ -88,6 +88,32 @@ def knn_bruteforce(
     )
 
 
+ADAPTIVE_MIN_PLANES = 4
+ADAPTIVE_MAX_PLANES = 12
+ADAPTIVE_TARGET_OCCUPANCY = 32
+
+
+def adaptive_n_planes(
+    n_rows: int,
+    min_planes: int = ADAPTIVE_MIN_PLANES,
+    max_planes: int = ADAPTIVE_MAX_PLANES,
+    target_occupancy: int = ADAPTIVE_TARGET_OCCUPANCY,
+) -> int:
+    """Smallest plane count p (clamped to [min, max]) whose 2**p buckets
+    keep expected occupancy <= ``target_occupancy``.
+
+    Integer-threshold rule (no float log) so an SQL oracle can mirror it
+    with a CASE chain and both engines agree at every row count. Bounded
+    occupancy makes bucketed all-pairs work O(n * occupancy) instead of
+    O(n^2 / 2**p) with fixed p — the difference between a 100 TB plan
+    and a blow-up.
+    """
+    p = min_planes
+    while p < max_planes and (1 << p) * target_occupancy < n_rows:
+        p += 1
+    return p
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 (python twin of
     the column expression; planes are tiny -> computed driver-side)."""

@@ -286,7 +286,14 @@ def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customer_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(BUILDING ∩ active) ∪ (negative-balance ∖ active): one plan
-    covering INTERSECT, EXCEPT, UNION with distinct semantics."""
+    covering INTERSECT, EXCEPT, UNION with distinct semantics.
+
+    ``negative`` is keyed by the customer PK, so EXCEPT (distinct
+    semantics) equals EXCEPT ALL + DISTINCT here, two shuffle stages
+    cheaper; and the union branches are provably disjoint (one is
+    a subset of ``active``, the other of its complement), so no outer
+    DISTINCT is needed.
+    """
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     active = o.select(F.col("o_custkey").alias("custkey")).distinct()
@@ -296,7 +303,10 @@ def customer_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative = c.filter(F.col("c_acctbal") < 0).select(
         F.col("c_custkey").alias("custkey")
     )
-    return building.intersect(active).union(negative.exceptAll(active).distinct()).distinct()
+    # exceptAll, not except_: inputs are PK-unique + distinct, so the
+    # multiset difference is already a set and skips EXCEPT's trailing
+    # distinct aggregate.
+    return building.intersect(active).union(negative.exceptAll(active))
 
 
 def order_scalar_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,10 +29,10 @@ DIM = 64
 NEAR_DUP_THRESHOLD = 0.4
 
 
-def _planes_sql() -> list[str]:
+def _planes_sql(n_planes: int) -> list[str]:
     """The operator's hyperplanes as DuckDB array literals (python
     float repr round-trips exactly through DuckDB's double parser)."""
-    planes = [similarity._hyperplane(DIM, p) for p in range(N_PLANES)]
+    planes = [similarity._hyperplane(DIM, p) for p in range(n_planes)]
     return ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
 
 
@@ -41,8 +41,41 @@ def _bucket_expr(vec: str) -> str:
     operators.similarity.lsh_bucket."""
     terms = [
         f"(CASE WHEN list_dot_product({vec}, {p}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(_planes_sql())
+        for i, p in enumerate(_planes_sql(N_PLANES))
     ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _adaptive_planes_case() -> str:
+    """SQL twin of operators.similarity.adaptive_n_planes: smallest p in
+    [4, 12] with 2**p * 32 >= n, as an integer-threshold CASE chain (no
+    float log, so both engines agree at every row count)."""
+    lo = similarity.ADAPTIVE_MIN_PLANES
+    hi = similarity.ADAPTIVE_MAX_PLANES
+    occ = similarity.ADAPTIVE_TARGET_OCCUPANCY
+    whens = " ".join(
+        f"WHEN n <= {(1 << p) * occ} THEN {p}" for p in range(lo, hi)
+    )
+    return (
+        f"(SELECT CASE {whens} ELSE {hi} END "
+        "FROM (SELECT COUNT(*) AS n FROM embeddings))"
+    )
+
+
+def _adaptive_bucket_expr(vec: str) -> str:
+    """Bucket under the adaptive plane count: bits below
+    ADAPTIVE_MIN_PLANES are unconditional, higher bits are gated on the
+    CASE-derived plane count (matches lsh_bucket over the first p
+    hyperplanes exactly)."""
+    np_expr = "np.p"
+    terms = []
+    for i, plane in enumerate(_planes_sql(similarity.ADAPTIVE_MAX_PLANES)):
+        sign = f"list_dot_product({vec}, {plane}) > 0"
+        if i < similarity.ADAPTIVE_MIN_PLANES:
+            cond = sign
+        else:
+            cond = f"{i} < {np_expr} AND {sign}"
+        terms.append(f"(CASE WHEN {cond} THEN {1 << i} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
@@ -64,10 +97,45 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(emb, queries, k=K)
 
 
+IVF_RECALL_FLOOR = 0.4  # measured 0.50 (sf0.01) / 0.56 (sf0.1), seeded
+
+
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable contract for the (non-SQL-expressible) IVF ANN:
+    recall@k against the exact brute-force top-k, reduced to one row.
+
+    ``n_truth`` is SQL-derivable (count of brute-force rows) and the
+    recall floor is a deterministic property of the seeded fit, so the
+    DuckDB oracle asserts ``recall_ge_040 = TRUE`` — the row hashes red
+    the moment an IVF change drops recall below the floor. This closes
+    the one ``no_oracle`` hole in the contract surface while keeping
+    the ANN itself approximate.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = similarity.knn_bruteforce(emb, queries, k=K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.knn_ivf(emb, queries, k=K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            (
+                F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))
+                >= F.lit(IVF_RECALL_FLOOR)
+            ).alias("recall_ge_040"),
+        )
+        .select("n_truth", F.lit(K).alias("k"), "recall_ge_040")
+    )
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(
-        emb, threshold=NEAR_DUP_THRESHOLD, n_planes=N_PLANES, dim=DIM
+        emb, threshold=NEAR_DUP_THRESHOLD, n_planes=None, dim=DIM
     )
 
 
@@ -121,9 +189,10 @@ ORACLE = {
         SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= {K}
     """,
     "embedding_near_dups": f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-                          {{bucket}} AS bucket
-                   FROM embeddings)
+        WITH np AS (SELECT {{nplanes}} AS p),
+             v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                          {{abucket}} AS bucket
+                   FROM embeddings, np)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
         FROM v a JOIN v b
@@ -132,18 +201,39 @@ ORACLE = {
         WHERE ROUND(list_cosine_similarity(a.e, b.e), 6)
               >= {NEAR_DUP_THRESHOLD}
     """,
-    # knn_ivf: MLlib KMeans fit -> rows-only check (recall unit test
-    # vs brute force in tests/test_similarity.py)
+    # knn_ivf: seeded numpy KMeans fit -> rows-only check; its checkable
+    # contract is knn_ivf_recall below (plus the recall unit test vs
+    # brute force in tests/test_similarity.py)
+    "knn_ivf_recall": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+             c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                   FROM embeddings),
+             s AS (SELECT query_id, neighbor_id,
+                          ROUND(list_cosine_similarity(qv, cv), 6) AS cos
+                   FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+             r AS (SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rn
+                   FROM s)
+        SELECT COUNT(*) AS n_truth, {K} AS k, TRUE AS recall_ge_040
+        FROM r WHERE rn <= {K}
+    """,
 }
 
-# Splice the (long) embedded-hyperplane bucket expression in once.
-for _name in ("knn_lsh", "embedding_near_dups"):
-    ORACLE[_name] = ORACLE[_name].replace("{bucket}", _bucket_expr("e"))
+# Splice the (long) embedded-hyperplane bucket expressions in once.
+ORACLE["knn_lsh"] = ORACLE["knn_lsh"].replace("{bucket}", _bucket_expr("e"))
+ORACLE["embedding_near_dups"] = (
+    ORACLE["embedding_near_dups"]
+    .replace("{nplanes}", _adaptive_planes_case())
+    .replace("{abucket}", _adaptive_bucket_expr("embedding::DOUBLE[]"))
+)
 
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
+    "knn_ivf_recall": knn_ivf_recall,
     "embedding_near_dups": embedding_near_dups,
     "embedding_norms": embedding_norms,
 }
