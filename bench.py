@@ -44,6 +44,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    # Correctness-only contracts: knn_ivf_recall re-runs the full
+    # brute-force cross join plus a second IVF fit purely to assert a
+    # recall floor — including it would inflate headline_queries_total
+    # and break round-over-round comparability (it was never part of
+    # the r1-r3 bench set).
+    for name in ("knn_ivf_recall",):
+        qs.pop(name, None)
     # Warm the JVM/session on the smallest SF so first-query overhead
     # (codegen, parquet footer reads) doesn't pollute query timings.
     try:
@@ -52,17 +59,24 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Force full computation of every output row/column.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            # Force full computation of every output row/column.
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — one broken query must
+            # not zero the whole round's perf signal (BENCH_r04 crashed
+            # on a single AnalysisException and recorded nothing).
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_queries_detail",
         "queries": timings,
+        "errors": errors,
         "sf": sf,
     }
     print(json.dumps(detail))
@@ -78,16 +92,15 @@ def main() -> None:
     # Compact line LAST so the driver's bounded tail capture always
     # contains a complete, parseable JSON object.
     sys.stdout.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-            }
-        )
-    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+    }
+    if errors:
+        compact["errors"] = len(errors)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -1,6 +1,12 @@
-"""Multimodal-column plans: binary metadata (oracle-checked) and the
-mapInPandas feature-extraction plumbing (rows-only check — the decode
-is a deterministic stub, not SQL-expressible)."""
+"""Multimodal-column plans: binary metadata and the mapInPandas
+decode/resize/frame-sample plumbing.
+
+All four plans are fully oracle-checked: the stubbed codec is
+deterministic byte arithmetic (stripe means, index resample, strided
+slices), which DuckDB reproduces over ``hex(encode(text))`` — byte i
+of the payload is hex pair ``substring(h, 2*i+1, 2)``. Binary outputs
+are projected as hex strings on BOTH sides so the value hash compares
+a canonical text form of the exact bytes."""
 
 from __future__ import annotations
 
@@ -31,18 +37,26 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing (stubbed codec): fixed-shape binary out."""
+    """Image-resize plumbing (stubbed codec): fixed-shape binary out,
+    projected as hex so the oracle hash covers the exact bytes."""
     docs = read_table(spark, sf_dir, "documents")
-    return multimodal.resize_images(
+    resized = multimodal.resize_images(
         multimodal.attach_binary(docs), width=16, height=16
+    )
+    return resized.select(
+        "doc_id", "width", "height", F.hex("content").alias("content_hex")
     )
 
 
 def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing (stubbed codec): row-expanding UDF."""
+    """Frame-sampling plumbing (stubbed codec): row-expanding UDF,
+    frames projected as hex for the oracle hash."""
     docs = read_table(spark, sf_dir, "documents")
-    return multimodal.sample_frames(
+    frames = multimodal.sample_frames(
         multimodal.attach_binary(docs), n_frames=4, frame_bytes=64
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
     )
 
 
@@ -53,8 +67,51 @@ ORACLE = {
                md5(text) AS sha
         FROM documents
     """,
-    # media_features / media_resize / media_frames: pandas-UDF codec
-    # stubs -> rows-only checks (unit tests pin their determinism)
+    # Byte i (0-based) of the utf-8 payload is hex pair
+    # substring(h, 2*i+1, 2) of h = lower(hex(encode(text))); the three
+    # oracles below replay the stub codecs' byte arithmetic exactly
+    # (multimodal.py decode/resample/frame-slice).
+    "media_features": f"""
+        WITH b AS (
+            SELECT doc_id,
+                   lower(hex(encode(text))) AS h,
+                   octet_length(encode(text)) AS n,
+                   greatest(octet_length(encode(text))
+                            // {multimodal.FEATURE_DIM}, 1) AS stripe
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_bytes,
+               round(list_sum(list_transform(range(0, stripe),
+                     i -> CAST('0x' || substring(h, 2*i+1, 2) AS INTEGER)))
+                     / stripe / 255.0, 6) AS f0
+        FROM b
+    """,
+    "media_resize": """
+        WITH b AS (
+            SELECT doc_id, lower(hex(encode(text))) AS h,
+                   greatest(octet_length(encode(text)), 1) AS n
+            FROM documents
+        )
+        SELECT doc_id, 16 AS width, 16 AS height,
+               upper(array_to_string(list_transform(range(0, 256),
+                     i -> substring(h, 2*((i*n)//256)+1, 2)), '')) AS content_hex
+        FROM b
+    """,
+    "media_frames": """
+        WITH b AS (
+            SELECT doc_id, lower(hex(encode(text))) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        f AS (SELECT doc_id, h, n, unnest(range(0, 4)) AS frame_idx FROM b)
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+               upper(substring(
+                   h,
+                   2*least(frame_idx*greatest(n//4, 1), greatest(n-1, 0))+1,
+                   2*64)) AS frame_hex
+        FROM f
+    """,
 }
 
 QUERIES = {

@@ -98,6 +98,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_RECALL_FLOOR = 0.4  # measured 0.50 (sf0.01) / 0.56 (sf0.1), seeded
+# Column alias derived from the constant so the name cannot drift from
+# the floor it asserts (e.g. 0.4 -> "recall_ge_040").
+IVF_RECALL_COL = f"recall_ge_{int(IVF_RECALL_FLOOR * 100):03d}"
 
 
 def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,9 +129,9 @@ def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))
                 >= F.lit(IVF_RECALL_FLOOR)
-            ).alias("recall_ge_040"),
+            ).alias(IVF_RECALL_COL),
         )
-        .select("n_truth", F.lit(K).alias("k"), "recall_ge_040")
+        .select("n_truth", F.lit(K).alias("k"), IVF_RECALL_COL)
     )
 
 
@@ -216,7 +219,7 @@ ORACLE = {
                        PARTITION BY query_id
                        ORDER BY cos DESC, neighbor_id ASC) AS rn
                    FROM s)
-        SELECT COUNT(*) AS n_truth, {K} AS k, TRUE AS recall_ge_040
+        SELECT COUNT(*) AS n_truth, {K} AS k, TRUE AS {IVF_RECALL_COL}
         FROM r WHERE rn <= {K}
     """,
 }

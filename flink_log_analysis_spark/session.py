@@ -117,9 +117,12 @@ TABLES = (
 )
 
 
-# Columns written as parquet TIMESTAMP(NANOS) by the data generator;
-# they surface as int64 nanos under nanosAsLong and are normalized to
-# TimestampType (microsecond) here — same truncation DuckDB applies.
+# Columns written as parquet TIMESTAMP(NANOS) by some generator
+# versions; they surface as int64 nanos under nanosAsLong and are
+# normalized to TimestampType (microsecond) here — same truncation
+# DuckDB applies. Newer generator runs write plain timestamp[us]
+# without a timezone, which Spark reads as TIMESTAMP_NTZ; those are
+# normalized too (see below).
 NANO_TS_COLUMNS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -128,7 +131,16 @@ NANO_TS_COLUMNS = {
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver parquet table, normalizing nano-timestamps."""
+    """Read one driver parquet table, normalizing timestamp encodings.
+
+    The generator has shipped two parquet encodings across rounds:
+    TIMESTAMP(NANOS) (read as int64 under nanosAsLong) and plain
+    ``timestamp[us]`` with no zone (read as TIMESTAMP_NTZ). Engine
+    plans assume TimestampType (event-time watermarks and unix_micros
+    both reject NTZ), so both encodings are folded to TimestampType
+    here. The session timezone is pinned to UTC, which makes the
+    NTZ -> LTZ cast a bitwise no-op on the stored micros.
+    """
     from pyspark.sql import functions as F
 
     # Runtime-set so externally-built sessions (the driver's) read the
@@ -138,9 +150,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     except Exception:
         pass  # locked conf: session factory already set it
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    dtypes = dict(df.dtypes)
-    for c in NANO_TS_COLUMNS.get(name, ()):
-        if dtypes.get(c) == "bigint":
+    for c, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif dtype == "bigint" and c in NANO_TS_COLUMNS.get(name, ()):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
