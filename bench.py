@@ -39,6 +39,7 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from flink_log_analysis_spark import get_spark
+    from flink_log_analysis_spark.session import release_checkpoints
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,6 +72,13 @@ def main() -> None:
             # not zero the whole round's perf signal (BENCH_r04 crashed
             # on a single AnalysisException and recorded nothing).
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            # Drop this query's localCheckpoint blocks: letting them
+            # accumulate across 70+ queries inflates later timings
+            # 3-10x via storage/GC pressure (cleanup cost is outside
+            # the timed window on purpose — it's harness bookkeeping,
+            # not query work).
+            release_checkpoints(spark)
 
     total = round(sum(timings.values()), 3)
     detail = {

@@ -91,7 +91,26 @@ def get_spark(
         # Keep broadcast joins available for dim tables (the reference's
         # lookup joins are point lookups against small MySQL dims).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs everything in the driver JVM; 32g of the
+        # harness's 128 GiB keeps multi-query sessions (bench, gate)
+        # out of GC pressure. Cluster deployments size executors via
+        # spark-submit instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Whole-stage codegen emits a fresh class per query stage; a
+        # many-query session (bench runs 70+) generates hundreds of
+        # them and the default JIT compiler pool (sized for steady
+        # workloads) falls behind — CPU-bound stages then run
+        # interpreted/deoptimized with semi-random 3-10x stalls
+        # (measured: 173s cumulative compile over 16 queries; a late
+        # single-task decimal agg went 2.8s -> 32s). More compiler
+        # threads + a larger code cache keep generated code compiled.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:CICompilerCount=16 -XX:ReservedCodeCacheSize=1g",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         # Driver testdata stores TIMESTAMP(NANOS) parquet, which Spark
         # has no native type for (SPARK-40819): read as int64 nanos and
@@ -156,6 +175,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         elif dtype == "bigint" and c in NANO_TS_COLUMNS.get(name, ()):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def release_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every persisted/localCheckpointed RDD in the session.
+
+    Several operators cut their plans with eager ``localCheckpoint``
+    (shared shingle sets, LSH band rows, prefix tables). Those blocks
+    are only reclaimed when the driver GC notices the DataFrame is
+    unreachable — harness loops that run dozens of queries in one
+    session (bench.py, the correctness gate) accumulate them and the
+    resulting memory pressure/GC inflates later queries' timings by
+    3-10x. Callers that fully consumed a query's result should call
+    this between queries; it is a no-op mid-query because every plan
+    is rebuilt fresh per call, so no checkpoint outlives its query.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for rdd in list(jmap.values()):
+        rdd.unpersist(False)
+        n += 1
+    return n
 
 
 def ensure_min_partitions(df, target: int | None = None):

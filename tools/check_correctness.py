@@ -60,6 +60,7 @@ def main():
 
     import __spark_entry__ as entrymod
     from flink_log_analysis_spark import get_spark
+    from flink_log_analysis_spark.session import release_checkpoints
 
     spark = get_spark("check-correctness")
     con = duckdb.connect()
@@ -77,6 +78,7 @@ def main():
         sdf = qs[name](spark, args.sf)
         spdf = sdf.toPandas()
         scols = list(spdf.columns)
+        release_checkpoints(spark)  # drop this query's checkpoint blocks
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"{name:28s} rows={len(spdf):7d}  (no oracle: rows-only check)"
