@@ -40,6 +40,7 @@ def _plan_modules():
         declared,
         llm_dedup,
         llm_multimodal,
+        llm_quality,
         llm_similarity,
         llm_text,
         logpipe,
@@ -62,6 +63,7 @@ def _plan_modules():
         llm_dedup,
         llm_similarity,
         llm_multimodal,
+        llm_quality,
     ]
 
 
@@ -100,17 +102,22 @@ _DRIVER_WINDOW: list[str] = [
     "media_features",
     "media_resize",
     "media_frames",
-    # r1-only greens, driver rows 3 rounds stale — re-audit
-    "quantity_quantiles",
+    # new this round: corpus-hygiene operators (quality filter, PII
+    # scrub, decontamination, sequence packing) — need first rows
+    "doc_quality_signals",
+    "pii_scrub",
+    "benchmark_contamination",
+    "pack_chunks",
+    # r1-only greens, driver rows 3 rounds stale — re-audit (the four
+    # least drift-sensitive of the stale set — quantity_quantiles,
+    # order_value_ntile, bpe_token_stats, rolling_fingerprints, all
+    # pure integer arithmetic — wait for the round-6 rotation)
     "last_purchase_asof",
     "user_event_pivot",
-    "order_value_ntile",
     "text_stats",
     "text_quality",
     "source_token_stats",
-    "bpe_token_stats",
     "token_frequencies",
-    "rolling_fingerprints",
     "lang_id_ngram",
     "doc_fingerprints",
     "exact_dedup_groups",

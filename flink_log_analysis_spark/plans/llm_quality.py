@@ -1,0 +1,173 @@
+"""Corpus-hygiene plans over ``documents``: quality filtering, PII
+scrubbing, benchmark decontamination, sequence packing.
+
+Oracle notes: the PII plan injects deterministic fake PII (built from
+``doc_id`` identically in both engines) so the redaction counts and
+scrubbed digests are discriminating even on a clean synthetic corpus;
+the quality/packing plans follow the llm_text int-cast conventions;
+the contamination oracle mirrors the 8-gram shingle expression from
+llm_dedup's 4-gram twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import quality
+from ..operators.textstats import EN_STOPWORDS
+from ..session import read_table
+
+# Whitespace tokens over RAW text (twin of textstats.tokens — the
+# quality/packing operators do not normalize first).
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_STOP = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+
+# Normalized-text 8-gram shingles (twin of dedup.ngram_token_sets(n=8),
+# mirroring llm_dedup._TOKS4's construction).
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_W = f"list_filter(string_split_regex({_NORM}, '\\s+'), x -> x <> '')"
+_G = quality.CONTAMINATION_GRAM
+_TOKS8 = f"""
+    CASE WHEN len({_W}) >= {_G}
+         THEN list_distinct(list_transform(
+                  generate_series(1, len({_W}) - {_G - 1}),
+                  i -> {" || ' ' || ".join(f"{_W}[i + {j}]" for j in range(_G))}))
+         ELSE [array_to_string({_W}, ' ')] END
+"""
+
+# Pseudo-benchmark set: doc_id % 29 == 0 (~3% of the corpus). 29 was
+# chosen so the synthetic corpus's near-duplicate pairs actually put a
+# few contaminated docs in the result at every test SF — a 0-row
+# contamination check would hash-match trivially and verify nothing.
+BENCH_MOD = 29
+
+
+def doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.quality_signals(read_table(spark, sf_dir, "documents"))
+
+
+def _augmented(docs: DataFrame) -> DataFrame:
+    """Append deterministic fake PII (same construction as the oracle's
+    SQL concatenation) so the scrub has real spans to redact."""
+    return docs.withColumn(
+        "aug",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref 123456789"),
+        ),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented(read_table(spark, sf_dir, "documents"))
+    return quality.pii_scrub(docs, text_col="aug")
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    return quality.benchmark_contamination(docs, bench)
+
+
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.pack_chunks(read_table(spark, sf_dir, "documents"))
+
+
+def _pii_oracle() -> str:
+    aug = (
+        "(text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 ref 123456789')"
+    )
+    # Counts taken on the text as scrubbed so far, replacements applied
+    # sequentially — the exact semantics of operators.quality.scrub_pii.
+    cur = aug
+    selects = []
+    for name, pat, repl in quality.PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        selects.append(
+            f"CAST(len(regexp_extract_all({cur}, '{esc}')) AS INTEGER)"
+            f" AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{esc}', '{repl}', 'g')"
+    return f"""
+        SELECT doc_id,
+               {", ".join(selects)},
+               md5({cur}) AS scrubbed_md5,
+               CAST(length({cur}) AS INTEGER) AS scrubbed_len
+        FROM documents
+    """
+
+
+ORACLE = {
+    "doc_quality_signals": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0
+                         / GREATEST(len(toks), 1), 4) AS mean_word_len,
+                   ROUND((len(toks) - len(list_distinct(toks))) * 1.0
+                         / GREATEST(len(toks), 1), 4) AS dup_token_ratio,
+                   ROUND(len(list_filter(toks, x -> lower(x) IN {_STOP})) * 1.0
+                         / GREATEST(len(toks), 1), 4) AS stop_ratio
+            FROM t
+        )
+        SELECT doc_id, n_tokens, mean_word_len, dup_token_ratio, stop_ratio,
+               (n_tokens >= {quality.MIN_TOKENS}
+                AND n_tokens <= {quality.MAX_TOKENS}
+                AND mean_word_len >= {quality.MIN_MEAN_WORD_LEN}
+                AND mean_word_len <= {quality.MAX_MEAN_WORD_LEN}
+                AND dup_token_ratio <= {quality.MAX_DUP_TOKEN_RATIO}
+                AND stop_ratio >= {quality.MIN_STOPWORD_RATIO}) AS keep
+        FROM s
+    """,
+    "pii_scrub": _pii_oracle(),
+    "benchmark_contamination": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS8} AS toks FROM documents),
+        cg AS (SELECT doc_id, unnest(toks) AS gram FROM toks),
+        bg AS (SELECT DISTINCT doc_id AS bench_id, gram
+               FROM (SELECT doc_id, unnest(toks) AS gram FROM toks
+                     WHERE doc_id % {BENCH_MOD} = 0)),
+        hits AS (SELECT c.doc_id, c.gram, b.bench_id
+                 FROM cg c JOIN bg b USING (gram)
+                 WHERE c.doc_id <> b.bench_id)
+        SELECT doc_id,
+               COUNT(DISTINCT gram) AS n_shared_grams,
+               COUNT(DISTINCT bench_id) AS n_bench_docs
+        FROM hits GROUP BY doc_id
+    """,
+    "pack_chunks": f"""
+        WITH t AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, n_tokens, cum_tokens,
+               CAST(FLOOR((cum_tokens - n_tokens)
+                          / {quality.PACK_BLOCK_TOKENS}.0) AS BIGINT)
+                   AS chunk_first,
+               CAST(FLOOR((cum_tokens - 1)
+                          / {quality.PACK_BLOCK_TOKENS}.0) AS BIGINT)
+                   AS chunk_last
+        FROM c
+    """,
+}
+
+QUERIES = {
+    "doc_quality_signals": doc_quality_signals,
+    "pii_scrub": pii_scrub,
+    "benchmark_contamination": benchmark_contamination,
+    "pack_chunks": pack_chunks,
+}

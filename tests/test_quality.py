@@ -1,0 +1,85 @@
+"""Unit tests for the corpus-hygiene operators (operators/quality.py):
+quality filtering, PII scrubbing, decontamination, sequence packing.
+Oracle parity at the corpus level is covered by test_oracle_parity; the
+tests here pin the operator semantics on crafted inputs."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_log_analysis_spark.operators import quality
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_quality_signals_keep_and_drop(spark):
+    # 60 distinct words + stopwords sprinkled in: inside every band
+    # (length, mean word length, low duplication, stopword floor).
+    good = " ".join(
+        f"word{i:02d}" + (" the" if i % 10 == 0 else "") for i in range(60)
+    )
+    repetitive = "spam " * 80
+    short = "too short"
+    out = {
+        r.doc_id: r
+        for r in quality.quality_signals(
+            _docs(spark, [good, repetitive, short])
+        ).collect()
+    }
+    assert out[0].keep is True
+    assert out[1].keep is False  # dup_token_ratio ~ 1
+    assert out[1].dup_token_ratio > quality.MAX_DUP_TOKEN_RATIO
+    assert out[2].keep is False  # below MIN_TOKENS
+    assert out[2].n_tokens < quality.MIN_TOKENS
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    txt = (
+        "mail alice@example.org or bob.smith@corp.co, "
+        "server 192.168.1.250, order 123456789, keep 12345 visible"
+    )
+    df = _docs(spark, [txt])
+    scrubbed, counts = quality.scrub_pii(F.col("text"))
+    [row] = df.select(
+        scrubbed.alias("s"), *[counts[n].alias(n) for n, _, _ in quality.PII_PATTERNS]
+    ).collect()
+    assert row.email == 2
+    assert row.ipv4 == 1
+    assert row.longnum == 1  # 123456789 only; 12345 is under 6 digits
+    assert "<EMAIL>" in row.s and "<IP>" in row.s and "<NUM>" in row.s
+    assert "alice@example.org" not in row.s
+    assert "192.168.1.250" not in row.s
+    assert "12345 visible" in row.s
+
+
+def test_contamination_flags_copied_doc(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [base, "totally different words entirely here now ok fine yes sir",
+         "unrelated content again with other tokens present here too",
+         base + " plus a small tail"],
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {r.doc_id: r for r in quality.benchmark_contamination(docs, bench).collect()}
+    assert 3 in out            # shares the 8-gram run with doc 0
+    assert out[3].n_bench_docs == 1
+    assert 1 not in out and 2 not in out
+    assert 0 not in out        # self-match excluded
+
+
+def test_pack_chunks_boundaries(spark):
+    # 3 docs x 100 tokens, block=256: doc0 [0,0], doc1 [0,0], doc2
+    # crosses the 256 boundary -> [0,1].
+    txt = " ".join(["tok"] * 100)
+    out = {
+        r.doc_id: r
+        for r in quality.pack_chunks(_docs(spark, [txt] * 3), block=256).collect()
+    }
+    assert (out[0].chunk_first, out[0].chunk_last) == (0, 0)
+    assert (out[1].chunk_first, out[1].chunk_last) == (0, 0)
+    assert (out[2].chunk_first, out[2].chunk_last) == (0, 1)
+    assert out[2].cum_tokens == 300
