@@ -108,6 +108,7 @@ _DRIVER_WINDOW: list[str] = [
     "pii_scrub",
     "benchmark_contamination",
     "pack_chunks",
+    "deduped_events_stream",
     # r1-only greens, driver rows 3 rounds stale — re-audit (the four
     # least drift-sensitive of the stale set — quantity_quantiles,
     # order_value_ntile, bpe_token_stats, rolling_fingerprints, all
@@ -117,7 +118,6 @@ _DRIVER_WINDOW: list[str] = [
     "text_stats",
     "text_quality",
     "source_token_stats",
-    "token_frequencies",
     "lang_id_ngram",
     "doc_fingerprints",
     "exact_dedup_groups",

@@ -242,6 +242,52 @@ def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def deduped_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keyed
+    on event_id — the ingest-dedup stage of a streaming training-data
+    pipeline (at-least-once sources re-deliver; the state store keeps
+    one key per id only until the watermark passes, so state is
+    bounded by the dedup horizon, not the stream's lifetime).
+
+    The input is manufactured with every event emitted TWICE (explode
+    over two copies) so the operator provably removes rows: the sink
+    holds each event exactly once, which is what the oracle asserts
+    (plain SELECT of the events table). A cross-engine mismatch in
+    dedup state handling would double rows and hash-fail loudly.
+    """
+    work = tempfile.mkdtemp(prefix="loganalysis_stream_")
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        doubled = stream.withColumn(
+            "copy", F.explode(F.array(F.lit(0), F.lit(1)))
+        )
+        deduped = (
+            doubled.withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "event_type", "value")
+        )
+        name = f"deduped_events_{abs(hash(work)) % 10**9}"
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+        ):
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
+        out = spark.createDataFrame(
+            spark.table(name).collect(), schema=spark.table(name).schema
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # Oracles re-derive expected sink state from events (see logpipe's
 # line-construction contract): views carry fid = k % N_SECTIONS, clicks
 # carry tid = user_id, errors get status 500 and are dropped by the
@@ -296,6 +342,11 @@ ORACLE = {
               <= m - INTERVAL 30 MINUTE
         GROUP BY 1, 2
     """,
+    # The stream doubles every event then dedups on event_id: the sink
+    # must hold the events table exactly once.
+    "deduped_events_stream": """
+        SELECT event_id, event_type, value FROM events
+    """,
 }
 
 QUERIES = {
@@ -304,4 +355,5 @@ QUERIES = {
     "client_ip_access_stream": client_ip_access_stream,
     "hourly_event_stats_stream": hourly_event_stats_stream,
     "windowed_event_counts_stream": windowed_event_counts_stream,
+    "deduped_events_stream": deduped_events_stream,
 }

@@ -458,3 +458,15 @@ def test_kafka_reader_plan_construction(spark):
     assert df.isStreaming
     assert df.columns == ["line"]
     assert dict(df.dtypes)["line"] == "string"
+
+
+def test_deduped_events_stream_removes_doubled_rows(spark, sf_dir):
+    """The stream doubles every event then dropDuplicatesWithinWatermark
+    restores exactly-once: sink rows == distinct events, no id twice."""
+    from flink_log_analysis_spark.plans.streamed import deduped_events_stream
+    from flink_log_analysis_spark.session import read_table
+
+    out = deduped_events_stream(spark, sf_dir)
+    n_events = read_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
