@@ -109,6 +109,7 @@ _DRIVER_WINDOW: list[str] = [
     "benchmark_contamination",
     "pack_chunks",
     "deduped_events_stream",
+    "sketch_accuracy",
     # r1-only greens, driver rows 3 rounds stale — re-audit (the four
     # least drift-sensitive of the stale set — quantity_quantiles,
     # order_value_ntile, bpe_token_stats, rolling_fingerprints, all
@@ -119,7 +120,6 @@ _DRIVER_WINDOW: list[str] = [
     "text_quality",
     "source_token_stats",
     "lang_id_ngram",
-    "doc_fingerprints",
     "exact_dedup_groups",
     "minhash_signatures",
     "near_dup_pairs",

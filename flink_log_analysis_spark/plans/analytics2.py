@@ -299,6 +299,50 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Error floor the sketch contract asserts (generous vs the configured
+# rsd=0.02 so a healthy sketch never trips it; column names derive from
+# the constant so they cannot drift).
+SKETCH_REL_ERR = 0.05
+_BOUND = f"within_{int(SKETCH_REL_ERR * 100)}pct"
+
+
+def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable contract for the engine-specific sketches
+    (same pattern as llm_similarity.knn_ivf_recall): exact distinct
+    counts are SQL-derivable and hash-compared, and each sketch must
+    land within SKETCH_REL_ERR of its exact answer — the row goes red
+    the moment a sketch config change breaks the accuracy contract,
+    while the sketch internals stay engine-specific (HLL++/KLL bits
+    are deliberately NOT part of the contract).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_median"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_median"),
+    )
+
+    def within(approx, exact):
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= SKETCH_REL_ERR
+        )
+
+    return agg.select(
+        "n_orders",
+        "n_parts",
+        within(F.col("a_orders"), F.col("n_orders")).alias(f"orders_{_BOUND}"),
+        within(F.col("a_parts"), F.col("n_parts")).alias(f"parts_{_BOUND}"),
+        within(F.col("a_median"), F.col("exact_median")).alias(
+            f"median_{_BOUND}"
+        ),
+    )
+
+
 ORACLE: dict[str, str] = {
     "orders_cube": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
@@ -449,8 +493,18 @@ ORACLE: dict[str, str] = {
                    AS session_value
         FROM grp GROUP BY user_id, sid
     """,
-    # approx_sketches: engine-specific sketch internals -> rows-only
+    # approx_sketches: engine-specific sketch internals -> rows-only;
+    # its checkable contract is sketch_accuracy below.
 }
+
+ORACLE["sketch_accuracy"] = f"""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           TRUE AS orders_{_BOUND},
+           TRUE AS parts_{_BOUND},
+           TRUE AS median_{_BOUND}
+    FROM lineitem
+"""
 
 QUERIES = {
     "orders_cube": orders_cube,
@@ -465,4 +519,5 @@ QUERIES = {
     "order_value_ntile": order_value_ntile,
     "session_windows": session_windows,
     "approx_sketches": approx_sketches,
+    "sketch_accuracy": sketch_accuracy,
 }
