@@ -266,24 +266,23 @@ def deduped_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicatesWithinWatermark(["event_id"])
             .select("event_id", "event_type", "value")
         )
-        name = f"deduped_events_{abs(hash(work)) % 10**9}"
         with scoped_conf(
             spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
         ):
             q = (
                 deduped.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(name)
+                .format("parquet")
+                .option("path", f"{work}/out")
                 .option("checkpointLocation", f"{work}/ckpt")
                 .trigger(availableNow=True)
                 .start()
             )
             _drain(q)
-        out = spark.createDataFrame(
-            spark.table(name).collect(), schema=spark.table(name).schema
-        )
-        spark.catalog.dropTempView(name)
-        return out
+        # File sink (not memory+collect): the deduped stream is row-wide
+        # (one row per event), and a memory sink would round-trip every
+        # row through the driver twice. localCheckpoint detaches the
+        # result from the temp dir before cleanup.
+        return spark.read.parquet(f"{work}/out").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
