@@ -83,3 +83,52 @@ def test_pack_chunks_boundaries(spark):
     assert (out[1].chunk_first, out[1].chunk_last) == (0, 0)
     assert (out[2].chunk_first, out[2].chunk_last) == (0, 1)
     assert out[2].cum_tokens == 300
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text changes nothing: replacement
+    tokens contain no scrubbable spans."""
+    txt = "x@y.io at 1.2.3.4 ref 9876543 and x@y.io again"
+    df = _docs(spark, [txt])
+    once, _ = quality.scrub_pii(F.col("text"))
+    twice, counts2 = quality.scrub_pii(once)
+    [row] = df.select(
+        once.alias("once"), twice.alias("twice"),
+        *[counts2[n].alias(n) for n, _, _ in quality.PII_PATTERNS],
+    ).collect()
+    assert row.once == row.twice
+    assert row.email == 0 and row.ipv4 == 0 and row.longnum == 0
+
+
+def test_pack_chunks_invariants(spark):
+    """Property-style invariants over varied doc lengths: cum_tokens is
+    the prefix sum in id order, chunk ranges are consistent, and every
+    block boundary crossed by a doc is within its [first, last] range."""
+    import random
+
+    rng = random.Random(11)
+    texts = [" ".join(["w"] * rng.randint(1, 700)) for _ in range(40)]
+    rows = sorted(
+        quality.pack_chunks(_docs(spark, texts), block=128).collect(),
+        key=lambda r: r.doc_id,
+    )
+    cum = 0
+    for r in rows:
+        cum += r.n_tokens
+        assert r.cum_tokens == cum
+        assert r.chunk_first == (r.cum_tokens - r.n_tokens) // 128
+        assert r.chunk_last == (r.cum_tokens - 1) // 128
+        assert r.chunk_first <= r.chunk_last
+
+
+def test_quality_signals_null_and_whitespace(spark):
+    """Hostile inputs degrade to keep=false/null rows, never throw."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame([(0, None), (1, ""), (2, "   ")], schema)
+    out = quality.quality_signals(df).collect()
+    assert len(out) == 3
+    assert all(not r.keep for r in out if r.keep is not None)
