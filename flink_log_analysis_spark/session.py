@@ -169,11 +169,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     except Exception:
         pass  # locked conf: session factory already set it
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    declared_ts = NANO_TS_COLUMNS.get(name, ())
     for c, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-        elif dtype == "bigint" and c in NANO_TS_COLUMNS.get(name, ()):
+        elif dtype == "bigint" and c in declared_ts:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "date" and c in declared_ts:
+            # Drift insurance: a future generator switch to date32 on a
+            # declared event-time column would break unix_micros /
+            # watermarks exactly like the NTZ incident did.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

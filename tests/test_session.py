@@ -71,3 +71,18 @@ def test_release_checkpoints_unpersists(spark):
 def test_date_columns_normalized(spark, table):
     dtypes = dict(read_table(spark, SF_DIR, table).dtypes)
     assert "timestamp_ntz" not in dtypes.values()
+
+
+def test_date32_parquet_normalized(spark):
+    """Drift insurance: a declared ts column written as parquet date32
+    is cast to TimestampType (midnight UTC), same as the NTZ path."""
+    with tempfile.TemporaryDirectory() as d:
+        dates = pa.array([19723], type=pa.date32())  # 2024-01-01
+        pq.write_table(
+            pa.table({"ts": dates, "event_id": pa.array([1], type=pa.int64())}),
+            f"{d}/events.parquet",
+        )
+        df = read_table(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        [row] = df.select(F.unix_micros("ts").alias("us")).collect()
+        assert row.us == 19723 * 86400 * 1_000_000
