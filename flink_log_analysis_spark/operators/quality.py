@@ -11,9 +11,9 @@ oracle (plans/llm_quality.py).
 Scale notes per operator are on the functions; the common theme: the
 filters are single projection passes (linear, no shuffle), the
 contamination join shuffles only exploded n-gram rows with the small
-benchmark side broadcast, and packing is one global range-partitioned
-window (the one intentionally-global stage — document order IS the
-contract there).
+benchmark side broadcast, and packing computes its global ordered
+cumsum as a two-pass distributed prefix-sum (range partition +
+per-partition offsets) — never as a single-partition global window.
 """
 
 from __future__ import annotations
@@ -90,10 +90,12 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 
 def scrub_pii(col: Column) -> tuple[Column, dict[str, Column]]:
-    """(scrubbed text, per-pattern match counts). Counting happens
-    BEFORE each replacement so patterns don't eat each other's spans
-    (an email contains digit runs; count both against the original
-    stage, replace sequentially)."""
+    """(scrubbed text, per-pattern match counts). Patterns apply
+    sequentially: each pattern is counted on the text after all PRIOR
+    patterns' replacements, immediately before its own replacement —
+    so e.g. digit runs inside an email are NOT counted by ``longnum``
+    (the email was already replaced by the time longnum counts). The
+    oracle replays the identical sequence."""
     counts: dict[str, Column] = {}
     out = col
     for name, pat, repl in PII_PATTERNS:
@@ -176,24 +178,67 @@ def pack_chunks(
     chunks; each doc learns the chunk range its tokens land in.
 
     This is the GPT-style packing layout (concatenate everything,
-    split at block boundaries) expressed as one running-total window:
-    chunk_first = floor((cum - n) / block), chunk_last =
-    floor((cum - 1) / block). The global ordered cumsum is the one
-    deliberately-global stage in this module — Spark executes it as a
-    range-partitioned sort, which is how a 100 TB corpus gets a total
-    order; per-shard packing (PARTITION BY shard) drops the global
-    barrier when exact cross-shard continuity isn't required.
+    split at block boundaries): chunk_first = floor((cum - n) / block),
+    chunk_last = floor((cum - 1) / block), where ``cum`` is the global
+    running token total in ``id_col`` order.
+
+    The cumsum is a two-pass DISTRIBUTED PREFIX-SUM, not a global
+    window — ``Window.orderBy`` with no ``partitionBy`` would force
+    every row through ONE task (WindowExec requires SinglePartition),
+    which serializes/OOMs at 100 TB:
+
+    1. range-partition the narrow ``(id, n_tokens)`` projection by id
+       (partition k holds ids strictly below partition k+1's) and pin
+       partition ids with an eager localCheckpoint;
+    2. per-partition token subtotals — ONE ROW PER PARTITION — come to
+       the driver, which computes the exclusive prefix offsets
+       (O(partitions) work/memory, ~KBs even at 100 TB);
+    3. a per-partition running sum (window partitioned by partition
+       id, fully parallel) plus the broadcast offset yields the exact
+       global cumsum.
+
+    Only the two-int projection ever shuffles; the corpus text never
+    moves.
     """
     from pyspark.sql.window import Window
 
     n_tokens = F.size(tokens(F.col(text_col)))
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
     t = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
-    cum = F.sum("n_tokens").over(w)
-    return t.select(
-        id_col,
-        "n_tokens",
-        cum.alias("cum_tokens"),
-        F.floor((cum - F.col("n_tokens")) / block).alias("chunk_first"),
-        F.floor((cum - 1) / block).alias("chunk_last"),
+    ranged = (
+        t.repartitionByRange(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        # Pin placement: the subtotal pass and the cumsum pass must see
+        # identical (row -> _pid) assignments, and spark_partition_id is
+        # nondeterministic under recomputation.
+        .localCheckpoint(eager=True)
+    )
+    subtotals = {
+        r["_pid"]: int(r["subtotal"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("subtotal"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(subtotals):
+        offsets.append((pid, acc))
+        acc += subtotals[pid]
+    offset_df = df.sparkSession.createDataFrame(
+        offsets, schema="_pid int, _offset bigint"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w) + F.col("_offset")
+    return (
+        ranged.join(F.broadcast(offset_df), "_pid")
+        .select(
+            id_col,
+            "n_tokens",
+            cum.alias("cum_tokens"),
+            F.floor((cum - F.col("n_tokens")) / block).alias("chunk_first"),
+            F.floor((cum - 1) / block).alias("chunk_last"),
+        )
     )

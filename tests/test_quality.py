@@ -121,6 +121,38 @@ def test_pack_chunks_invariants(spark):
         assert r.chunk_first <= r.chunk_last
 
 
+def test_pack_chunks_plan_is_not_single_partition(spark):
+    """The packing cumsum must be a distributed prefix-sum, never a
+    partitionless Window (which funnels every row through one task:
+    WindowExec requires SinglePartition when partitionBy is empty).
+    Also proves tools/explain_audit's detector catches a deliberately
+    planted global window."""
+    import sys as _sys
+
+    sys_path_root = __file__.rsplit("/tests/", 1)[0]
+    if sys_path_root not in _sys.path:
+        _sys.path.insert(0, sys_path_root)
+    from tools.explain_audit import audit
+
+    texts = [" ".join(["w"] * 10)] * 8
+    good_props, _ = audit("pack_chunks", quality.pack_chunks(_docs(spark, texts)))
+    assert good_props["single_part"] == 0
+    assert "SINGLE-PARTITION-EXCHANGE" not in good_props["flags"]
+
+    # Planted anti-pattern: the global window the operator must avoid.
+    from pyspark.sql.window import Window
+
+    planted = _docs(spark, texts).select(
+        "doc_id",
+        F.sum(F.length("text")).over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    bad_props, _ = audit("planted_global_window", planted)
+    assert bad_props["single_part"] >= 1
+    assert "SINGLE-PARTITION-EXCHANGE" in bad_props["flags"]
+
+
 def test_quality_signals_null_and_whitespace(spark):
     """Hostile inputs degrade to keep=false/null rows, never throw."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType

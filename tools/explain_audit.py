@@ -36,6 +36,19 @@ CROSS_JOIN_OK = {
     "bm25_scores",         # 1-row corpus-stats scalar attach
     "tfidf_top_terms",     # 1-row n_docs scalar attach
 }
+# Queries allowed to contain an Exchange SinglePartition: only tiny
+# POST-AGGREGATION inputs (a handful of rows by construction — global
+# scalar summaries or per-month/cluster rollups), where one task is
+# the right plan. A single-partition exchange feeding a Window over
+# RAW data is the classic global-window scale killer (WindowExec
+# requires SinglePartition when partitionBy is empty) and is flagged.
+SINGLE_PARTITION_OK = {
+    "lineitem_global_stats",        # 1-row global aggregate
+    "sketch_accuracy",              # 1-row bounds check
+    "knn_ivf_recall",               # 1-row recall scalar
+    "monthly_revenue_moving_avg",   # window over ~100 month rows (post-agg)
+    "approx_sketches",              # 1-row sketch summary
+}
 # Streaming-to-completion queries: plan inspection happens inside the
 # stream runner; skip static audit.
 SKIP = {
@@ -60,6 +73,10 @@ def audit(name: str, df) -> dict:
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
         "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
         "exchanges": len(re.findall(r"Exchange", plan)),
+        # Formatted-mode exchanges carry their distribution in the
+        # Arguments line ("Arguments: SinglePartition, ..."), not on the
+        # node line — match the bare token.
+        "single_part": len(re.findall(r"\bSinglePartition\b", plan)),
         "python_udf": len(re.findall(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)),
     }
     flags = []
@@ -69,6 +86,11 @@ def audit(name: str, df) -> dict:
         "media_features", "media_resize", "media_frames",
     ):
         flags.append("PYTHON-IN-HOT-PATH")
+    if props["single_part"] and name not in SINGLE_PARTITION_OK:
+        # A partitionless Window (or any one-task funnel) over
+        # non-aggregated data: the whole input serializes through a
+        # single task at scale.
+        flags.append("SINGLE-PARTITION-EXCHANGE")
     props["flags"] = ",".join(flags) or "-"
     return props, plan
 
@@ -111,15 +133,15 @@ def main() -> None:
             "pushed into parquet scans, partial+final hash aggregation, no\n"
             "accidental cross joins, hot path inside WholeStageCodegen.\n\n"
             "| query | bcast joins | shuffle joins | cartesian | hash aggs | "
-            "pushed filters | codegen | exchanges | python | flags |\n"
-            "|---|---|---|---|---|---|---|---|---|---|\n"
+            "pushed filters | codegen | exchanges | 1-part | python | flags |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for name, p in rows:
             f.write(
                 f"| {name} | {p['broadcast_joins']} | {p['shuffle_joins']} | "
                 f"{p['cartesian']} | {p['hash_aggs']} | {p['pushed_filters']} | "
-                f"{p['codegen_spans']} | {p['exchanges']} | {p['python_udf']} | "
-                f"{p['flags']} |\n"
+                f"{p['codegen_spans']} | {p['exchanges']} | {p['single_part']} | "
+                f"{p['python_udf']} | {p['flags']} |\n"
             )
         f.write("\n## Flagship plan excerpts\n")
         for name, plan in excerpts.items():
