@@ -23,9 +23,15 @@ boot + warmup are harness overhead and stay outside the timed windows.
 Per-query timing is unchanged in meaning: plan build + full execution.
 
 A timed query whose first execution still lands on a compile-queue
-stall (its class only got compiled DURING the run) is re-timed once
-warm and the min kept — selective best-of-2, recorded under "retried"
-in the detail line.
+stall or transient host contention is re-timed once warm and the min
+kept — selective best-of-2. Retry triggers on the absolute threshold
+OR on 5x the query's own warm-pass time (floored at 2s), so a trivial
+projection reading 20x its warm time re-times even under the absolute
+bar. Retried names and both samples are recorded ("retried" /
+"retry_times" in the detail line) so the methodology is auditable.
+When any query errors, the detail and compact lines carry
+"incomplete": true — a partial total must never read as a faster
+complete run.
 
 Env: SPARK_GRAFT_SF_DIR         (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS           (default all cores),
@@ -73,6 +79,7 @@ def run_slice(sf_dir: str, names: list[str]) -> tuple[dict, dict, list]:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    warm_times: dict[str, float] = {}
 
     # Untimed warmup. (a) Shared stream-input manufacture (the Kafka
     # stand-in's "topic" build) + first-stream machinery init when this
@@ -94,9 +101,11 @@ def run_slice(sf_dir: str, names: list[str]) -> tuple[dict, dict, list]:
         )
         for name in names:
             try:
+                t0 = time.perf_counter()
                 qs[name](spark, warm_sf).write.format(
                     "noop"
                 ).mode("overwrite").save()
+                warm_times[name] = time.perf_counter() - t0
             except Exception:
                 pass
             release_checkpoints(spark)
@@ -123,24 +132,37 @@ def run_slice(sf_dir: str, names: list[str]) -> tuple[dict, dict, list]:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     retried: list[str] = []
+    retry_samples: dict[str, list[float]] = {}
     for name in names:
         t = timed(name)
         if t is not None:
             timings[name] = t
     # Selective best-of-2: a first-execution time can still land on a
-    # JIT compile-queue stall (the generated class only got compiled
-    # DURING the timed run). Re-time outliers once, now that their code
-    # is warm, and keep the min — that is the steady-state number the
-    # bench exists to measure. Bounded cost: only queries over the
-    # threshold re-run.
+    # JIT compile-queue stall or transient host contention (observed:
+    # a 0.15s projection measured at 4s while its whole chunk-mates
+    # were normal, unreproducible afterwards). Re-time outliers once,
+    # now that their code is warm, and keep the min — the steady-state
+    # number the bench exists to measure; both samples are recorded
+    # under "retry_times" so the methodology is auditable. Triggers:
+    # the absolute threshold, OR 5x the query's own untimed sf0.001
+    # warm-pass time (floored at 2s) — the warm time is a per-query
+    # triviality signal, so a 2.8s reading on a 0.15s-warm projection
+    # re-times even though it is under the absolute threshold.
     threshold = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "4.0"))
-    for name in [n for n, t in timings.items() if t > threshold]:
-        t = timed(name)
-        if t is not None and t < timings[name]:
-            timings[name] = t
+    for name, t in list(timings.items()):
+        trigger = threshold
+        warm = warm_times.get(name)
+        if warm is not None:
+            trigger = min(threshold, max(2.0, 5.0 * warm))
+        if t <= trigger:
+            continue
+        t2 = timed(name)
         retried.append(name)
+        if t2 is not None:
+            retry_samples[name] = [t, t2]
+            timings[name] = min(t, t2)
     spark.stop()
-    return timings, errors, retried
+    return timings, errors, retried, retry_samples
 
 
 def main() -> None:
@@ -152,9 +174,10 @@ def main() -> None:
     if slice_env is not None:
         # Child mode: run the named queries, print one JSON line.
         names = slice_env.split(",")
-        timings, errors, retried = run_slice(sf_dir, names)
+        timings, errors, retried, retry_samples = run_slice(sf_dir, names)
         print(json.dumps(
-            {"queries": timings, "errors": errors, "retried": retried}
+            {"queries": timings, "errors": errors, "retried": retried,
+             "retry_times": retry_samples}
         ))
         return
 
@@ -167,6 +190,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     retried: list[str] = []
+    retry_samples: dict[str, list[float]] = {}
     for i in range(0, len(names), chunk):
         part = names[i : i + chunk]
         env = dict(os.environ, SPARK_GRAFT_BENCH_SLICE=",".join(part))
@@ -191,6 +215,7 @@ def main() -> None:
             timings.update(payload["queries"])
             errors.update(payload["errors"])
             retried.extend(payload.get("retried", []))
+            retry_samples.update(payload.get("retry_times", {}))
         except Exception as exc:  # noqa: BLE001 — a dead chunk loses its
             # queries' timings but must not kill the whole bench line.
             for n in part:
@@ -203,8 +228,13 @@ def main() -> None:
         "queries": timings,
         "errors": errors,
         "retried": retried,
+        "retry_times": retry_samples,
         "sf": sf,
     }
+    if errors:
+        # A partial run's total sums only the queries that succeeded —
+        # it must never be read as a faster COMPLETE run.
+        detail["incomplete"] = True
     print(json.dumps(detail))
     try:
         detail_path = os.path.join(
@@ -225,6 +255,7 @@ def main() -> None:
     }
     if errors:
         compact["errors"] = len(errors)
+        compact["incomplete"] = True
     print(json.dumps(compact))
 
 

@@ -164,10 +164,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
 
     # Runtime-set so externally-built sessions (the driver's) read the
     # generator's TIMESTAMP(NANOS) parquet too, not only our factory's.
+    # The timezone pin matters for the same reason: the NTZ->LTZ cast
+    # below is only a bitwise no-op under a UTC session timezone, so a
+    # non-UTC external session would silently shift every event time.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # locked conf: session factory already set it
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     declared_ts = NANO_TS_COLUMNS.get(name, ())
     for c, dtype in df.dtypes:

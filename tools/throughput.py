@@ -48,12 +48,13 @@ def main() -> None:
     )
     n = df.count()  # materialize input outside the timed region
 
-    # Multiple timed passes, best reported: the first pass (even after
-    # a warm-up) can land while HotSpot's compile queue is still
-    # draining the generated parse chain, inflating it 5-100x
-    # (measured). The best pass is the steady-state rate — the number
-    # that scales to a long-running 100 TB job, where codegen compiles
-    # once and the parse loop runs compiled for hours.
+    # Multiple timed passes; the MEDIAN of the warm passes is reported
+    # (pass 0 is the warm-up: HotSpot's compile queue can still be
+    # draining the generated parse chain there, inflating it 5-100x,
+    # measured). Median over min: min is best-case reporting — any
+    # transient (page cache, GC luck) lowers it — while the median warm
+    # pass is the steady-state rate a long-running job would sustain.
+    # All passes are printed so the spread is auditable.
     passes = []
     for _ in range(4):
         t0 = time.perf_counter()
@@ -61,7 +62,8 @@ def main() -> None:
             "overwrite"
         ).save()
         passes.append(round(time.perf_counter() - t0, 3))
-    secs = min(passes[1:])  # pass 0 is the warm-up
+    warm = sorted(passes[1:])
+    secs = warm[len(warm) // 2]
 
     print(
         json.dumps(
@@ -70,6 +72,7 @@ def main() -> None:
                 "seconds": secs,
                 "mlines_per_s": round(n / secs / 1e6, 3),
                 "passes": passes,
+                "method": "median-of-warm-passes",
             }
         )
     )
