@@ -70,14 +70,17 @@ def _plan_modules():
 # Names pinned to the driver's 50-entry audit window, in order.
 # Anything not listed here follows afterwards in module order.
 #
-# Round-5 rotation policy (VERDICT r4 items 3/6/7): entries that NEED a
-# fresh driver row this round come first — the three TIMESTAMP_NTZ-fixed
-# queries, the newly-oracled knn_ivf_recall + media_* trio, and the 17
-# r1-only greens whose driver rows have gone three rounds stale. The
-# remaining slots keep queries whose code paths this round touches
-# (similarity/dedup perf work, stream harness, timestamp normalization).
-# 21 multi-round-stable greens rotate out; all of them still run in the
-# local gate (tools/check_correctness.py) and tests/test_oracle_parity.
+# Round-6 rotation policy (VERDICT r5 item 3): the six r1-stale greens
+# (quantity_quantiles, order_value_ntile, bpe_token_stats,
+# token_frequencies, rolling_fingerprints, doc_fingerprints — last
+# driver-audited in round 1) rotate IN for fresh rows; six
+# multi-round-stable greens (last_purchase_asof, user_event_pivot,
+# hourly_event_stats, monthly_revenue_moving_avg,
+# customer_order_cadence, promo_window_orders) rotate OUT. Queries
+# whose code paths round 6 touches (pack_chunks prefix-sum, shared IVF
+# fit, shared dedup chain) stay under audit. Every rotated-out name
+# still runs in the local gate (tools/check_correctness.py) and
+# tests/test_oracle_parity.
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",
@@ -110,12 +113,13 @@ _DRIVER_WINDOW: list[str] = [
     "pack_chunks",
     "deduped_events_stream",
     "sketch_accuracy",
-    # r1-only greens, driver rows 3 rounds stale — re-audit (the four
-    # least drift-sensitive of the stale set — quantity_quantiles,
-    # order_value_ntile, bpe_token_stats, rolling_fingerprints, all
-    # pure integer arithmetic — wait for the round-6 rotation)
-    "last_purchase_asof",
-    "user_event_pivot",
+    # r1-stale set — fresh rows this round (planned r6 rotation)
+    "quantity_quantiles",
+    "order_value_ntile",
+    "bpe_token_stats",
+    "token_frequencies",
+    "rolling_fingerprints",
+    "doc_fingerprints",
     "text_stats",
     "text_quality",
     "source_token_stats",
@@ -125,12 +129,8 @@ _DRIVER_WINDOW: list[str] = [
     "near_dup_pairs",
     "near_dedup_docs",
     "near_dup_clusters",
-    # code paths touched this round (timestamp normalization, stream
-    # harness, similarity/dedup perf) — keep under audit
-    "hourly_event_stats",
-    "monthly_revenue_moving_avg",
-    "customer_order_cadence",
-    "promo_window_orders",
+    # code paths touched this round (prefix-sum packing, shared dedup
+    # chain, shared IVF fit) — keep under audit
     "salted_event_counts",
     "customer_balance_merge",
     "stateful_sessions",

@@ -286,9 +286,13 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct + quantile sketches — the single-pass
     100 TB substitutes for exact distinct counts and sorts.
 
-    HLL++ / KLL-style sketch internals differ across engines, so this
-    is rows-only checked by the driver; tests/test_analytics2.py bounds
-    the relative error against the exact answers instead.
+    NOT a registry entry: HLL++/KLL sketch internals differ across
+    engines, so raw sketch values can never hash-match a DuckDB oracle
+    — a permanently unverifiable registry row. The driver-checked form
+    of this component is ``sketch_accuracy`` below, which runs the
+    same sketches next to their exact answers and emits deterministic
+    bounds-as-booleans. This function stays as the plain operator
+    (tests/test_analytics2.py bounds its relative error directly).
     """
     li = read_table(spark, sf_dir, "lineitem")
     return li.agg(
@@ -493,8 +497,6 @@ ORACLE: dict[str, str] = {
                    AS session_value
         FROM grp GROUP BY user_id, sid
     """,
-    # approx_sketches: engine-specific sketch internals -> rows-only;
-    # its checkable contract is sketch_accuracy below.
 }
 
 ORACLE["sketch_accuracy"] = f"""
@@ -518,6 +520,8 @@ QUERIES = {
     "user_event_pivot": user_event_pivot,
     "order_value_ntile": order_value_ntile,
     "session_windows": session_windows,
-    "approx_sketches": approx_sketches,
+    # approx_sketches is deliberately NOT registered: raw sketch values
+    # are engine-specific and can never hash-match an oracle.
+    # sketch_accuracy is the driver-checked (and benched) form.
     "sketch_accuracy": sketch_accuracy,
 }

@@ -47,7 +47,6 @@ SINGLE_PARTITION_OK = {
     "sketch_accuracy",              # 1-row bounds check
     "knn_ivf_recall",               # 1-row recall scalar
     "monthly_revenue_moving_avg",   # window over ~100 month rows (post-agg)
-    "approx_sketches",              # 1-row sketch summary
 }
 # Streaming-to-completion queries: plan inspection happens inside the
 # stream runner; skip static audit.
