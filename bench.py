@@ -56,7 +56,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Correctness-only contract: knn_ivf_recall re-runs the full
-# brute-force cross join plus a second IVF fit purely to assert a
+# brute-force cross join plus the IVF search purely to assert a
 # recall floor — including it would inflate headline_queries_total
 # with duplicate work. (sketch_accuracy IS benched: it replaced
 # approx_sketches as the sketch component's registry entry in r6, so

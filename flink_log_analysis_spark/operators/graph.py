@@ -136,14 +136,18 @@ def near_dup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Every document labeled with its near-duplicate cluster id
     (cluster = min doc_id in the connected component; singletons are
     their own cluster). The complete transitive version of
-    ``near_dedup_keep``."""
+    ``near_dedup_keep``. ``pairs`` lets callers that already hold the
+    verified near-dup pair set (doc_a, doc_b, ...) share it instead of
+    re-running the whole MinHash-LSH chain."""
     from .dedup import near_dup_pairs
 
-    pairs = near_dup_pairs(df, text_col, id_col, threshold)
+    if pairs is None:
+        pairs = near_dup_pairs(df, text_col, id_col, threshold)
     comp = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")
     )

@@ -182,6 +182,46 @@ def _kmeans_fit(sample, n_cells: int, seed: int, max_iter: int = 8):
     return centers
 
 
+def ivf_fit(
+    emb: DataFrame,
+    n_cells: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    fit_sample_rows: int = 100_000,
+) -> list[list[float]]:
+    """Fit the IVF coarse quantizer and return the centroid list.
+
+    The model is fit once — on a bounded sample, never the full
+    corpus: when the corpus exceeds ``fit_sample_rows`` the fit input
+    is a seeded Bernoulli sample of ~that many rows (a coarse
+    quantizer only needs the density shape, and KMeans centroids from
+    100k rows are statistically indistinguishable from the
+    full-corpus fit). The sampled vectors are collected and the Lloyd
+    iterations run in numpy on the driver (see :func:`_kmeans_fit`)
+    — bounded memory (100k x dim doubles), zero distributed fit jobs.
+
+    The returned centroids are plain Python floats, so callers can
+    fit ONCE per corpus and reuse across every query that probes the
+    same index (``ivf_assign``/``knn_ivf`` accept them via
+    ``centroids=``) — exactly how a production IVF index works: build
+    once, search many.
+    """
+    import numpy as np
+
+    vecs = emb.select(as_double(F.col(vec_col)).alias("arr"))
+    # Bound the fit input. The count is one extra columnar scan of the
+    # id column; cheap insurance against collecting an unbounded corpus.
+    n_rows = vecs.count()
+    fit_input = vecs
+    if n_rows > fit_sample_rows:
+        fit_input = vecs.sample(fraction=fit_sample_rows / n_rows, seed=seed)
+    sample = np.array(
+        [r.arr for r in fit_input.collect()], dtype=np.float64
+    )
+    centers = _kmeans_fit(sample, n_cells=n_cells, seed=seed)
+    return [list(map(float, c)) for c in centers]
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 8,
@@ -190,40 +230,30 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_sample_rows: int = 100_000,
+    centroids: list[list[float]] | None = None,
 ):
     """IVF coarse quantizer: KMeans centroids + nearest-cell assignment.
 
     Returns (assigned corpus DataFrame with a ``cell`` column, the
-    centroid list). The model is fit once — on a bounded sample, never
-    the full corpus: when the corpus exceeds ``fit_sample_rows`` the
-    fit input is a seeded Bernoulli sample of ~that many rows (a
-    coarse quantizer only needs the density shape, and KMeans
-    centroids from 100k rows are statistically indistinguishable from
-    the full-corpus fit). The sampled vectors are collected and the
-    Lloyd iterations run in numpy on the driver (see
-    :func:`_kmeans_fit`) — bounded memory (100k x dim doubles), zero
-    distributed fit jobs. The assignment is a pure projection — at
-    100 TB the corpus is written out partitioned by cell, so a query
-    touches only ``n_probe`` cells' files (partition pruning does the
-    rest).
+    centroid list, the cell_of closure). ``centroids=None`` fits via
+    :func:`ivf_fit`; passing a previously fit list skips the
+    count+sample+collect+fit entirely (index reuse). The assignment is
+    a pure projection — at 100 TB the corpus is written out
+    partitioned by cell, so a query touches only ``n_probe`` cells'
+    files (partition pruning does the rest).
     """
-    import numpy as np
-
     from ..session import ensure_min_partitions
 
     emb = ensure_min_partitions(emb)
     vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("arr"))
-    # Bound the fit input. The count is one extra columnar scan of the
-    # id column; cheap insurance against collecting an unbounded corpus.
-    n_rows = vecs.count()
-    fit_input = vecs
-    if n_rows > fit_sample_rows:
-        fit_input = vecs.sample(fraction=fit_sample_rows / n_rows, seed=seed)
-    sample = np.array(
-        [r.arr for r in fit_input.select("arr").collect()], dtype=np.float64
-    )
-    centers = _kmeans_fit(sample, n_cells=n_cells, seed=seed)
-    centroids = [list(map(float, c)) for c in centers]
+    if centroids is None:
+        centroids = ivf_fit(
+            emb,
+            n_cells=n_cells,
+            seed=seed,
+            vec_col=vec_col,
+            fit_sample_rows=fit_sample_rows,
+        )
 
     def cell_of(arr: Column, probe: int) -> Column:
         """probe-th nearest centroid by squared L2 (0 = nearest)."""
@@ -263,14 +293,21 @@ def knn_ivf(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: exact search restricted to each query's n_probe nearest
     cells. Complements LSH: cells adapt to the data distribution, so
     recall at equal candidate budget is typically higher on clustered
-    corpora (the centroid fit is the price).
+    corpora (the centroid fit is the price — pay it once by passing a
+    shared :func:`ivf_fit` result via ``centroids=``).
     """
     assigned, centroids, cell_of = ivf_assign(
-        corpus, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+        corpus,
+        n_cells=n_cells,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col("arr").alias("cv"), "cell"
