@@ -199,6 +199,78 @@ def test_jdbc_upsert_writer_against_sqlite(spark, tmp_path):
     assert got == {"a": 1, "b": 20, "c": 3}
 
 
+def test_stream_upsert_into_sqlite_matches_memory_sink(spark, tmp_path):
+    """B1/B2 executable evidence against a real SQL engine: a
+    multi-batch stream upserts into stdlib sqlite3 through the
+    production connection_factory seam (sqlite speaks the postgres
+    ON CONFLICT dialect), and the final keyed TABLE state must equal
+    both the MemoryUpsertSink's state and, transitively, the
+    batch-over-all aggregate (test_incremental_batches_accumulate
+    proves the memory-sink == batch leg)."""
+    import sqlite3
+
+    from flink_log_analysis_spark.streaming.runner import (
+        parsed_log_stream,
+        read_log_file_stream,
+        start_upsert_stream,
+    )
+    from flink_log_analysis_spark.streaming.upsert import jdbc_upsert_writer
+
+    land = tmp_path / "land"
+    land.mkdir()
+    write_log_file(str(land / "a.log"), 120, seed=21)
+
+    db = str(tmp_path / "sink.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE client_ip_access ("
+            "client_ip TEXT PRIMARY KEY, client_access_cnt INTEGER, "
+            "statistic_time TEXT)"
+        )
+
+    def factory(path=db):
+        import sqlite3 as s
+
+        return s.connect(path, timeout=30)
+
+    mem = MemoryUpsertSink(["client_ip"])
+    jdbc = jdbc_upsert_writer(
+        factory, "client_ip_access", ["client_ip"], dialect="postgres"
+    )
+
+    def tee(batch_df, batch_id):
+        mem(batch_df, batch_id)
+        jdbc(batch_df, batch_id)
+
+    lines = read_log_file_stream(spark, str(land), max_files_per_trigger=1)
+    agg = client_ip_access_agg(parsed_log_stream(lines))
+    q = start_upsert_stream(
+        agg, tee, str(tmp_path / "ckpt"), stat_time=STAT_TIME
+    )
+    try:
+        q.processAllAvailable()
+        write_log_file(str(land / "b.log"), 120, seed=22)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(mem.applied_batches) >= 2  # really exercised multi-batch upsert
+
+    with sqlite3.connect(db) as conn:
+        got = {
+            k: (cnt, ts)
+            for k, cnt, ts in conn.execute(
+                "SELECT client_ip, client_access_cnt, statistic_time "
+                "FROM client_ip_access"
+            )
+        }
+    exp = {
+        d["client_ip"]: (d["client_access_cnt"], d["statistic_time"])
+        for d in mem.state.values()
+    }
+    assert len(got) > 0
+    assert got == exp
+
+
 def test_session_window_stream_equals_batch(spark, log_dir, tmp_path):
     """session_window agg through a real stream == same agg in batch."""
     from flink_log_analysis_spark.streaming.runner import (
