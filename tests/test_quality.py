@@ -150,6 +150,7 @@ def test_pack_chunks_plan_is_not_single_partition(spark):
     )
     bad_props, _ = audit("planted_global_window", planted)
     assert bad_props["single_part"] >= 1
+    assert bad_props["sp_funnels"] >= 1
     assert "SINGLE-PARTITION-EXCHANGE" in bad_props["flags"]
 
 

@@ -36,16 +36,16 @@ CROSS_JOIN_OK = {
     "bm25_scores",         # 1-row corpus-stats scalar attach
     "tfidf_top_terms",     # 1-row n_docs scalar attach
 }
-# Queries allowed to contain an Exchange SinglePartition: only tiny
-# POST-AGGREGATION inputs (a handful of rows by construction — global
-# scalar summaries or per-month/cluster rollups), where one task is
-# the right plan. A single-partition exchange feeding a Window over
-# RAW data is the classic global-window scale killer (WindowExec
-# requires SinglePartition when partitionBy is empty) and is flagged.
+# Queries allowed a SinglePartition exchange that feeds a Sort/Window
+# (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
+# rows by construction), where one task is the right plan. Global
+# 1-row aggregates (partials -> single-partition final HashAggregate)
+# are NOT funnels and are never flagged — the detector checks the
+# exchange's consumer node, because a single-partition exchange
+# feeding a Sort/Window over RAW data is the classic global-window
+# scale killer (WindowExec requires SinglePartition when partitionBy
+# is empty).
 SINGLE_PARTITION_OK = {
-    "lineitem_global_stats",        # 1-row global aggregate
-    "sketch_accuracy",              # 1-row bounds check
-    "knn_ivf_recall",               # 1-row recall scalar
     "monthly_revenue_moving_avg",   # window over ~100 month rows (post-agg)
 }
 # Streaming-to-completion queries: plan inspection happens inside the
@@ -60,10 +60,56 @@ SKIP = {
 }
 
 
+def _single_partition_funnels(plan: str) -> tuple[int, int]:
+    """(total SinglePartition exchanges, how many feed a Sort/Window).
+
+    Formatted plans carry each exchange's distribution in its detail
+    block ("Arguments: SinglePartition, ..."); the tree section gives
+    the consumer: the nearest line above the exchange's tree line with
+    a strictly smaller marker depth. A SinglePartition exchange whose
+    consumer is the final HashAggregate of a global 1-row aggregate is
+    the CORRECT plan (partials reduce to one row per partition); one
+    whose consumer is a Sort/Window serializes raw rows through a
+    single task — the global-window funnel this audit exists to catch.
+    """
+    sp_ids: set[str] = set()
+    for m in re.finditer(r"^\((\d+)\) Exchange\b", plan, re.M):
+        tail = plan[m.end():]
+        nxt = re.search(r"^\(\d+\) ", tail, re.M)
+        block = tail[: nxt.start()] if nxt else tail
+        if "SinglePartition" in block:
+            sp_ids.add(m.group(1))
+    if not sp_ids:
+        return 0, 0
+    tree = plan.split("\n\n", 1)[0].splitlines()
+
+    marker = re.compile(r"[+:]- ")
+
+    def depth_and_name(line: str) -> tuple[int, str]:
+        m = marker.search(line)
+        if m is None:  # root node, no marker
+            return -1, line.strip().split(" ")[0]
+        return m.start(), line[m.end():].strip().split(" ")[0]
+
+    funnels = 0
+    for i, line in enumerate(tree):
+        if not any(f"Exchange ({nid})" in line for nid in sp_ids):
+            continue
+        d, _ = depth_and_name(line)
+        for j in range(i - 1, -1, -1):
+            pd, pname = depth_and_name(tree[j])
+            if pd < d:
+                if pname in ("Sort", "Window", "WindowGroupLimit"):
+                    funnels += 1
+                break
+    return len(sp_ids), funnels
+
+
 def audit(name: str, df) -> dict:
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+    single_part, funnels = _single_partition_funnels(plan)
     props = {
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "shuffle_joins": len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)),
@@ -72,10 +118,8 @@ def audit(name: str, df) -> dict:
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
         "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
         "exchanges": len(re.findall(r"Exchange", plan)),
-        # Formatted-mode exchanges carry their distribution in the
-        # Arguments line ("Arguments: SinglePartition, ..."), not on the
-        # node line — match the bare token.
-        "single_part": len(re.findall(r"\bSinglePartition\b", plan)),
+        "single_part": single_part,
+        "sp_funnels": funnels,
         "python_udf": len(re.findall(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)),
     }
     flags = []
@@ -85,10 +129,11 @@ def audit(name: str, df) -> dict:
         "media_features", "media_resize", "media_frames",
     ):
         flags.append("PYTHON-IN-HOT-PATH")
-    if props["single_part"] and name not in SINGLE_PARTITION_OK:
-        # A partitionless Window (or any one-task funnel) over
-        # non-aggregated data: the whole input serializes through a
-        # single task at scale.
+    if props["sp_funnels"] and name not in SINGLE_PARTITION_OK:
+        # A partitionless Window / global Sort funnel: the whole input
+        # serializes through a single task at scale. (Global 1-row
+        # aggregates also exchange to SinglePartition but only move
+        # one row per partition — counted in single_part, not flagged.)
         flags.append("SINGLE-PARTITION-EXCHANGE")
     props["flags"] = ",".join(flags) or "-"
     return props, plan
@@ -132,14 +177,16 @@ def main() -> None:
             "pushed into parquet scans, partial+final hash aggregation, no\n"
             "accidental cross joins, hot path inside WholeStageCodegen.\n\n"
             "| query | bcast joins | shuffle joins | cartesian | hash aggs | "
-            "pushed filters | codegen | exchanges | 1-part | python | flags |\n"
+            "pushed filters | codegen | exchanges | 1-part/funnel | python | "
+            "flags |\n"
             "|---|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for name, p in rows:
             f.write(
                 f"| {name} | {p['broadcast_joins']} | {p['shuffle_joins']} | "
                 f"{p['cartesian']} | {p['hash_aggs']} | {p['pushed_filters']} | "
-                f"{p['codegen_spans']} | {p['exchanges']} | {p['single_part']} | "
+                f"{p['codegen_spans']} | {p['exchanges']} | "
+                f"{p['single_part']}/{p['sp_funnels']} | "
                 f"{p['python_udf']} | {p['flags']} |\n"
             )
         f.write("\n## Flagship plan excerpts\n")
