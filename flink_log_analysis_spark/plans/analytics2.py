@@ -235,16 +235,37 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def order_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window breadth: NTILE quartiles + percent_rank per
-    order status (deterministic total order)."""
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    order status (deterministic total order).
+
+    o_orderstatus has THREE values, so ``Window.partitionBy(status)``
+    would funnel ~1/3 of all orders through each of three tasks — a
+    straggler at 100x data. Instead the exact per-status rank comes
+    from operators.ranking.distributed_rank (range partition +
+    per-group offsets, every task bounded by partition size), and
+    ntile/percent_rank are arithmetic on (rank, group size) — output
+    identical to the window formulation (oracle-checked).
+    """
+    from ..operators.ranking import (
+        distributed_rank,
+        ntile_expr,
+        percent_rank_expr,
     )
-    return o.select(
+
+    o = read_table(spark, sf_dir, "orders")
+    ranked = distributed_rank(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        partition_cols=["o_orderstatus"],
+        order_cols=["o_totalprice", "o_orderkey"],
+        rank_col="_rn",
+        size_col="_n",
+    )
+    return ranked.select(
         "o_orderkey",
         "o_orderstatus",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        ntile_expr(F.col("_rn"), F.col("_n"), 4).alias("quartile"),
+        F.round(percent_rank_expr(F.col("_rn"), F.col("_n")), 6).alias(
+            "pct_rank"
+        ),
     )
 
 

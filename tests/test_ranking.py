@@ -1,0 +1,90 @@
+"""operators/ranking.py: distributed rank/ntile/percent_rank must agree
+exactly with Spark's own window functions (which are only safe when the
+partition key is high-cardinality — the operator exists for the
+low-cardinality case)."""
+
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_log_analysis_spark.operators.ranking import (
+    distributed_rank,
+    ntile_expr,
+    percent_rank_expr,
+)
+
+
+def _data(spark, n, n_groups, seed):
+    rng = random.Random(seed)
+    rows = [
+        Row(
+            k=i,
+            g=f"g{rng.randrange(n_groups)}",
+            v=rng.randrange(50),  # heavy ties -> tie-breaker k matters
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows).repartition(5)
+
+
+def test_distributed_rank_matches_window(spark):
+    df = _data(spark, 400, 3, seed=7)
+    got = {
+        r.k: (r.rank, r.group_size)
+        for r in distributed_rank(df, ["g"], ["v", "k"]).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("k").asc())
+    wn = Window.partitionBy("g")
+    exp = {
+        r.k: (r.rn, r.n)
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_ntile_percent_rank_exprs_match_window(spark):
+    # Group sizes both below and above the bucket count, and a
+    # single-row group (percent_rank's n==1 special case).
+    for n, n_groups, buckets in ((400, 3, 4), (7, 5, 4), (1, 1, 4), (40, 2, 7)):
+        df = _data(spark, n, n_groups, seed=n)
+        ranked = distributed_rank(df, ["g"], ["v", "k"])
+        got = {
+            r.k: (r.t, r.pr)
+            for r in ranked.select(
+                "k",
+                ntile_expr(F.col("rank"), F.col("group_size"), buckets).alias("t"),
+                F.round(
+                    percent_rank_expr(F.col("rank"), F.col("group_size")), 9
+                ).alias("pr"),
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("k").asc())
+        exp = {
+            r.k: (r.t, r.pr)
+            for r in df.select(
+                "k",
+                F.ntile(buckets).over(w).alias("t"),
+                F.round(F.percent_rank().over(w), 9).alias("pr"),
+            ).collect()
+        }
+        assert got == exp, f"mismatch at n={n} buckets={buckets}"
+
+
+def test_distributed_rank_plan_has_no_funnel(spark):
+    import sys as _sys
+
+    root = __file__.rsplit("/tests/", 1)[0]
+    if root not in _sys.path:
+        _sys.path.insert(0, root)
+    from tools.explain_audit import audit
+
+    props, _ = audit("distributed_rank", distributed_rank(
+        _data(spark, 100, 2, seed=3), ["g"], ["v", "k"]
+    ))
+    assert props["sp_funnels"] == 0
