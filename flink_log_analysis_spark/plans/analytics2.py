@@ -341,13 +341,27 @@ def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deliberately NOT part of the contract).
     """
     li = read_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_median"),
+    # One agg per exact distinct: two countDistinct on DIFFERENT keys
+    # (plus a percentile) in a single Aggregate forces an Expand that
+    # replicates every input row once per distinct group — measured
+    # 19s vs ~2s at sf0.1. Separate single-purpose aggregates each
+    # stay a plain partial+final hash agg over one pruned column; the
+    # 1-row results then join as broadcast scalars (the bm25
+    # corpus-stats attach pattern).
+    exact_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    exact_parts = li.agg(F.countDistinct("l_partkey").alias("n_parts"))
+    exact_median = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_median")
+    )
+    sketches = li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_median"),
+    )
+    agg = (
+        exact_orders.crossJoin(exact_parts)
+        .crossJoin(exact_median)
+        .crossJoin(sketches)
     )
 
     def within(approx, exact):

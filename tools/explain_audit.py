@@ -35,6 +35,7 @@ CROSS_JOIN_OK = {
     "knn_ivf_recall",      # embeds knn_bruteforce as its ground truth
     "bm25_scores",         # 1-row corpus-stats scalar attach
     "tfidf_top_terms",     # 1-row n_docs scalar attach
+    "sketch_accuracy",     # 1-row exact/sketch scalar attaches
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
