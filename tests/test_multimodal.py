@@ -34,11 +34,63 @@ def test_extract_features_batch_contract(spark):
     assert rows[1].features == again[1].features
 
 
-def test_real_decode_is_explicitly_stubbed(spark):
+def _tiny_bmp(w, h, rgb):
+    return multimodal.encode_bmp([[rgb] * w for _ in range(h)])
+
+
+def _tiny_wav(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return bio.getvalue()
+
+
+def test_bmp_codec_roundtrip():
+    rows = [[(10, 20, 30), (200, 100, 50)], [(0, 0, 0), (255, 255, 255)]]
+    w, h, decoded = multimodal.decode_bmp(multimodal.encode_bmp(rows))
+    assert (w, h) == (2, 2)
+    assert decoded == rows
+
+
+def test_real_features_bmp_and_wav(spark):
+    """fake=False is a REAL decode for stdlib formats: a solid-gray BMP
+    yields a flat vector at gray/255, and a constant-amplitude WAV
+    yields all-ones after peak normalization."""
+    bmp = _tiny_bmp(8, 8, (128, 128, 128))
+    wav = _tiny_wav([1000] * 64)
+    df = spark.createDataFrame(
+        [(1, bmp), (2, wav)], "doc_id long, content binary"
+    )
+    got = {r.doc_id: r.features for r in
+           multimodal.extract_features(df, fake=False).collect()}
+    assert got[1] == [round(128 / 255.0, 6)] * multimodal.FEATURE_DIM
+    assert got[2] == [1.0] * multimodal.FEATURE_DIM
+
+
+def test_real_resize_bmp_nearest_neighbor(spark):
+    """fake=False resize really decodes, resamples, and re-encodes BMP."""
+    red = (200, 10, 10)
+    df = spark.createDataFrame(
+        [(1, _tiny_bmp(8, 4, red))], "doc_id long, content binary"
+    )
+    [row] = multimodal.resize_images(df, width=3, height=2, fake=False).collect()
+    w, h, decoded = multimodal.decode_bmp(bytes(row.content))
+    assert (w, h) == (3, 2)
+    assert all(px == red for r in decoded for px in r)
+
+
+def test_real_decode_unsupported_format_raises():
     with pytest.raises(NotImplementedError):
-        multimodal.extract_features(
-            multimodal.attach_binary(_df(spark)), fake=False
-        )
+        multimodal.real_media_features(b"\x89PNG\r\n" + b"0" * 64, 8)
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"not a bmp at all")
 
 
 def test_resize_images_fixed_output_size(spark, sf_dir):
@@ -72,14 +124,15 @@ def test_sample_frames_explodes_rows(spark, sf_dir):
     assert all(0 < len(r.frame) <= 16 for r in out)
 
 
-def test_real_codec_paths_are_stubbed(spark, sf_dir):
-    import pytest
-    from flink_log_analysis_spark.operators import multimodal
+def test_unsupported_real_codecs_raise(spark, sf_dir):
+    """Formats beyond the stdlib codecs still fail loudly: text/plain
+    payloads are neither BMP nor WAV (pillow/librosa territory), and
+    real video frame sampling stays stubbed (ffmpeg territory)."""
     from flink_log_analysis_spark.session import read_table
 
     docs = read_table(spark, sf_dir, "documents").limit(1)
     binr = multimodal.attach_binary(docs)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(binr, fake=False)
+    with pytest.raises(Exception, match="pillow|librosa"):
+        multimodal.extract_features(binr, fake=False).collect()
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(binr, fake=False)
