@@ -40,6 +40,7 @@ def distributed_rank(
     order_cols: list[str],
     rank_col: str = "rank",
     size_col: str = "group_size",
+    max_offset_rows: int = 1_000_000,
 ) -> DataFrame:
     """``df`` + exact per-group rank and group size, computed scalably.
 
@@ -48,6 +49,14 @@ def distributed_rank(
     partition_cols)``, but never materializes a whole group in one
     task. ``order_cols`` are ascending and must form a strict total
     order within each group (include a unique tie-breaker).
+
+    This operator is for LOW-cardinality partition keys — the case
+    where the plain window is a straggler. The driver-side offset
+    table is O(partitions x groups); with a high-cardinality key that
+    table itself becomes the bottleneck, and the plain
+    ``Window.partitionBy`` is already well-distributed there — so
+    exceeding ``max_offset_rows`` raises with that advice rather than
+    silently flooding the driver.
     """
     keys = [*partition_cols, *order_cols]
     ranged = (
@@ -59,11 +68,20 @@ def distributed_rank(
         # nondeterministic under recomputation.
         .localCheckpoint(eager=True)
     )
-    counts = (
-        ranged.groupBy("_pid", *partition_cols)
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .collect()
+    counts_df = ranged.groupBy("_pid", *partition_cols).agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
+    # Cheap pre-flight (aggregate of the aggregate — one number) before
+    # collecting the offset table to the driver.
+    n_offsets = counts_df.count()
+    if n_offsets > max_offset_rows:
+        raise ValueError(
+            f"distributed_rank offset table would hold {n_offsets} "
+            f"(partition, group) rows (> {max_offset_rows}); the "
+            "partition key is high-cardinality — use a plain "
+            "Window.partitionBy there (it is already well-distributed)"
+        )
+    counts = counts_df.collect()
     by_group: dict[tuple, list[tuple[int, int]]] = {}
     for r in counts:
         by_group.setdefault(

@@ -64,17 +64,14 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, NEAR_DUP_THRESHOLD)
     path = _PAIRS_CACHE.get(key)
     if path is None:
-        import atexit
-        import shutil
-        import tempfile
+        from ..session import shared_tmp_dir
 
-        path = tempfile.mkdtemp(prefix="loganalysis_neardup_")
+        path = shared_tmp_dir("loganalysis_neardup_")
         dedup.near_dup_pairs(
             read_table(spark, sf_dir, "documents"),
             threshold=NEAR_DUP_THRESHOLD,
         ).write.mode("overwrite").parquet(f"{path}/pairs")
         _PAIRS_CACHE[key] = path
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return spark.read.parquet(f"{path}/pairs")
 
 

@@ -88,14 +88,11 @@ _LINES_CACHE: dict[str, str] = {}
 def lines_dir(spark: SparkSession, sf_dir: str) -> str:
     path = _LINES_CACHE.get(sf_dir)
     if path is None:
-        import atexit
-        import shutil
-        import tempfile
+        from ..session import shared_tmp_dir
 
-        path = tempfile.mkdtemp(prefix="loganalysis_lines_")
+        path = shared_tmp_dir("loganalysis_lines_")
         _log_lines(spark, sf_dir).write.mode("overwrite").text(f"{path}/lines")
         _LINES_CACHE[sf_dir] = path
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 

@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.merge import merge_into
-from ..session import STREAM_STATE_PARTITIONS, read_table, scoped_conf
+from ..session import (
+    STREAM_STATE_PARTITIONS,
+    read_table,
+    scoped_conf,
+    shared_tmp_dir,
+)
 from ..streaming.stateful import sessionize_with_state
 from .analytics import _dec
 
@@ -93,7 +98,7 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.stateful import SESSION_OUTPUT_SCHEMA_MS
 
-    work = tempfile.mkdtemp(prefix="loganalysis_sessions_")
+    work = shared_tmp_dir("loganalysis_sessions_")
     try:
         # Shared events snapshot (written once per sf_dir, see
         # plans/streamed.py) with the key/ts projection applied on the

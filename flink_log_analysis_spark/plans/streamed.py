@@ -29,6 +29,7 @@ from ..session import (
     ensure_min_partitions,
     read_table,
     scoped_conf,
+    shared_tmp_dir,
 )
 from ..streaming.runner import (
     client_ip_access_agg,
@@ -54,13 +55,12 @@ _EVENTS_CACHE: dict[str, str] = {}
 def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     path = _EVENTS_CACHE.get(sf_dir)
     if path is None:
-        import atexit
+        from ..session import shared_tmp_dir
 
-        path = tempfile.mkdtemp(prefix="loganalysis_events_")
+        path = shared_tmp_dir("loganalysis_events_")
         ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
         ev.write.mode("overwrite").parquet(f"{path}/events")
         _EVENTS_CACHE[sf_dir] = path
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 
@@ -92,7 +92,7 @@ def _sink_schema(agg):
 
 def _run_stream(spark: SparkSession, sf_dir: str, build_agg, key_cols,
                 top_k=None, order_by=None) -> DataFrame:
-    work = tempfile.mkdtemp(prefix="loganalysis_stream_")
+    work = shared_tmp_dir("loganalysis_stream_")
     try:
         lines = read_log_file_stream(spark, f"{lines_dir(spark, sf_dir)}/lines")
         logs = parsed_log_stream(lines)
@@ -162,7 +162,7 @@ def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     file stream, update-mode upserted by (hour, event_type); final
     sink state must equal the batch hourly rollup, so the batch oracle
     checks a genuinely streamed windowed aggregate."""
-    work = tempfile.mkdtemp(prefix="loganalysis_stream_")
+    work = shared_tmp_dir("loganalysis_stream_")
     try:
         stream = read_events_stream(spark, sf_dir)
         agg = stream.groupBy(
@@ -206,7 +206,7 @@ def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, which is the honest semantic difference between this and
     the unbounded twin, and the reason both belong in the surface.
     """
-    work = tempfile.mkdtemp(prefix="loganalysis_stream_")
+    work = shared_tmp_dir("loganalysis_stream_")
     try:
         stream = read_events_stream(spark, sf_dir)
         agg = (
@@ -255,7 +255,7 @@ def deduped_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plain SELECT of the events table). A cross-engine mismatch in
     dedup state handling would double rows and hash-fail loudly.
     """
-    work = tempfile.mkdtemp(prefix="loganalysis_stream_")
+    work = shared_tmp_dir("loganalysis_stream_")
     try:
         stream = read_events_stream(spark, sf_dir)
         doubled = stream.withColumn(

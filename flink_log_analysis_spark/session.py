@@ -190,6 +190,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def shared_tmp_dir(prefix: str) -> str:
+    """Session-lifetime scratch directory for materialized shared
+    inputs (manufactured log lines, the near-dup pair index).
+
+    On local[N] the default tempdir is fine: driver and executors
+    share one filesystem. On a real cluster the executors must all
+    reach the path, so ``SPARK_GRAFT_SHARED_TMP`` points the root at
+    shared storage (an HDFS/NFS mount, an object-store fuse path);
+    without it a driver-local temp path would be invisible to
+    executors. Cleaned up at interpreter exit.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_SHARED_TMP")
+    if root:
+        os.makedirs(root, exist_ok=True)
+    path = tempfile.mkdtemp(prefix=prefix, dir=root or None)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def release_checkpoints(spark: SparkSession) -> int:
     """Unpersist every persisted/localCheckpointed RDD in the session.
 
