@@ -45,12 +45,14 @@ def _plan_modules():
         llm_text,
         logpipe,
         merge_state,
+        pipeline_full,
         pipeline_ops,
         sqlapi,
         streamed,
     )
 
     return [
+        pipeline_full,
         declared,
         logpipe,
         streamed,
@@ -129,9 +131,10 @@ _DRIVER_WINDOW: list[str] = [
     "near_dup_pairs",
     "near_dedup_docs",
     "near_dup_clusters",
+    # new this round: the end-to-end corpus-prep composition query
+    "corpus_prep",
     # code paths touched this round (prefix-sum packing, shared dedup
     # chain, shared IVF fit) — keep under audit
-    "salted_event_counts",
     "customer_balance_merge",
     "stateful_sessions",
     "ngram_jaccard_pairs",

@@ -37,6 +37,32 @@ CONTAMINATION_GRAM = 8      # benchmark-overlap shingle width (words)
 PACK_BLOCK_TOKENS = 256     # concat-and-chunk block size
 
 
+def keep_predicate(text: Column) -> Column:
+    """The C4/Gopher keep verdict as a single boolean Column — usable
+    directly as a filter (the composition-pipeline hot path) without
+    materializing the per-signal projection."""
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_wl = F.round(
+        token_char_sum(toks).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    dup_ratio = F.round(
+        (n_tokens - n_distinct).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    stop_ratio = F.round(
+        stopword_count(toks).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    return (
+        (n_tokens >= MIN_TOKENS)
+        & (n_tokens <= MAX_TOKENS)
+        & (mean_wl >= MIN_MEAN_WORD_LEN)
+        & (mean_wl <= MAX_MEAN_WORD_LEN)
+        & (dup_ratio <= MAX_DUP_TOKEN_RATIO)
+        & (stop_ratio >= MIN_STOPWORD_RATIO)
+    )
+
+
 def quality_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -46,8 +72,9 @@ def quality_signals(
     mean word length band, duplicate-token ratio (the repetition
     signal — near-1 means the doc is the same few tokens repeated),
     and a stopword-ratio floor (gibberish/non-language detector).
-    ``keep`` is the conjunction; each signal is also returned so a
-    pipeline can re-threshold without rescanning 100 TB.
+    ``keep`` is the conjunction (:func:`keep_predicate` is the
+    filter-only form); each signal is also returned so a pipeline can
+    re-threshold without rescanning 100 TB.
     """
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks)
