@@ -122,7 +122,6 @@ _DRIVER_WINDOW: list[str] = [
     "token_frequencies",
     "rolling_fingerprints",
     "doc_fingerprints",
-    "text_stats",
     "text_quality",
     "source_token_stats",
     "lang_id_ngram",
@@ -131,8 +130,10 @@ _DRIVER_WINDOW: list[str] = [
     "near_dup_pairs",
     "near_dedup_docs",
     "near_dup_clusters",
-    # new this round: the end-to-end corpus-prep composition query
+    # new this round: the end-to-end corpus-prep composition query and
+    # the temperature mixture resampler
     "corpus_prep",
+    "lang_mixture_resample",
     # code paths touched this round (prefix-sum packing, shared dedup
     # chain, shared IVF fit) — keep under audit
     "customer_balance_merge",

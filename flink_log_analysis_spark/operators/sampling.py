@@ -105,3 +105,89 @@ def split_assign(
             expr
         )
     return df.withColumn(split_col, expr)
+
+
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tau: float = 2.0,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual
+    training-mix recipe): target share of stratum ``s`` is
+    ``p_s ∝ n_s**(1/tau)`` — ``tau=1`` keeps natural proportions,
+    ``tau→∞`` approaches uniform — and the output is the LARGEST
+    exact-proportion subsample achievable without upsampling:
+    ``T = min_s n_s / p_s`` rows total, stratum fraction
+    ``p_s * T / n_s`` (the argmin stratum keeps everything).
+
+    Membership is the deterministic hash-bucket predicate, so the
+    sample is stable across runs/partitionings/engines. Plan shape at
+    100 TB: one per-stratum count agg (map-side partial), two 1-row
+    scalar attaches (weight sum, T), a broadcast join of the tiny
+    per-stratum fraction table, then a map-side filter — the corpus
+    streams through once.
+
+    Fractions are rounded to 6 digits BEFORE the integer bucket
+    threshold is derived, the repo-wide pattern that keeps the
+    DuckDB oracle's last-ulp pow/sum differences away from the
+    membership boundary.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = counts.select(
+        strata_col,
+        "_n",
+        F.pow(F.col("_n").cast("double"), 1.0 / tau).alias("_w"),
+    )
+    wsum = w.agg(F.sum("_w").alias("_wsum"))
+    p = w.crossJoin(F.broadcast(wsum)).select(
+        strata_col, "_n", (F.col("_w") / F.col("_wsum")).alias("_p")
+    )
+    tmin = p.agg(F.min(F.col("_n") / F.col("_p")).alias("_t"))
+    frac = p.crossJoin(F.broadcast(tmin)).select(
+        strata_col,
+        F.round(F.col("_p") * F.col("_t") / F.col("_n"), 6).alias("_frac"),
+    )
+    thresh = frac.select(
+        strata_col,
+        F.least(
+            F.lit(BUCKETS).cast("bigint"),
+            F.round(F.col("_frac") * BUCKETS).cast("bigint"),
+        ).alias("_thresh"),
+    )
+    return (
+        df.join(F.broadcast(thresh), strata_col)
+        .filter(sample_bucket(F.col(key_col), seed) < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
+def temperature_resample_oracle_sql(
+    src: str,
+    key_expr: str,
+    strata_col: str,
+    tau: float = 2.0,
+    seed: int | str = 0,
+) -> str:
+    """DuckDB twin of :func:`temperature_resample` membership (returns
+    a WHERE-ready CTE chain + predicate as one SELECT over ``src``)."""
+    bucket = sample_bucket_sql(key_expr, seed)
+    return f"""
+        WITH _n AS (SELECT {strata_col}, COUNT(*) AS n
+                    FROM {src} GROUP BY {strata_col}),
+        _w AS (SELECT {strata_col}, n, pow(n, 1.0 / {tau}) AS w FROM _n),
+        _p AS (SELECT {strata_col}, n, w / (SELECT SUM(w) FROM _w) AS p
+               FROM _w),
+        _f AS (SELECT {strata_col},
+                      ROUND(p * (SELECT MIN(n / p) FROM _p) / n, 6) AS frac
+               FROM _p),
+        _t AS (SELECT {strata_col},
+                      LEAST(CAST({BUCKETS} AS BIGINT),
+                            CAST(ROUND(frac * {BUCKETS}) AS BIGINT))
+                          AS thresh
+               FROM _f)
+        SELECT d.* FROM {src} d
+        JOIN _t USING ({strata_col})
+        WHERE {bucket} < thresh
+    """

@@ -45,6 +45,21 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+MIX_TAU = 2.0
+
+
+def lang_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-2 language rebalancing: target share per lang
+    ∝ sqrt(count), realized as the largest exact-proportion subsample
+    with no upsampling — the standard multilingual training-mix
+    recipe, fully deterministic via hash-bucket membership."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = sampling.temperature_resample(
+        docs, "doc_id", "lang", tau=MIX_TAU, seed=SAMPLE_SEED
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/val/test assignment by doc_id hash range; rows past
     the split boundaries get a NULL split (held out by design)."""
@@ -168,6 +183,14 @@ ORACLE = {
         )
         SELECT doc_id, {_split_case()} AS split FROM b
     """,
+    "lang_mixture_resample": f"""
+        SELECT doc_id, lang, source FROM (
+            {sampling.temperature_resample_oracle_sql(
+                "documents", "doc_id", "lang",
+                tau=MIX_TAU, seed=SAMPLE_SEED,
+            )}
+        )
+    """,
     "promo_window_orders": """
         WITH w AS (
             SELECT n_nationkey AS window_id,
@@ -195,5 +218,6 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "stratified_doc_sample": stratified_doc_sample,
     "train_split_assign": train_split_assign,
+    "lang_mixture_resample": lang_mixture_resample,
     "promo_window_orders": promo_window_orders,
 }

@@ -180,3 +180,27 @@ def test_range_join_exclusive_upper_bound(spark):
 def test_range_join_bad_width():
     with pytest.raises(ValueError, match="positive"):
         bucketed_range_join(None, None, "p", "lo", "hi", 0)
+
+
+def test_temperature_resample_proportions(spark):
+    """tau=2 pulls the mixture toward uniform: the small stratum keeps
+    everything (it is the binding constraint) and the big stratum is
+    downsampled toward sqrt-proportional share."""
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, lang="big") for i in range(900)] + [
+        Row(doc_id=1000 + i, lang="small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    out = sampling.temperature_resample(df, "doc_id", "lang", tau=2.0, seed=7)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["small"] == 100            # binding stratum keeps all
+    # target big share = sqrt(900)/(sqrt(900)+sqrt(100)) = 0.75 ->
+    # big_target = 100 * 0.75/0.25 = 300; hash sampling is approximate
+    assert 240 <= got["big"] <= 360
+    # deterministic: same call -> same rows
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in
+         sampling.temperature_resample(df, "doc_id", "lang", tau=2.0, seed=7).collect()}
+    assert a == b
