@@ -165,3 +165,12 @@ def test_quality_signals_null_and_whitespace(spark):
     out = quality.quality_signals(df).collect()
     assert len(out) == 3
     assert all(not r.keep for r in out if r.keep is not None)
+
+
+def test_pack_chunks_empty_input(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    assert quality.pack_chunks(spark.createDataFrame([], schema)).count() == 0

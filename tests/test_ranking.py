@@ -88,3 +88,30 @@ def test_distributed_rank_plan_has_no_funnel(spark):
         _data(spark, 100, 2, seed=3), ["g"], ["v", "k"]
     ))
     assert props["sp_funnels"] == 0
+
+
+def test_distributed_rank_empty_input(spark):
+    df = spark.createDataFrame([], "k long, g string, v long")
+    assert distributed_rank(df, ["g"], ["v", "k"]).count() == 0
+
+
+def test_distributed_rank_single_row(spark):
+    from pyspark.sql import Row
+
+    [r] = distributed_rank(
+        spark.createDataFrame([Row(k=1, g="a", v=5)]), ["g"], ["v", "k"]
+    ).collect()
+    assert (r.rank, r.group_size) == (1, 1)
+    # percent_rank of a 1-row group is 0 by SQL definition
+    [p] = spark.createDataFrame([Row(rank=1, n=1)]).select(
+        percent_rank_expr(F.col("rank"), F.col("n")).alias("p")
+    ).collect()
+    assert p.p == 0.0
+
+
+def test_distributed_rank_high_cardinality_guard(spark):
+    import pytest
+
+    df = _data(spark, 50, 50, seed=5)  # ~unique group per row
+    with pytest.raises(ValueError, match="high-cardinality"):
+        distributed_rank(df, ["g"], ["v", "k"], max_offset_rows=10)
