@@ -488,3 +488,70 @@ def simhash(
         lambda a, b: a + b,
     )
     return t.select(id_col, sim.alias("simhash"))
+
+
+def near_dup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental near-dedup: match an ARRIVING batch against an
+    EXISTING corpus — the continuous-ingest shape, where rescanning
+    (or all-pairs-ing) the accumulated corpus per batch is the thing
+    a 100 TB pipeline cannot afford.
+
+    Same MinHash-LSH chain as :func:`near_dup_pairs`, but the
+    candidate join is new-bands x corpus-bands (never new x new,
+    never corpus x corpus): per batch, the corpus side is a
+    PRECOMPUTED band index (in production: materialized once,
+    appended as batches commit — each accepted batch's bands become
+    index rows), and the small new-batch band set broadcasts against
+    it, so per-batch cost is O(|batch| + matched candidates),
+    independent of corpus size.
+
+    Output: (new_id, corpus_id, jaccard) for every verified match
+    >= ``threshold``; new docs absent from the output are novel.
+    """
+    toks_new = distinct_token_sets(new_docs, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    toks_corp = distinct_token_sets(corpus, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    sig_new = toks_new.select(id_col, *[_minhash_col(i) for i in range(N_HASHES)])
+    sig_corp = toks_corp.select(id_col, *[_minhash_col(i) for i in range(N_HASHES)])
+    bands_new = lsh_bands(sig_new, id_col).localCheckpoint(eager=True)
+    bands_corp = lsh_bands(sig_corp, id_col).localCheckpoint(eager=True)
+    cands = (
+        bands_corp.select(
+            F.col(id_col).alias("corpus_id"), "band", "band_hash"
+        )
+        .join(
+            F.broadcast(
+                bands_new.select(
+                    F.col(id_col).alias("new_id"), "band", "band_hash"
+                )
+            ),
+            ["band", "band_hash"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    tn = toks_new.select(
+        F.col(id_col).alias("new_id"), F.col("toks").alias("toks_n")
+    )
+    tc = toks_corp.select(
+        F.col(id_col).alias("corpus_id"), F.col("toks").alias("toks_c")
+    )
+    return (
+        cands.join(tn, "new_id")
+        .join(tc, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            jaccard(F.col("toks_n"), F.col("toks_c")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

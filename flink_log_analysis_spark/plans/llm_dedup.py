@@ -116,23 +116,46 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental split: doc_id % 5 == 0 (~20%) plays the "arriving
+# batch"; the rest is the standing corpus. 5 maximizes genuine
+# near-dup matches crossing the split on the synthetic corpus (14 at
+# sf0.01 vs 1 under mod 13) so the query is discriminating.
+BATCH_MOD = 5
+
+
+def incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arriving-batch near-dedup against the standing corpus: verified
+    (new_id, corpus_id, jaccard) matches, never batch x batch or
+    corpus x corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % BATCH_MOD != 0)
+    return dedup.near_dup_against_corpus(
+        new, corpus, threshold=NEAR_DUP_THRESHOLD
+    )
+
+
 def _mh_expr(i: int) -> str:
     h = token_hash_sql("t", i)
     return f"CAST(list_min(list_transform(toks, t -> {h})) AS BIGINT) AS mh{i}"
 
 
-def _sig_cte(src: str = "documents") -> str:
+def _sig_cte(
+    src: str = "documents", toks: str = "toks", sig: str = "sig"
+) -> str:
     """MinHash signature CTEs over ``src`` (any relation exposing
     doc_id + text — lets composition queries run the identical LSH
-    pipeline on a filtered corpus)."""
+    pipeline on a filtered corpus). CTE names are parameterizable so
+    two-relation queries (incremental dedup: batch vs corpus) can
+    instantiate the chain twice in one statement."""
     mh = ",\n               ".join(_mh_expr(i) for i in range(dedup.N_HASHES))
     return f"""
-        toks AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
-        sig AS (SELECT doc_id, {mh} FROM toks)
+        {toks} AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
+        {sig} AS (SELECT doc_id, {mh} FROM {toks})
     """
 
 
-def _bands_cte() -> str:
+def _bands_cte(sig: str = "sig", bands: str = "bands") -> str:
     parts = []
     for b in range(dedup.N_BANDS):
         cols = " || ',' || ".join(
@@ -140,9 +163,9 @@ def _bands_cte() -> str:
             for r in range(dedup.ROWS_PER_BAND)
         )
         parts.append(
-            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM sig"
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM {sig}"
         )
-    return "bands AS (" + " UNION ALL ".join(parts) + ")"
+    return f"{bands} AS (" + " UNION ALL ".join(parts) + ")"
 
 
 _PAIRS_SQL = f"""
@@ -254,6 +277,34 @@ ORACLE = {
                        - len(list_intersect(ta.toks, tb.toks))), 4)
               >= {NEAR_DUP_THRESHOLD}
     """,
+    "incremental_near_dups": f"""
+        WITH {_sig_cte(
+            f"(SELECT * FROM documents WHERE doc_id % {BATCH_MOD} = 0)",
+            toks="tn", sig="sn",
+        )},
+        {_sig_cte(
+            f"(SELECT * FROM documents WHERE doc_id % {BATCH_MOD} <> 0)",
+            toks="tc", sig="sc",
+        )},
+        {_bands_cte(sig="sn", bands="bn")},
+        {_bands_cte(sig="sc", bands="bc")},
+        cands AS (
+            SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+            FROM bn n JOIN bc c
+              ON n.band = c.band AND n.band_hash = c.band_hash
+        )
+        SELECT new_id, corpus_id,
+               ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
+                     / (len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+        FROM cands
+        JOIN tn a ON a.doc_id = new_id
+        JOIN tc b ON b.doc_id = corpus_id
+        WHERE ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
+                    / (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))), 4)
+              >= {NEAR_DUP_THRESHOLD}
+    """,
     # Components via transitive closure: WITH RECURSIVE reach = all
     # vertices reachable from u; component = min reachable id. Agrees
     # exactly with Spark's hash-min label propagation at fixpoint.
@@ -285,4 +336,5 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "simhash": simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "incremental_near_dups": incremental_near_dups,
 }

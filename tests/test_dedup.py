@@ -188,3 +188,32 @@ def test_connected_components_string_ids(spark):
     )
     got = {r.vertex: r.component for r in connected_components(df).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_near_dup_against_corpus_incremental(spark):
+    """Batch-vs-corpus matching finds cross-split near-dups and never
+    reports batch x batch or corpus x corpus pairs."""
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "completely different set of words in this one here today"
+    rows = [
+        Row(doc_id=0, text=base),                      # corpus
+        Row(doc_id=1, text=other),                     # corpus
+        Row(doc_id=10, text=base + " tail"),           # batch: dup of 0
+        Row(doc_id=11, text="novel text with entirely fresh tokens now"),
+        Row(doc_id=12, text=base + " tail"),           # batch: dup of 0 AND 10
+    ]
+    df = spark.createDataFrame(rows)
+    new = df.filter("doc_id >= 10")
+    corpus = df.filter("doc_id < 10")
+    got = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in dedup.near_dup_against_corpus(new, corpus, threshold=0.6).collect()
+    }
+    assert (10, 0) in got and (12, 0) in got
+    assert all(n >= 10 and c < 10 for n, c in got)  # never intra-side
+    assert (10, 12) not in got and (12, 10) not in got
+    assert 11 not in {n for n, _ in got}  # novel doc absent
