@@ -36,6 +36,7 @@ CROSS_JOIN_OK = {
     "bm25_scores",         # 1-row corpus-stats scalar attach
     "tfidf_top_terms",     # 1-row n_docs scalar attach
     "sketch_accuracy",     # 1-row exact/sketch scalar attaches
+    "lang_mixture_resample",  # 1-row weight-sum + T scalar attaches
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
