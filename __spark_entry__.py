@@ -123,7 +123,6 @@ _DRIVER_WINDOW: list[str] = [
     "rolling_fingerprints",
     "doc_fingerprints",
     "text_quality",
-    "lang_id_ngram",
     "exact_dedup_groups",
     "minhash_signatures",
     "near_dup_pairs",
@@ -134,6 +133,7 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_prep",
     "lang_mixture_resample",
     "incremental_near_dups",
+    "simhash_near_dups",
     # code paths touched this round (prefix-sum packing, shared dedup
     # chain, shared IVF fit) — keep under audit
     "customer_balance_merge",

@@ -555,3 +555,63 @@ def near_dup_against_corpus(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_dist: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash near-duplicate pairs within Hamming distance
+    ``max_dist``, via the pigeonhole chunk join (the web-scale simhash
+    dedup technique: split the signature into ``max_dist + 1`` chunks
+    — any pair within ``max_dist`` MUST agree exactly on at least one
+    chunk, so chunk equality is a lossless candidate filter).
+
+    Complements the MinHash stack: SimHash distance tracks cosine/
+    frequency similarity (one changed token flips few bits) where
+    MinHash tracks set resemblance. Plan shape at 100 TB: signatures
+    are a map-side projection; candidates come from ``max_dist + 1``
+    equi-joins on (chunk index, chunk value) — uniform md5-derived
+    bits, no skew — and verification is one ``bit_count(xor)`` per
+    candidate. Never all-pairs.
+    """
+    n_chunks = max_dist + 1
+    chunk_bits = n_bits // n_chunks
+    sig = simhash(df, text_col, id_col, n_bits).localCheckpoint(eager=True)
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.ci", "c.cv")
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "ci", "cv"
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).cast("int")
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_dist)
+    )

@@ -135,6 +135,18 @@ def incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_MAX_DIST = 3
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-<=3 near-dup pairs via the pigeonhole chunk
+    join (lossless candidates: a <=3-bit-different pair must agree on
+    one of 4 signature chunks)."""
+    return dedup.simhash_near_dups(
+        read_table(spark, sf_dir, "documents"), max_dist=SIMHASH_MAX_DIST
+    )
+
+
 def _mh_expr(i: int) -> str:
     h = token_hash_sql("t", i)
     return f"CAST(list_min(list_transform(toks, t -> {h})) AS BIGINT) AS mh{i}"
@@ -277,6 +289,21 @@ ORACLE = {
                        - len(list_intersect(ta.toks, tb.toks))), 4)
               >= {NEAR_DUP_THRESHOLD}
     """,
+    "simhash_near_dups": f"""
+        WITH s AS ({{simhash_sql}}),
+        c AS (SELECT doc_id, simhash, i AS ci,
+                     ((simhash >> (i * {32 // (SIMHASH_MAX_DIST + 1)}))
+                      & {(1 << (32 // (SIMHASH_MAX_DIST + 1))) - 1}) AS cv
+              FROM s, generate_series(0, {SIMHASH_MAX_DIST}) AS t(i))
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                       AS hamming
+            FROM c a JOIN c b
+              ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        )
+        WHERE hamming <= {SIMHASH_MAX_DIST}
+    """,
     "incremental_near_dups": f"""
         WITH {_sig_cte(
             f"(SELECT * FROM documents WHERE doc_id % {BATCH_MOD} = 0)",
@@ -328,6 +355,13 @@ ORACLE = {
     """,
 }
 
+# Splice the (long) simhash CTE in once — the dict literal above keeps
+# a placeholder so the pair oracle and the signature oracle cannot
+# drift apart.
+ORACLE["simhash_near_dups"] = ORACLE["simhash_near_dups"].replace(
+    "{simhash_sql}", _simhash_sql()
+)
+
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
     "minhash_signatures": minhash_signatures,
@@ -337,4 +371,5 @@ QUERIES = {
     "simhash": simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "incremental_near_dups": incremental_near_dups,
+    "simhash_near_dups": simhash_near_dups,
 }

@@ -217,3 +217,34 @@ def test_near_dup_against_corpus_incremental(spark):
     assert all(n >= 10 and c < 10 for n, c in got)  # never intra-side
     assert (10, 12) not in got and (12, 10) not in got
     assert 11 not in {n for n, _ in got}  # novel doc absent
+
+
+def test_simhash_near_dups_pigeonhole_exact(spark):
+    """The chunk join must find exactly the pairs a brute-force
+    Hamming scan finds (pigeonhole candidates are lossless)."""
+    from itertools import combinations
+
+    from pyspark.sql import Row, functions as F
+
+    from flink_log_analysis_spark.operators import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = [base, base + " extra", base.replace("beta", "betb"),
+             "wholly different content with other words present here now",
+             base]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    expected = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_dups(df, max_dist=3).collect()
+    }
+    assert got == expected
+    assert (0, 4) in got and got[(0, 4)] == 0  # identical docs
