@@ -122,7 +122,6 @@ _DRIVER_WINDOW: list[str] = [
     "token_frequencies",
     "rolling_fingerprints",
     "doc_fingerprints",
-    "text_quality",
     "exact_dedup_groups",
     "minhash_signatures",
     "near_dup_pairs",
@@ -133,6 +132,7 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_prep",
     "lang_mixture_resample",
     "incremental_near_dups",
+    "incremental_near_dups_stream",
     "simhash_near_dups",
     # code paths touched this round (prefix-sum packing, shared dedup
     # chain, shared IVF fit) — keep under audit

@@ -514,16 +514,44 @@ def near_dup_against_corpus(
     Output: (new_id, corpus_id, jaccard) for every verified match
     >= ``threshold``; new docs absent from the output are novel.
     """
+    index = build_near_dup_index(corpus, text_col, id_col)
+    return match_against_index(
+        new_docs, index, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+
+
+def build_near_dup_index(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle sets, LSH band rows) for the standing corpus — built
+    ONCE, matched many times (each arriving batch reuses it; in
+    production both live as appendable tables, each accepted batch's
+    rows appended as it commits). Both sides are lineage-cut so
+    repeated matches replan from the compact materialized rows."""
+    toks = distinct_token_sets(corpus, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    sig = toks.select(id_col, *[_minhash_col(i) for i in range(N_HASHES)])
+    bands = lsh_bands(sig, id_col).localCheckpoint(eager=True)
+    return toks, bands
+
+
+def match_against_index(
+    new_docs: DataFrame,
+    index: tuple[DataFrame, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Match one arriving batch against a prebuilt corpus index: the
+    (small) batch band set broadcasts against the corpus bands, then
+    exact Jaccard verifies candidates only."""
+    toks_corp, bands_corp = index
     toks_new = distinct_token_sets(new_docs, text_col, id_col).localCheckpoint(
         eager=True
     )
-    toks_corp = distinct_token_sets(corpus, text_col, id_col).localCheckpoint(
-        eager=True
-    )
     sig_new = toks_new.select(id_col, *[_minhash_col(i) for i in range(N_HASHES)])
-    sig_corp = toks_corp.select(id_col, *[_minhash_col(i) for i in range(N_HASHES)])
-    bands_new = lsh_bands(sig_new, id_col).localCheckpoint(eager=True)
-    bands_corp = lsh_bands(sig_corp, id_col).localCheckpoint(eager=True)
+    bands_new = lsh_bands(sig_new, id_col)
     cands = (
         bands_corp.select(
             F.col(id_col).alias("corpus_id"), "band", "band_hash"

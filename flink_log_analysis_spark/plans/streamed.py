@@ -287,6 +287,81 @@ def deduped_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def incremental_near_dups_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of llm_dedup.incremental_near_dups: arriving
+    documents stream in file-by-file, and every micro-batch's LSH
+    bands broadcast against the PRE-BUILT standing-corpus index
+    (operators.dedup.build_near_dup_index — built once per query, as a
+    production index would be materialized once and appended). Matches
+    accumulate in a keyed upsert sink; the final keyed state must
+    equal the batch query exactly, which is what the shared oracle
+    asserts.
+
+    This is the continuous-ingest dedup shape at 100 TB: per-batch
+    cost is O(batch + matched candidates), independent of corpus
+    size, and state is bounded by the match count, not the stream.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators import dedup
+    from ..streaming.upsert import MemoryUpsertSink
+    from .llm_dedup import BATCH_MOD, NEAR_DUP_THRESHOLD
+
+    work = shared_tmp_dir("loganalysis_stream_")
+    try:
+        docs = read_table(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % BATCH_MOD != 0)
+        index = dedup.build_near_dup_index(corpus)
+        # The arriving side lands as several files -> several
+        # micro-batches under maxFilesPerTrigger=1.
+        new = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
+        new.repartition(4).write.parquet(f"{work}/in")
+        schema = spark.read.parquet(f"{work}/in").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/in")
+        )
+        sink = MemoryUpsertSink(
+            ["new_id", "corpus_id"],
+            schema=StructType(
+                [
+                    StructField("new_id", LongType()),
+                    StructField("corpus_id", LongType()),
+                    StructField("jaccard", DoubleType()),
+                ]
+            ),
+        )
+
+        def apply(batch_df, batch_id):
+            sink(
+                dedup.match_against_index(
+                    batch_df, index, threshold=NEAR_DUP_THRESHOLD
+                ),
+                batch_id,
+            )
+
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+        ):
+            q = (
+                stream.writeStream.foreachBatch(apply)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
+        assert len(sink.applied_batches) >= 2, "expected a multi-batch run"
+        return sink.to_df(spark)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # Oracles re-derive expected sink state from events (see logpipe's
 # line-construction contract): views carry fid = k % N_SECTIONS, clicks
 # carry tid = user_id, errors get status 500 and are dropped by the
@@ -355,4 +430,11 @@ QUERIES = {
     "hourly_event_stats_stream": hourly_event_stats_stream,
     "windowed_event_counts_stream": windowed_event_counts_stream,
     "deduped_events_stream": deduped_events_stream,
+    "incremental_near_dups_stream": incremental_near_dups_stream,
 }
+
+# The streamed incremental dedup must converge to the batch query's
+# exact result — same oracle, imported so the two can never drift.
+from .llm_dedup import ORACLE as _DEDUP_ORACLE  # noqa: E402
+
+ORACLE["incremental_near_dups_stream"] = _DEDUP_ORACLE["incremental_near_dups"]

@@ -542,3 +542,22 @@ def test_deduped_events_stream_removes_doubled_rows(spark, sf_dir):
     n_events = read_table(spark, sf_dir, "events").count()
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_incremental_near_dups_stream_equals_batch(spark, sf_dir):
+    """Streamed batch-vs-corpus dedup converges to the batch query's
+    exact match set (per-micro-batch matching against one prebuilt
+    index, multi-batch run)."""
+    from flink_log_analysis_spark.plans.llm_dedup import incremental_near_dups
+    from flink_log_analysis_spark.plans.streamed import (
+        incremental_near_dups_stream,
+    )
+
+    got = sorted(
+        tuple(r) for r in incremental_near_dups_stream(spark, sf_dir).collect()
+    )
+    exp = sorted(
+        tuple(r) for r in incremental_near_dups(spark, sf_dir).collect()
+    )
+    assert got == exp
+    assert len(got) > 0
