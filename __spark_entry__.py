@@ -122,7 +122,10 @@ _DRIVER_WINDOW: list[str] = [
     "token_frequencies",
     "rolling_fingerprints",
     "doc_fingerprints",
-    "exact_dedup_groups",
+    # new this round: Gopher n-gram repetition signals (needs a first
+    # row; exact_dedup_groups — green r1-r5, code untouched — rotates
+    # out to make room and stays under the local gate)
+    "doc_repetition_signals",
     "minhash_signatures",
     "near_dup_pairs",
     "near_dedup_docs",

@@ -36,6 +36,14 @@ MIN_STOPWORD_RATIO = 0.01
 CONTAMINATION_GRAM = 8      # benchmark-overlap shingle width (words)
 PACK_BLOCK_TOKENS = 256     # concat-and-chunk block size
 
+# Gopher repetition-rule constants (Rae et al. 2021, Table A1): a doc
+# is rejected when the most frequent 2-gram covers > 20% of its
+# characters, or duplicated 5-grams cover > 15%.
+REP_TOP_N = 2
+REP_DUP_N = 5
+MAX_TOP_NGRAM_CHAR_FRAC = 0.20
+MAX_DUP_NGRAM_CHAR_FRAC = 0.15
+
 
 def keep_predicate(text: Column) -> Column:
     """The C4/Gopher keep verdict as a single boolean Column — usable
@@ -146,6 +154,112 @@ def pii_scrub(
         *[counts[n].alias(f"n_{n}") for n, _, _ in PII_PATTERNS],
         F.md5(scrubbed).alias("scrubbed_md5"),
         F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
+def _gram_multiset(w: Column, n: int) -> Column:
+    """ALL word n-gram occurrences (with repeats — this is the multiset
+    the repetition signals count, unlike dedup's distinct shingle
+    sets). Docs shorter than ``n`` words yield an empty list: a window
+    that never fits has no occurrences, hence zero repetition. ``w``
+    must be a plain column reference (see dedup._grams_from_tokens on
+    the lambda-CSE pitfall)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - n + 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document n-gram repetition signals.
+
+    Per document: ``top2_char_frac`` = characters covered by the most
+    frequent word 2-gram (count x gram length) as a fraction of total
+    token characters; ``dup5_char_frac`` = characters covered by all
+    word 5-grams occurring more than once, same denominator;
+    ``rep_keep`` = the Gopher verdict (top-2-gram <= 20%, dup-5-gram
+    <= 15%). Coverage counts every occurrence (overlaps double-count,
+    as in the public reimplementations) and is capped at 1.0.
+
+    Line/paragraph duplicate fractions from the same recipe are
+    deliberately omitted: this corpus model treats a document as one
+    text blob (no newline structure), so those signals are constant-0
+    and verify nothing.
+
+    Shape at 100 TB: one narrow (id, tokens) projection feeds both
+    n-gram explodes; the only shuffles carry (id, gram, count) rows
+    with map-side partial aggregation collapsing repeated grams before
+    the exchange, then (id, coverage) rows. The document text itself
+    never shuffles. The lineage cut before the explodes prevents
+    Catalyst from pushing the explode's size>0 predicate through the
+    token projection and re-inlining tokenization per gram position
+    (same trap as benchmark_contamination).
+    """
+    toks = tokens(F.col(text_col))
+    base = (
+        df.select(F.col(id_col), toks.alias("w"))
+        .select(
+            id_col,
+            "w",
+            token_char_sum(F.col("w")).alias("total_token_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def coverage(n: int, dup_only: bool, out: str) -> DataFrame:
+        counts = (
+            base.select(
+                F.col(id_col),
+                F.explode(_gram_multiset(F.col("w"), n)).alias("gram"),
+            )
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        cov = (
+            F.sum(
+                F.when(
+                    F.col("cnt") > 1, F.col("cnt") * F.length("gram")
+                ).otherwise(F.lit(0))
+            )
+            if dup_only
+            else F.max(F.col("cnt") * F.length("gram"))
+        )
+        return counts.groupBy(id_col).agg(cov.alias(out))
+
+    top = coverage(REP_TOP_N, dup_only=False, out="top_cov")
+    dup = coverage(REP_DUP_N, dup_only=True, out="dup_cov")
+
+    def frac(cov: str) -> Column:
+        return F.round(
+            F.least(
+                F.coalesce(F.col(cov), F.lit(0)).cast("double")
+                / F.greatest(F.col("total_token_chars"), F.lit(1)),
+                F.lit(1.0),
+            ),
+            4,
+        )
+
+    top_frac = frac("top_cov")
+    dup_frac = frac("dup_cov")
+    return (
+        base.select(id_col, "total_token_chars")
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.col("total_token_chars").cast("int").alias("total_token_chars"),
+            top_frac.alias("top2_char_frac"),
+            dup_frac.alias("dup5_char_frac"),
+            (
+                (top_frac <= MAX_TOP_NGRAM_CHAR_FRAC)
+                & (dup_frac <= MAX_DUP_NGRAM_CHAR_FRAC)
+            ).alias("rep_keep"),
+        )
     )
 
 

@@ -78,6 +78,10 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.pack_chunks(read_table(spark, sf_dir, "documents"))
 
 
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.repetition_signals(read_table(spark, sf_dir, "documents"))
+
+
 def _pii_oracle() -> str:
     aug = (
         "(text || ' contact user' || CAST(doc_id AS VARCHAR)"
@@ -101,6 +105,66 @@ def _pii_oracle() -> str:
                md5({cur}) AS scrubbed_md5,
                CAST(length({cur}) AS INTEGER) AS scrubbed_len
         FROM documents
+    """
+
+
+# Raw-token n-gram MULTISETS (all occurrences, no dedup) for the
+# repetition signals; short docs yield [] (window never fits).
+def _gram_multiset_sql(n: int) -> str:
+    join = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""
+        CASE WHEN len(w) >= {n}
+             THEN list_transform(generate_series(1, len(w) - {n - 1}),
+                                 i -> {join})
+             ELSE [] END
+    """
+
+
+def _repetition_oracle() -> str:
+    frac = (
+        "ROUND(LEAST(COALESCE({cov}, 0) * 1.0"
+        " / GREATEST(total_token_chars, 1), 1.0), 4)"
+    )
+    top = frac.format(cov="top_cov")
+    dup = frac.format(cov="dup_cov")
+    return f"""
+        WITH b AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ), base AS (
+            SELECT doc_id, w,
+                   list_sum(list_transform(w, x -> length(x)))
+                       AS total_token_chars
+            FROM b
+        ), c2 AS (
+            SELECT doc_id, gram, COUNT(*) AS cnt
+            FROM (SELECT doc_id,
+                         unnest({_gram_multiset_sql(quality.REP_TOP_N)}) AS gram
+                  FROM base)
+            GROUP BY doc_id, gram
+        ), a2 AS (
+            SELECT doc_id, MAX(cnt * length(gram)) AS top_cov
+            FROM c2 GROUP BY doc_id
+        ), c5 AS (
+            SELECT doc_id, gram, COUNT(*) AS cnt
+            FROM (SELECT doc_id,
+                         unnest({_gram_multiset_sql(quality.REP_DUP_N)}) AS gram
+                  FROM base)
+            GROUP BY doc_id, gram
+        ), a5 AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+                       AS dup_cov
+            FROM c5 GROUP BY doc_id
+        )
+        SELECT base.doc_id,
+               CAST(total_token_chars AS INTEGER) AS total_token_chars,
+               {top} AS top2_char_frac,
+               {dup} AS dup5_char_frac,
+               ({top} <= {quality.MAX_TOP_NGRAM_CHAR_FRAC}
+                AND {dup} <= {quality.MAX_DUP_NGRAM_CHAR_FRAC}) AS rep_keep
+        FROM base
+        LEFT JOIN a2 USING (doc_id)
+        LEFT JOIN a5 USING (doc_id)
     """
 
 
@@ -129,6 +193,7 @@ ORACLE = {
         FROM s
     """,
     "pii_scrub": _pii_oracle(),
+    "doc_repetition_signals": _repetition_oracle(),
     "benchmark_contamination": f"""
         WITH toks AS (SELECT doc_id, {_TOKS8} AS toks FROM documents),
         cg AS (SELECT doc_id, unnest(toks) AS gram FROM toks),
@@ -167,6 +232,7 @@ ORACLE = {
 
 QUERIES = {
     "doc_quality_signals": doc_quality_signals,
+    "doc_repetition_signals": doc_repetition_signals,
     "pii_scrub": pii_scrub,
     "benchmark_contamination": benchmark_contamination,
     "pack_chunks": pack_chunks,

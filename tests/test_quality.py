@@ -174,3 +174,49 @@ def test_pack_chunks_empty_input(spark):
         [StructField("doc_id", LongType()), StructField("text", StringType())]
     )
     assert quality.pack_chunks(spark.createDataFrame([], schema)).count() == 0
+
+
+def test_repetition_signals_crafted(spark):
+    # doc 0: "a b" repeated 10x -> the top 2-gram ("a b" or "b a")
+    # covers nearly all characters, every 5-gram occurs repeatedly.
+    # doc 1: all-distinct words -> top-2-gram coverage is one gram's
+    # chars, zero duplicated 5-grams. doc 2: shorter than 5 words ->
+    # dup5 undefined (0), top2 still computed. doc 3: shorter than 2
+    # words -> both 0.
+    looped = "a b " * 10
+    distinct = " ".join(f"w{i:02d}" for i in range(40))
+    out = {
+        r.doc_id: r
+        for r in quality.repetition_signals(
+            _docs(spark, [looped.strip(), distinct, "x y z", "solo"])
+        ).collect()
+    }
+    r0 = out[0]
+    # 20 tokens of 1 char each; top 2-gram "a b" occurs 10x, 3 chars.
+    assert r0.total_token_chars == 20
+    assert r0.top2_char_frac == 1.0  # 30/20 capped
+    assert r0.dup5_char_frac == 1.0
+    assert r0.rep_keep is False
+
+    r1 = out[1]
+    # 40 distinct 3-char words -> every 2-gram unique: max cov = 7.
+    assert r1.total_token_chars == 120
+    assert r1.top2_char_frac == round(7 / 120, 4)
+    assert r1.dup5_char_frac == 0.0
+    assert r1.rep_keep is True
+
+    r2 = out[2]
+    assert r2.dup5_char_frac == 0.0
+    assert r2.top2_char_frac == round(3 / 3, 4)  # "x y" covers 3/3
+
+    r3 = out[3]
+    assert r3.top2_char_frac == 0.0
+    assert r3.dup5_char_frac == 0.0
+    assert r3.rep_keep is True
+
+
+def test_repetition_signals_overlap_double_counts_capped(spark):
+    # "t t t t t t" -> 2-gram "t t" occurs 5x (overlapping), coverage
+    # 5*3=15 > 6 total chars -> capped at 1.0.
+    out = quality.repetition_signals(_docs(spark, ["t t t t t t"])).collect()
+    assert out[0].top2_char_frac == 1.0
