@@ -137,13 +137,16 @@ _DRIVER_WINDOW: list[str] = [
     "incremental_near_dups",
     "incremental_near_dups_stream",
     "simhash_near_dups",
+    # new this round: stream-stream event-time interval join (needs a
+    # first row; knn_bruteforce — green r1-r5, code untouched —
+    # rotates out and stays under the local gate)
+    "conversion_pairs_stream",
     # code paths touched this round (prefix-sum packing, shared dedup
     # chain, shared IVF fit) — keep under audit
     "customer_balance_merge",
     "stateful_sessions",
     "ngram_jaccard_pairs",
     "simhash",
-    "knn_bruteforce",
     "knn_lsh",
     "embedding_near_dups",
     "embedding_norms",

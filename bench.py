@@ -133,6 +133,15 @@ def run_slice(sf_dir: str, names: list[str]) -> tuple[dict, dict, list]:
             _verified_pairs(spark, sf_dir)
             prebuild["near_dup_pairs_index"] = round(time.perf_counter() - t0, 3)
             release_checkpoints(spark)
+        if any(n.startswith("incremental_near_dups") for n in names):
+            from flink_log_analysis_spark.plans.llm_dedup import _corpus_index
+
+            t0 = time.perf_counter()
+            _corpus_index(spark, sf_dir)
+            prebuild["near_dup_corpus_index"] = round(
+                time.perf_counter() - t0, 3
+            )
+            release_checkpoints(spark)
         if any(n.startswith("knn_ivf") for n in names):
             from flink_log_analysis_spark.plans.llm_similarity import _ivf_centroids
 

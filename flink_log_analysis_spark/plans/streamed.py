@@ -287,12 +287,80 @@ def deduped_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def conversion_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join through the real
+    topology: the view stream joined to the purchase stream of the
+    same user with ``view_ts <= buy_ts <= view_ts + 1 hour`` — the
+    attribution/conversion join (streaming.joins.interval_join, the
+    engine-extension tier above the reference's stream-static lookup
+    joins, SURVEY §2.B B5).
+
+    Both sides are unbounded file streams over the same events
+    snapshot; the time bound plus the 2-hour watermark is what lets
+    Spark evict join state (rows outside interval + watermark), so
+    state is O(events per key per window), not O(stream). Inner-join
+    matches emit as soon as both rows arrive (the watermark only
+    gates state cleanup), so the availableNow drain yields every
+    pair and the oracle is the identical batch interval join.
+    """
+    from ..streaming.joins import interval_join
+
+    work = shared_tmp_dir("loganalysis_stream_")
+    try:
+        views = (
+            read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+        )
+        buys = (
+            read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("buy_id"),
+                F.col("ts").alias("buy_ts"),
+                F.col("value").alias("buy_value"),
+            )
+        )
+        pairs = interval_join(
+            views, buys, "user_id", "view_ts", "buy_ts",
+            upper="1 hour", watermark="2 hours",
+        ).select(
+            "user_id",
+            "view_id",
+            "buy_id",
+            (F.col("buy_ts").cast("long") - F.col("view_ts").cast("long"))
+            .alias("lag_sec"),
+            "buy_value",
+        )
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+        ):
+            q = (
+                pairs.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
+        return spark.read.parquet(f"{work}/out").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def incremental_near_dups_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of llm_dedup.incremental_near_dups: arriving
     documents stream in file-by-file, and every micro-batch's LSH
     bands broadcast against the PRE-BUILT standing-corpus index
-    (operators.dedup.build_near_dup_index — built once per query, as a
-    production index would be materialized once and appended). Matches
+    (llm_dedup._corpus_index — materialized to parquet once per
+    session and shared with the batch twin, as a production index
+    would be materialized once and appended). Matches
     accumulate in a keyed upsert sink; the final keyed state must
     equal the batch query exactly, which is what the shared oracle
     asserts.
@@ -310,13 +378,12 @@ def incremental_near_dups_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import dedup
     from ..streaming.upsert import MemoryUpsertSink
-    from .llm_dedup import BATCH_MOD, NEAR_DUP_THRESHOLD
+    from .llm_dedup import BATCH_MOD, NEAR_DUP_THRESHOLD, _corpus_index
 
     work = shared_tmp_dir("loganalysis_stream_")
     try:
         docs = read_table(spark, sf_dir, "documents")
-        corpus = docs.filter(F.col("doc_id") % BATCH_MOD != 0)
-        index = dedup.build_near_dup_index(corpus)
+        index = _corpus_index(spark, sf_dir)
         # The arriving side lands as several files -> several
         # micro-batches under maxFilesPerTrigger=1.
         new = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
@@ -421,6 +488,22 @@ ORACLE = {
     "deduped_events_stream": """
         SELECT event_id, event_type, value FROM events
     """,
+    # Inner interval join: the stream's append output equals the batch
+    # join (date_diff('second') == Spark's floor-second cast diff —
+    # both count whole-second boundaries in (view_ts, buy_ts]).
+    "conversion_pairs_stream": """
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               b.event_id AS buy_id,
+               date_diff('second', v.ts, b.ts) AS lag_sec,
+               b.value AS buy_value
+        FROM events v
+        JOIN events b
+          ON v.user_id = b.user_id
+         AND b.ts >= v.ts
+         AND b.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+    """,
 }
 
 QUERIES = {
@@ -430,6 +513,7 @@ QUERIES = {
     "hourly_event_stats_stream": hourly_event_stats_stream,
     "windowed_event_counts_stream": windowed_event_counts_stream,
     "deduped_events_stream": deduped_events_stream,
+    "conversion_pairs_stream": conversion_pairs_stream,
     "incremental_near_dups_stream": incremental_near_dups_stream,
 }
 

@@ -561,3 +561,33 @@ def test_incremental_near_dups_stream_equals_batch(spark, sf_dir):
     )
     assert got == exp
     assert len(got) > 0
+
+
+def test_conversion_pairs_stream_semantics(spark, sf_dir):
+    """The registry's stream-stream interval join: every pair is a
+    (view, purchase) of one user with 0 <= lag <= 1h, and the pair set
+    equals the batch interval join over the same events."""
+    from flink_log_analysis_spark.plans.streamed import conversion_pairs_stream
+    from flink_log_analysis_spark.session import read_table
+
+    got = conversion_pairs_stream(spark, sf_dir)
+    rows = got.collect()
+    assert all(0 <= r.lag_sec <= 3600 for r in rows)
+
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("bts")
+    )
+    batch = v.join(
+        b,
+        (F.col("user_id") == F.col("bu"))
+        & (F.col("bts") >= F.col("vts"))
+        & (F.col("bts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    exp = {(r.view_id, r.buy_id) for r in batch.collect()}
+    assert {(r.view_id, r.buy_id) for r in rows} == exp
+    assert len(rows) == len(exp)
