@@ -97,3 +97,26 @@ def test_embedding_near_dups_subset_of_bruteforce(spark, emb):
     assert all(r.cos >= 0.4 and r.vec_a < r.vec_b for r in got)
     if truth_pairs:
         assert len(got_pairs) / len(truth_pairs) >= 0.25
+
+
+def test_probe_cells_order_and_tiebreak(spark):
+    """probe_cells ranks centroids by squared L2 ascending, ties broken
+    toward the LOWER cell index (the contract the assignment, the
+    multiprobe explode, and the partition-pruning layout all rely on)."""
+    from pyspark.sql import functions as F
+
+    from flink_log_analysis_spark.operators.similarity import probe_cells
+
+    # Centroids 0/1 equidistant from the probe point; 2 is farther.
+    cmat = spark.createDataFrame(
+        [([[1.0, 0.0], [-1.0, 0.0], [5.0, 5.0]],)],
+        "cmat array<array<double>>",
+    )
+    df = spark.createDataFrame([(0, [0.0, 0.0])], "id long, v array<double>")
+    out = probe_cells(
+        df.select("id", F.col("v").alias("arr")), "arr", cmat, [0, 1, 2]
+    ).collect()[0]
+    assert out.cell_p0 == 0  # tie with cell 1 -> lower index wins
+    assert out.cell_p1 == 1
+    assert out.cell_p2 == 2
+    assert "cmat" not in out.asDict()

@@ -37,6 +37,7 @@ CROSS_JOIN_OK = {
     "tfidf_top_terms",     # 1-row n_docs scalar attach
     "sketch_accuracy",     # 1-row exact/sketch scalar attaches
     "lang_mixture_resample",  # 1-row weight-sum + T scalar attaches
+    "knn_ivf",             # 1-row centroid-matrix broadcast attach
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
