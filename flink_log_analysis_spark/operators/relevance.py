@@ -180,7 +180,16 @@ def tfidf_top_terms(
     reorder ranks across engines.
     """
     dt = doc_terms(docs, text_col, id_col)
-    tf = dt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency aggregate and the score
+    # join; Catalyst does not share subtrees across join branches, so
+    # without a lineage cut the explode + (doc, term) aggregation runs
+    # twice. The materialized tf is O(distinct doc-term pairs) — the
+    # same volume its own shuffle already writes.
+    tf = (
+        dt.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -384,10 +384,13 @@ def incremental_near_dups_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs = read_table(spark, sf_dir, "documents")
         index = _corpus_index(spark, sf_dir)
-        # The arriving side lands as several files -> several
-        # micro-batches under maxFilesPerTrigger=1.
+        # The arriving side lands as two files -> two micro-batches
+        # under maxFilesPerTrigger=1 (two is all the incremental
+        # contract needs: the >=2 assert below proves per-batch
+        # matching; each extra micro-batch re-pays plan build +
+        # signature projection for the same evidence).
         new = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
-        new.repartition(4).write.parquet(f"{work}/in")
+        new.repartition(2).write.parquet(f"{work}/in")
         schema = spark.read.parquet(f"{work}/in").schema
         stream = (
             spark.readStream.schema(schema)
