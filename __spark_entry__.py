@@ -122,10 +122,12 @@ _DRIVER_WINDOW: list[str] = [
     "token_frequencies",
     "rolling_fingerprints",
     "doc_fingerprints",
-    # new this round: Gopher n-gram repetition signals (needs a first
-    # row; exact_dedup_groups — green r1-r5, code untouched — rotates
-    # out to make room and stays under the local gate)
+    # new this round: Gopher n-gram repetition signals + cross-doc
+    # boilerplate detection (need first rows; exact_dedup_groups and
+    # simhash — green r1-r5, code untouched — rotate out to make room
+    # and stay under the local gate)
     "doc_repetition_signals",
+    "doc_boilerplate_signals",
     "minhash_signatures",
     "near_dup_pairs",
     "near_dedup_docs",
@@ -146,7 +148,6 @@ _DRIVER_WINDOW: list[str] = [
     "customer_balance_merge",
     "stateful_sessions",
     "ngram_jaccard_pairs",
-    "simhash",
     "knn_lsh",
     "embedding_near_dups",
     "embedding_norms",

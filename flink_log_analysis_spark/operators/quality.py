@@ -44,6 +44,17 @@ REP_DUP_N = 5
 MAX_TOP_NGRAM_CHAR_FRAC = 0.20
 MAX_DUP_NGRAM_CHAR_FRAC = 0.15
 
+# Boilerplate (cross-document template) detection: a word n-gram
+# occurring in >= BOILERPLATE_MIN_DF distinct documents is template
+# text (navigation chrome, license headers, signatures); a doc is
+# flagged when boilerplate grams cover > MAX_BOILERPLATE_FRAC of its
+# gram positions. DF >= 2 is tuned to the synthetic corpus (shared
+# 5-grams only arise from planted duplicate/template content there); a
+# web-scale corpus would raise it well above the duplication floor.
+BOILERPLATE_N = 5
+BOILERPLATE_MIN_DF = 2
+MAX_BOILERPLATE_FRAC = 0.50
+
 
 def keep_predicate(text: Column) -> Column:
     """The C4/Gopher keep verdict as a single boolean Column — usable
@@ -259,6 +270,74 @@ def repetition_signals(
                 (top_frac <= MAX_TOP_NGRAM_CHAR_FRAC)
                 & (dup_frac <= MAX_DUP_NGRAM_CHAR_FRAC)
             ).alias("rep_keep"),
+        )
+    )
+
+
+def boilerplate_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document template (boilerplate) detection: word
+    ``BOILERPLATE_N``-grams appearing in >= ``BOILERPLATE_MIN_DF``
+    distinct documents are template text, and each document reports
+    the fraction of its gram positions covered by them (the
+    RefinedWeb/MassiveText-style boilerplate signal — the corpus-level
+    complement of :func:`repetition_signals`' within-doc rules).
+
+    Per document: ``n_grams`` (gram positions), ``n_boiler`` (positions
+    whose gram is boilerplate), ``boiler_frac`` (ratio, 4dp),
+    ``bp_keep`` (frac <= ``MAX_BOILERPLATE_FRAC``). Docs shorter than
+    n words have 0 positions and keep.
+
+    Shape at 100 TB: ONE explode pass builds the per-doc gram counts
+    (map-side partial agg collapses repeats before the shuffle), which
+    are lineage-cut and reused for both the document-frequency
+    aggregate and the per-doc flagging — the corpus text is read once
+    and never shuffled. The boilerplate gram set is small by nature
+    (templates, not content) and broadcasts.
+    """
+    toks = tokens(F.col(text_col))
+    base = (
+        df.select(F.col(id_col), toks.alias("w"))
+        .select(id_col, _gram_multiset(F.col("w"), BOILERPLATE_N).alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    dg = (
+        base.select(F.col(id_col), F.explode("g").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    boiler = (
+        dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DF)
+        .select("gram", F.lit(1).alias("is_bp"))
+    )
+    per_doc = (
+        dg.join(F.broadcast(boiler), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(
+                F.when(F.col("is_bp") == 1, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+    )
+    frac = F.round(
+        F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+        / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+        4,
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("int").alias("n_grams"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("int").alias("n_boiler"),
+            frac.alias("boiler_frac"),
+            (frac <= MAX_BOILERPLATE_FRAC).alias("bp_keep"),
         )
     )
 

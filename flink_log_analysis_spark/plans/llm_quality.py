@@ -82,6 +82,10 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.repetition_signals(read_table(spark, sf_dir, "documents"))
 
 
+def doc_boilerplate_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.boilerplate_signals(read_table(spark, sf_dir, "documents"))
+
+
 def _pii_oracle() -> str:
     aug = (
         "(text || ' contact user' || CAST(doc_id AS VARCHAR)"
@@ -168,6 +172,40 @@ def _repetition_oracle() -> str:
     """
 
 
+def _boilerplate_oracle() -> str:
+    frac = (
+        "ROUND(COALESCE(n_boiler, 0) * 1.0"
+        " / GREATEST(COALESCE(n_grams, 0), 1), 4)"
+    )
+    return f"""
+        WITH b AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ), dg AS (
+            SELECT doc_id, gram, COUNT(*) AS cnt
+            FROM (SELECT doc_id,
+                         unnest({_gram_multiset_sql(quality.BOILERPLATE_N)})
+                             AS gram
+                  FROM b)
+            GROUP BY doc_id, gram
+        ), boiler AS (
+            SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM dg GROUP BY 1)
+            WHERE df >= {quality.BOILERPLATE_MIN_DF}
+        ), per AS (
+            SELECT dg.doc_id, SUM(cnt) AS n_grams,
+                   SUM(CASE WHEN boiler.gram IS NOT NULL THEN cnt ELSE 0 END)
+                       AS n_boiler
+            FROM dg LEFT JOIN boiler USING (gram)
+            GROUP BY dg.doc_id
+        )
+        SELECT b.doc_id,
+               CAST(COALESCE(n_grams, 0) AS INTEGER) AS n_grams,
+               CAST(COALESCE(n_boiler, 0) AS INTEGER) AS n_boiler,
+               {frac} AS boiler_frac,
+               ({frac} <= {quality.MAX_BOILERPLATE_FRAC}) AS bp_keep
+        FROM b LEFT JOIN per USING (doc_id)
+    """
+
+
 ORACLE = {
     "doc_quality_signals": f"""
         WITH t AS (
@@ -194,6 +232,7 @@ ORACLE = {
     """,
     "pii_scrub": _pii_oracle(),
     "doc_repetition_signals": _repetition_oracle(),
+    "doc_boilerplate_signals": _boilerplate_oracle(),
     "benchmark_contamination": f"""
         WITH toks AS (SELECT doc_id, {_TOKS8} AS toks FROM documents),
         cg AS (SELECT doc_id, unnest(toks) AS gram FROM toks),
@@ -233,6 +272,7 @@ ORACLE = {
 QUERIES = {
     "doc_quality_signals": doc_quality_signals,
     "doc_repetition_signals": doc_repetition_signals,
+    "doc_boilerplate_signals": doc_boilerplate_signals,
     "pii_scrub": pii_scrub,
     "benchmark_contamination": benchmark_contamination,
     "pack_chunks": pack_chunks,

@@ -220,3 +220,40 @@ def test_repetition_signals_overlap_double_counts_capped(spark):
     # 5*3=15 > 6 total chars -> capped at 1.0.
     out = quality.repetition_signals(_docs(spark, ["t t t t t t"])).collect()
     assert out[0].top2_char_frac == 1.0
+
+
+def test_boilerplate_signals_crafted(spark):
+    # Docs 0 and 1 share the same 6-word template prefix (two shared
+    # 5-gram positions each, DF=2 >= MIN_DF); doc 2 is all-unique
+    # content; doc 3 is shorter than n (0 positions -> keep).
+    template = "all rights reserved by example site"
+    d0 = template + " alpha beta gamma"
+    d1 = template + " delta epsilon zeta"
+    d2 = " ".join(f"u{i:02d}" for i in range(20))
+    out = {
+        r.doc_id: r
+        for r in quality.boilerplate_signals(
+            _docs(spark, [d0, d1, d2, "too short"])
+        ).collect()
+    }
+    # 9 tokens -> 5 gram positions; the 2 positions fully inside the
+    # template are shared (DF=2), positions crossing into the unique
+    # tail are not.
+    assert out[0].n_grams == 5 and out[0].n_boiler == 2
+    assert out[0].boiler_frac == 0.4 and out[0].bp_keep is True
+    assert out[1].n_grams == 5 and out[1].n_boiler == 2
+    assert out[2].n_boiler == 0 and out[2].bp_keep is True
+    assert out[3].n_grams == 0 and out[3].boiler_frac == 0.0
+    assert out[3].bp_keep is True
+
+
+def test_boilerplate_flags_template_dominated_doc(spark):
+    # Doc 1 is a pure copy of doc 0: every gram position is shared ->
+    # boiler_frac 1.0 -> flagged.
+    text = " ".join(f"w{i}" for i in range(10))
+    out = {
+        r.doc_id: r
+        for r in quality.boilerplate_signals(_docs(spark, [text, text])).collect()
+    }
+    assert out[0].boiler_frac == 1.0 and out[0].bp_keep is False
+    assert out[1].boiler_frac == 1.0 and out[1].bp_keep is False
