@@ -38,6 +38,7 @@ def _plan_modules():
         analytics,
         analytics2,
         declared,
+        formats,
         llm_dedup,
         llm_multimodal,
         llm_quality,
@@ -56,6 +57,7 @@ def _plan_modules():
         declared,
         logpipe,
         streamed,
+        formats,
         sqlapi,
         analytics,
         analytics2,
@@ -143,12 +145,18 @@ _DRIVER_WINDOW: list[str] = [
     # first row; knn_bruteforce — green r1-r5, code untouched —
     # rotates out and stays under the local gate)
     "conversion_pairs_stream",
-    # code paths touched this round (prefix-sum packing, shared dedup
-    # chain, shared IVF fit) — keep under audit
-    "customer_balance_merge",
-    "stateful_sessions",
-    "ngram_jaccard_pairs",
-    "knn_lsh",
+    # new this session: token-budget selection + shard manifest (both
+    # ride the shared distributed prefix-sum/rank machinery that
+    # pack_chunks was refactored onto) and the JSONL/CSV ingest
+    # round-trips — need first rows. customer_balance_merge,
+    # stateful_sessions, ngram_jaccard_pairs, knn_lsh (green r5, code
+    # untouched since) rotate out and stay under the local gate.
+    "token_budget_select",
+    "corpus_shards",
+    "documents_jsonl_roundtrip",
+    "events_csv_roundtrip",
+    # code paths touched this round (shared dedup chain, shared IVF
+    # fit; r5's cold-start outlier pair) — keep under audit
     "embedding_near_dups",
     "embedding_norms",
     "binary_meta",

@@ -402,63 +402,130 @@ def pack_chunks(
     chunk_last = floor((cum - 1) / block), where ``cum`` is the global
     running token total in ``id_col`` order.
 
-    The cumsum is a two-pass DISTRIBUTED PREFIX-SUM, not a global
-    window — ``Window.orderBy`` with no ``partitionBy`` would force
-    every row through ONE task (WindowExec requires SinglePartition),
-    which serializes/OOMs at 100 TB:
-
-    1. range-partition the narrow ``(id, n_tokens)`` projection by id
-       (partition k holds ids strictly below partition k+1's) and pin
-       partition ids with an eager localCheckpoint;
-    2. per-partition token subtotals — ONE ROW PER PARTITION — come to
-       the driver, which computes the exclusive prefix offsets
-       (O(partitions) work/memory, ~KBs even at 100 TB);
-    3. a per-partition running sum (window partitioned by partition
-       id, fully parallel) plus the broadcast offset yields the exact
-       global cumsum.
-
-    Only the two-int projection ever shuffles; the corpus text never
-    moves.
+    The cumsum is :func:`..ranking.distributed_prefix_sum` — a two-pass
+    distributed prefix-sum (range partition -> per-partition subtotals
+    -> driver offsets -> parallel per-partition cumsum), never a
+    partitionless global window (``Window.orderBy`` with no
+    ``partitionBy`` forces every row through ONE task). Only the
+    two-int ``(id, n_tokens)`` projection ever shuffles; the corpus
+    text never moves.
     """
-    from pyspark.sql.window import Window
+    from .ranking import distributed_prefix_sum
 
     n_tokens = F.size(tokens(F.col(text_col)))
     t = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
-    ranged = (
-        t.repartitionByRange(F.col(id_col))
-        .sortWithinPartitions(id_col)
-        .withColumn("_pid", F.spark_partition_id())
-        # Pin placement: the subtotal pass and the cumsum pass must see
-        # identical (row -> _pid) assignments, and spark_partition_id is
-        # nondeterministic under recomputation.
-        .localCheckpoint(eager=True)
+    c = distributed_prefix_sum(
+        t, [F.col(id_col).asc()], "n_tokens", out_col="cum_tokens"
     )
-    subtotals = {
-        r["_pid"]: int(r["subtotal"])
-        for r in ranged.groupBy("_pid")
-        .agg(F.sum("n_tokens").alias("subtotal"))
-        .collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(subtotals):
-        offsets.append((pid, acc))
-        acc += subtotals[pid]
-    offset_df = df.sparkSession.createDataFrame(
-        offsets, schema="_pid int, _offset bigint"
+    cum = F.col("cum_tokens")
+    return c.select(
+        id_col,
+        "n_tokens",
+        "cum_tokens",
+        F.floor((cum - F.col("n_tokens")) / block).alias("chunk_first"),
+        F.floor((cum - 1) / block).alias("chunk_last"),
     )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
+
+
+# Token-budget data selection: the "pick the best documents until the
+# training budget is spent" stage (quality-ordered greedy selection, as
+# in DoReMi/DsDm-style data curation but with a transparent heuristic
+# score). The quality proxy is DISTINCT-token count (lexical diversity,
+# pure integer — no float-comparison drift between engines), descending,
+# doc_id tie-break.
+TOKEN_BUDGET_FRAC = 0.5
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_frac: float = TOKEN_BUDGET_FRAC,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy quality-ordered selection under a corpus token budget.
+
+    Documents are ranked by distinct-token count (desc, id tie-break);
+    the running token total over that order is compared against
+    ``budget_frac`` of the corpus's total tokens; a doc is ``selected``
+    iff it fits ENTIRELY under the budget (cum <= budget).
+
+    Scale shape: one projection pass computes the two int features per
+    doc (text never shuffles again); the budget is a 1-row aggregate
+    broadcast; the global running sum is a distributed prefix-sum
+    (:func:`..ranking.distributed_prefix_sum`), never a
+    single-partition global window.
+    """
+    from .ranking import distributed_prefix_sum
+
+    w = tokens(F.col(text_col))
+    t = df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(w)).cast("int").alias("n_distinct_tokens"),
+        F.size(w).cast("int").alias("n_tokens"),
     )
-    cum = F.sum("n_tokens").over(w) + F.col("_offset")
+    budget = t.agg(
+        F.floor(F.sum("n_tokens") * budget_frac).cast("long").alias("_budget")
+    )
+    c = distributed_prefix_sum(
+        t,
+        [F.col("n_distinct_tokens").desc(), F.col(id_col).asc()],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    return c.crossJoin(F.broadcast(budget)).select(
+        id_col,
+        "n_distinct_tokens",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= F.col("_budget")).alias("selected"),
+    )
+
+
+# Training-shard export assignment: fixed doc-count shards in global
+# id order (the writer side of pack_chunks' layout). 64 docs/shard is
+# sized to the test corpus; a production corpus would use O(100k).
+SHARD_DOCS = 64
+
+
+def corpus_shards(
+    df: DataFrame,
+    docs_per_shard: int = SHARD_DOCS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard manifest for fixed-size training-shard export: shard
+    ``k`` holds docs ranked ``[k*docs_per_shard, (k+1)*docs_per_shard)``
+    in global ``id_col`` order; reports doc/token/char totals and the
+    id range per shard.
+
+    The global rank comes from :func:`..ranking.distributed_rank` in
+    its partitionless mode (empty group key = one global group) — the
+    exact case where ``Window.orderBy`` with no ``partitionBy`` would
+    single-partition the corpus. Only the narrow (id, 2 ints)
+    projection shuffles; the shard manifest is O(corpus/docs_per_shard)
+    rows.
+    """
+    from .ranking import distributed_rank
+
+    t = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("int").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    ranked = distributed_rank(
+        t, [], [id_col], rank_col="_rank", size_col="_n"
+    )
     return (
-        ranged.join(F.broadcast(offset_df), "_pid")
-        .select(
-            id_col,
-            "n_tokens",
-            cum.alias("cum_tokens"),
-            F.floor((cum - F.col("n_tokens")) / block).alias("chunk_first"),
-            F.floor((cum - 1) / block).alias("chunk_last"),
+        ranked.withColumn(
+            "shard_id",
+            F.floor((F.col("_rank") - 1) / docs_per_shard).cast("long"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.sum("n_chars").alias("shard_chars"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
         )
     )

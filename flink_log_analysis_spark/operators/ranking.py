@@ -123,6 +123,68 @@ def distributed_rank(
     )
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_exprs: list[Column],
+    value_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """``df`` + the running sum of ``value_col`` under the strict total
+    order given by ``order_exprs`` (sort direction baked into each
+    Column, e.g. ``F.col("score").desc()``), computed as a two-pass
+    distributed prefix-sum.
+
+    Equivalent to ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``, but never a partitionless window — ``Window.orderBy``
+    with no ``partitionBy`` moves EVERY row through one task
+    (WindowExec requires SinglePartition), which serializes/OOMs at
+    100 TB. Instead:
+
+    1. range-partition by the order expressions (partition k's slice
+       strictly precedes partition k+1's) and pin the (row -> partition)
+       placement with an eager localCheckpoint — spark_partition_id is
+       nondeterministic under recomputation and both passes must agree;
+    2. per-partition subtotals — ONE ROW PER PARTITION — come to the
+       driver, which computes the exclusive prefix offsets
+       (O(partitions) work/memory, ~KBs even at 100 TB);
+    3. a per-partition running sum (window partitioned by partition id,
+       fully parallel) plus the broadcast offset is the exact global
+       running sum.
+
+    Callers should project down to (order keys, value) first so only a
+    narrow relation ever shuffles.
+    """
+    ranged = (
+        df.repartitionByRange(*order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    subtotals = {
+        r["_pid"]: int(r["subtotal"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("subtotal"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(subtotals):
+        offsets.append((pid, acc))
+        acc += subtotals[pid]
+    offset_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], schema="_pid int, _offset bigint"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(offset_df), "_pid")
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+
+
 def percent_rank_expr(rank: Column, n: Column) -> Column:
     """SQL-standard percent_rank from (rank, group size): (r-1)/(n-1),
     0.0 for a single-row group (matches Spark's PercentRank)."""

@@ -78,6 +78,14 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.pack_chunks(read_table(spark, sf_dir, "documents"))
 
 
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.select_token_budget(read_table(spark, sf_dir, "documents"))
+
+
+def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.corpus_shards(read_table(spark, sf_dir, "documents"))
+
+
 def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.repetition_signals(read_table(spark, sf_dir, "documents"))
 
@@ -267,6 +275,48 @@ ORACLE = {
                    AS chunk_last
         FROM c
     """,
+    "token_budget_select": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(toks)) AS INTEGER)
+                       AS n_distinct_tokens,
+                   CAST(len(toks) AS INTEGER) AS n_tokens
+            FROM t
+        ), c AS (
+            SELECT *,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY n_distinct_tokens DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM s
+        ), b AS (
+            SELECT CAST(FLOOR(SUM(n_tokens)
+                        * {quality.TOKEN_BUDGET_FRAC}) AS BIGINT) AS budget
+            FROM s
+        )
+        SELECT doc_id, n_distinct_tokens, n_tokens, cum_tokens,
+               cum_tokens <= budget AS selected
+        FROM c, b
+    """,
+    "corpus_shards": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        ), r AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM t
+        )
+        SELECT CAST(FLOOR((rn - 1) / {quality.SHARD_DOCS}.0) AS BIGINT)
+                   AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM r GROUP BY 1
+    """,
 }
 
 QUERIES = {
@@ -276,4 +326,6 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "benchmark_contamination": benchmark_contamination,
     "pack_chunks": pack_chunks,
+    "token_budget_select": token_budget_select,
+    "corpus_shards": corpus_shards,
 }

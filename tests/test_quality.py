@@ -257,3 +257,76 @@ def test_boilerplate_flags_template_dominated_doc(spark):
     }
     assert out[0].boiler_frac == 1.0 and out[0].bp_keep is False
     assert out[1].boiler_frac == 1.0 and out[1].bp_keep is False
+
+
+def test_select_token_budget_greedy_order(spark):
+    # Distinct-token counts: doc 0 -> 4, doc 1 -> 3, doc 2 -> 2, doc 3 -> 1.
+    # Token counts:          doc 0 -> 4, doc 1 -> 4, doc 2 -> 4, doc 3 -> 4.
+    # Budget = floor(16 * 0.5) = 8 -> docs 0 and 1 fit, 2 and 3 do not.
+    texts = [
+        "a b c d",
+        "e f g g",
+        "h h i i",
+        "j j j j",
+    ]
+    out = {
+        r.doc_id: r
+        for r in quality.select_token_budget(_docs(spark, texts)).collect()
+    }
+    assert [out[i].n_distinct_tokens for i in range(4)] == [4, 3, 2, 1]
+    assert out[0].cum_tokens == 4 and out[0].selected
+    assert out[1].cum_tokens == 8 and out[1].selected
+    assert out[2].cum_tokens == 12 and not out[2].selected
+    assert not out[3].selected
+
+
+def test_select_token_budget_tie_break_and_partial_fit(spark):
+    # Equal diversity -> doc_id ascending decides who gets the budget;
+    # a doc that only PARTIALLY fits is not selected (cum > budget).
+    texts = ["a b c", "x y z", "p q r s t u"]  # 3 + 3 + 6 = 12 tokens
+    out = {
+        r.doc_id: r
+        for r in quality.select_token_budget(
+            _docs(spark, texts), budget_frac=0.5
+        ).collect()
+    }
+    # order: doc 2 (6 distinct) first, then docs 0, 1 (3 each, id order);
+    # budget = 6 -> doc 2 exactly fits, doc 0 would reach 9 > 6.
+    assert out[2].cum_tokens == 6 and out[2].selected
+    assert out[0].cum_tokens == 9 and not out[0].selected
+    assert not out[1].selected
+
+
+def test_select_token_budget_plan_has_no_funnel(spark):
+    import sys as _sys
+
+    sys_path_root = __file__.rsplit("/tests/", 1)[0]
+    if sys_path_root not in _sys.path:
+        _sys.path.insert(0, sys_path_root)
+    from tools.explain_audit import audit
+
+    texts = [" ".join(f"w{i}{j}" for j in range(5)) for i in range(8)]
+    props, _ = audit(
+        "token_budget_select", quality.select_token_budget(_docs(spark, texts))
+    )
+    # The 1-row budget aggregate legitimately exchanges to
+    # SinglePartition (one row per partition); what must NOT appear is
+    # a funnel: raw rows serialized through one task into Sort/Window.
+    assert props["sp_funnels"] == 0
+    assert "SINGLE-PARTITION-EXCHANGE" not in props["flags"]
+
+
+def test_corpus_shards_boundaries(spark):
+    # 10 docs, 4 per shard -> shards of 4, 4, 2 in doc_id order.
+    texts = [" ".join(["w"] * (i + 1)) for i in range(10)]
+    rows = sorted(
+        quality.corpus_shards(_docs(spark, texts), docs_per_shard=4).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert [(r.shard_id, r.n_docs) for r in rows] == [(0, 4), (1, 4), (2, 2)]
+    assert (rows[0].first_doc, rows[0].last_doc) == (0, 3)
+    assert (rows[1].first_doc, rows[1].last_doc) == (4, 7)
+    assert (rows[2].first_doc, rows[2].last_doc) == (8, 9)
+    # tokens: doc i has i+1 tokens
+    assert rows[0].shard_tokens == 1 + 2 + 3 + 4
+    assert rows[2].shard_tokens == 9 + 10

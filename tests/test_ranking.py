@@ -115,3 +115,48 @@ def test_distributed_rank_high_cardinality_guard(spark):
     df = _data(spark, 50, 50, seed=5)  # ~unique group per row
     with pytest.raises(ValueError, match="high-cardinality"):
         distributed_rank(df, ["g"], ["v", "k"], max_offset_rows=10)
+
+
+def test_distributed_prefix_sum_matches_window_desc_order(spark):
+    """The generic prefix-sum under a descending+tie-break order equals
+    the single-partition window's answer on small data."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql.window import Window
+
+    from flink_log_analysis_spark.operators.ranking import (
+        distributed_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [Row(k=i, score=rng.randint(0, 5), v=rng.randint(1, 9)) for i in range(57)]
+    )
+    got = {
+        r.k: r.cum
+        for r in distributed_prefix_sum(
+            df, [F.col("score").desc(), F.col("k").asc()], "v", "cum"
+        ).collect()
+    }
+    w = Window.orderBy(F.col("score").desc(), F.col("k").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {r.k: r.cum for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()}
+    assert got == want
+
+
+def test_distributed_prefix_sum_empty_input(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from flink_log_analysis_spark.operators.ranking import (
+        distributed_prefix_sum,
+    )
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    out = distributed_prefix_sum(
+        spark.createDataFrame([], schema), [F.col("k").asc()], "v", "cum"
+    )
+    assert out.count() == 0

@@ -38,6 +38,7 @@ CROSS_JOIN_OK = {
     "sketch_accuracy",     # 1-row exact/sketch scalar attaches
     "lang_mixture_resample",  # 1-row weight-sum + T scalar attaches
     "knn_ivf",             # 1-row centroid-matrix broadcast attach
+    "token_budget_select",  # 1-row corpus token-budget scalar attach
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
