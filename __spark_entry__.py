@@ -128,9 +128,12 @@ _DRIVER_WINDOW: list[str] = [
     # boilerplate detection (need first rows; exact_dedup_groups and
     # simhash — green r1-r5, code untouched — rotate out to make room
     # and stay under the local gate)
+    # embedding_quantize is new this session (scalar-quantization
+    # contract); minhash_signatures rotates out — the MinHash chain
+    # stays audited via the three near_dup_* queries below.
     "doc_repetition_signals",
     "doc_boilerplate_signals",
-    "minhash_signatures",
+    "embedding_quantize",
     "near_dup_pairs",
     "near_dedup_docs",
     "near_dup_clusters",

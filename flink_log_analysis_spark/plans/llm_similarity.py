@@ -174,6 +174,11 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.scalar_quantize_stats(emb)
+
+
 ORACLE = {
     "knn_bruteforce": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -195,6 +200,34 @@ ORACLE = {
                    AS l2_norm,
                CAST(len(embedding) AS INTEGER) AS dim
         FROM embeddings
+    """,
+    # Same double arithmetic, same operation order as
+    # similarity.scalar_quantize_stats (floor(x*L/r + 0.5) half-up,
+    # half-step error bound) — codes and booleans are bit-reproducible.
+    "embedding_quantize": f"""
+        WITH e AS (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ), mm AS (
+            SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY pos
+        ), c AS (
+            SELECT vec_id,
+                   CASE WHEN mx - mn > 0
+                        THEN CAST(FLOOR((x - mn) * {similarity.QUANT_LEVELS}
+                                        / (mx - mn) + 0.5) AS BIGINT)
+                        ELSE 0 END AS code,
+                   x, mn, mx
+            FROM e JOIN mm USING (pos)
+        )
+        SELECT vec_id,
+               CAST(COUNT(*) AS INTEGER) AS n_dims,
+               CAST(SUM(code) AS BIGINT) AS code_sum,
+               BOOL_AND(ABS(mn + code * (mx - mn) / {similarity.QUANT_LEVELS}
+                            - x)
+                        <= (mx - mn) / (2 * {similarity.QUANT_LEVELS}) + 1e-9)
+                   AS err_ok
+        FROM c GROUP BY vec_id
     """,
     "knn_lsh": f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -260,4 +293,5 @@ QUERIES = {
     "knn_ivf_recall": knn_ivf_recall,
     "embedding_near_dups": embedding_near_dups,
     "embedding_norms": embedding_norms,
+    "embedding_quantize": embedding_quantize,
 }

@@ -120,3 +120,30 @@ def test_probe_cells_order_and_tiebreak(spark):
     assert out.cell_p1 == 1
     assert out.cell_p2 == 2
     assert "cmat" not in out.asDict()
+
+
+def test_scalar_quantize_codes_and_bound(spark):
+    """Crafted 2-dim corpus: codes follow the per-dimension [min,max]
+    linear map (half-up), constant dims code to 0, and every
+    dequantization error is within the half-step guarantee."""
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators.similarity import (
+        scalar_quantize_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[0.0, 7.5]),
+            Row(vec_id=1, embedding=[1.0, 7.5]),
+            Row(vec_id=2, embedding=[2.0, 7.5]),
+        ]
+    )
+    out = {r.vec_id: r for r in scalar_quantize_stats(df).collect()}
+    # dim 0 spans [0, 2] -> codes 0, floor(127.5+0.5)=128, 255;
+    # dim 1 is constant -> code 0 for everyone.
+    assert out[0].code_sum == 0
+    assert out[1].code_sum == 128
+    assert out[2].code_sum == 255
+    assert all(r.err_ok for r in out.values())
+    assert all(r.n_dims == 2 for r in out.values())
