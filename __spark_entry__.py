@@ -158,9 +158,11 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_shards",
     "documents_jsonl_roundtrip",
     "events_csv_roundtrip",
-    # code paths touched this round (shared dedup chain, shared IVF
-    # fit; r5's cold-start outlier pair) — keep under audit
-    "embedding_near_dups",
+    # knn_quantized is new this session (exact oracle over the
+    # quantized read path); embedding_near_dups (green r5, sign-LSH
+    # path untouched since) rotates out to the local gate.
+    "knn_quantized",
+    # r5's cold-start outlier pair — keep under audit
     "embedding_norms",
     "binary_meta",
 ]

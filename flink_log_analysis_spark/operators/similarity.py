@@ -472,3 +472,98 @@ def scalar_quantize_stats(
         F.sum("code").alias("code_sum"),
         F.min("err_ok").alias("err_ok"),
     )
+
+
+def quantization_ranges(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """1-row DataFrame of per-dimension (min[], max[]) arrays in
+    dimension order — the codebook for the scalar codec. The explode
+    collapses to d rows per map task under partial aggregation; the
+    final collect_list folds d rows into two arrays."""
+    e = df.select(F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"))
+    mm = e.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return mm.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mn_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s["mx"],
+        ).alias("mx_arr"),
+    )
+
+
+def _dequantized(vec: Column, mn_arr: Column, mx_arr: Column) -> Column:
+    """Element-wise quantize -> dequantize round-trip through the
+    scalar codec: the value a reader of the int8 codes would see."""
+
+    def f(x, i):
+        mn = F.element_at(mn_arr, i + 1)
+        rng = F.element_at(mx_arr, i + 1) - mn
+        code = (
+            F.when(
+                rng > 0,
+                F.floor((x.cast("double") - mn) * QUANT_LEVELS / rng + 0.5),
+            )
+            .otherwise(F.lit(0))
+            .cast("double")
+        )
+        return mn + code * rng / QUANT_LEVELS
+
+    return F.transform(vec, f)
+
+
+def knn_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine search over scalar-QUANTIZED vectors: both sides
+    pass through the int8 codec (quantize -> dequantize) before
+    scoring — exactly what a search over stored codes computes.
+
+    Unlike IVF/LSH this is not candidate-pruned; it demonstrates the
+    compressed READ path (codes + d-row codebook reproduce the search
+    result to within quantization error), and because the codec is
+    bit-reproducible the whole query has an exact oracle, not just a
+    recall floor. The codebook attaches as a 1-row broadcast; the
+    corpus side stays partition-parallel.
+    """
+    from ..session import ensure_min_partitions
+
+    ranges = quantization_ranges(corpus, vec_col)
+    dq = lambda v: _dequantized(v, F.col("mn_arr"), F.col("mx_arr"))  # noqa: E731
+    q = (
+        queries.crossJoin(F.broadcast(ranges))
+        .select(
+            F.col(id_col).alias("query_id"),
+            dq(F.col(vec_col)).alias("qv"),
+        )
+    )
+    c = (
+        ensure_min_partitions(corpus)
+        .crossJoin(F.broadcast(ranges))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            dq(F.col(vec_col)).alias("cv"),
+        )
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )

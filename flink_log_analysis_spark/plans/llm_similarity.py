@@ -179,6 +179,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.scalar_quantize_stats(emb)
 
 
+def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.knn_quantized(emb, queries, k=K)
+
+
 ORACLE = {
     "knn_bruteforce": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -200,6 +206,53 @@ ORACLE = {
                    AS l2_norm,
                CAST(len(embedding) AS INTEGER) AS dim
         FROM embeddings
+    """,
+    # The quantized READ path: both sides pass through the scalar
+    # codec (quantize -> dequantize, bit-reproducible in SQL), then the
+    # usual exact top-k. An exact oracle for a compressed ANN path —
+    # possible only because the codec arithmetic is deterministic.
+    "knn_quantized": f"""
+        WITH e AS (
+            SELECT unnest(embedding)::DOUBLE AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ), mm AS (
+            SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY pos
+        ), cb AS (
+            SELECT list(mn ORDER BY pos) AS mn_arr,
+                   list(mx ORDER BY pos) AS mx_arr
+            FROM mm
+        ), dqv AS (
+            SELECT vec_id,
+                   list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> mn_arr[i]
+                            + (CASE WHEN mx_arr[i] - mn_arr[i] > 0
+                                    THEN FLOOR((embedding[i]::DOUBLE
+                                                - mn_arr[i])
+                                               * {similarity.QUANT_LEVELS}
+                                               / (mx_arr[i] - mn_arr[i])
+                                               + 0.5)
+                                    ELSE 0 END)
+                              * (mx_arr[i] - mn_arr[i])
+                              / {similarity.QUANT_LEVELS}) AS dv
+            FROM embeddings, cb
+        ), q AS (
+            SELECT vec_id AS query_id, dv AS qv FROM dqv
+            WHERE vec_id < {N_QUERIES}
+        ), c AS (
+            SELECT vec_id AS neighbor_id, dv AS cv FROM dqv
+        ), s AS (
+            SELECT query_id, neighbor_id,
+                   ROUND(list_cosine_similarity(qv, cv), 6) AS cos
+            FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+        ), r AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rn
+            FROM s
+        )
+        SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= {K}
     """,
     # Same double arithmetic, same operation order as
     # similarity.scalar_quantize_stats (floor(x*L/r + 0.5) half-up,
@@ -294,4 +347,5 @@ QUERIES = {
     "embedding_near_dups": embedding_near_dups,
     "embedding_norms": embedding_norms,
     "embedding_quantize": embedding_quantize,
+    "knn_quantized": knn_quantized,
 }

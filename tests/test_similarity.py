@@ -147,3 +147,43 @@ def test_scalar_quantize_codes_and_bound(spark):
     assert out[2].code_sum == 255
     assert all(r.err_ok for r in out.values())
     assert all(r.n_dims == 2 for r in out.values())
+
+
+def test_quantized_knn_recall_vs_bruteforce(spark, emb):
+    """255-level scalar quantization should barely perturb cosine
+    ranks: recall@5 vs the float brute force stays near-perfect."""
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.knn_bruteforce(emb, q, k=5).collect()
+    quant = similarity.knn_quantized(emb, q, k=5).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    hits = {(r.query_id, r.neighbor_id) for r in quant} & truth
+    recall = len(hits) / len(truth)
+    assert recall >= 0.9, f"quantized recall {recall} below floor"
+
+
+def test_dequantized_within_half_step(spark, emb):
+    """The codec round-trip never moves a value more than half a
+    quantization step of its dimension's range."""
+    ranges = similarity.quantization_ranges(emb)
+    dq = emb.crossJoin(F.broadcast(ranges)).select(
+        "vec_id",
+        similarity._dequantized(
+            F.col("embedding"), F.col("mn_arr"), F.col("mx_arr")
+        ).alias("dv"),
+        similarity.as_double(F.col("embedding")).alias("xv"),
+        "mn_arr",
+        "mx_arr",
+    )
+    bad = dq.select(
+        F.exists(
+            F.zip_with(
+                F.zip_with(F.col("dv"), F.col("xv"), lambda d, x: d - x),
+                F.zip_with(
+                    F.col("mx_arr"), F.col("mn_arr"), lambda a, b: a - b
+                ),
+                lambda err, rng: F.abs(err) > rng / (2 * 255) + 1e-9,
+            ),
+            lambda v: v,
+        ).alias("bad")
+    ).filter("bad")
+    assert bad.count() == 0

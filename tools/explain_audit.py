@@ -39,6 +39,7 @@ CROSS_JOIN_OK = {
     "lang_mixture_resample",  # 1-row weight-sum + T scalar attaches
     "knn_ivf",             # 1-row centroid-matrix broadcast attach
     "token_budget_select",  # 1-row corpus token-budget scalar attach
+    "knn_quantized",       # exactness demo of the quantized read path
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
