@@ -535,7 +535,11 @@ def knn_quantized(
     """
     from ..session import ensure_min_partitions
 
-    ranges = quantization_ranges(corpus, vec_col)
+    # Materialize the 1-row codebook once: both the query and corpus
+    # branches attach it, and without the cut each branch would re-run
+    # the corpus range scan (a production deployment stores the
+    # codebook next to the codes for the same reason).
+    ranges = quantization_ranges(corpus, vec_col).localCheckpoint(eager=True)
     dq = lambda v: _dequantized(v, F.col("mn_arr"), F.col("mx_arr"))  # noqa: E731
     q = (
         queries.crossJoin(F.broadcast(ranges))
