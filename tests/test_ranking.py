@@ -160,3 +160,45 @@ def test_distributed_prefix_sum_empty_input(spark):
         spark.createDataFrame([], schema), [F.col("k").asc()], "v", "cum"
     )
     assert out.count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-5, 5)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_distributed_prefix_sum_property(spark, rows):
+    """For arbitrary (score, value) multisets the distributed prefix-sum
+    equals a sequential Python fold over the same strict total order
+    (score asc, unique id tie-break) — including negative values."""
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators.ranking import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=i, score=s, v=v) for i, (s, v) in enumerate(rows)]
+    )
+    got = {
+        r.k: r.cum
+        for r in distributed_prefix_sum(
+            df, [F.col("score").asc(), F.col("k").asc()], "v", "cum"
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, (s, v) in sorted(enumerate(rows), key=lambda t: (t[1][0], t[0])):
+        acc += v
+        want[i] = acc
+    assert got == want
