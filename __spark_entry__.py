@@ -134,8 +134,11 @@ _DRIVER_WINDOW: list[str] = [
     "doc_repetition_signals",
     "doc_boilerplate_signals",
     "embedding_quantize",
+    # jl_projection_contract is new this session; near_dedup_docs
+    # rotates out — near_dup_pairs + near_dup_clusters keep the shared
+    # MinHash chain (and the cluster graph on top of it) under audit.
+    "jl_projection_contract",
     "near_dup_pairs",
-    "near_dedup_docs",
     "near_dup_clusters",
     # new this round: the end-to-end corpus-prep composition query and
     # the temperature mixture resampler
@@ -162,9 +165,11 @@ _DRIVER_WINDOW: list[str] = [
     # quantized read path); embedding_near_dups (green r5, sign-LSH
     # path untouched since) rotates out to the local gate.
     "knn_quantized",
-    # r5's cold-start outlier pair — keep under audit
+    # table_profile is new this session (single-scan stats collection);
+    # binary_meta (green r1-r5, cold-start placement fix verified by two
+    # clean benches this round) rotates out to the local gate.
+    "table_profile",
     "embedding_norms",
-    "binary_meta",
 ]
 
 

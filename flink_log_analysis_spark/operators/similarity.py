@@ -571,3 +571,65 @@ def knn_quantized(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos", "rn")
     )
+
+
+# Johnson-Lindenstrauss random-projection contract: project onto
+# JL_PLANES deterministic md5 hyperplanes (components uniform[-1,1],
+# variance 1/3 — hence the 3/p normalizer) and check that pairwise
+# squared distances survive to within a constant band. The band is
+# generous (the p=16 estimator's spread is ~chi-square-like) so the
+# contract is stable across scale factors while still failing loudly
+# if the projection machinery breaks.
+JL_PLANES = 16
+JL_BAND_LO = 0.1
+JL_BAND_HI = 4.0
+JL_MIN_FRAC = 0.95
+
+
+def jl_projection_contract(
+    df,
+    dim: int,
+    n_planes: int = JL_PLANES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """1-row distance-preservation contract for deterministic random
+    projection (the dimensionality-reduction path: dim -> n_planes).
+
+    Pairs are consecutive ids (a dense, deterministic O(n) pair set —
+    no sampling RNG, no quadratic blowup). Per pair, the ratio of the
+    normalized projected squared distance to the original squared
+    distance must land in [JL_BAND_LO, JL_BAND_HI]; the contract is
+    that >= JL_MIN_FRAC of pairs do. Every per-pair quantity is a
+    fixed-order double fold (project the DIFF vector, matching the
+    oracle's expression shape term-for-term), so the in-band booleans
+    are bit-reproducible and the counts hash exactly.
+
+    Scale shape: the neighbor self-join is a narrow 1-1 equi-join on
+    id+1; projections and folds are map-side; the output is one row.
+    """
+    planes = [_hyperplane(dim, j) for j in range(n_planes)]
+    a = df.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("av"))
+    b = df.select((F.col(id_col) - 1).alias("aid"), F.col(vec_col).alias("bv"))
+    dvec = F.zip_with(
+        F.col("av"), F.col("bv"), lambda x, y: x.cast("double") - y.cast("double")
+    )
+    pairs = a.join(b, "aid").select(dvec.alias("dv"))
+    orig2 = dot(F.col("dv"), F.col("dv"))
+    proj_sq = None
+    for p in planes:
+        pd = dot(F.col("dv"), F.array(*[F.lit(x) for x in p]))
+        term = pd * pd
+        proj_sq = term if proj_sq is None else proj_sq + term
+    ratio = F.lit(3.0) * proj_sq / (F.lit(float(n_planes)) * orig2)
+    flagged = pairs.filter(orig2 > 0).select(
+        ((ratio >= JL_BAND_LO) & (ratio <= JL_BAND_HI)).alias("in_band")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("in_band").cast("long")).alias("n_in_band"),
+        (
+            F.sum(F.col("in_band").cast("long"))
+            >= F.lit(JL_MIN_FRAC) * F.count(F.lit(1))
+        ).alias("band_ok"),
+    )

@@ -324,6 +324,26 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-collection over lineitem: exact row/null/distinct counts
+    per column in ONE scan (operators/profiling.py — the multi-distinct
+    Expand plan), vs k separate scans at 100 TB."""
+    from ..operators.profiling import profile_columns
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, PROFILE_COLS)
+
+
 # Error floor the sketch contract asserts (generous vs the configured
 # rsd=0.02 so a healthy sketch never trips it; column names derive from
 # the constant so they cannot drift).
@@ -543,6 +563,17 @@ ORACLE["sketch_accuracy"] = f"""
     FROM lineitem
 """
 
+ORACLE["table_profile"] = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS "column",
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM lineitem
+    """
+    for c in PROFILE_COLS
+)
+
 QUERIES = {
     "orders_cube": orders_cube,
     "monthly_revenue_moving_avg": monthly_revenue_moving_avg,
@@ -559,4 +590,5 @@ QUERIES = {
     # are engine-specific and can never hash-match an oracle.
     # sketch_accuracy is the driver-checked (and benched) form.
     "sketch_accuracy": sketch_accuracy,
+    "table_profile": table_profile,
 }

@@ -185,6 +185,11 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_quantized(emb, queries, k=K)
 
 
+def jl_projection_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.jl_projection_contract(emb, dim=DIM)
+
+
 ORACLE = {
     "knn_bruteforce": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -206,6 +211,45 @@ ORACLE = {
                    AS l2_norm,
                CAST(len(embedding) AS INTEGER) AS dim
         FROM embeddings
+    """,
+    # JL distance-preservation contract: projection of the DIFF vector
+    # per deterministic plane, squared and summed left-to-right — the
+    # exact fold order of the Spark expression, so per-pair in-band
+    # booleans and the counts hash exactly.
+    "jl_projection_contract": f"""
+        WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings),
+             b AS (SELECT vec_id - 1 AS aid, embedding AS bv
+                   FROM embeddings),
+             p AS (SELECT list_transform(
+                       generate_series(1, len(av)),
+                       i -> av[i]::DOUBLE - bv[i]::DOUBLE) AS dv
+                   FROM a JOIN b USING (aid)),
+             r AS (SELECT list_dot_product(dv, dv) AS orig2,
+                          {", ".join(
+                              f"list_dot_product(dv, "
+                              f"{similarity._hyperplane(DIM, j)}) AS d{j}"
+                              for j in range(similarity.JL_PLANES)
+                          )}
+                   FROM p),
+             s AS (SELECT orig2,
+                          ({" + ".join(
+                              f"d{j} * d{j}"
+                              for j in range(similarity.JL_PLANES)
+                          )}) AS proj2
+                   FROM r WHERE orig2 > 0)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN 3.0 * proj2
+                                  / ({similarity.JL_PLANES}.0 * orig2)
+                             BETWEEN {similarity.JL_BAND_LO}
+                                 AND {similarity.JL_BAND_HI}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band,
+               SUM(CASE WHEN 3.0 * proj2
+                             / ({similarity.JL_PLANES}.0 * orig2)
+                        BETWEEN {similarity.JL_BAND_LO}
+                            AND {similarity.JL_BAND_HI}
+                        THEN 1 ELSE 0 END)
+                   >= {similarity.JL_MIN_FRAC} * COUNT(*) AS band_ok
+        FROM s
     """,
     # The quantized READ path: both sides pass through the scalar
     # codec (quantize -> dequantize, bit-reproducible in SQL), then the
@@ -348,4 +392,5 @@ QUERIES = {
     "embedding_norms": embedding_norms,
     "embedding_quantize": embedding_quantize,
     "knn_quantized": knn_quantized,
+    "jl_projection_contract": jl_projection_contract,
 }

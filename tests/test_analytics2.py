@@ -126,3 +126,25 @@ def test_session_windows_invariants(spark, sf_dir):
     # so even a singleton session spans the full 30-min gap.
     assert agg.total_hits == ev.count()
     assert agg.min_len >= 1800 * 1_000_000
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from flink_log_analysis_spark.operators.profiling import profile_columns
+
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, "x"), (1, None), (2, "y"), (None, "y")], schema
+    )
+    out = {r.column: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert out["a"].n_rows == 4 and out["b"].n_rows == 4
+    assert out["a"].n_nulls == 1 and out["b"].n_nulls == 1
+    assert out["a"].n_distinct == 2 and out["b"].n_distinct == 2

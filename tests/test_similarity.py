@@ -187,3 +187,11 @@ def test_dequantized_within_half_step(spark, emb):
         ).alias("bad")
     ).filter("bad")
     assert bad.count() == 0
+
+
+def test_jl_contract_holds_and_counts_pairs(spark, emb):
+    out = similarity.jl_projection_contract(emb, dim=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.band_ok
+    assert r.n_pairs > 0 and r.n_in_band <= r.n_pairs
