@@ -169,7 +169,10 @@ _DRIVER_WINDOW: list[str] = [
     # binary_meta (green r1-r5, cold-start placement fix verified by two
     # clean benches this round) rotates out to the local gate.
     "table_profile",
-    "embedding_norms",
+    # corpus_ingest_stream is new this session (streaming JSONL hygiene
+    # ingest); embedding_norms (green r1-r5, cold-start placement fix
+    # verified by three clean benches this round) rotates out.
+    "corpus_ingest_stream",
 ]
 
 

@@ -94,14 +94,17 @@ def doc_boilerplate_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.boilerplate_signals(read_table(spark, sf_dir, "documents"))
 
 
-def _pii_oracle() -> str:
+def _pii_oracle(relation: str = "documents") -> str:
+    """PII-scrub oracle over ``relation`` (any rel with doc_id, text).
+
+    Counts are taken on the text as scrubbed so far, replacements
+    applied sequentially — the exact semantics of
+    operators.quality.scrub_pii."""
     aug = (
         "(text || ' contact user' || CAST(doc_id AS VARCHAR)"
         " || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
         " || '.7 ref 123456789')"
     )
-    # Counts taken on the text as scrubbed so far, replacements applied
-    # sequentially — the exact semantics of operators.quality.scrub_pii.
     cur = aug
     selects = []
     for name, pat, repl in quality.PII_PATTERNS:
@@ -116,7 +119,7 @@ def _pii_oracle() -> str:
                {", ".join(selects)},
                md5({cur}) AS scrubbed_md5,
                CAST(length({cur}) AS INTEGER) AS scrubbed_len
-        FROM documents
+        FROM {relation}
     """
 
 

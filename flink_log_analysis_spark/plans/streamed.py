@@ -432,6 +432,45 @@ def incremental_near_dups_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JSONL corpus ingestion with hygiene: a file stream of
+    JSON-lines documents (the interchange format an LLM pipeline
+    actually receives) -> C4/Gopher keep filter -> deterministic PII
+    augmentation + scrub -> parquet sink.
+
+    Every stage is a stateless projection/filter, so append mode needs
+    no watermark, nothing shuffles, and the sink's final content
+    equals the batch hygiene pass the oracle derives straight from the
+    parquet ``documents`` table (the oracle never sees JSON, the
+    stream, or the scrubber). At 100 TB this is the shape of the
+    ingest tier: per-file map tasks, no state store, sink-partitioned
+    output ready for the dedup/packing stages.
+    """
+    from ..operators import quality
+    from .formats import DOC_SCHEMA, jsonl_dir
+    from .llm_quality import _augmented
+
+    work = shared_tmp_dir("loganalysis_stream_")
+    try:
+        docs = spark.readStream.schema(DOC_SCHEMA).json(
+            f"{jsonl_dir(spark, sf_dir)}/docs"
+        )
+        kept = _augmented(docs.filter(quality.keep_predicate(F.col("text"))))
+        out = quality.pii_scrub(kept, text_col="aug")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return spark.read.parquet(f"{work}/out").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # Oracles re-derive expected sink state from events (see logpipe's
 # line-construction contract): views carry fid = k % N_SECTIONS, clicks
 # carry tid = user_id, errors get status 500 and are dropped by the
@@ -518,6 +557,7 @@ QUERIES = {
     "deduped_events_stream": deduped_events_stream,
     "conversion_pairs_stream": conversion_pairs_stream,
     "incremental_near_dups_stream": incremental_near_dups_stream,
+    "corpus_ingest_stream": corpus_ingest_stream,
 }
 
 # The streamed incremental dedup must converge to the batch query's
@@ -525,3 +565,19 @@ QUERIES = {
 from .llm_dedup import ORACLE as _DEDUP_ORACLE  # noqa: E402
 
 ORACLE["incremental_near_dups_stream"] = _DEDUP_ORACLE["incremental_near_dups"]
+
+# The streamed hygiene ingest must equal the batch keep-filter + scrub:
+# keep predicate and PII chain come from the same builders the batch
+# oracles use, applied to the keep-filtered relation.
+from .llm_quality import _TOKS as _QTOKS  # noqa: E402
+from .llm_quality import _pii_oracle as _pii_oracle_sql  # noqa: E402
+from .pipeline_full import _KEEP_PRED  # noqa: E402
+
+ORACLE["corpus_ingest_stream"] = f"""
+    WITH qt AS (
+        SELECT doc_id, text, {_QTOKS} AS toks FROM documents
+    ), k AS (
+        SELECT doc_id, text FROM qt WHERE {_KEEP_PRED}
+    )
+    {_pii_oracle_sql("k")}
+"""
