@@ -115,7 +115,10 @@ _DRIVER_WINDOW: list[str] = [
     "pii_scrub",
     "benchmark_contamination",
     "pack_chunks",
-    "deduped_events_stream",
+    # orders_snapshot_diff is new this session (CDC diff operator);
+    # deduped_events_stream (green r5, code untouched since) rotates
+    # out to the local gate.
+    "orders_snapshot_diff",
     "sketch_accuracy",
     # r1-stale set — fresh rows this round (planned r6 rotation)
     "quantity_quantiles",

@@ -159,3 +159,38 @@ def parquet_merge_into(
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff between two versions of a table — the CDC read side
+    of :func:`merge_into`: one row per changed key with ``change`` in
+    ``inserted`` (key only in new), ``deleted`` (key only in old), or
+    ``updated`` (key in both, any compared column differs,
+    null-safely).
+
+    One full-outer shuffle join on the keys (neither snapshot can
+    broadcast at scale); non-key columns travel packed in one struct
+    per side so the comparison is a single null-safe struct equality,
+    not a per-column expression explosion. Unchanged keys are filtered
+    out before anything else consumes the result, so the output is
+    O(churn), not O(table).
+    """
+    compare_cols = compare_cols or [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*compare_cols).alias("_t"))
+    n = new.select(*keys, F.struct(*compare_cols).alias("_s"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_t").isNull(), F.lit("inserted"))
+        .when(F.col("_s").isNull(), F.lit("deleted"))
+        .when(~F.col("_t").eqNullSafe(F.col("_s")), F.lit("updated"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )

@@ -144,7 +144,72 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# Deterministic "next snapshot" of orders for the CDC diff: drop keys
+# divisible by 97, bump totalprice on keys divisible by 89, insert
+# shifted copies of keys divisible by 83. The oracle rebuilds both
+# snapshots with the same rules and re-derives the diff with its own
+# FULL OUTER join — it checks the operator, not the mutation rules.
+DIFF_DEL_MOD = 97
+DIFF_UPD_MOD = 89
+DIFF_INS_MOD = 83
+DIFF_INS_SHIFT = 10_000_000
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import snapshot_diff
+
+    old = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    surv = old.filter(F.col("o_orderkey") % DIFF_DEL_MOD != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % DIFF_UPD_MOD == 0,
+            F.col("o_totalprice") + 1,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    ins = old.filter(F.col("o_orderkey") % DIFF_INS_MOD == 0).select(
+        (F.col("o_orderkey") + DIFF_INS_SHIFT).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    return snapshot_diff(old, surv.unionByName(ins), ["o_orderkey"])
+
+
 ORACLE = {
+    "orders_snapshot_diff": f"""
+        WITH old AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        ), surv AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % {DIFF_UPD_MOD} = 0
+                        THEN o_totalprice + 1 ELSE o_totalprice END
+                       AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % {DIFF_DEL_MOD} <> 0
+        ), neu AS (
+            SELECT * FROM surv
+            UNION ALL
+            SELECT o_orderkey + {DIFF_INS_SHIFT}, o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % {DIFF_INS_MOD} = 0
+        ), j AS (
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                        WHEN n.o_orderkey IS NULL THEN 'deleted'
+                        WHEN NOT (o.o_totalprice
+                                      IS NOT DISTINCT FROM n.o_totalprice
+                                  AND o.o_orderstatus
+                                      IS NOT DISTINCT FROM n.o_orderstatus)
+                             THEN 'updated' END AS change
+            FROM old o FULL OUTER JOIN neu n
+              ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+    """,
     "customer_balance_merge": """
         WITH t AS (
             SELECT c_custkey AS custkey,
@@ -214,4 +279,5 @@ ORACLE = {
 QUERIES = {
     "customer_balance_merge": customer_balance_merge,
     "stateful_sessions": stateful_sessions,
+    "orders_snapshot_diff": orders_snapshot_diff,
 }

@@ -122,3 +122,40 @@ def test_merge_plan_is_single_shuffle_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a", w=1), Row(k=2, v="b", w=2), Row(k=3, v="c", w=3)]
+    )
+    new = spark.createDataFrame(
+        [Row(k=2, v="b", w=2), Row(k=3, v="X", w=3), Row(k=4, v="d", w=4)]
+    )
+    out = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    # k=1 deleted, k=2 unchanged (absent), k=3 updated, k=4 inserted
+    assert out == {1: "deleted", 3: "updated", 4: "inserted"}
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from flink_log_analysis_spark.operators.merge import snapshot_diff
+
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", StringType())]
+    )
+    old = spark.createDataFrame([(1, None), (2, "x")], schema)
+    new = spark.createDataFrame([(1, None), (2, None)], schema)
+    out = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    # null == null must be "unchanged"; value -> null must be "updated"
+    assert out == {2: "updated"}
