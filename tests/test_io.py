@@ -108,3 +108,23 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_fact")
         spark.sql("DROP TABLE IF EXISTS b_dim")
+
+
+def test_compact_parquet_reduces_files_preserves_content(spark, tmp_path):
+    from flink_log_analysis_spark.operators.maintenance import compact_parquet
+    from flink_log_analysis_spark.session import read_table
+
+    path = str(tmp_path / "frag")
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.repartition(40).write.parquet(path)
+    import glob as g
+
+    before = len(g.glob(f"{path}/part-*.parquet"))
+    assert before >= 30
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n_after = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert n_after < before
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == want

@@ -171,7 +171,10 @@ def main() -> None:
         if props["flags"] != "-":
             bad += 1
         if name in ("hot_section", "pricing_summary", "near_dup_pairs",
-                    "knn_lsh", "regional_revenue"):
+                    "knn_lsh", "regional_revenue",
+                    # prefix-sum family: the plans that must show NO
+                    # single-partition Sort/Window funnel (VERDICT r5)
+                    "pack_chunks", "corpus_shards"):
             excerpts[name] = plan
 
     with open(args.out, "w") as f:
