@@ -102,7 +102,6 @@ _DRIVER_WINDOW: list[str] = [
     # red in r4 (TIMESTAMP_NTZ regression) — fixed in session.read_table
     "session_windows",
     "user_session_stats",
-    "windowed_event_counts_stream",
     # newly oracle-backed this round: IVF recall contract + the three
     # stub-codec media plans (byte arithmetic replayed in DuckDB)
     "knn_ivf_recall",
@@ -112,6 +111,10 @@ _DRIVER_WINDOW: list[str] = [
     # new this round: corpus-hygiene operators (quality filter, PII
     # scrub, decontamination, sequence packing) — need first rows
     "doc_quality_signals",
+    # corpus_report is new this session (hygiene rollup dashboard);
+    # windowed_event_counts_stream (green r5 after the r4 fix, code
+    # untouched since) rotates out to the local gate.
+    "corpus_report",
     "pii_scrub",
     "benchmark_contamination",
     "pack_chunks",

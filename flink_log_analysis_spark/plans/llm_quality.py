@@ -36,6 +36,23 @@ _TOKS8 = f"""
          ELSE [array_to_string({_W}, ' ')] END
 """
 
+# The C4/Gopher keep verdict collapsed to one SQL predicate over a
+# relation exposing ``toks`` (= _TOKS of text) — the oracle twin of
+# operators.quality.keep_predicate. Shared by the corpus_prep and
+# corpus_ingest_stream oracles and the corpus_report rollup.
+_KEEP_PRED = f"""
+    len(toks) >= {quality.MIN_TOKENS}
+    AND len(toks) <= {quality.MAX_TOKENS}
+    AND ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0
+              / GREATEST(len(toks), 1), 4) >= {quality.MIN_MEAN_WORD_LEN}
+    AND ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0
+              / GREATEST(len(toks), 1), 4) <= {quality.MAX_MEAN_WORD_LEN}
+    AND ROUND((len(toks) - len(list_distinct(toks))) * 1.0
+              / GREATEST(len(toks), 1), 4) <= {quality.MAX_DUP_TOKEN_RATIO}
+    AND ROUND(len(list_filter(toks, x -> lower(x) IN {_STOP})) * 1.0
+              / GREATEST(len(toks), 1), 4) >= {quality.MIN_STOPWORD_RATIO}
+"""
+
 # Pseudo-benchmark set: doc_id % 29 == 0 (~3% of the corpus). 29 was
 # chosen so the synthetic corpus's near-duplicate pairs actually put a
 # few contaminated docs in the result at every test SF — a 0-row
@@ -84,6 +101,30 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.corpus_shards(read_table(spark, sf_dir, "documents"))
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hygiene dashboard: ROLLUP(source, lang) over the keep verdict —
+    docs, kept docs, keep rate (exact integer per-10k, no float
+    rounding ambiguity), token volume. One scan + one rollup
+    aggregation; the keep predicate is the same single-projection
+    expression the filter stage uses, so report and filter can't
+    drift.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    keep = quality.keep_predicate(F.col("text")).cast("long")
+    n_tokens = F.size(quality.tokens(F.col("text")))
+    base = docs.select("source", "lang", keep.alias("keep"),
+                       n_tokens.alias("n_tokens"))
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.expr("(sum(keep) * 10000) DIV count(1)").alias("kept_per_10k"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
 
 
 def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,6 +319,23 @@ ORACLE = {
                    AS chunk_last
         FROM c
     """,
+    "corpus_report": f"""
+        WITH qt AS (
+            SELECT source, lang, {_TOKS} AS toks FROM documents
+        ), base AS (
+            SELECT source, lang,
+                   CASE WHEN {_KEEP_PRED} THEN 1 ELSE 0 END AS keep,
+                   len(toks) AS n_tokens
+            FROM qt
+        )
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(keep) AS BIGINT) AS n_kept,
+               CAST((SUM(keep) * 10000) // COUNT(*) AS BIGINT)
+                   AS kept_per_10k,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM base GROUP BY ROLLUP(source, lang)
+    """,
     "token_budget_select": f"""
         WITH t AS (
             SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -323,6 +381,7 @@ ORACLE = {
 }
 
 QUERIES = {
+    "corpus_report": corpus_report,
     "doc_quality_signals": doc_quality_signals,
     "doc_repetition_signals": doc_repetition_signals,
     "doc_boilerplate_signals": doc_boilerplate_signals,

@@ -57,18 +57,10 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  - near dedup: llm_dedup's _sig_cte/_bands_cte parameterized on the
 #    exact-deduped relation k1 (the hook built for composition)
 #  - pack: llm_quality's cumsum over the survivor set
-_KEEP_PRED = f"""
-    len(toks) >= {quality.MIN_TOKENS}
-    AND len(toks) <= {quality.MAX_TOKENS}
-    AND ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0
-              / GREATEST(len(toks), 1), 4) >= {quality.MIN_MEAN_WORD_LEN}
-    AND ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0
-              / GREATEST(len(toks), 1), 4) <= {quality.MAX_MEAN_WORD_LEN}
-    AND ROUND((len(toks) - len(list_distinct(toks))) * 1.0
-              / GREATEST(len(toks), 1), 4) <= {quality.MAX_DUP_TOKEN_RATIO}
-    AND ROUND(len(list_filter(toks, x -> lower(x) IN {_STOP})) * 1.0
-              / GREATEST(len(toks), 1), 4) >= {quality.MIN_STOPWORD_RATIO}
-"""
+# Canonical keep-predicate SQL lives next to the signal expressions it
+# collapses (llm_quality owns _TOKS/_STOP); re-exported here for the
+# oracles below and for backward imports.
+from .llm_quality import _KEEP_PRED  # noqa: E402
 
 ORACLE = {
     "corpus_prep": f"""
