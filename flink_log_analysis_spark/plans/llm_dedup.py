@@ -116,6 +116,22 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how much of the corpus sits in
+    clusters of each size — the number a dedup run reports to decide
+    how aggressive near-dedup should be. One aggregation over the
+    cluster assignment (which itself reuses the shared verified-pair
+    index); output is O(distinct sizes) rows."""
+    clusters = near_dup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("size").alias("n_docs"),
+    )
+
+
 # Incremental split: doc_id % 5 == 0 (~20%) plays the "arriving
 # batch"; the rest is the standing corpus. 5 maximizes genuine
 # near-dup matches crossing the split on the synthetic corpus (14 at
@@ -384,6 +400,17 @@ ORACLE = {
     """,
 }
 
+# The size histogram wraps the cluster-assignment oracle verbatim (a
+# WITH inside the CTE body) so the two can never drift.
+ORACLE["dup_cluster_sizes"] = f"""
+    WITH assign AS ({ORACLE["near_dup_clusters"]}),
+    szs AS (SELECT cluster_id, COUNT(*) AS size
+            FROM assign GROUP BY cluster_id)
+    SELECT size, COUNT(*) AS n_clusters,
+           CAST(SUM(size) AS BIGINT) AS n_docs
+    FROM szs GROUP BY size
+"""
+
 # Splice the (long) simhash CTE in once — the dict literal above keeps
 # a placeholder so the pair oracle and the signature oracle cannot
 # drift apart.
@@ -397,6 +424,7 @@ QUERIES = {
     "near_dup_pairs": near_dup_pairs,
     "near_dedup_docs": near_dedup_docs,
     "near_dup_clusters": near_dup_clusters,
+    "dup_cluster_sizes": dup_cluster_sizes,
     "simhash": simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "incremental_near_dups": incremental_near_dups,
