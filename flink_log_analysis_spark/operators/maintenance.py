@@ -35,15 +35,26 @@ def compact_parquet(
     compression ratio is what decides scan cost), and the rewrite is
     one round-robin ``repartition``: no keys, no sort, pure re-bin of
     rows into fewer, larger files. Content is unchanged; only layout.
+
+    Crash recovery: a crash between the two renames leaves the data
+    under the ``__compact_old`` name with no live path; the next call
+    (or any caller invoking this entry point) restores it before doing
+    anything else, and stale tmp/old leftovers from an earlier crash
+    are cleared so a previous failure can never wedge later
+    compactions (``os.rename`` refuses a non-empty destination).
     """
+    tmp = f"{path}__compact_tmp"
+    old = f"{path}__compact_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # crash window between the two renames
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     files = glob.glob(os.path.join(path, "*.parquet")) + glob.glob(
         os.path.join(path, "part-*")
     )
     total = sum(os.path.getsize(f) for f in set(files))
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = f"{path}__compact_tmp"
-    old = f"{path}__compact_old"
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -180,9 +180,12 @@ def snapshot_diff(
     out before anything else consumes the result, so the output is
     O(churn), not O(table).
     """
-    compare_cols = compare_cols or [c for c in new.columns if c not in keys]
-    o = old.select(*keys, F.struct(*compare_cols).alias("_t"))
-    n = new.select(*keys, F.struct(*compare_cols).alias("_s"))
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    # An explicit [] is a presence-only diff (inserted/deleted, never
+    # updated): compare a constant so matched keys always tie.
+    o = old.select(*keys, F.struct(*(compare_cols or [F.lit(0)])).alias("_t"))
+    n = new.select(*keys, F.struct(*(compare_cols or [F.lit(0)])).alias("_s"))
     j = o.join(n, keys, "full_outer")
     change = (
         F.when(F.col("_t").isNull(), F.lit("inserted"))

@@ -463,14 +463,19 @@ def select_token_budget(
         F.size(F.array_distinct(w)).cast("int").alias("n_distinct_tokens"),
         F.size(w).cast("int").alias("n_tokens"),
     )
-    budget = t.agg(
-        F.floor(F.sum("n_tokens") * budget_frac).cast("long").alias("_budget")
-    )
     c = distributed_prefix_sum(
         t,
         [F.col("n_distinct_tokens").desc(), F.col(id_col).asc()],
         "n_tokens",
         out_col="cum_tokens",
+    )
+    # Corpus total = the last row's running sum; aggregating it off the
+    # (already materialized) prefix-sum output avoids a second
+    # tokenize+scan pass over the corpus for the budget.
+    budget = c.agg(
+        F.floor(F.max("cum_tokens") * budget_frac)
+        .cast("long")
+        .alias("_budget")
     )
     return c.crossJoin(F.broadcast(budget)).select(
         id_col,

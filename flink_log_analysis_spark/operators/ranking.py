@@ -160,8 +160,12 @@ def distributed_prefix_sum(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    # Subtotals keep their native numeric type: int sums stay exact
+    # Python ints (bigint offsets, so integer cums stay integers for
+    # the oracles), float sums stay floats; an all-NULL partition sums
+    # to None and contributes 0 to the running offset.
     subtotals = {
-        r["_pid"]: int(r["subtotal"])
+        r["_pid"]: r["subtotal"]
         for r in ranged.groupBy("_pid")
         .agg(F.sum(value_col).alias("subtotal"))
         .collect()
@@ -169,9 +173,15 @@ def distributed_prefix_sum(
     offsets, acc = [], 0
     for pid in sorted(subtotals):
         offsets.append((pid, acc))
-        acc += subtotals[pid]
+        acc += subtotals[pid] or 0
+    integral = all(
+        isinstance(v, int) for v in subtotals.values() if v is not None
+    )
+    if not integral:
+        offsets = [(pid, float(acc_)) for pid, acc_ in offsets]
     offset_df = df.sparkSession.createDataFrame(
-        offsets or [(0, 0)], schema="_pid int, _offset bigint"
+        offsets or [(0, 0)],
+        schema=f"_pid int, _offset {'bigint' if integral else 'double'}",
     )
     w = (
         Window.partitionBy("_pid")

@@ -426,6 +426,25 @@ def knn_lsh(
 QUANT_LEVELS = 255
 
 
+def _quant_code(x: Column, mn: Column, mx: Column) -> Column:
+    """Code for one value under its dimension's [mn, mx]:
+    floor((x-mn)*L/(mx-mn) + 0.5), 0 for a constant dimension. THE
+    canonical codec expression — every Spark path and both SQL oracles
+    must mirror this exact operation order for the bit-reproducibility
+    contract to hold; do not re-derive it inline."""
+    rng = mx - mn
+    return (
+        F.when(rng > 0, F.floor((x - mn) * QUANT_LEVELS / rng + 0.5))
+        .otherwise(F.lit(0))
+    )
+
+
+def _quant_dq(code: Column, mn: Column, mx: Column) -> Column:
+    """Dequantized value for a code: mn + code*(mx-mn)/L — the other
+    half of the canonical codec expression (see _quant_code)."""
+    return mn + code * (mx - mn) / QUANT_LEVELS
+
+
 def scalar_quantize_stats(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -451,17 +470,11 @@ def scalar_quantize_stats(
         id_col, F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
     )
     mm = e.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    rng = F.col("mx") - F.col("mn")
-    code = (
-        F.when(
-            rng > 0,
-            F.floor((F.col("x") - F.col("mn")) * QUANT_LEVELS / rng + 0.5),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
+    code = _quant_code(F.col("x"), F.col("mn"), F.col("mx")).cast("long")
+    dq = _quant_dq(
+        F.col("code").cast("double"), F.col("mn"), F.col("mx")
     )
-    dq = F.col("mn") + F.col("code").cast("double") * rng / QUANT_LEVELS
-    half_step = rng / (2 * QUANT_LEVELS)
+    half_step = (F.col("mx") - F.col("mn")) / (2 * QUANT_LEVELS)
     coded = (
         e.join(F.broadcast(mm), "pos")
         .withColumn("code", code)
@@ -501,16 +514,9 @@ def _dequantized(vec: Column, mn_arr: Column, mx_arr: Column) -> Column:
 
     def f(x, i):
         mn = F.element_at(mn_arr, i + 1)
-        rng = F.element_at(mx_arr, i + 1) - mn
-        code = (
-            F.when(
-                rng > 0,
-                F.floor((x.cast("double") - mn) * QUANT_LEVELS / rng + 0.5),
-            )
-            .otherwise(F.lit(0))
-            .cast("double")
-        )
-        return mn + code * rng / QUANT_LEVELS
+        mx = F.element_at(mx_arr, i + 1)
+        code = _quant_code(x.cast("double"), mn, mx).cast("double")
+        return _quant_dq(code, mn, mx)
 
     return F.transform(vec, f)
 

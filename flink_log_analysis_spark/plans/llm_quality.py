@@ -112,7 +112,12 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift.
     """
     docs = read_table(spark, sf_dir, "documents")
-    keep = quality.keep_predicate(F.col("text")).cast("long")
+    # coalesce: a NULL-text doc is "not kept" (0), matching the
+    # oracle's CASE ... ELSE 0 — without it a rollup group of only
+    # NULL-text docs would sum to NULL in Spark but 0 in the oracle.
+    keep = F.coalesce(
+        quality.keep_predicate(F.col("text")).cast("long"), F.lit(0)
+    )
     n_tokens = F.size(quality.tokens(F.col("text")))
     base = docs.select("source", "lang", keep.alias("keep"),
                        n_tokens.alias("n_tokens"))

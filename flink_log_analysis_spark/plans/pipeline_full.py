@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup, quality
 from ..session import read_table
 from .llm_dedup import NEAR_DUP_THRESHOLD, _bands_cte, _sig_cte
-from .llm_quality import _STOP, _TOKS
+from .llm_quality import _TOKS
 
 
 def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,8 +58,7 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    exact-deduped relation k1 (the hook built for composition)
 #  - pack: llm_quality's cumsum over the survivor set
 # Canonical keep-predicate SQL lives next to the signal expressions it
-# collapses (llm_quality owns _TOKS/_STOP); re-exported here for the
-# oracles below and for backward imports.
+# collapses (llm_quality owns _TOKS/_STOP).
 from .llm_quality import _KEEP_PRED  # noqa: E402
 
 ORACLE = {

@@ -569,9 +569,9 @@ ORACLE["incremental_near_dups_stream"] = _DEDUP_ORACLE["incremental_near_dups"]
 # The streamed hygiene ingest must equal the batch keep-filter + scrub:
 # keep predicate and PII chain come from the same builders the batch
 # oracles use, applied to the keep-filtered relation.
+from .llm_quality import _KEEP_PRED  # noqa: E402
 from .llm_quality import _TOKS as _QTOKS  # noqa: E402
 from .llm_quality import _pii_oracle as _pii_oracle_sql  # noqa: E402
-from .pipeline_full import _KEEP_PRED  # noqa: E402
 
 ORACLE["corpus_ingest_stream"] = f"""
     WITH qt AS (

@@ -110,12 +110,14 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_dim")
 
 
-def test_compact_parquet_reduces_files_preserves_content(spark, tmp_path):
+def test_compact_parquet_reduces_files_preserves_content(
+    spark, sf_dir, tmp_path
+):
     from flink_log_analysis_spark.operators.maintenance import compact_parquet
     from flink_log_analysis_spark.session import read_table
 
     path = str(tmp_path / "frag")
-    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+    ev = read_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
     ev.repartition(40).write.parquet(path)

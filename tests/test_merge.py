@@ -159,3 +159,18 @@ def test_snapshot_diff_null_safe_compare(spark):
     out = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
     # null == null must be "unchanged"; value -> null must be "updated"
     assert out == {2: "updated"}
+
+
+def test_snapshot_diff_presence_only(spark):
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    new = spark.createDataFrame([Row(k=2, v="CHANGED"), Row(k=3, v="c")])
+    out = {
+        r.k: r.change
+        for r in snapshot_diff(old, new, ["k"], compare_cols=[]).collect()
+    }
+    # explicit [] = presence-only: value changes are NOT reported
+    assert out == {1: "deleted", 3: "inserted"}

@@ -202,3 +202,30 @@ def test_distributed_prefix_sum_property(spark, rows):
         acc += v
         want[i] = acc
     assert got == want
+
+
+def test_distributed_prefix_sum_double_values(spark):
+    """Fractional values must not be truncated in the partition
+    offsets, and an all-NULL partition contributes zero."""
+    from pyspark.sql import Row
+    from pyspark.sql.window import Window
+
+    from flink_log_analysis_spark.operators.ranking import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=(None if i % 7 == 3 else i + 0.25)) for i in range(40)]
+    )
+    got = {
+        r.k: r.cum
+        for r in distributed_prefix_sum(
+            df, [F.col("k").asc()], "v", "cum"
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.cum
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
