@@ -53,6 +53,43 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rolling_fingerprint(read_table(spark, sf_dir, "documents"))
 
 
+# A token is "rare" when its corpus-wide occurrence count is at or
+# below this floor — the integer-only stand-in for a unigram LM
+# quality score (docs dominated by rare/OOV tokens are noise,
+# boilerplate code, or mojibake; docs with none are likely templates).
+RARE_MAX_OCCURRENCES = 2
+
+
+def rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rare-token counts against the corpus vocabulary: the
+    unigram-LM quality signal reduced to exact integers (a real log-
+    prob sum would be an order-dependent float aggregate — never
+    bit-reproducible across engines).
+
+    Shape at 100 TB: vocabulary counts are one explode + hash agg (the
+    token_frequencies job). The rare set is the LONG TAIL of the
+    vocabulary — most distinct tokens are rare, so it must NOT be
+    broadcast; the corpus re-joins the vocabulary with an ordinary
+    shuffle join on the token (both sides already hash-partition on it
+    from the agg), then the per-doc rollup is a partial+final count.
+    Text never shuffles — only (doc_id, token) rows.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(textstats.tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("occ"))
+    flagged = toks.join(vocab, "token").withColumn(
+        "_rare",
+        (F.col("occ") <= RARE_MAX_OCCURRENCES).cast("long"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_rare").alias("n_rare"),
+        F.expr("(sum(_rare) * 10000) DIV count(1)").alias("rare_per_10k"),
+    )
+
+
 def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies via explode (LATERAL/unnest shape):
     top-50 lowercased tokens with doc frequencies.
@@ -219,6 +256,25 @@ ORACLE = {
                md5(text) AS blob_md5
         FROM documents
     """,
+    "rare_token_stats": f"""
+        WITH toks AS (
+            SELECT d.doc_id, lower(t.tok) AS token
+            FROM documents d, unnest({_TOKS}) AS t(tok)
+        ), vocab AS (
+            SELECT token, COUNT(*) AS occ FROM toks GROUP BY token
+        ), flagged AS (
+            SELECT doc_id,
+                   CASE WHEN occ <= {RARE_MAX_OCCURRENCES}
+                        THEN 1 ELSE 0 END AS _rare
+            FROM toks JOIN vocab USING (token)
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(_rare) AS BIGINT) AS n_rare,
+               CAST((SUM(_rare) * 10000) // COUNT(*) AS BIGINT)
+                   AS rare_per_10k
+        FROM flagged GROUP BY doc_id
+    """,
 }
 
 QUERIES = {
@@ -230,4 +286,5 @@ QUERIES = {
     "rolling_fingerprints": rolling_fingerprints,
     "lang_id_ngram": lang_id_ngram,
     "doc_fingerprints": doc_fingerprints,
+    "rare_token_stats": rare_token_stats,
 }
