@@ -34,22 +34,20 @@ def write_bucketed(
     n_buckets: int,
     path: str,
 ) -> None:
-    """Write ``df`` as a bucketed+sorted external parquet table.
+    """Write ``df`` as a bucketed+sorted external parquet table with
+    partition alignment (one file per bucket) — a convenience wrapper
+    over :func:`..sources.io.write_bucketed`, the single bucketed-write
+    implementation."""
+    from ..sources.io import write_bucketed as _write_bucketed
 
-    The single ``repartition(key)`` before the write gives one task
-    per shuffle partition writing all its buckets' rows — with the
-    default hash partitioning aligned to the bucket hash this keeps
-    one file per (task, bucket) and makes the per-bucket sort order
-    usable by later merges.
-    """
-    (
-        df.repartition(n_buckets, key)
-        .write.bucketBy(n_buckets, key)
-        .sortBy(key)
-        .option("path", path)
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(table)
+    _write_bucketed(
+        df,
+        table,
+        [key],
+        n_buckets=n_buckets,
+        sort_cols=[key],
+        path=path,
+        align_partitions=True,
     )
 
 

@@ -71,17 +71,19 @@ def distributed_rank(
     counts_df = ranged.groupBy("_pid", *partition_cols).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    # Cheap pre-flight (aggregate of the aggregate — one number) before
-    # collecting the offset table to the driver.
-    n_offsets = counts_df.count()
-    if n_offsets > max_offset_rows:
+    # Guard against a high-cardinality partition key flooding the
+    # driver WITHOUT a separate pre-flight job: collect at most
+    # max_offset_rows + 1 rows — the limit caps driver transfer to the
+    # same bound the guard enforces, and one aggregation job replaces
+    # the previous count-then-collect pair.
+    counts = counts_df.limit(max_offset_rows + 1).collect()
+    if len(counts) > max_offset_rows:
         raise ValueError(
-            f"distributed_rank offset table would hold {n_offsets} "
-            f"(partition, group) rows (> {max_offset_rows}); the "
-            "partition key is high-cardinality — use a plain "
-            "Window.partitionBy there (it is already well-distributed)"
+            f"distributed_rank offset table exceeds {max_offset_rows} "
+            "(partition, group) rows; the partition key is "
+            "high-cardinality — use a plain Window.partitionBy there "
+            "(it is already well-distributed)"
         )
-    counts = counts_df.collect()
     by_group: dict[tuple, list[tuple[int, int]]] = {}
     for r in counts:
         by_group.setdefault(

@@ -140,19 +140,32 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
+    align_partitions: bool = False,
 ) -> None:
-    """Persist as a bucketed (+ optionally sorted) managed table.
+    """Persist as a bucketed (+ optionally sorted) table — managed, or
+    external when ``path`` is given. THE single bucketed-write
+    implementation (operators.bucketing wraps it).
 
     Bucketing pre-shuffles the data ONCE at write time: two tables
     bucketed on the same key with the same bucket count join with NO
     exchange at read time — the decisive layout for a fact table that
     is joined on the same key by every downstream query at 100 TB.
     (Requires a catalog/warehouse; Spark's session catalog suffices.)
+
+    ``align_partitions`` repartitions to ``n_buckets`` on the bucket
+    columns first, giving one writing task per bucket — one file per
+    bucket, which is what lets later merges reuse the per-bucket
+    ``sortBy`` order instead of re-sorting.
     """
+    if align_partitions:
+        df = df.repartition(n_buckets, *bucket_cols)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
-    writer.saveAsTable(table)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:

@@ -130,3 +130,28 @@ def test_compact_parquet_reduces_files_preserves_content(
     assert n_after < before
     got = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got == want
+
+
+def test_compact_parquet_recovers_from_crash_window(spark, sf_dir, tmp_path):
+    """Crash between the two renames leaves data only under __compact_old;
+    the next call must restore it and still compact successfully. A stale
+    non-empty __compact_old alongside a live path must not wedge."""
+    import os
+    import shutil
+
+    from flink_log_analysis_spark.operators.maintenance import compact_parquet
+    from flink_log_analysis_spark.session import read_table
+
+    path = str(tmp_path / "t")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    ev.repartition(8).write.parquet(path)
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+    # simulate the crash window: data lives only under __compact_old
+    os.rename(path, f"{path}__compact_old")
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n >= 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    # stale old dir next to a live path must be cleared, not fatal
+    shutil.copytree(path, f"{path}__compact_old")
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want

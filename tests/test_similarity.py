@@ -195,3 +195,27 @@ def test_jl_contract_holds_and_counts_pairs(spark, emb):
     r = out[0]
     assert r.band_ok
     assert r.n_pairs > 0 and r.n_in_band <= r.n_pairs
+
+
+def test_quantize_hostile_vectors(spark):
+    """Constant dims, negatives, and extreme ranges: codes stay in
+    [0, 255] and the half-step bound still holds."""
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators.similarity import (
+        scalar_quantize_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[-1000.0, 0.0, 5.0]),
+            Row(vec_id=1, embedding=[1000.0, 0.0, 5.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 5.0]),
+        ]
+    )
+    out = {r.vec_id: r for r in scalar_quantize_stats(df).collect()}
+    assert all(r.err_ok for r in out.values())
+    # dim 1 and 2 constant -> contribute 0; dim 0 spans [-1000, 1000]
+    assert out[0].code_sum == 0
+    assert out[1].code_sum == 255
+    assert out[2].code_sum == 128
