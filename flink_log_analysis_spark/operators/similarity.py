@@ -127,18 +127,13 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id for one vector under the given hyperplanes."""
+    """Sign-bit bucket id for one vector under the given hyperplanes.
+    Each sign comes from the canonical :func:`dot` fold (the expression
+    the SQL oracle's ``list_dot_product`` mirrors) — not a re-derived
+    inline fold that could drift."""
     bucket = F.lit(0)
     for i, p in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in p]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        d = dot(as_double(vec), F.array(*[F.lit(x) for x in p]))
         bucket = bucket + F.when(d > 0, F.lit(2 ** i)).otherwise(F.lit(0))
     return bucket
 
