@@ -116,6 +116,40 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dedup_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: where the greedy policy keeps
+    each near-dup group's LOWEST-ID doc, this keeps each cluster's most
+    lexically diverse doc (distinct-token count desc, id tie-break) —
+    the policy a curation pipeline actually wants, since near-dup
+    groups often mix a clean original with truncated/boilerplated
+    copies.
+
+    One window over the cluster assignment (cluster_id is
+    high-cardinality — mostly singletons — so the window partitions
+    well); diversity is a map-side projection joined in by id.
+    """
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    from ..operators.textstats import tokens
+
+    diversity = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(tokens(F.col("text"))))
+        .cast("int")
+        .alias("n_distinct_tokens"),
+    )
+    assign = near_dup_clusters(spark, sf_dir).join(diversity, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_distinct_tokens"), F.asc("doc_id")
+    )
+    return (
+        assign.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "n_distinct_tokens")
+    )
+
+
 def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram: how much of the corpus sits in
     clusters of each size — the number a dedup run reports to decide
@@ -400,8 +434,9 @@ ORACLE = {
     """,
 }
 
-# The size histogram wraps the cluster-assignment oracle verbatim (a
-# WITH inside the CTE body) so the two can never drift.
+# The size histogram and the best-doc selection wrap the
+# cluster-assignment oracle verbatim (a WITH inside the CTE body) so
+# they can never drift from it.
 ORACLE["dup_cluster_sizes"] = f"""
     WITH assign AS ({ORACLE["near_dup_clusters"]}),
     szs AS (SELECT cluster_id, COUNT(*) AS size
@@ -409,6 +444,28 @@ ORACLE["dup_cluster_sizes"] = f"""
     SELECT size, COUNT(*) AS n_clusters,
            CAST(SUM(size) AS BIGINT) AS n_docs
     FROM szs GROUP BY size
+"""
+
+# Diversity twin of llm_quality's raw-whitespace token convention
+# (same pairing token_budget_select hash-passes on).
+_RAW_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+ORACLE["near_dedup_best_docs"] = f"""
+    WITH assign AS ({ORACLE["near_dup_clusters"]}),
+    div AS (
+        SELECT doc_id,
+               CAST(len(list_distinct({_RAW_TOKS})) AS INTEGER)
+                   AS n_distinct_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT a.doc_id, a.cluster_id, div.n_distinct_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.cluster_id
+                   ORDER BY div.n_distinct_tokens DESC, a.doc_id ASC) AS rn
+        FROM assign a JOIN div USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, n_distinct_tokens FROM ranked WHERE rn = 1
 """
 
 # Splice the (long) simhash CTE in once — the dict literal above keeps
@@ -425,6 +482,7 @@ QUERIES = {
     "near_dedup_docs": near_dedup_docs,
     "near_dup_clusters": near_dup_clusters,
     "dup_cluster_sizes": dup_cluster_sizes,
+    "near_dedup_best_docs": near_dedup_best_docs,
     "simhash": simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "incremental_near_dups": incremental_near_dups,
