@@ -107,7 +107,10 @@ _DRIVER_WINDOW: list[str] = [
     "knn_ivf_recall",
     "media_features",
     "media_resize",
-    "media_frames",
+    # wav_roundtrip is new this session (REAL stdlib codec certified
+    # against a closed-form oracle); media_frames (green r5, fake-path
+    # twin of media_resize above) rotates out to the local gate.
+    "wav_roundtrip",
     # new this round: corpus-hygiene operators (quality filter, PII
     # scrub, decontamination, sequence packing) — need first rows
     "doc_quality_signals",

@@ -120,3 +120,19 @@ def real_media_features(buf: bytes, feature_dim: int) -> list[float]:
         chunk = lum[i * stripe : (i + 1) * stripe] or [0.0]
         out.append(round(sum(chunk) / len(chunk) / 255.0, 6))
     return out
+
+
+def encode_wav(samples: list[int], rate: int = 8000) -> bytes:
+    """Write 16-bit mono PCM WAV bytes with the stdlib ``wave`` module
+    (standard 44-byte header + 2 bytes per sample)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()

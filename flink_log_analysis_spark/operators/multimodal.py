@@ -299,3 +299,119 @@ def sample_frames(
     return ensure_min_partitions(
         df.select(id_col, content_col), udf_partition_target(df)
     ).mapInPandas(batches, FRAME_SCHEMA)
+
+
+# Deterministic synthetic-audio parameters for the real-codec
+# round-trip contract (mirrored in the oracle's closed-form SQL).
+WAV_RATE = 8000
+WAV_BASE_SAMPLES = 64
+WAV_LEN_MOD = 32
+WAV_VAL_MOD = 2048
+WAV_VAL_SHIFT = 1024
+
+
+def wav_sample(doc_id: int, k: int) -> int:
+    """Sample k of doc_id's synthetic waveform: a fixed integer
+    formula both the executor synth and the SQL oracle evaluate."""
+    return (doc_id * 31 + k * 17) % WAV_VAL_MOD - WAV_VAL_SHIFT
+
+
+def wav_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-codec certification for the audio path: per id, synthesize
+    a PCM16 mono waveform from a closed-form integer formula, encode
+    it with the real stdlib ``wave`` writer, ship the BYTES through an
+    Arrow batch boundary, decode with the real reader, and report
+    integer stats of the DECODED samples plus the container length.
+
+    The DuckDB oracle evaluates the same closed form directly — it
+    never sees a WAV byte — so a hash match certifies the whole
+    encode -> binary column -> decode chain, the same
+    independent-derivation pattern logpipe uses for the log parser.
+    All outputs are exact integers (no float audio math).
+
+    Scale shape: two Arrow-batched mapInPandas projections, no
+    shuffle; at 100 TB this is the media ingest tier's shape (decode
+    cost linear in bytes, per-partition parallel).
+    """
+    codecs = _codecs_by_value()
+    enc, dec = codecs.encode_wav, codecs.decode_wav
+    rate = WAV_RATE
+    base, lmod = WAV_BASE_SAMPLES, WAV_LEN_MOD
+    vmod, vshift = WAV_VAL_MOD, WAV_VAL_SHIFT
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(doc_id: int) -> bytes:
+            n = base + doc_id % lmod
+            return enc(
+                [(doc_id * 31 + k * 17) % vmod - vshift for k in range(n)],
+                rate,
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "wav": pdf[id_col].map(make)}
+            )
+
+    def stats(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(buf: bytes) -> tuple[int, int, int, int, int, int]:
+            got_rate, nch, samples = dec(buf)
+            return (
+                got_rate,
+                nch,
+                len(samples),
+                sum(samples),
+                min(samples),
+                max(samples),
+            )
+
+        for pdf in it:
+            cols = pdf["wav"].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "rate": cols.map(lambda t: t[0]).astype("int32"),
+                    "n_channels": cols.map(lambda t: t[1]).astype("int32"),
+                    "n_samples": cols.map(lambda t: t[2]).astype("int32"),
+                    "sample_sum": cols.map(lambda t: t[3]).astype("int64"),
+                    "sample_min": cols.map(lambda t: t[4]).astype("int32"),
+                    "sample_max": cols.map(lambda t: t[5]).astype("int32"),
+                    "n_bytes": pdf["wav"].map(len).astype("int32"),
+                }
+            )
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..session import ensure_min_partitions
+
+    ids = ensure_min_partitions(df.select(id_col))
+    wav_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("wav", BinaryType()),
+        ]
+    )
+    stats_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("rate", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("sample_sum", LongType()),
+            StructField("sample_min", IntegerType()),
+            StructField("sample_max", IntegerType()),
+            StructField("n_bytes", IntegerType()),
+        ]
+    )
+    return ids.mapInPandas(synth, wav_schema).mapInPandas(
+        stats, stats_schema
+    )

@@ -60,7 +60,41 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real stdlib WAV codec certified end-to-end: synth (closed-form
+    integers) -> real encode -> Arrow boundary -> real decode -> exact
+    integer stats; the oracle evaluates the closed form directly and
+    never sees a WAV byte (the logpipe independent-derivation
+    pattern, applied to the audio codec)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.wav_roundtrip_stats(docs)
+
+
 ORACLE = {
+    "wav_roundtrip": f"""
+        WITH ks AS (
+            SELECT doc_id,
+                   unnest(generate_series(
+                       0,
+                       {multimodal.WAV_BASE_SAMPLES}
+                           + doc_id % {multimodal.WAV_LEN_MOD} - 1)) AS k
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   (doc_id * 31 + k * 17) % {multimodal.WAV_VAL_MOD}
+                       - {multimodal.WAV_VAL_SHIFT} AS v
+            FROM ks
+        )
+        SELECT doc_id,
+               CAST({multimodal.WAV_RATE} AS INTEGER) AS rate,
+               CAST(1 AS INTEGER) AS n_channels,
+               CAST(COUNT(*) AS INTEGER) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sample_sum,
+               CAST(MIN(v) AS INTEGER) AS sample_min,
+               CAST(MAX(v) AS INTEGER) AS sample_max,
+               CAST(44 + 2 * COUNT(*) AS INTEGER) AS n_bytes
+        FROM s GROUP BY doc_id
+    """,
     "binary_meta": """
         SELECT doc_id, 'text/plain' AS mime,
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
@@ -119,4 +153,5 @@ QUERIES = {
     "media_features": media_features,
     "media_resize": media_resize,
     "media_frames": media_frames,
+    "wav_roundtrip": wav_roundtrip,
 }

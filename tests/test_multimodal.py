@@ -136,3 +136,23 @@ def test_unsupported_real_codecs_raise(spark, sf_dir):
         multimodal.extract_features(binr, fake=False).collect()
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(binr, fake=False)
+
+
+def test_wav_roundtrip_stats_match_formula(spark):
+    """Real encode -> Arrow boundary -> real decode must reproduce the
+    closed-form sample stats exactly."""
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators import multimodal
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in (0, 7, 31)])
+    out = {r.doc_id: r for r in multimodal.wav_roundtrip_stats(df).collect()}
+    for did in (0, 7, 31):
+        n = multimodal.WAV_BASE_SAMPLES + did % multimodal.WAV_LEN_MOD
+        samples = [multimodal.wav_sample(did, k) for k in range(n)]
+        r = out[did]
+        assert r.rate == multimodal.WAV_RATE and r.n_channels == 1
+        assert r.n_samples == n
+        assert r.sample_sum == sum(samples)
+        assert (r.sample_min, r.sample_max) == (min(samples), max(samples))
+        assert r.n_bytes == 44 + 2 * n
