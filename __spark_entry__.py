@@ -106,11 +106,12 @@ _DRIVER_WINDOW: list[str] = [
     # stub-codec media plans (byte arithmetic replayed in DuckDB)
     "knn_ivf_recall",
     "media_features",
-    "media_resize",
-    # wav_roundtrip is new this session (REAL stdlib codec certified
-    # against a closed-form oracle); media_frames (green r5, fake-path
-    # twin of media_resize above) rotates out to the local gate.
+    # wav/bmp_roundtrip are new this session (REAL stdlib codecs
+    # certified against closed-form oracles); media_resize and
+    # media_frames (green r5, fake-path siblings of media_features
+    # above) rotate out to the local gate.
     "wav_roundtrip",
+    "bmp_roundtrip",
     # new this round: corpus-hygiene operators (quality filter, PII
     # scrub, decontamination, sequence packing) — need first rows
     "doc_quality_signals",

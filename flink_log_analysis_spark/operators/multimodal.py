@@ -415,3 +415,116 @@ def wav_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.mapInPandas(synth, wav_schema).mapInPandas(
         stats, stats_schema
     )
+
+
+# Deterministic synthetic-image parameters for the BMP twin of the
+# WAV round-trip contract.
+BMP_BASE_W = 5
+BMP_W_MOD = 4
+BMP_BASE_H = 3
+BMP_H_MOD = 3
+
+
+def bmp_pixel(doc_id: int, r: int, c: int) -> tuple[int, int, int]:
+    """Pixel (r, c) of doc_id's synthetic image — fixed integer
+    formula, mirrored in the oracle SQL."""
+    return (
+        (doc_id + r * 7 + c * 13) % 256,
+        (doc_id * 3 + r * 11 + c) % 256,
+        (doc_id * 5 + r + c * 29) % 256,
+    )
+
+
+def bmp_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-codec certification for the image path — the BMP twin of
+    :func:`wav_roundtrip_stats`: closed-form pixel grid -> real stdlib
+    BMP encode (bottom-up, 4-byte row padding) -> Arrow boundary ->
+    real decode -> exact integer channel sums. The oracle evaluates
+    the pixel formula directly and never sees a BMP byte, so a hash
+    match certifies header layout, row order, padding, and BGR<->RGB
+    handling end-to-end.
+    """
+    codecs = _codecs_by_value()
+    enc, dec = codecs.encode_bmp, codecs.decode_bmp
+    bw, wmod, bh, hmod = BMP_BASE_W, BMP_W_MOD, BMP_BASE_H, BMP_H_MOD
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(doc_id: int) -> bytes:
+            w = bw + doc_id % wmod
+            h = bh + doc_id % hmod
+            return enc(
+                [
+                    [
+                        (
+                            (doc_id + r * 7 + c * 13) % 256,
+                            (doc_id * 3 + r * 11 + c) % 256,
+                            (doc_id * 5 + r + c * 29) % 256,
+                        )
+                        for c in range(w)
+                    ]
+                    for r in range(h)
+                ]
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "bmp": pdf[id_col].map(make)}
+            )
+
+    def stats(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(buf: bytes) -> tuple[int, int, int, int, int, int]:
+            w, h, rows = dec(buf)
+            rs = sum(p[0] for row in rows for p in row)
+            gs = sum(p[1] for row in rows for p in row)
+            bs = sum(p[2] for row in rows for p in row)
+            return (w, h, rs, gs, bs, len(buf))
+
+        for pdf in it:
+            cols = pdf["bmp"].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": cols.map(lambda t: t[0]).astype("int32"),
+                    "height": cols.map(lambda t: t[1]).astype("int32"),
+                    "r_sum": cols.map(lambda t: t[2]).astype("int64"),
+                    "g_sum": cols.map(lambda t: t[3]).astype("int64"),
+                    "b_sum": cols.map(lambda t: t[4]).astype("int64"),
+                    "n_bytes": cols.map(lambda t: t[5]).astype("int32"),
+                }
+            )
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..session import ensure_min_partitions
+
+    ids = ensure_min_partitions(df.select(id_col))
+    bmp_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("bmp", BinaryType()),
+        ]
+    )
+    stats_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("r_sum", LongType()),
+            StructField("g_sum", LongType()),
+            StructField("b_sum", LongType()),
+            StructField("n_bytes", IntegerType()),
+        ]
+    )
+    return ids.mapInPandas(synth, bmp_schema).mapInPandas(
+        stats, stats_schema
+    )

@@ -70,7 +70,48 @@ def wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_roundtrip_stats(docs)
 
 
+def bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP twin of wav_roundtrip: real stdlib encode/decode certified
+    against a closed-form pixel-formula oracle (header layout, row
+    order, padding, BGR<->RGB all on the line)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.bmp_roundtrip_stats(docs)
+
+
 ORACLE = {
+    "bmp_roundtrip": f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   {multimodal.BMP_BASE_W} + doc_id % {multimodal.BMP_W_MOD}
+                       AS w,
+                   {multimodal.BMP_BASE_H} + doc_id % {multimodal.BMP_H_MOD}
+                       AS h
+            FROM documents
+        ), rs AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(0, h - 1)) AS r
+            FROM dims
+        ), px AS (
+            SELECT doc_id, w, h, r,
+                   unnest(generate_series(0, w - 1)) AS c
+            FROM rs
+        ), vals AS (
+            SELECT doc_id, w, h,
+                   (doc_id + r * 7 + c * 13) % 256 AS rv,
+                   (doc_id * 3 + r * 11 + c) % 256 AS gv,
+                   (doc_id * 5 + r + c * 29) % 256 AS bv
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(SUM(rv) AS BIGINT) AS r_sum,
+               CAST(SUM(gv) AS BIGINT) AS g_sum,
+               CAST(SUM(bv) AS BIGINT) AS b_sum,
+               CAST(54 + h * (((w * 3 + 3) // 4) * 4) AS INTEGER)
+                   AS n_bytes
+        FROM vals GROUP BY doc_id, w, h
+    """,
     "wav_roundtrip": f"""
         WITH ks AS (
             SELECT doc_id,
@@ -154,4 +195,5 @@ QUERIES = {
     "media_resize": media_resize,
     "media_frames": media_frames,
     "wav_roundtrip": wav_roundtrip,
+    "bmp_roundtrip": bmp_roundtrip,
 }

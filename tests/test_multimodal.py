@@ -156,3 +156,26 @@ def test_wav_roundtrip_stats_match_formula(spark):
         assert r.sample_sum == sum(samples)
         assert (r.sample_min, r.sample_max) == (min(samples), max(samples))
         assert r.n_bytes == 44 + 2 * n
+
+
+def test_bmp_roundtrip_stats_match_formula(spark):
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators import multimodal
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in (0, 5, 11)])
+    out = {r.doc_id: r for r in multimodal.bmp_roundtrip_stats(df).collect()}
+    for did in (0, 5, 11):
+        w = multimodal.BMP_BASE_W + did % multimodal.BMP_W_MOD
+        h = multimodal.BMP_BASE_H + did % multimodal.BMP_H_MOD
+        px = [
+            multimodal.bmp_pixel(did, r, c)
+            for r in range(h)
+            for c in range(w)
+        ]
+        rec = out[did]
+        assert (rec.width, rec.height) == (w, h)
+        assert rec.r_sum == sum(p[0] for p in px)
+        assert rec.g_sum == sum(p[1] for p in px)
+        assert rec.b_sum == sum(p[2] for p in px)
+        assert rec.n_bytes == 54 + h * ((w * 3 + 3) // 4 * 4)
