@@ -132,6 +132,9 @@ def audit(name: str, df) -> dict:
         flags.append("UNEXPECTED-CROSS-JOIN")
     if props["python_udf"] and name not in (
         "media_features", "media_resize", "media_frames",
+        # real-codec round-trips: Arrow-batched encode/decode IS the
+        # operator (stdlib codecs run in Python by construction)
+        "wav_roundtrip", "bmp_roundtrip",
     ):
         flags.append("PYTHON-IN-HOT-PATH")
     if props["sp_funnels"] and name not in SINGLE_PARTITION_OK:
