@@ -75,6 +75,39 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
+WAV_BYTES_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("wav", BinaryType())]
+)
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_min", IntegerType()),
+        StructField("sample_max", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+BMP_BYTES_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("bmp", BinaryType())]
+)
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
 
 # Public codec API (implemented in the self-contained mediacodecs
 # module so closures can ship its SOURCE to executors — see
@@ -83,6 +116,7 @@ from .mediacodecs import (  # noqa: E402  (re-export)
     decode_bmp,
     decode_wav,
     encode_bmp,
+    encode_wav,
     real_media_features,
 )
 
@@ -383,37 +417,11 @@ def wav_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    from pyspark.sql.types import (
-        BinaryType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from ..session import ensure_min_partitions, udf_partition_target
 
-    from ..session import ensure_min_partitions
-
-    ids = ensure_min_partitions(df.select(id_col))
-    wav_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("wav", BinaryType()),
-        ]
-    )
-    stats_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("rate", IntegerType()),
-            StructField("n_channels", IntegerType()),
-            StructField("n_samples", IntegerType()),
-            StructField("sample_sum", LongType()),
-            StructField("sample_min", IntegerType()),
-            StructField("sample_max", IntegerType()),
-            StructField("n_bytes", IntegerType()),
-        ]
-    )
-    return ids.mapInPandas(synth, wav_schema).mapInPandas(
-        stats, stats_schema
+    ids = ensure_min_partitions(df.select(id_col), udf_partition_target(df))
+    return ids.mapInPandas(synth, WAV_BYTES_SCHEMA).mapInPandas(
+        stats, WAV_STATS_SCHEMA
     )
 
 
@@ -497,34 +505,9 @@ def bmp_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    from pyspark.sql.types import (
-        BinaryType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from ..session import ensure_min_partitions, udf_partition_target
 
-    from ..session import ensure_min_partitions
-
-    ids = ensure_min_partitions(df.select(id_col))
-    bmp_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("bmp", BinaryType()),
-        ]
-    )
-    stats_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("width", IntegerType()),
-            StructField("height", IntegerType()),
-            StructField("r_sum", LongType()),
-            StructField("g_sum", LongType()),
-            StructField("b_sum", LongType()),
-            StructField("n_bytes", IntegerType()),
-        ]
-    )
-    return ids.mapInPandas(synth, bmp_schema).mapInPandas(
-        stats, stats_schema
+    ids = ensure_min_partitions(df.select(id_col), udf_partition_target(df))
+    return ids.mapInPandas(synth, BMP_BYTES_SCHEMA).mapInPandas(
+        stats, BMP_STATS_SCHEMA
     )

@@ -447,8 +447,9 @@ ORACLE["dup_cluster_sizes"] = f"""
 """
 
 # Diversity twin of llm_quality's raw-whitespace token convention
-# (same pairing token_budget_select hash-passes on).
-_RAW_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+# (same pairing token_budget_select hash-passes on) — imported, not
+# re-stated, so the convention lives in one place.
+from .llm_quality import _TOKS as _RAW_TOKS  # noqa: E402
 
 ORACLE["near_dedup_best_docs"] = f"""
     WITH assign AS ({ORACLE["near_dup_clusters"]}),

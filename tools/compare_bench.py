@@ -49,10 +49,8 @@ def main() -> None:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
     so = sum(old[q] for q in shared)
     sn = sum(new[q] for q in shared)
-    print(
-        f"shared-{len(shared)} total: {so:.1f}s -> {sn:.1f}s "
-        f"({(sn - so) / so * 100:+.1f}%)"
-    )
+    pct = f" ({(sn - so) / so * 100:+.1f}%)" if so > 0 else ""
+    print(f"shared-{len(shared)} total: {so:.1f}s -> {sn:.1f}s{pct}")
     moved = [
         (new[q] - old[q], q)
         for q in shared
