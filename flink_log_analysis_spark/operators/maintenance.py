@@ -42,6 +42,15 @@ def compact_parquet(
     anything else, and stale tmp/old leftovers from an earlier crash
     are cleared so a previous failure can never wedge later
     compactions (``os.rename`` refuses a non-empty destination).
+
+    Concurrency contract: single writer, no concurrent readers of the
+    live path during the swap — a reader between the two renames sees
+    no live directory, and two compactions of the same path can
+    interleave their tmp/old cleanup. This matches the harness's
+    single-process maintenance use; a shared deployment needs an
+    external mutex (table-format transaction, catalog lock, or a lock
+    file) around the call, as with any directory-swap rewrite outside
+    a transactional table format.
     """
     tmp = f"{path}__compact_tmp"
     old = f"{path}__compact_old"

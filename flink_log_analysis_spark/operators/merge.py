@@ -42,6 +42,7 @@ atomic directory swap ParquetUpsertSink uses, giving a dependency-free
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 
@@ -179,14 +180,36 @@ def snapshot_diff(
     not a per-column expression explosion. Unchanged keys are filtered
     out before anything else consumes the result, so the output is
     O(churn), not O(table).
+
+    The join itself is null-safe (``<=>`` per key, still extracted as
+    equi-join keys by Catalyst, so the plan stays a hash/sort-merge
+    join): a row whose key is NULL in both snapshots compares as the
+    same key (unchanged/updated) rather than surfacing as a spurious
+    deleted+inserted pair. As with any null-safe key semantics, keys
+    should still be unique per snapshot — several NULL-keyed rows on
+    both sides would pair many-to-many like any duplicated key.
     """
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in keys]
     # An explicit [] is a presence-only diff (inserted/deleted, never
     # updated): compare a constant so matched keys always tie.
-    o = old.select(*keys, F.struct(*(compare_cols or [F.lit(0)])).alias("_t"))
-    n = new.select(*keys, F.struct(*(compare_cols or [F.lit(0)])).alias("_s"))
-    j = o.join(n, keys, "full_outer")
+    # Dataset aliases (not df[col] references): old and new often share
+    # lineage (two filters of one snapshot table), where unqualified
+    # per-side column refs are ambiguous self-join columns.
+    o = old.select(
+        *keys, F.struct(*(compare_cols or [F.lit(0)])).alias("_t")
+    ).alias("_dt")
+    n = new.select(
+        *keys, F.struct(*(compare_cols or [F.lit(0)])).alias("_s")
+    ).alias("_ds")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"_dt.`{k}`").eqNullSafe(F.col(f"_ds.`{k}`"))
+            for k in keys
+        ],
+    )
+    j = o.join(n, cond, "full_outer")
     change = (
         F.when(F.col("_t").isNull(), F.lit("inserted"))
         .when(F.col("_s").isNull(), F.lit("deleted"))
@@ -195,5 +218,11 @@ def snapshot_diff(
     return (
         j.withColumn("change", change)
         .filter(F.col("change").isNotNull())
-        .select(*keys, "change")
+        .select(
+            *[
+                F.coalesce(F.col(f"_dt.`{k}`"), F.col(f"_ds.`{k}`")).alias(k)
+                for k in keys
+            ],
+            "change",
+        )
     )

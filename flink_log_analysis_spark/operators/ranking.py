@@ -150,8 +150,18 @@ def distributed_prefix_sum(
        driver, which computes the exclusive prefix offsets
        (O(partitions) work/memory, ~KBs even at 100 TB);
     3. a per-partition running sum (window partitioned by partition id,
-       fully parallel) plus the broadcast offset is the exact global
-       running sum.
+       fully parallel) plus the broadcast offset is the global running
+       sum.
+
+    Exactness caveat: the result is BIT-exact (identical to a
+    sequential fold) only for integral value columns — every current
+    call site (token counts, byte sizes). For float/double values the
+    subtotal+offset composition can round differently than a
+    sequential or single-window fold by a few ulps (float addition is
+    not associative), and Decimal subtotals are degraded to float by
+    the integral check below — treat non-integral cums as
+    approximate-to-ulps and round before any comparison/rank use
+    (the oracle-parity convention everywhere else in this repo).
 
     Callers should project down to (order keys, value) first so only a
     narrow relation ever shuffles.

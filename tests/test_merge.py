@@ -161,6 +161,28 @@ def test_snapshot_diff_null_safe_compare(spark):
     assert out == {2: "updated"}
 
 
+def test_snapshot_diff_null_safe_keys(spark):
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from flink_log_analysis_spark.operators.merge import snapshot_diff
+
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", StringType())]
+    )
+    old = spark.createDataFrame([(None, "a"), (1, "b")], schema)
+    new = spark.createDataFrame([(None, "a"), (1, "B"), (2, "c")], schema)
+    rows = snapshot_diff(old, new, ["k"]).collect()
+    out = {r.k: r.change for r in rows}
+    # the NULL key matches itself (unchanged, absent from the diff)
+    # instead of reporting a spurious deleted+inserted pair
+    assert out == {1: "updated", 2: "inserted"}
+
+
 def test_snapshot_diff_presence_only(spark):
     from pyspark.sql import Row
 

@@ -110,18 +110,35 @@ def _single_partition_funnels(plan: str) -> tuple[int, int]:
     return len(sp_ids), funnels
 
 
-def audit(name: str, df) -> dict:
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def audit(name: str, df, codegen_plan: str | None = None) -> dict:
+    """Audit one query's formatted plan.
+
+    ``codegen_plan`` is an optional SECOND formatted plan of the same
+    query built with AQE disabled: under AQE the static plan is an
+    unexecuted ``AdaptiveSparkPlan`` wrapper that carries NO codegen
+    annotations at all (CollapseCodegenStages runs per-stage at
+    runtime), so codegen coverage must be measured on the non-adaptive
+    twin. The marker in formatted output is ``[codegen id : N]`` —
+    counting the literal string ``WholeStageCodegen`` (as this audit
+    did through round 6) always reads 0 in formatted mode.
+    """
+    plan = _explain(df)
     single_part, funnels = _single_partition_funnels(plan)
+    codegen_src = codegen_plan if codegen_plan is not None else plan
+    codegen_ids = set(re.findall(r"\[codegen id : (\d+)\]", codegen_src))
     props = {
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "shuffle_joins": len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)),
         "cartesian": len(re.findall(r"CartesianProduct|BroadcastNestedLoop", plan)),
         "hash_aggs": len(re.findall(r"HashAggregate", plan)),
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
-        "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+        "codegen_spans": len(codegen_ids),
         "exchanges": len(re.findall(r"Exchange", plan)),
         "single_part": single_part,
         "sp_funnels": funnels,
@@ -143,6 +160,17 @@ def audit(name: str, df) -> dict:
         # aggregates also exchange to SinglePartition but only move
         # one row per partition — counted in single_part, not flagged.)
         flags.append("SINGLE-PARTITION-EXCHANGE")
+    if (
+        codegen_plan is not None
+        and not codegen_ids
+        and "Scan parquet" in codegen_src
+        and not props["python_udf"]
+    ):
+        # Floor assertion: any JVM-only query that scans parquet must
+        # compile at least one whole-stage span — zero means either a
+        # codegen-breaking expression landed on the hot path or Spark's
+        # explain format changed and this audit went blind again.
+        flags.append("NO-CODEGEN")
     props["flags"] = ",".join(flags) or "-"
     return props, plan
 
@@ -164,12 +192,23 @@ def main() -> None:
     qs = entrymod.queries()
     names = args.names or [n for n in qs if n not in SKIP]
 
+    from flink_log_analysis_spark.session import scoped_conf
+
     rows = []
     excerpts = {}
     bad = 0
     for name in names:
         df = qs[name](spark, args.sf)
-        props, plan = audit(name, df)
+        # Codegen coverage is invisible on the AQE static plan (see
+        # audit()): build a non-adaptive twin of the same query and
+        # measure [codegen id : N] spans there. Everything else is
+        # audited on the production (AQE) plan.
+        with scoped_conf(spark, {"spark.sql.adaptive.enabled": "false"}):
+            try:
+                cg_plan = _explain(qs[name](spark, args.sf))
+            except Exception:
+                cg_plan = ""
+        props, plan = audit(name, df, codegen_plan=cg_plan)
         rows.append((name, props))
         if props["flags"] != "-":
             bad += 1
@@ -186,7 +225,11 @@ def main() -> None:
             f"Generated by `tools/explain_audit.py` at `{args.sf}`.\n"
             "Properties that matter at 100 TB: dim joins broadcast, filters\n"
             "pushed into parquet scans, partial+final hash aggregation, no\n"
-            "accidental cross joins, hot path inside WholeStageCodegen.\n\n"
+            "accidental cross joins, hot path inside WholeStageCodegen.\n"
+            "The codegen column counts distinct `[codegen id : N]` spans on\n"
+            "an AQE-disabled twin of each plan (the AQE static plan carries\n"
+            "no codegen annotations); a parquet-scanning JVM-only query with\n"
+            "zero spans is flagged NO-CODEGEN.\n\n"
             "| query | bcast joins | shuffle joins | cartesian | hash aggs | "
             "pushed filters | codegen | exchanges | 1-part/funnel | python | "
             "flags |\n"
