@@ -74,16 +74,18 @@ def _plan_modules():
 # Names pinned to the driver's 50-entry audit window, in order.
 # Anything not listed here follows afterwards in module order.
 #
-# Round-6 rotation policy (VERDICT r5 item 3): the six r1-stale greens
-# (quantity_quantiles, order_value_ntile, bpe_token_stats,
-# token_frequencies, rolling_fingerprints, doc_fingerprints — last
-# driver-audited in round 1) rotate IN for fresh rows; six
-# multi-round-stable greens (last_purchase_asof, user_event_pivot,
-# hourly_event_stats, monthly_revenue_moving_avg,
-# customer_order_cadence, promo_window_orders) rotate OUT. Queries
-# whose code paths round 6 touches (pack_chunks prefix-sum, shared IVF
-# fit, shared dedup chain) stay under audit. Every rotated-out name
-# still runs in the local gate (tools/check_correctness.py) and
+# Round-7 rotation (VERDICT r6 item 1): the three never-driver-audited
+# oracle-backed queries (dup_cluster_sizes, near_dedup_best_docs,
+# rare_token_stats) jump the queue, png_roundtrip is new this session,
+# and knn_lsh comes back under audit because r6's d51b788 refactored
+# lsh_bucket (the sign-LSH path) — per the policy that a touched path
+# keeps one driver query for a round (the r6 rotation comment wrongly
+# claimed that path was untouched; ADVICE r6). Rotating OUT: the five
+# r6-refreshed greens whose code is untouched (quantity_quantiles,
+# bpe_token_stats, token_frequencies, rolling_fingerprints,
+# doc_fingerprints). orders_snapshot_diff stays under audit because
+# round 7 touches snapshot_diff (null-safe keys). Every rotated-out
+# name still runs in the local gate (tools/check_correctness.py) and
 # tests/test_oracle_parity.
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
@@ -112,6 +114,9 @@ _DRIVER_WINDOW: list[str] = [
     # above) rotate out to the local gate.
     "wav_roundtrip",
     "bmp_roundtrip",
+    # new this session: the PNG sibling (struct+zlib codec, all five
+    # RFC 2083 scanline filters certified by pixel_match)
+    "png_roundtrip",
     # new this round: corpus-hygiene operators (quality filter, PII
     # scrub, decontamination, sequence packing) — need first rows
     "doc_quality_signals",
@@ -127,13 +132,22 @@ _DRIVER_WINDOW: list[str] = [
     # out to the local gate.
     "orders_snapshot_diff",
     "sketch_accuracy",
-    # r1-stale set — fresh rows this round (planned r6 rotation)
-    "quantity_quantiles",
+    # order_value_ntile stays: it rides the distributed-rank machinery
+    # whose docs round 7 touches, and its r6 row was its first on the
+    # new scale-safe path. The other five r6-refreshed r1-stale greens
+    # (quantity_quantiles, bpe_token_stats, token_frequencies,
+    # rolling_fingerprints, doc_fingerprints) rotate out, code
+    # untouched, to make room for the never-audited set below.
     "order_value_ntile",
-    "bpe_token_stats",
-    "token_frequencies",
-    "rolling_fingerprints",
-    "doc_fingerprints",
+    # never driver-audited until now (r6-newborn, local-gate green):
+    # cluster-size histogram, quality-aware survivor selection, and
+    # the rare/OOV-token signal
+    "dup_cluster_sizes",
+    "near_dedup_best_docs",
+    "rare_token_stats",
+    # back under audit for a round: r6 commit d51b788 refactored
+    # lsh_bucket, the sign-LSH path this query exercises
+    "knn_lsh",
     # new this round: Gopher n-gram repetition signals + cross-doc
     # boilerplate detection (need first rows; exact_dedup_groups and
     # simhash — green r1-r5, code untouched — rotate out to make room

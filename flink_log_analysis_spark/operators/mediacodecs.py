@@ -1,4 +1,5 @@
-"""Pure-stdlib media codecs: uncompressed 24-bit BMP and PCM WAV.
+"""Pure-stdlib media codecs: uncompressed 24-bit BMP, PCM WAV, and
+8-bit truecolor PNG (``struct`` + ``zlib``, full 5-filter support).
 
 Deliberately self-contained (stdlib imports only, no package-relative
 imports): the mapInPandas closures in ``multimodal.py`` register this
@@ -7,8 +8,9 @@ the serialized task and never need the package importable on the
 worker's PYTHONPATH — the same portability contract the fake-path
 closures keep by construction.
 
-Formats beyond these (PNG/JPEG/MP3/video) raise NotImplementedError at
-the exact call site a pillow/librosa/ffmpeg call would occupy.
+Formats beyond these (JPEG/MP3/video, and PNG color types other than
+8-bit RGB) raise NotImplementedError at the exact call site a
+pillow/librosa/ffmpeg call would occupy.
 """
 
 from __future__ import annotations
@@ -102,6 +104,9 @@ def real_media_features(buf: bytes, feature_dim: int) -> list[float]:
     if buf[:2] == b"BM":
         _, _, rows = decode_bmp(buf)
         lum = [(r_ + g_ + b_) / 3.0 for row in rows for (r_, g_, b_) in row]
+    elif buf[: len(_PNG_SIG)] == _PNG_SIG:
+        _, _, rows = decode_png(buf)
+        lum = [(r_ + g_ + b_) / 3.0 for row in rows for (r_, g_, b_) in row]
     elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         _, _, samples = decode_wav(buf)
         peak = 1.0
@@ -111,7 +116,7 @@ def real_media_features(buf: bytes, feature_dim: int) -> list[float]:
     else:
         raise NotImplementedError(
             "real decode for this format needs pillow/librosa; "
-            "stdlib handles uncompressed BMP and PCM WAV"
+            "stdlib handles uncompressed BMP, 8-bit RGB PNG, and PCM WAV"
         )
     n = len(lum)
     stripe = max(n // feature_dim, 1)
@@ -120,6 +125,154 @@ def real_media_features(buf: bytes, feature_dim: int) -> list[float]:
         chunk = lum[i * stripe : (i + 1) * stripe] or [0.0]
         out.append(round(sum(chunk) / len(chunk) / 255.0, 6))
     return out
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): the neighbor — left,
+    above, or upper-left — closest to the linear estimate a+b-c,
+    ties resolved left > above > upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_predictor(ft: int, a: int, b: int, c: int) -> int:
+    """Predicted byte value for filter type ``ft`` given the left (a),
+    above (b), and upper-left (c) RECONSTRUCTED bytes."""
+    if ft == 0:
+        return 0
+    if ft == 1:
+        return a
+    if ft == 2:
+        return b
+    if ft == 3:
+        return (a + b) // 2
+    if ft == 4:
+        return _paeth(a, b, c)
+    raise ValueError(f"PNG filter type {ft} out of range 0-4")
+
+
+def encode_png(
+    rows: list[list[tuple[int, int, int]]],
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """(r, g, b) rows -> a valid 8-bit truecolor PNG (color type 2,
+    no interlace) with pure stdlib ``struct`` + ``zlib``.
+
+    ``row_filters`` optionally gives each scanline's filter type
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth, RFC 2083 §6); the filter
+    TRANSFORM is applied per spec, so a conforming decoder must run
+    the matching reconstruction — this is what lets the round-trip
+    contract certify all five filters, not just the trivial one.
+    Defaults to all-None.
+    """
+    import struct
+    import zlib
+
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    raw = bytearray()
+    prev = bytes(3 * w)
+    for r in range(h):
+        cur = bytes(v for px in rows[r] for v in px)
+        ft = row_filters[r] if row_filters is not None else 0
+        raw.append(ft)
+        if ft == 0:
+            raw += cur
+        else:
+            for i in range(len(cur)):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                raw.append((cur[i] - _png_predictor(ft, a, b, c)) % 256)
+        prev = cur
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Parse an 8-bit truecolor PNG into (width, height, rows of
+    (r, g, b)): chunk walk with CRC verification, multi-IDAT zlib
+    inflate, and full filter reconstruction (all five RFC 2083 filter
+    types). Other color types / bit depths / interlacing raise
+    NotImplementedError: that is pillow territory.
+    """
+    import struct
+    import zlib
+
+    if buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 12 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"bad CRC in PNG chunk {tag!r}")
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={ctype} "
+                    f"interlace={interlace}: only 8-bit truecolor "
+                    "non-interlaced is stdlib-decodable; others need pillow"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * w
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data length mismatch")
+    rows = []
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        pos += 1
+        cur = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft:  # ft==0 is identity: skip the per-byte loop
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                cur[i] = (cur[i] + _png_predictor(ft, a, b, c)) % 256
+        rows.append(
+            [(cur[i], cur[i + 1], cur[i + 2]) for i in range(0, stride, 3)]
+        )
+        prev = cur
+    return w, h, rows
 
 
 def encode_wav(samples: list[int], rate: int = 8000) -> bytes:

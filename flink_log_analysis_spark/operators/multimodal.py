@@ -14,12 +14,13 @@ container can honestly execute:
   stands in, so the Spark-side plumbing (schema, batching,
   partitioning) is real, tested, and byte-for-byte oracle-checked.
 - ``fake=False``: REAL decode for the formats Python's stdlib can
-  parse — uncompressed 24-bit BMP (struct header + pixel rows) and
-  PCM WAV (the ``wave`` module) — producing real pixel/sample
-  statistics and real nearest-neighbor image resizing. Formats that
-  need pillow/librosa/ffmpeg (PNG/JPEG/MP3/video) raise
-  NotImplementedError at the exact call site a real codec would
-  occupy.
+  parse — uncompressed 24-bit BMP (struct header + pixel rows),
+  8-bit truecolor PNG (``zlib`` inflate + all five RFC 2083 filter
+  reconstructions), and PCM WAV (the ``wave`` module) — producing
+  real pixel/sample statistics and real nearest-neighbor image
+  resizing. Formats that need pillow/librosa/ffmpeg (JPEG/MP3/video)
+  raise NotImplementedError at the exact call site a real codec
+  would occupy.
 
 Scale notes: binary payloads dominate row size — keep media tables
 separate from text/metadata tables and join on id; decode stages should
@@ -38,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -108,14 +110,35 @@ BMP_STATS_SCHEMA = StructType(
     ]
 )
 
+PNG_BYTES_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("png", BinaryType())]
+)
+
+# No n_bytes column here: unlike BMP/WAV, PNG's zlib-compressed IDAT
+# length has no closed form the oracle could evaluate; the exactness
+# signal is pixel_match instead (decoded grid == formula grid).
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("pixel_match", BooleanType()),
+    ]
+)
+
 
 # Public codec API (implemented in the self-contained mediacodecs
 # module so closures can ship its SOURCE to executors — see
 # _codecs_by_value below).
 from .mediacodecs import (  # noqa: E402  (re-export)
     decode_bmp,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
     real_media_features,
 )
@@ -510,4 +533,111 @@ def bmp_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ids = ensure_min_partitions(df.select(id_col), udf_partition_target(df))
     return ids.mapInPandas(synth, BMP_BYTES_SCHEMA).mapInPandas(
         stats, BMP_STATS_SCHEMA
+    )
+
+
+# Deterministic synthetic-image parameters for the PNG round-trip.
+# The pixel formula is bmp_pixel (one canonical expression for all
+# image contracts); dims differ so every doc exercises scanlines long
+# enough for the nontrivial filters, and the per-row filter type
+# cycles through all five RFC 2083 filters.
+PNG_BASE_W = 6
+PNG_W_MOD = 5
+PNG_BASE_H = 4
+PNG_H_MOD = 4
+
+
+def png_filter_type(doc_id: int, r: int) -> int:
+    """Filter type for scanline r of doc_id's synthetic PNG: cycles
+    0-4 so the corpus certifies None/Sub/Up/Average/Paeth equally."""
+    return (doc_id + r) % 5
+
+
+def png_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-codec certification for the PNG path: closed-form pixel
+    grid (the bmp_pixel formula) -> real stdlib PNG encode with the
+    per-scanline filter type cycling through all five RFC 2083
+    filters -> Arrow boundary -> real decode (chunk walk, CRC checks,
+    zlib inflate, filter reconstruction) -> exact integer channel sums
+    plus a ``pixel_match`` flag (decoded grid == formula grid,
+    re-derived independently on the decode side).
+
+    The DuckDB oracle evaluates the pixel formula directly and never
+    sees a PNG byte, so a hash match certifies chunk framing, CRCs,
+    compression, and all five filter transforms end-to-end. Unlike the
+    BMP/WAV contracts there is no n_bytes column: a zlib stream's
+    length has no closed form — ``pixel_match`` (TRUE in the oracle)
+    is the byte-exactness signal instead.
+
+    Scale shape: identical to the BMP twin — two Arrow-batched
+    mapInPandas projections, no shuffle, decode cost linear in bytes.
+    """
+    codecs = _codecs_by_value()
+    enc, dec = codecs.encode_png, codecs.decode_png
+    bw, wmod, bh, hmod = PNG_BASE_W, PNG_W_MOD, PNG_BASE_H, PNG_H_MOD
+
+    def grid(doc_id: int) -> list[list[tuple[int, int, int]]]:
+        w = bw + doc_id % wmod
+        h = bh + doc_id % hmod
+        return [
+            [
+                (
+                    (doc_id + r * 7 + c * 13) % 256,
+                    (doc_id * 3 + r * 11 + c) % 256,
+                    (doc_id * 5 + r + c * 29) % 256,
+                )
+                for c in range(w)
+            ]
+            for r in range(h)
+        ]
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(doc_id: int) -> bytes:
+            rows = grid(doc_id)
+            return enc(rows, [(doc_id + r) % 5 for r in range(len(rows))])
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "png": pdf[id_col].map(make)}
+            )
+
+    def stats(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(doc_id: int, buf: bytes) -> tuple[int, int, int, int, int, bool]:
+            w, h, rows = dec(buf)
+            rs = sum(p[0] for row in rows for p in row)
+            gs = sum(p[1] for row in rows for p in row)
+            bs = sum(p[2] for row in rows for p in row)
+            return (w, h, rs, gs, bs, rows == grid(doc_id))
+
+        for pdf in it:
+            cols = [
+                one(d, b) for d, b in zip(pdf["doc_id"], pdf["png"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(
+                        [t[0] for t in cols], dtype="int32"
+                    ),
+                    "height": pd.Series(
+                        [t[1] for t in cols], dtype="int32"
+                    ),
+                    "r_sum": pd.Series([t[2] for t in cols], dtype="int64"),
+                    "g_sum": pd.Series([t[3] for t in cols], dtype="int64"),
+                    "b_sum": pd.Series([t[4] for t in cols], dtype="int64"),
+                    "pixel_match": pd.Series(
+                        [t[5] for t in cols], dtype="bool"
+                    ),
+                }
+            )
+
+    from ..session import ensure_min_partitions, udf_partition_target
+
+    ids = ensure_min_partitions(df.select(id_col), udf_partition_target(df))
+    return ids.mapInPandas(synth, PNG_BYTES_SCHEMA).mapInPandas(
+        stats, PNG_STATS_SCHEMA
     )

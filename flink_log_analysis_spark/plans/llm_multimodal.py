@@ -78,6 +78,16 @@ def bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.bmp_roundtrip_stats(docs)
 
 
+def png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG sibling of bmp_roundtrip: real stdlib struct+zlib codec
+    (chunk framing, CRCs, deflate, per-scanline filters cycling
+    through all five RFC 2083 types) certified against the same
+    closed-form pixel-formula oracle; pixel_match stands in for
+    n_bytes because a zlib stream's length has no closed form."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.png_roundtrip_stats(docs)
+
+
 ORACLE = {
     "bmp_roundtrip": f"""
         WITH dims AS (
@@ -110,6 +120,38 @@ ORACLE = {
                CAST(SUM(bv) AS BIGINT) AS b_sum,
                CAST(54 + h * (((w * 3 + 3) // 4) * 4) AS INTEGER)
                    AS n_bytes
+        FROM vals GROUP BY doc_id, w, h
+    """,
+    "png_roundtrip": f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   {multimodal.PNG_BASE_W} + doc_id % {multimodal.PNG_W_MOD}
+                       AS w,
+                   {multimodal.PNG_BASE_H} + doc_id % {multimodal.PNG_H_MOD}
+                       AS h
+            FROM documents
+        ), rs AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(0, h - 1)) AS r
+            FROM dims
+        ), px AS (
+            SELECT doc_id, w, h, r,
+                   unnest(generate_series(0, w - 1)) AS c
+            FROM rs
+        ), vals AS (
+            SELECT doc_id, w, h,
+                   (doc_id + r * 7 + c * 13) % 256 AS rv,
+                   (doc_id * 3 + r * 11 + c) % 256 AS gv,
+                   (doc_id * 5 + r + c * 29) % 256 AS bv
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(SUM(rv) AS BIGINT) AS r_sum,
+               CAST(SUM(gv) AS BIGINT) AS g_sum,
+               CAST(SUM(bv) AS BIGINT) AS b_sum,
+               TRUE AS pixel_match
         FROM vals GROUP BY doc_id, w, h
     """,
     "wav_roundtrip": f"""
@@ -196,4 +238,5 @@ QUERIES = {
     "media_frames": media_frames,
     "wav_roundtrip": wav_roundtrip,
     "bmp_roundtrip": bmp_roundtrip,
+    "png_roundtrip": png_roundtrip,
 }

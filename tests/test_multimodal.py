@@ -179,3 +179,73 @@ def test_bmp_roundtrip_stats_match_formula(spark):
         assert rec.g_sum == sum(p[1] for p in px)
         assert rec.b_sum == sum(p[2] for p in px)
         assert rec.n_bytes == 54 + h * ((w * 3 + 3) // 4 * 4)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Every RFC 2083 filter type must survive encode -> decode
+    bit-exactly, and nontrivial filters must actually change the
+    encoded bytes (so the cycling contract isn't vacuously green)."""
+    import random
+
+    from flink_log_analysis_spark.operators import multimodal
+
+    rng = random.Random(11)
+    rows = [
+        [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(7)
+        ]
+        for _ in range(6)
+    ]
+    plain = multimodal.encode_png(rows)
+    for ft in range(5):
+        buf = multimodal.encode_png(rows, [ft] * len(rows))
+        assert multimodal.decode_png(buf) == (7, 6, rows)
+        if ft:
+            assert buf != plain
+    # mixed filters, non-square, 1-pixel edge cases
+    for w, h in ((1, 1), (1, 5), (5, 1)):
+        g = [
+            [(r * 31 % 256, c * 17 % 256, (r + c) % 256) for c in range(w)]
+            for r in range(h)
+        ]
+        buf = multimodal.encode_png(g, [(r * 3) % 5 for r in range(h)])
+        assert multimodal.decode_png(buf) == (w, h, g)
+
+
+def test_png_codec_rejects_garbage_and_bad_crc():
+    import pytest
+
+    from flink_log_analysis_spark.operators import multimodal
+
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"not a png")
+    buf = bytearray(multimodal.encode_png([[(1, 2, 3)]]))
+    buf[-20] ^= 0xFF  # corrupt inside the IDAT body
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(buf))
+
+
+def test_png_roundtrip_stats_match_formula(spark):
+    """PNG sibling of the BMP contract: channel sums match the pixel
+    formula and pixel_match certifies full filter reconstruction."""
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators import multimodal
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in (0, 5, 13)])
+    out = {r.doc_id: r for r in multimodal.png_roundtrip_stats(df).collect()}
+    for did in (0, 5, 13):
+        w = multimodal.PNG_BASE_W + did % multimodal.PNG_W_MOD
+        h = multimodal.PNG_BASE_H + did % multimodal.PNG_H_MOD
+        px = [
+            multimodal.bmp_pixel(did, r, c)
+            for r in range(h)
+            for c in range(w)
+        ]
+        rec = out[did]
+        assert (rec.width, rec.height) == (w, h)
+        assert rec.r_sum == sum(p[0] for p in px)
+        assert rec.g_sum == sum(p[1] for p in px)
+        assert rec.b_sum == sum(p[2] for p in px)
+        assert rec.pixel_match is True

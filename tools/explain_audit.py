@@ -151,7 +151,7 @@ def audit(name: str, df, codegen_plan: str | None = None) -> dict:
         "media_features", "media_resize", "media_frames",
         # real-codec round-trips: Arrow-batched encode/decode IS the
         # operator (stdlib codecs run in Python by construction)
-        "wav_roundtrip", "bmp_roundtrip",
+        "wav_roundtrip", "bmp_roundtrip", "png_roundtrip",
     ):
         flags.append("PYTHON-IN-HOT-PATH")
     if props["sp_funnels"] and name not in SINGLE_PARTITION_OK:
