@@ -57,15 +57,26 @@ def _with_stat_time(df: DataFrame, clock: str | None) -> DataFrame:
     return df.withColumn("statistic_time", F.lit(clock))
 
 
-def hot_section(spark: SparkSession, sf_dir: str, clock: str | None = None) -> DataFrame:
+def hot_section(
+    spark: SparkSession,
+    sf_dir: str,
+    clock: str | None = None,
+    nation: DataFrame | None = None,
+) -> DataFrame:
     """Q1 ``hot_section``: section pv top-10.
 
     Shape parity with ``LogAnalysis.java:242-258``: WHERE key <> 0,
     inner join dim, GROUP BY key+name, count(1), ORDER BY pv DESC
     LIMIT 10 (tie-break section_id ASC for determinism).
+
+    ``nation`` optionally injects the dimension snapshot (any source:
+    the parquet default, ``io.read_jdbc_dim``'s JDBC or DB-API path, a
+    ``DimCache.get()``) — the B1 evidence test drives this query with
+    the dim read from stdlib sqlite3 and asserts the identical result.
     """
     ev = _events(spark, sf_dir)
-    nation = read_table(spark, sf_dir, "nation")
+    if nation is None:
+        nation = read_table(spark, sf_dir, "nation")
     hits = (
         ev.filter(F.col("event_type").isin("view", "click"))
         .select(_section_id())

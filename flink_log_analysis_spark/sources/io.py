@@ -57,24 +57,71 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
     return df.select(*columns) if columns else df
 
 
+def read_dbapi_dim(
+    spark: SparkSession,
+    connection_factory,
+    table: str,
+    schema: str,
+    query: str | None = None,
+) -> DataFrame:
+    """Dimension read through any DB-API connection — the read twin of
+    ``streaming.upsert.jdbc_upsert_writer``'s ``connection_factory``
+    seam (B1, ``LogAnalysis.java:138-152, 199-215``).
+
+    The SELECT executes on the DRIVER: a dim is by contract a small
+    point-lookup table (the reference's forum/section MySQL tables),
+    so this is the same single-connection point query Flink's lookup
+    source issues — the snapshot then parallelizes/broadcasts like any
+    dim DataFrame. ``schema`` is an explicit DDL string (DB-API
+    drivers don't expose reliable column types, and the repo's rule is
+    no inference passes anyway). NOT for fact tables: anything that
+    doesn't comfortably fit on the driver belongs to the partitioned
+    JDBC scan path below.
+
+    ``connection_factory`` is any zero-arg callable returning a DB-API
+    connection — stdlib ``sqlite3.connect`` in tests, a mysql
+    connector partial in a jar-less deployment.
+    """
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(query or f"SELECT * FROM {table}")  # noqa: S608 — dim
+        # table names are deployment config, not user input
+        rows = [tuple(r) for r in cur.fetchall()]
+    finally:
+        conn.close()
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def read_jdbc_dim(
     spark: SparkSession,
-    url: str,
-    table: str,
+    url: str | None = None,
+    table: str = "",
     properties: dict | None = None,
     partition_column: str | None = None,
     num_partitions: int = 1,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    connection_factory=None,
+    schema: str | None = None,
 ) -> DataFrame:
     """JDBC dim scan (B1, ``LogAnalysis.java:138-152``).
 
     Small dims read in one partition (a single point query against the
     DB, like Flink's lookup source); larger tables parallelize with
-    ``partition_column`` + bounds. Requires the JDBC driver jar on the
-    cluster classpath (none in this container — exercised via the
-    option-wiring test and the dimension-cache tests on file dims).
+    ``partition_column`` + bounds. The Spark-JDBC path requires the
+    driver jar on the cluster classpath; passing ``connection_factory``
+    (+ explicit ``schema``) routes through :func:`read_dbapi_dim`
+    instead, which any DB-API database satisfies — that path is
+    exercised end-to-end against stdlib sqlite3 in
+    ``tests/test_io.py`` (same seam the upsert sink uses).
     """
+    if connection_factory is not None:
+        if schema is None:
+            raise ValueError("connection_factory path requires explicit schema")
+        return read_dbapi_dim(spark, connection_factory, table, schema)
+    if url is None:
+        raise ValueError("url is required without a connection_factory")
     reader = (
         spark.read.format("jdbc")
         .option("url", url)

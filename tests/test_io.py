@@ -155,3 +155,79 @@ def test_compact_parquet_recovers_from_crash_window(spark, sf_dir, tmp_path):
     shutil.copytree(path, f"{path}__compact_old")
     compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+
+def test_dbapi_dim_read_from_sqlite_drives_hot_section(spark, sf_dir, tmp_path):
+    """B1 executable evidence: the dim-read seam against a REAL
+    database (stdlib sqlite3) must drive hot_section to the exact
+    result the parquet dim produces — read path + join semantics +
+    type mapping all on the line (mirrors the B2 upsert sqlite test).
+    """
+    import sqlite3
+
+    from flink_log_analysis_spark.plans import declared
+    from flink_log_analysis_spark.session import read_table
+
+    db = str(tmp_path / "dims.sqlite")
+    nation_rows = read_table(spark, sf_dir, "nation").collect()
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE nation (n_nationkey INTEGER, n_name TEXT, "
+            "n_regionkey INTEGER)"
+        )
+        conn.executemany(
+            "INSERT INTO nation VALUES (?, ?, ?)",
+            [
+                (r.n_nationkey, r.n_name, r.n_regionkey)
+                for r in nation_rows
+            ],
+        )
+        conn.commit()
+
+    dim = io.read_jdbc_dim(
+        spark,
+        table="nation",
+        connection_factory=lambda: sqlite3.connect(db),
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    assert dim.count() == len(nation_rows)
+
+    got = declared.hot_section(spark, sf_dir, nation=dim).collect()
+    want = declared.hot_section(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) > 0
+
+
+def test_dim_cache_over_sqlite_ttl(spark, tmp_path):
+    """Lookup-cache TTL semantics over the real DB-API read path: one
+    DB hit per TTL window, a reload observes DB-side updates."""
+    import sqlite3
+
+    db = str(tmp_path / "ttl.sqlite")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE d (k INTEGER, v TEXT)")
+        conn.execute("INSERT INTO d VALUES (1, 'a')")
+        conn.commit()
+
+    hits = []
+
+    def factory():
+        hits.append(1)
+        return sqlite3.connect(db)
+
+    cache = io.DimCache(
+        lambda: io.read_dbapi_dim(
+            spark, factory, "d", "k bigint, v string"
+        ),
+        ttl_seconds=1000,
+    )
+    assert cache.get().first().v == "a"
+    assert cache.get().first().v == "a"
+    assert len(hits) == 1  # within TTL: a single point query
+
+    with sqlite3.connect(db) as conn:
+        conn.execute("UPDATE d SET v = 'b'")
+        conn.commit()
+    cache.ttl = 0.0
+    assert cache.get().first().v == "b"  # expiry reloads from the DB
+    assert len(hits) == 2
