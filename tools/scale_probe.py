@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""One-off scale evidence for the prefix-sum/rank operator family.
+
+The scale posture of ``distributed_prefix_sum`` / ``distributed_rank``
+(range partition + bounded driver offsets + parallel local windows) is
+argued from plan shape; this probe adds a measured data point: run the
+family at the base SF and at an N-times replica and report the
+wall-clock growth. ~Linear growth (ratio ≈ reps on a fixed-core local
+harness, modulo constant overheads) is the pass signal — a
+SinglePartition funnel would grow superlinearly and hit one task.
+
+The replica multiplies each input table row-count by ``--reps``,
+shifting the id keys per replica so key cardinality scales with the
+data (ids stay unique; text/value columns repeat, which is fine for
+timing the shuffle/sort/offset machinery — the sort keys' VALUES are
+what the range partitioner sees and those repeat across replicas,
+making skew handling slightly HARDER than organic data, not easier).
+
+Writes nothing under the repo; replica parquet goes to --out
+(default /tmp). Usage:
+
+    python tools/scale_probe.py [--reps 10] [--base /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = (
+    "pack_chunks",
+    "token_budget_select",
+    "corpus_shards",
+    "order_value_ntile",
+)
+TABLES = {"documents": "doc_id", "orders": "o_orderkey"}
+
+
+def build_replica(spark, base: str, out: str, reps: int) -> None:
+    from pyspark.sql import functions as F
+
+    from flink_log_analysis_spark.session import read_table
+
+    os.makedirs(out, exist_ok=True)
+    for table, id_col in TABLES.items():
+        df = read_table(spark, base, table)
+        max_id = df.agg(F.max(id_col)).first()[0]
+        big = (
+            df.withColumn(
+                "_rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+            )
+            .withColumn(id_col, F.col(id_col) + F.col("_rep") * (max_id + 1))
+            .drop("_rep")
+        )
+        big.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    from flink_log_analysis_spark.session import release_checkpoints
+
+    qs = entrymod.queries()
+    out = {}
+    for name in QUERIES:
+        # one untimed warm pass at the probe SF itself (JIT/codegen),
+        # then the timed pass — steady-state, same convention as bench
+        for timed in (False, True):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            if timed:
+                out[name] = round(time.perf_counter() - t0, 3)
+            release_checkpoints(spark)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/scale_probe_replica")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from flink_log_analysis_spark import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        build_replica(spark, args.base, args.out, args.reps)
+        base_times = time_queries(spark, args.base)
+        big_times = time_queries(spark, args.out)
+        report = {
+            "metric": "prefix_sum_family_scale_probe",
+            "reps": args.reps,
+            "base": base_times,
+            "scaled": big_times,
+            "ratio": {
+                k: round(big_times[k] / base_times[k], 2) for k in base_times
+            },
+        }
+        print(json.dumps(report))
+    finally:
+        if not args.keep:
+            shutil.rmtree(args.out, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
