@@ -104,10 +104,10 @@ _DRIVER_WINDOW: list[str] = [
     # red in r4 (TIMESTAMP_NTZ regression) — fixed in session.read_table
     "session_windows",
     "user_session_stats",
-    # newly oracle-backed this round: IVF recall contract + the three
-    # stub-codec media plans (byte arithmetic replayed in DuckDB)
+    # knn_ivf_recall keeps the IVF accuracy contract under audit;
+    # media_features (green r5-r6, fake-path codec untouched) rotates
+    # out to the local gate in favor of the new r7 ops below.
     "knn_ivf_recall",
-    "media_features",
     # wav/bmp_roundtrip are new this session (REAL stdlib codecs
     # certified against closed-form oracles); media_resize and
     # media_frames (green r5, fake-path siblings of media_features
@@ -131,7 +131,12 @@ _DRIVER_WINDOW: list[str] = [
     # deduped_events_stream (green r5, code untouched since) rotates
     # out to the local gate.
     "orders_snapshot_diff",
-    "sketch_accuracy",
+    # new this session: sliding-window chunking with overlap (the
+    # long-document complement of pack_chunks) and the deterministic
+    # epoch shuffle + round-robin sharding; sketch_accuracy (green
+    # r5-r6, code untouched) rotates out to make room.
+    "doc_chunks",
+    "training_order_shuffle",
     # order_value_ntile stays: it rides the distributed-rank machinery
     # whose docs round 7 touches, and its r6 row was its first on the
     # new scale-safe path. The other five r6-refreshed r1-stale greens

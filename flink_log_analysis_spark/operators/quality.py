@@ -492,6 +492,69 @@ def select_token_budget(
 SHARD_DOCS = 64
 
 
+# Context-window chunking defaults: window = model context slots per
+# chunk, stride < window gives (window - stride) tokens of overlap
+# between consecutive chunks — the standard long-document treatment
+# when truncation would lose tail content.
+CHUNK_WINDOW_TOKENS = 64
+CHUNK_STRIDE_TOKENS = 48
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = CHUNK_WINDOW_TOKENS,
+    stride: int = CHUNK_STRIDE_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: split each document's token sequence
+    into ``window``-token chunks every ``stride`` tokens (overlap =
+    window - stride), the long-document complement of
+    :func:`pack_chunks` (which concatenates SHORT docs; this splits
+    LONG ones — real pipelines run both).
+
+    One row per (doc, chunk) with the exact token span and an md5 of
+    the chunk text, so the contract certifies the slicing itself, not
+    just the counts. A doc with ``n <= window`` tokens yields exactly
+    one chunk; otherwise ``ceil((n - window) / stride) + 1`` chunks
+    and only the last is short.
+
+    Scale shape: pure map-side projection + explode — no shuffle, no
+    Python; the token array is built once per row and sliced per
+    chunk inside one codegen stage. Chunk explosion multiplies rows
+    by ~n/stride, which is the output's intrinsic size.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.col("n_tokens")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor((n - window + (stride - 1)) / stride) + 1
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+    ).select(
+        id_col,
+        "_toks",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * stride
+    clen = F.least(F.lit(window), n - start)
+    return base.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("chunk_start"),
+        clen.cast("int").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", F.slice("_toks", start + 1, clen))).alias(
+            "chunk_md5"
+        ),
+        "n_tokens",
+    )
+
+
 def corpus_shards(
     df: DataFrame,
     docs_per_shard: int = SHARD_DOCS,

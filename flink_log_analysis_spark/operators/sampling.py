@@ -191,3 +191,49 @@ def temperature_resample_oracle_sql(
         JOIN _t USING ({strata_col})
         WHERE {bucket} < thresh
     """
+
+
+SHUFFLE_SHARDS = 16
+
+
+def training_order_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+    n_shards: int = SHUFFLE_SHARDS,
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets
+    an exact global ``position`` under the pseudorandom total order
+    ``md5(seed:id)`` (id tie-break) plus its round-robin ``shard``.
+
+    The op a training exporter runs last: examples must be read in a
+    shuffled-but-reproducible order, and "shuffle then shard" must
+    give byte-identical shards on every rerun — so the order is a
+    content hash (same portability contract as :func:`hash_sample`:
+    independent of partitioning, task retries, and engine), never
+    ``rand()`` or ``df.sample``. Re-seeding permutes the corpus into a
+    fresh epoch order.
+
+    The global position comes from
+    :func:`..ranking.distributed_rank` in its partitionless mode —
+    never a partitionless ``Window.orderBy`` (the single-task funnel):
+    only the narrow (id, key) projection shuffles, the payload stays
+    put, and shards are arithmetic on the position. Round-robin on the
+    hash order also makes every shard a uniform random sample of the
+    corpus — per-shard loss curves are comparable by construction.
+    """
+    from .ranking import distributed_rank
+
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    t = df.select(F.col(id_col), key.alias("shuffle_key"))
+    ranked = distributed_rank(
+        t, [], ["shuffle_key", id_col], rank_col="_rank", size_col="_n"
+    )
+    return ranked.select(
+        id_col,
+        "shuffle_key",
+        (F.col("_rank") - 1).alias("position"),
+        ((F.col("_rank") - 1) % n_shards).cast("int").alias("shard"),
+    )

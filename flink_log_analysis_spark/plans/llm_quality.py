@@ -95,6 +95,13 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.pack_chunks(read_table(spark, sf_dir, "documents"))
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (the long-document
+    complement of pack_chunks); chunk_md5 certifies the exact token
+    slices, not just the arithmetic."""
+    return quality.chunk_documents(read_table(spark, sf_dir, "documents"))
+
+
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.select_token_budget(read_table(spark, sf_dir, "documents"))
 
@@ -324,6 +331,40 @@ ORACLE = {
                    AS chunk_last
         FROM c
     """,
+    "doc_chunks": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks,
+                   CAST(len({_TOKS}) AS INTEGER) AS n
+            FROM documents
+        ), d AS (
+            SELECT doc_id, toks, n,
+                   CASE WHEN n <= {quality.CHUNK_WINDOW_TOKENS} THEN 1
+                        ELSE (n - {quality.CHUNK_WINDOW_TOKENS}
+                              + {quality.CHUNK_STRIDE_TOKENS - 1})
+                             // {quality.CHUNK_STRIDE_TOKENS} + 1
+                   END AS n_chunks
+            FROM t
+        ), e AS (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(0, n_chunks - 1)) AS ci
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(ci AS INTEGER) AS chunk_idx,
+               CAST(ci * {quality.CHUNK_STRIDE_TOKENS} AS INTEGER)
+                   AS chunk_start,
+               CAST(LEAST({quality.CHUNK_WINDOW_TOKENS},
+                          n - ci * {quality.CHUNK_STRIDE_TOKENS}) AS INTEGER)
+                   AS chunk_len,
+               md5(array_to_string(
+                   toks[ci * {quality.CHUNK_STRIDE_TOKENS} + 1
+                        : ci * {quality.CHUNK_STRIDE_TOKENS}
+                          + LEAST({quality.CHUNK_WINDOW_TOKENS},
+                                  n - ci * {quality.CHUNK_STRIDE_TOKENS})],
+                   ' ')) AS chunk_md5,
+               n AS n_tokens
+        FROM e
+    """,
     "corpus_report": f"""
         WITH qt AS (
             SELECT source, lang, {_TOKS} AS toks FROM documents
@@ -393,6 +434,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "benchmark_contamination": benchmark_contamination,
     "pack_chunks": pack_chunks,
+    "doc_chunks": doc_chunks,
     "token_budget_select": token_budget_select,
     "corpus_shards": corpus_shards,
 }

@@ -68,6 +68,15 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + round-robin sharding of the
+    corpus: exact global position under the md5(seed:id) pseudorandom
+    order via the distributed rank (partitionless mode), reproducible
+    across runs/partitionings/engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.training_order_shuffle(docs, seed=SAMPLE_SEED)
+
+
 def promo_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders falling in overlapping 90-day promo windows (one window
     per nation, staggered by 60 days from 1995-06-01), via the
@@ -191,6 +200,23 @@ ORACLE = {
             )}
         )
     """,
+    "training_order_shuffle": f"""
+        WITH k AS (
+            SELECT doc_id,
+                   md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR))
+                       AS shuffle_key
+            FROM documents
+        ), r AS (
+            SELECT doc_id, shuffle_key,
+                   ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+                       AS position
+            FROM k
+        )
+        SELECT doc_id, shuffle_key,
+               CAST(position AS BIGINT) AS position,
+               CAST(position % {sampling.SHUFFLE_SHARDS} AS INTEGER) AS shard
+        FROM r
+    """,
     "promo_window_orders": """
         WITH w AS (
             SELECT n_nationkey AS window_id,
@@ -219,5 +245,6 @@ QUERIES = {
     "stratified_doc_sample": stratified_doc_sample,
     "train_split_assign": train_split_assign,
     "lang_mixture_resample": lang_mixture_resample,
+    "training_order_shuffle": training_order_shuffle,
     "promo_window_orders": promo_window_orders,
 }

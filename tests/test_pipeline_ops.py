@@ -204,3 +204,29 @@ def test_temperature_resample_proportions(spark):
     b = {r.doc_id for r in
          sampling.temperature_resample(df, "doc_id", "lang", tau=2.0, seed=7).collect()}
     assert a == b
+
+
+def test_training_order_shuffle_is_permutation_and_layout_stable(spark):
+    """Positions are exactly 0..n-1 under the hash order, shards are
+    round-robin, and the result is identical under different input
+    partitionings (the whole point of content-hash shuffling)."""
+    import pyspark.sql.functions as F
+
+    from flink_log_analysis_spark.operators import sampling
+
+    df = spark.range(101).withColumnRenamed("id", "doc_id")
+    a = sampling.training_order_shuffle(df.repartition(7), seed=3)
+    b = sampling.training_order_shuffle(df.repartition(2), seed=3)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    positions = sorted(r.position for r in a.collect())
+    assert positions == list(range(101))
+    for r in a.collect():
+        assert r.shard == r.position % sampling.SHUFFLE_SHARDS
+    # hash order, not id order: the permutation must not be identity
+    by_pos = {r.position: r.doc_id for r in a.collect()}
+    assert [by_pos[i] for i in range(101)] != list(range(101))
+    # re-seeding permutes differently (fresh epoch order)
+    c = sampling.training_order_shuffle(df, seed=4)
+    assert sorted(tuple(r) for r in c.collect()) != ra

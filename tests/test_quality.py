@@ -330,3 +330,59 @@ def test_corpus_shards_boundaries(spark):
     # tokens: doc i has i+1 tokens
     assert rows[0].shard_tokens == 1 + 2 + 3 + 4
     assert rows[2].shard_tokens == 9 + 10
+
+
+def test_chunk_documents_boundaries(spark):
+    """Window/stride arithmetic at the edges: n == W -> one chunk,
+    n == W+1 -> two (second is short), empty text -> one empty chunk;
+    spans tile the doc with exactly (W - S)-token overlaps."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators import quality
+
+    W, S = 10, 7
+    texts = {
+        1: " ".join(f"t{i}" for i in range(10)),   # n == W
+        2: " ".join(f"u{i}" for i in range(11)),   # n == W + 1
+        3: "",                                     # empty
+        4: " ".join(f"v{i}" for i in range(25)),   # 3 chunks
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    out = quality.chunk_documents(df, window=W, stride=S)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_len, r.chunk_md5)
+         for r in out.collect())
+    )
+    by_doc = {}
+    for did, ci, cs, cl, md in rows:
+        by_doc.setdefault(did, []).append((ci, cs, cl, md))
+    assert [t[:3] for t in by_doc[1]] == [(0, 0, 10)]
+    assert [t[:3] for t in by_doc[2]] == [(0, 0, 10), (1, 7, 4)]
+    assert [t[:3] for t in by_doc[3]] == [(0, 0, 0)]
+    # ceil((25-10)/7)+1 = 4 chunks; the last covers the 4-token tail
+    assert [t[:3] for t in by_doc[4]] == [
+        (0, 0, 10), (1, 7, 10), (2, 14, 10), (3, 21, 4)
+    ]
+    # md5 certifies the exact token slice
+    toks4 = texts[4].split()
+    for ci, cs, cl, md in by_doc[4]:
+        want = hashlib.md5(" ".join(toks4[cs:cs + cl]).encode()).hexdigest()
+        assert md == want
+    assert by_doc[3][0][3] == hashlib.md5(b"").hexdigest()
+
+
+def test_chunk_documents_is_mapside(spark):
+    """Chunking must stay a shuffle-free projection (explode included)."""
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators import quality
+    from tools.explain_audit import audit
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    props, plan = audit("doc_chunks", quality.chunk_documents(df))
+    assert props["exchanges"] == 0, plan
+    assert props["python_udf"] == 0
