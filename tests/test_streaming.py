@@ -591,3 +591,109 @@ def test_conversion_pairs_stream_semantics(spark, sf_dir):
     exp = {(r.view_id, r.buy_id) for r in batch.collect()}
     assert {(r.view_id, r.buy_id) for r in rows} == exp
     assert len(rows) == len(exp)
+
+
+def test_full_job_with_sqlite_dims_and_sinks(spark, log_dir, tmp_path):
+    """The COMPLETE reference topology against a real database on BOTH
+    ends: dims read from stdlib sqlite3 through the B1 seam
+    (read_dbapi_dim), the three streaming queries of run_log_job, and
+    every sink upserting into sqlite3 through the B2 seam — this is
+    LogAnalysis.java end-to-end with its MySQL endpoints replaced by
+    the stdlib DB, leaving Kafka as the only non-executed surface."""
+    import sqlite3
+
+    from flink_log_analysis_spark.sources.io import read_dbapi_dim
+    from flink_log_analysis_spark.streaming.upsert import jdbc_upsert_writer
+
+    db = str(tmp_path / "both_ends.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE pre_forum_forum (fid INTEGER, name TEXT)")
+        conn.executemany(
+            "INSERT INTO pre_forum_forum VALUES (?, ?)",
+            [(i, f"section-{i}") for i in range(1, N_SECTIONS + 1)],
+        )
+        conn.execute("CREATE TABLE pre_forum_post (tid INTEGER, subject TEXT)")
+        conn.executemany(
+            "INSERT INTO pre_forum_post VALUES (?, ?)",
+            [(i, f"article-{i}") for i in range(1, N_ARTICLES + 1)],
+        )
+        conn.execute(
+            "CREATE TABLE hot_section (section_id INTEGER PRIMARY KEY, "
+            "name TEXT, section_pv INTEGER, statistic_time TEXT)"
+        )
+        conn.execute(
+            "CREATE TABLE hot_article (article_id INTEGER PRIMARY KEY, "
+            "subject TEXT, article_pv INTEGER, statistic_time TEXT)"
+        )
+        conn.execute(
+            "CREATE TABLE client_ip_access (client_ip TEXT PRIMARY KEY, "
+            "client_access_cnt INTEGER, statistic_time TEXT)"
+        )
+        conn.commit()
+
+    def factory(path=db):
+        import sqlite3 as s
+
+        return s.connect(path, timeout=30)
+
+    section_dim = read_dbapi_dim(
+        spark, factory, "pre_forum_forum", "fid int, name string"
+    )
+    article_dim = read_dbapi_dim(
+        spark, factory, "pre_forum_post", "tid int, subject string"
+    )
+    sinks = {
+        name: jdbc_upsert_writer(factory, name, keys, dialect="postgres")
+        for name, keys in (
+            ("hot_section", ["section_id"]),
+            ("hot_article", ["article_id"]),
+            ("client_ip_access", ["client_ip"]),
+        )
+    }
+    queries = run_log_job(
+        spark,
+        log_dir,
+        section_dim,
+        article_dim,
+        sinks,
+        checkpoint_root=str(tmp_path / "ckpt_db"),
+        available_now=True,
+        stat_time=STAT_TIME,
+    )
+    for q in queries:
+        q.awaitTermination(timeout=120)
+
+    logs = _batch_logs(spark, log_dir)
+    exp_section = [
+        (r.section_id, r.name, r.section_pv, STAT_TIME)
+        for r in hot_section_agg(logs, section_dim)
+        .orderBy(F.desc("section_pv"), F.asc("section_id"))
+        .limit(10)
+        .collect()
+    ]
+    exp_article_n = (
+        hot_article_agg(logs, article_dim)
+        .orderBy(F.desc("article_pv"), F.asc("article_id"))
+        .limit(10)
+        .count()
+    )
+    exp_ip = {
+        r.client_ip: r.client_access_cnt
+        for r in client_ip_access_agg(logs).collect()
+    }
+    with sqlite3.connect(db) as conn:
+        got_section = conn.execute(
+            "SELECT section_id, name, section_pv, statistic_time "
+            "FROM hot_section ORDER BY section_pv DESC, section_id"
+        ).fetchall()
+        got_article_n = conn.execute(
+            "SELECT COUNT(*) FROM hot_article"
+        ).fetchone()[0]
+        got_ip = dict(
+            conn.execute(
+                "SELECT client_ip, client_access_cnt FROM client_ip_access"
+            ).fetchall()
+        )
+    assert got_section == exp_section
+    assert got_article_n == exp_article_n == 10
+    assert got_ip == exp_ip and len(got_ip) > 0
