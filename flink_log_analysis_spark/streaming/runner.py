@@ -175,6 +175,65 @@ def start_upsert_stream(
     return writer.start()
 
 
+def start_lookup_upsert_stream(
+    agg_df: DataFrame,
+    dim_cache,
+    join_expr,
+    select_cols: list,
+    sink,
+    checkpoint_dir: str,
+    top_k: int | None = None,
+    order_by: list | None = None,
+    stat_time: str | None = None,
+    available_now: bool = False,
+    query_name: str | None = None,
+):
+    """B5 with LIVE lookup semantics: the dim snapshot refreshes per
+    micro-batch through a :class:`~..sources.io.DimCache`, so the join
+    sees the database's current rows with at most the cache TTL of
+    staleness — exactly Flink's ``FOR SYSTEM_TIME AS OF proctime``
+    lookup join with ``lookup.cache.ttl`` (``LogAnalysis.java:199-215``,
+    SURVEY §2.B B5/B1).
+
+    The stream keeps its unbounded aggregate keyed on the raw join key
+    (state stays O(distinct keys) and never contains dim attributes,
+    so a dim update can never strand stale state); the dim join +
+    optional top-k ranking run per batch in ``foreachBatch`` against
+    ``dim_cache.get()``'s broadcast snapshot. ``join_expr`` is a
+    callable ``(batch_df, dim_df) -> Column``; ``select_cols`` a
+    callable ``(batch_df, dim_df) -> list[Column]`` projecting the
+    sink schema.
+    """
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        dim = dim_cache.get()
+        out = batch_df.join(
+            F.broadcast(dim), join_expr(batch_df, dim), "inner"
+        ).select(*select_cols(batch_df, dim))
+        if top_k is not None:
+            out = out.orderBy(*order_by).limit(top_k)
+        ts = stat_time
+        if ts is None:
+            out = out.withColumn(
+                "statistic_time",
+                F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss"),
+            )
+        else:
+            out = out.withColumn("statistic_time", F.lit(ts))
+        sink(out, batch_id)
+
+    mode = "complete" if top_k is not None else "update"
+    writer = (
+        agg_df.writeStream.outputMode(mode)
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_log_job(
     spark: SparkSession,
     source_dir: str,

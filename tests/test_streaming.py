@@ -697,3 +697,97 @@ def test_full_job_with_sqlite_dims_and_sinks(spark, log_dir, tmp_path):
     assert got_section == exp_section
     assert got_article_n == exp_article_n == 10
     assert got_ip == exp_ip and len(got_ip) > 0
+
+
+def test_lookup_stream_sees_dim_updates_within_ttl(spark, tmp_path):
+    """B5 live-lookup semantics: the per-batch dim refresh through
+    DimCache over sqlite3 means a dim row updated between micro-batches
+    is reflected in the next batch's join output (Flink's lookup join
+    with lookup.cache.ttl), while the stream's keyed state — counts
+    only, no dim attributes — accumulates across the update."""
+    import sqlite3
+
+    from flink_log_analysis_spark.sources.io import DimCache, read_dbapi_dim
+    from flink_log_analysis_spark.streaming.runner import (
+        parsed_log_stream,
+        read_log_file_stream,
+        start_lookup_upsert_stream,
+    )
+
+    db = str(tmp_path / "dim.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE pre_forum_forum (fid INTEGER, name TEXT)")
+        conn.executemany(
+            "INSERT INTO pre_forum_forum VALUES (?, ?)",
+            [(i, f"old-{i}") for i in range(1, N_SECTIONS + 1)],
+        )
+        conn.commit()
+
+    def factory(path=db):
+        import sqlite3 as s
+
+        return s.connect(path, timeout=30)
+
+    cache = DimCache(
+        lambda: read_dbapi_dim(
+            spark, factory, "pre_forum_forum", "fid int, name string"
+        ),
+        ttl_seconds=1000,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    write_log_file(str(land / "a.log"), 150, seed=31)
+
+    sink = MemoryUpsertSink(["section_id"], complete=True)
+    lines = read_log_file_stream(spark, str(land), max_files_per_trigger=1)
+    logs = parsed_log_stream(lines)
+    agg = (
+        logs.filter(F.col("sectionId") != 0)
+        .groupBy(F.col("sectionId").alias("section_id"))
+        .agg(F.count(F.lit(1)).alias("section_pv"))
+    )
+    q = start_lookup_upsert_stream(
+        agg,
+        cache,
+        lambda b, d: b.section_id == d.fid,
+        lambda b, d: [b.section_id, d.name, b.section_pv],
+        sink,
+        str(tmp_path / "ckpt"),
+        top_k=10,
+        order_by=[F.desc("section_pv"), F.asc("section_id")],
+        stat_time=STAT_TIME,
+    )
+    try:
+        q.processAllAvailable()
+        first = {d["section_id"]: d["name"] for d in sink.state.values()}
+        assert first and all(n.startswith("old-") for n in first.values())
+
+        # dim UPDATE between micro-batches + cache expiry (TTL elapsed)
+        with sqlite3.connect(db) as conn:
+            conn.execute("UPDATE pre_forum_forum SET name = 'new-' || fid")
+            conn.commit()
+        cache.ttl = 0.0
+        write_log_file(str(land / "b.log"), 150, seed=32)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        d["section_id"]: (d["name"], d["section_pv"])
+        for d in sink.state.values()
+    }
+    assert got and all(n.startswith("new-") for n, _ in got.values())
+
+    # counts accumulated ACROSS the dim update == batch over all files
+    logs_b = _batch_logs(spark, str(land))
+    exp = {
+        r.section_id: r.section_pv
+        for r in logs_b.filter(F.col("sectionId") != 0)
+        .groupBy(F.col("sectionId").alias("section_id"))
+        .agg(F.count(F.lit(1)).alias("section_pv"))
+        .orderBy(F.desc("section_pv"), F.asc("section_id"))
+        .limit(10)
+        .collect()
+    }
+    assert {k: pv for k, (_, pv) in got.items()} == exp
