@@ -101,9 +101,13 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # red in r4 (TIMESTAMP_NTZ regression) — fixed in session.read_table
+    # session_windows keeps the r4-NTZ-regression family under audit;
+    # user_session_stats (same read_table fix, green r5-r6, code
+    # untouched) rotates out for the new URL-curation pair below.
     "session_windows",
-    "user_session_stats",
+    # new this session: URL canonicalization/dedup + per-domain rollup
+    "url_curation",
+    "domain_stats",
     # knn_ivf_recall keeps the IVF accuracy contract under audit;
     # media_features (green r5-r6, fake-path codec untouched) rotates
     # out to the local gate in favor of the new r7 ops below.
@@ -173,7 +177,9 @@ _DRIVER_WINDOW: list[str] = [
     # the temperature mixture resampler
     "corpus_prep",
     "lang_mixture_resample",
-    "incremental_near_dups",
+    # incremental_near_dups (green r5-r6, code untouched) rotates out;
+    # its corpus-index chain stays audited via the _stream twin and
+    # simhash_near_dups below.
     "incremental_near_dups_stream",
     "simhash_near_dups",
     # new this round: stream-stream event-time interval join (needs a

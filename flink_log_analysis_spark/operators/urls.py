@@ -1,0 +1,115 @@
+"""URL canonicalization + URL-level dedup for web-corpus curation.
+
+Web crawls carry the same page under many URL spellings — host case,
+``www.`` prefixes, tracking parameters, fragments, trailing slashes —
+and URL-level dedup (cheaper than any content hash: no text read) is
+the first dedup tier of every web corpus pipeline, before exact-hash
+and near-dup. This module provides:
+
+- :func:`normalize_url`: the canonical spelling (lowercased host,
+  ``www.`` stripped, tracking params dropped, fragment dropped,
+  trailing slash trimmed) as pure column expressions;
+- :func:`registered_domain`: the last-two-labels registrable domain
+  for per-site statistics and blocklists;
+- :func:`url_curation`: per-doc canonical URL, domain, blocklist
+  verdict, and first-writer-wins URL-dedup assignment;
+- :func:`domain_stats`: the per-domain rollup a crawl dashboard shows.
+
+The driver corpus has no URL column, so the contract queries attach a
+deterministic synthetic URL built from (doc_id, source) — the same
+injected-input pattern the PII plan uses (``plans/llm_quality.py``):
+the synth deliberately varies host case, ``www.``, tracking params,
+and fragments so normalization provably collapses them; every third
+doc shares a canonical URL so the dedup arm is exercised at any SF.
+
+Scale notes: normalization and domain extraction are map-side
+projections (regex on short strings — codegen, no Python). The dedup
+window partitions by the canonical URL — a HIGH-cardinality key
+(~one group per page), which is exactly where a plain
+``Window.partitionBy`` is already well-distributed (one hash shuffle,
+no stragglers); the per-domain rollup is one partial+final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Query parameters that never identify content (analytics trackers).
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|ref|fbclid|gclid)="
+
+# Demo blocklist for the curation verdict (registered domains).
+BLOCKED_DOMAINS = ("spamfarm3.com", "mirror5.net")
+
+
+def host_of(url: Column) -> Column:
+    """Raw host part of an absolute http(s) URL."""
+    return F.regexp_extract(url, r"^[hH][tT][tT][pP][sS]?://([^/?#]+)", 1)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL spelling: https scheme, lowercased host with any
+    ``www.`` prefix stripped, path with the trailing slash trimmed,
+    query without tracking parameters (original order kept, no
+    resorting), no fragment."""
+    host = F.regexp_replace(F.lower(host_of(url)), r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[hH][tT][tT][pP][sS]?://[^/?#]+([^?#]*)", 1),
+        r"/$",
+        "",
+    )
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qn = F.array_join(kept, "&")
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """Last-two-labels registrable domain (demo eTLD rule — a real
+    deployment swaps in the public-suffix list the same way)."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def url_curation(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc curation verdict: canonical URL, registered domain,
+    blocklist flag, and first-writer-wins URL dedup (``is_canonical``
+    marks the lowest id per canonical URL; ``n_same_url`` sizes the
+    duplicate group)."""
+    norm = normalize_url(F.col(url_col))
+    domain = registered_domain(
+        F.regexp_replace(F.lower(host_of(F.col(url_col))), r"^www\.", "")
+    )
+    base = df.select(
+        id_col,
+        norm.alias("url_norm"),
+        domain.alias("domain"),
+        domain.isin(*BLOCKED_DOMAINS).alias("blocked"),
+    )
+    w = Window.partitionBy("url_norm")
+    return base.select(
+        id_col,
+        "url_norm",
+        "domain",
+        "blocked",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_same_url"),
+    )
+
+
+def domain_stats(curated: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-domain crawl rollup over :func:`url_curation` output."""
+    return curated.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_canonical").cast("int")).alias("n_pages"),
+        F.max(F.col("blocked").cast("int")).cast("boolean").alias("blocked"),
+    )

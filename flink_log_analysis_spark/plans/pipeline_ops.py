@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import relevance, sampling, skew
+from ..operators import relevance, sampling, skew, urls
 from ..operators.rangejoin import bucketed_range_join
 from ..session import read_table
 from .analytics import _dec
@@ -75,6 +75,57 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     across runs/partitionings/engines."""
     docs = read_table(spark, sf_dir, "documents")
     return sampling.training_order_shuffle(docs, seed=SAMPLE_SEED)
+
+
+def _synth_url():
+    """Deterministic messy URL per doc (the injected-input pattern the
+    PII plan established): host case, www., http vs https, tracking
+    params, fragments, and trailing slashes all vary by doc_id, and
+    every 3 consecutive ids share a canonical page so the dedup arm is
+    always exercised. The oracle never parses this URL — it evaluates
+    the CANONICAL closed form directly, so the regex normalizer is
+    certified by independent derivation (the codec-oracle pattern)."""
+    g = F.expr("doc_id div 3")
+    h = F.when(g % 11 == 0, F.lit("spamfarm3.com")).otherwise(
+        F.concat(F.lit("site"), (g % 7).cast("string"), F.lit(".com"))
+    )
+    host = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.lit("www."), h)
+    ).otherwise(h)
+    host = F.when(F.col("doc_id") % 2 == 0, F.upper(host)).otherwise(host)
+    scheme = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("https://")
+    ).otherwise(F.lit("http://"))
+    path = F.concat(F.lit("/a/"), g.cast("string"))
+    path = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(path, F.lit("/"))
+    ).otherwise(path)
+    q = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&page=2"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?page=2"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(F.col("doc_id") % 7 == 1, F.lit("#top")).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, host, path, q, frag)
+
+
+def _curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return urls.url_curation(docs.select("doc_id", _synth_url().alias("url")))
+
+
+def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + first-tier (URL-level) dedup: the regex
+    normalizer untangles the synthesized mess; the oracle states the
+    canonical form from the closed formula without parsing anything."""
+    return _curated(spark, sf_dir)
+
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl rollup over the curation output."""
+    return urls.domain_stats(_curated(spark, sf_dir))
 
 
 def promo_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,6 +251,60 @@ ORACLE = {
             )}
         )
     """,
+    # Independent derivation: the oracle builds the CANONICAL url from
+    # the synth's closed form (group/host/query rules) and never sees
+    # the messy URL the Spark side actually regex-normalizes — a hash
+    # match certifies scheme/case/www/tracking/fragment/slash handling.
+    "url_curation": """
+        WITH c AS (
+            SELECT doc_id,
+                   CASE WHEN (doc_id // 3) % 11 = 0 THEN 'spamfarm3.com'
+                        ELSE 'site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                             || '.com' END AS domain,
+                   '/a/' || CAST(doc_id // 3 AS VARCHAR) AS path,
+                   CASE WHEN doc_id % 3 IN (0, 1) THEN '?page=2'
+                        ELSE '' END AS q
+            FROM documents
+        ), n AS (
+            SELECT doc_id, domain,
+                   'https://' || domain || path || q AS url_norm,
+                   domain IN ('spamfarm3.com', 'mirror5.net') AS blocked
+            FROM c
+        )
+        SELECT doc_id, url_norm, domain, blocked,
+               doc_id = MIN(doc_id) OVER (PARTITION BY url_norm)
+                   AS is_canonical,
+               CAST(COUNT(*) OVER (PARTITION BY url_norm) AS INTEGER)
+                   AS n_same_url
+        FROM n
+    """,
+    "domain_stats": """
+        WITH c AS (
+            SELECT doc_id,
+                   CASE WHEN (doc_id // 3) % 11 = 0 THEN 'spamfarm3.com'
+                        ELSE 'site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                             || '.com' END AS domain,
+                   'https://'
+                   || CASE WHEN (doc_id // 3) % 11 = 0 THEN 'spamfarm3.com'
+                           ELSE 'site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                                || '.com' END
+                   || '/a/' || CAST(doc_id // 3 AS VARCHAR)
+                   || CASE WHEN doc_id % 3 IN (0, 1) THEN '?page=2'
+                           ELSE '' END AS url_norm
+            FROM documents
+        ), n AS (
+            SELECT doc_id, domain, url_norm,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY url_norm)
+                       AS is_canonical
+            FROM c
+        )
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pages,
+               MAX(domain IN ('spamfarm3.com', 'mirror5.net')) AS blocked
+        FROM n GROUP BY domain
+    """,
     "training_order_shuffle": f"""
         WITH k AS (
             SELECT doc_id,
@@ -246,5 +351,7 @@ QUERIES = {
     "train_split_assign": train_split_assign,
     "lang_mixture_resample": lang_mixture_resample,
     "training_order_shuffle": training_order_shuffle,
+    "url_curation": url_curation,
+    "domain_stats": domain_stats,
     "promo_window_orders": promo_window_orders,
 }

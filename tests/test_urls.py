@@ -1,0 +1,62 @@
+"""URL canonicalization / URL-level dedup unit tests."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Row  # noqa: E402
+
+from flink_log_analysis_spark.operators import urls  # noqa: E402
+
+
+def test_normalize_url_rules(spark):
+    cases = {
+        # host case + www + fragment + tracking param + kept param
+        "HTTP://WWW.Site1.COM/a/9?utm_source=x&page=2#top":
+            "https://site1.com/a/9?page=2",
+        # https kept, trailing slash trimmed, tracking-only query drops
+        "https://site1.com/a/9/?utm_medium=y":
+            "https://site1.com/a/9",
+        # no query/fragment, already canonical
+        "https://other.net/p": "https://other.net/p",
+        # gclid/fbclid stripped, order of kept params preserved
+        "http://a.org/x?b=1&gclid=z&c=2": "https://a.org/x?b=1&c=2",
+        # root path (empty) stays empty
+        "https://www.a.org?ref=h": "https://a.org",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, url=u) for i, u in enumerate(cases)]
+    )
+    got = {
+        r.url: r.n for r in df.select(
+            "url", urls.normalize_url(df.url).alias("n")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_url_curation_dedup_and_blocklist(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="https://site1.com/a?utm_source=x"),
+            Row(doc_id=2, url="HTTP://WWW.SITE1.COM/a"),   # same page as 1
+            Row(doc_id=3, url="https://site1.com/b"),
+            Row(doc_id=4, url="https://www.spamfarm3.com/z"),
+        ]
+    )
+    out = {r.doc_id: r for r in urls.url_curation(df).collect()}
+    assert out[1].url_norm == out[2].url_norm == "https://site1.com/a"
+    assert out[1].is_canonical and not out[2].is_canonical
+    assert out[1].n_same_url == out[2].n_same_url == 2
+    assert out[3].is_canonical and out[3].n_same_url == 1
+    assert out[4].blocked and out[4].domain == "spamfarm3.com"
+    assert not out[1].blocked
+
+    stats = {r.domain: r for r in urls.domain_stats(
+        urls.url_curation(df)
+    ).collect()}
+    assert stats["site1.com"].n_docs == 3
+    assert stats["site1.com"].n_pages == 2   # /a deduped, /b
+    assert not stats["site1.com"].blocked
+    assert stats["spamfarm3.com"].blocked
