@@ -79,8 +79,13 @@ def query_names() -> list[str]:
     return [n for n in entrymod.queries() if n not in EXCLUDE]
 
 
-def run_slice(sf_dir: str, names: list[str]) -> tuple[dict, dict, list]:
-    """Run one chunk of queries in THIS process's fresh session."""
+def run_slice(
+    sf_dir: str, names: list[str]
+) -> tuple[dict, dict, list, dict, dict, dict]:
+    """Run one chunk of queries in THIS process's fresh session.
+
+    Returns (timings, errors, retried, retry_samples, prebuild,
+    prebuild_errors)."""
     import __spark_entry__ as entrymod
     from flink_log_analysis_spark import get_spark
     from flink_log_analysis_spark.session import release_checkpoints

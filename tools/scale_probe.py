@@ -33,7 +33,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = (
+# Default probe set: the prefix-sum/rank family (the ops whose scale
+# posture depends on the two-pass design). Any registry query that
+# reads only documents/orders can be probed via positional args.
+DEFAULT_QUERIES = (
     "pack_chunks",
     "token_budget_select",
     "corpus_shards",
@@ -58,17 +61,25 @@ def build_replica(spark, base: str, out: str, reps: int) -> None:
             .withColumn(id_col, F.col(id_col) + F.col("_rep") * (max_id + 1))
             .drop("_rep")
         )
-        big.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+        # Realistic multi-file layout: the base tables are single-file,
+        # and an exploded copy inherits that scan parallelism — which
+        # would bottleneck CPU-bound map stages on file count, not on
+        # the operator under test. One file per core matches what a
+        # production writer produces.
+        par = spark.sparkContext.defaultParallelism
+        big.repartition(par).write.mode("overwrite").parquet(
+            f"{out}/{table}.parquet"
+        )
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     from flink_log_analysis_spark.session import release_checkpoints
 
     qs = entrymod.queries()
     out = {}
-    for name in QUERIES:
+    for name in names:
         # one untimed warm pass at the probe SF itself (JIT/codegen),
         # then the timed pass — steady-state, same convention as bench
         for timed in (False, True):
@@ -88,7 +99,9 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scale_probe_replica")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("names", nargs="*", help="registry queries to probe")
     args = ap.parse_args()
+    names = args.names or list(DEFAULT_QUERIES)
 
     from flink_log_analysis_spark import get_spark
 
@@ -96,8 +109,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         build_replica(spark, args.base, args.out, args.reps)
-        base_times = time_queries(spark, args.base)
-        big_times = time_queries(spark, args.out)
+        base_times = time_queries(spark, args.base, names)
+        big_times = time_queries(spark, args.out, names)
         report = {
             "metric": "prefix_sum_family_scale_probe",
             "reps": args.reps,
