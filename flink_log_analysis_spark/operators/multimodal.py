@@ -258,27 +258,32 @@ def resize_images(
     preserving the contract that output size is shape-determined, not
     input-determined (what downstream batch/memory planning relies
     on). ``fake=False``: REAL nearest-neighbor resize for uncompressed
-    24-bit BMP via the stdlib codec, emitting a valid BMP of the
-    target dimensions; PNG/JPEG raise inside the task (pillow
-    territory).
+    24-bit BMP and 8-bit truecolor PNG via the stdlib codecs, emitting
+    a valid image of the SAME format at the target dimensions; JPEG
+    raises inside the task (pillow territory).
     """
     from ..session import ensure_min_partitions, udf_partition_target
 
     out_len = width * height
     w, h = width, height
-    if fake:
-        codecs = None
-    else:
-        m = _codecs_by_value()
-        codecs = (m.decode_bmp, m.encode_bmp)
+    codecs = None if fake else _codecs_by_value()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         if codecs is not None:
-            _decode, _encode = codecs
+            m = codecs
 
             def resample(buf: bytes) -> bytes:
+                if buf[:2] == b"BM":
+                    _decode, _encode = m.decode_bmp, m.encode_bmp
+                elif buf[: len(m._PNG_SIG)] == m._PNG_SIG:
+                    _decode, _encode = m.decode_png, m.encode_png
+                else:
+                    raise NotImplementedError(
+                        "real resize for this format needs pillow; "
+                        "stdlib handles BMP and 8-bit RGB PNG"
+                    )
                 sw, sh, rows = _decode(buf)
                 resized = [
                     [rows[(r * sh) // h][(c * sw) // w] for c in range(w)]

@@ -249,3 +249,23 @@ def test_png_roundtrip_stats_match_formula(spark):
         assert rec.g_sum == sum(p[1] for p in px)
         assert rec.b_sum == sum(p[2] for p in px)
         assert rec.pixel_match is True
+
+
+def test_real_resize_png_nearest_neighbor(spark):
+    """fake=False resize dispatches on format: a PNG payload comes back
+    as a valid PNG of the target dimensions with NN-sampled pixels."""
+    from flink_log_analysis_spark.operators import multimodal
+
+    rows = [
+        [((r * 37) % 256, (c * 53) % 256, (r + c) % 256) for c in range(8)]
+        for r in range(4)
+    ]
+    png = multimodal.encode_png(rows, [(r * 2) % 5 for r in range(4)])
+    df = spark.createDataFrame([(1, png)], "doc_id long, content binary")
+    out = multimodal.resize_images(df, width=4, height=2, fake=False).first()
+    assert (out.width, out.height) == (4, 2)
+    w2, h2, got = multimodal.decode_png(bytes(out.content))
+    assert (w2, h2) == (4, 2)
+    exp = [[rows[(r * 4) // 2][(c * 8) // 4] for c in range(4)]
+           for r in range(2)]
+    assert got == exp
