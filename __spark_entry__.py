@@ -101,13 +101,14 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # session_windows keeps the r4-NTZ-regression family under audit;
-    # user_session_stats (same read_table fix, green r5-r6, code
-    # untouched) rotates out for the new URL-curation pair below.
-    "session_windows",
-    # new this session: URL canonicalization/dedup + per-domain rollup
+    # session_windows + user_session_stats (the r4-NTZ-regression
+    # family; read_table's normalization is exercised by every
+    # timestamp-reading query in this window) rotate out after two
+    # clean rounds with untouched code, making room for the new
+    # URL-curation pair and the C4 span-dedup tier below.
     "url_curation",
     "domain_stats",
+    "span_dedup",
     # knn_ivf_recall keeps the IVF accuracy contract under audit;
     # media_features (green r5-r6, fake-path codec untouched) rotates
     # out to the local gate in favor of the new r7 ops below.

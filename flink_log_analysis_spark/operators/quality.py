@@ -18,7 +18,7 @@ per-partition offsets) — never as a single-partition global window.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import ngram_token_sets
@@ -490,6 +490,88 @@ def select_token_budget(
 # id order (the writer side of pack_chunks' layout). 64 docs/shard is
 # sized to the test corpus; a production corpus would use O(100k).
 SHARD_DOCS = 64
+
+
+# C4-style cross-document span dedup granularity: the corpus is cut
+# into non-overlapping SPAN_TOKENS-token spans and every repeated span
+# keeps exactly its first occurrence (lexicographic (doc_id, pos)),
+# corpus-wide.
+SPAN_TOKENS = 8
+
+
+def span_dedup(
+    df: DataFrame,
+    span: int = SPAN_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document span-level dedup — the C4 hygiene step between
+    exact doc dedup and MinHash near-dedup in granularity: cut every
+    document into non-overlapping ``span``-token spans (final short
+    span included), keep exactly the FIRST occurrence of each distinct
+    span corpus-wide (lexicographic (doc_id, pos) — deterministic and
+    engine-independent), and report per doc the surviving text.
+
+    Output per doc (docs with at least one token): total and kept span
+    counts plus an md5 of the kept spans re-joined in position order —
+    the digest certifies WHICH spans survived and their order, not
+    just how many. Docs whose every span already appeared earlier in
+    the corpus keep zero spans and still appear (n_kept = 0).
+
+    Scale shape: explode multiplies rows by ~n/span (narrow rows: id,
+    pos, span hash); first-occurrence selection is one window over the
+    HIGH-cardinality span key (well-distributed by construction);
+    rebuild is one hash aggregation with an in-group sort bounded by
+    the doc's own span count. No driver state, no low-cardinality
+    window anywhere.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") > 0)
+    n_spans = F.ceil(F.col("_n") / span).cast("int")
+    spans = base.select(
+        id_col,
+        n_spans.alias("n_spans"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice("_toks", i * span + 1, span)
+                ),
+            )
+        ).alias("pos", "span_text"),
+    )
+    w = Window.partitionBy(F.md5("span_text")).orderBy(id_col, "pos")
+    kept = spans.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept_spans"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "span_text"))
+                    ),
+                    lambda s: s["span_text"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    totals = spans.groupBy(id_col).agg(
+        F.first("n_spans").alias("n_spans")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_kept_spans", F.lit(0)).alias("n_kept_spans"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
 
 
 # Context-window chunking defaults: window = model context slots per

@@ -95,6 +95,13 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.pack_chunks(read_table(spark, sf_dir, "documents"))
 
 
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup: every repeated 8-token span
+    keeps exactly its first corpus occurrence; kept_md5 certifies the
+    surviving spans and their order per doc."""
+    return quality.span_dedup(read_table(spark, sf_dir, "documents"))
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking with overlap (the long-document
     complement of pack_chunks); chunk_md5 certifies the exact token
@@ -331,6 +338,44 @@ ORACLE = {
                    AS chunk_last
         FROM c
     """,
+    "span_dedup": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks,
+                   len({_TOKS}) AS n
+            FROM documents
+        ), b AS (
+            SELECT doc_id, toks, n,
+                   CAST(CEIL(n / {quality.SPAN_TOKENS}.0) AS INTEGER)
+                       AS n_spans
+            FROM t WHERE n > 0
+        ), s AS (
+            SELECT doc_id, toks, n_spans,
+                   unnest(generate_series(0, n_spans - 1)) AS pos
+            FROM b
+        ), sp AS (
+            SELECT doc_id, n_spans, pos,
+                   array_to_string(
+                       toks[pos * {quality.SPAN_TOKENS} + 1
+                            : pos * {quality.SPAN_TOKENS}
+                              + {quality.SPAN_TOKENS}], ' ') AS span_text
+            FROM s
+        ), k AS (
+            SELECT doc_id, n_spans, pos, span_text,
+                   ROW_NUMBER() OVER (PARTITION BY md5(span_text)
+                                      ORDER BY doc_id, pos) AS rn
+            FROM sp
+        ), kept AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS INTEGER) AS n_kept_spans,
+                   md5(string_agg(span_text, ' ' ORDER BY pos))
+                       AS kept_md5
+            FROM k WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_spans,
+               COALESCE(kept.n_kept_spans, 0) AS n_kept_spans,
+               COALESCE(kept.kept_md5, md5('')) AS kept_md5
+        FROM b LEFT JOIN kept ON b.doc_id = kept.doc_id
+    """,
     "doc_chunks": f"""
         WITH t AS (
             SELECT doc_id, {_TOKS} AS toks,
@@ -434,6 +479,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "benchmark_contamination": benchmark_contamination,
     "pack_chunks": pack_chunks,
+    "span_dedup": span_dedup,
     "doc_chunks": doc_chunks,
     "token_budget_select": token_budget_select,
     "corpus_shards": corpus_shards,

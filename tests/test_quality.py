@@ -386,3 +386,30 @@ def test_chunk_documents_is_mapside(spark):
     props, plan = audit("doc_chunks", quality.chunk_documents(df))
     assert props["exchanges"] == 0, plan
     assert props["python_udf"] == 0
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """Cross-doc span dedup keeps exactly the lexicographically-first
+    (doc_id, pos) occurrence of every span; an all-duplicate doc
+    survives with zero kept spans and the empty digest."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators import quality
+
+    s = 3  # span size for the test
+    a = "x1 x2 x3 y1 y2 y3"        # spans: [x1 x2 x3], [y1 y2 y3]
+    b = "y1 y2 y3 z1 z2"           # [y1 y2 y3] dup of a's, [z1 z2] short
+    c = "x1 x2 x3 y1 y2 y3"        # both spans already seen -> 0 kept
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b), Row(doc_id=3, text=c)]
+    )
+    out = {r.doc_id: r for r in quality.span_dedup(df, span=s).collect()}
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    assert (out[1].n_spans, out[1].n_kept_spans) == (2, 2)
+    assert out[1].kept_md5 == md5("x1 x2 x3 y1 y2 y3")
+    assert (out[2].n_spans, out[2].n_kept_spans) == (2, 1)
+    assert out[2].kept_md5 == md5("z1 z2")  # dup span removed, tail kept
+    assert (out[3].n_spans, out[3].n_kept_spans) == (2, 0)
+    assert out[3].kept_md5 == md5("")
