@@ -113,12 +113,13 @@ _DRIVER_WINDOW: list[str] = [
     # media_features (green r5-r6, fake-path codec untouched) rotates
     # out to the local gate in favor of the new r7 ops below.
     "knn_ivf_recall",
-    # wav/bmp_roundtrip are new this session (REAL stdlib codecs
-    # certified against closed-form oracles); media_resize and
-    # media_frames (green r5, fake-path siblings of media_features
-    # above) rotate out to the local gate.
-    "wav_roundtrip",
+    # wav_roundtrip (green r6 first row, codec untouched) rotates out;
+    # the real-codec tier stays audited via bmp_roundtrip and the new
+    # png_roundtrip below. knn_ivf_quantized_recall is new this
+    # session: the IVF-pruning-over-int8-codes composition's recall
+    # contract (same bounds pattern as knn_ivf_recall).
     "bmp_roundtrip",
+    "knn_ivf_quantized_recall",
     # new this session: the PNG sibling (struct+zlib codec, all five
     # RFC 2083 scanline filters certified by pixel_match)
     "png_roundtrip",

@@ -70,7 +70,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # with duplicate work. (sketch_accuracy IS benched: it replaced
 # approx_sketches as the sketch component's registry entry in r6, so
 # the sketch path keeps a headline number.)
-EXCLUDE = ("knn_ivf_recall",)
+EXCLUDE = ("knn_ivf_recall", "knn_ivf_quantized_recall")
 
 
 def query_names() -> list[str]:

@@ -574,6 +574,83 @@ def knn_quantized(
     )
 
 
+def knn_ivf_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The production ANN composition: IVF coarse pruning + search over
+    stored scalar-int8 codes — :func:`knn_ivf`'s candidate pruning with
+    :func:`knn_quantized`'s compressed read path (the IVF-PQ index
+    shape, with the bit-reproducible scalar codec standing in for PQ).
+
+    Cells are probed with the FULL-precision query (the coarse
+    quantizer is tiny; keeping it exact costs nothing), scoring is
+    symmetric over dequantized vectors — exactly what a reader of the
+    stored codes computes — and candidates are bounded by ``n_probe``
+    cells, never the corpus cross. At 100 TB: codes shrink the corpus
+    4x on disk, cell partitioning prunes the scan to n_probe cells'
+    files, and the codebook + centroid matrix ride one broadcast row
+    each.
+    """
+    from ..session import ensure_min_partitions
+
+    ranges = quantization_ranges(corpus, vec_col).localCheckpoint(eager=True)
+    assigned, centroids, cmat = ivf_assign(
+        corpus,
+        n_cells=n_cells,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+    )
+    dq = lambda v: _dequantized(v, F.col("mn_arr"), F.col("mx_arr"))  # noqa: E731
+    c = (
+        ensure_min_partitions(assigned)
+        .crossJoin(F.broadcast(ranges))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            dq(F.col("arr")).alias("cv"),
+            "cell",
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qraw")
+    )
+    q = (
+        probe_cells(q, "qraw", cmat, range(n_probe))
+        .crossJoin(F.broadcast(ranges))
+        .select(
+            "query_id",
+            dq(F.col("qraw")).alias("qv"),
+            F.explode(
+                F.array(*[F.col(f"cell_p{p}") for p in range(n_probe)])
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
 # Johnson-Lindenstrauss random-projection contract: project onto
 # JL_PLANES deterministic md5 hyperplanes (components uniform[-1,1],
 # variance 1/3 — hence the 3/p normalizer) and check that pairwise

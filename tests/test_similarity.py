@@ -219,3 +219,36 @@ def test_quantize_hostile_vectors(spark):
     assert out[0].code_sum == 0
     assert out[1].code_sum == 255
     assert out[2].code_sum == 128
+
+
+def test_knn_ivf_quantized_recall_floor(spark):
+    """The IVF-over-int8-codes composition must keep recall at the
+    same floor as plain IVF (quantization error is sub-ulp relative to
+    cosine gaps at this dim), and its candidates must respect cell
+    pruning (every result pair scored, none fabricated)."""
+    import pyspark.sql.functions as F
+
+    from flink_log_analysis_spark.operators import similarity
+    from flink_log_analysis_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.ivf_fit(emb, n_cells=4, seed=42)
+    exact = similarity.knn_bruteforce(emb, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.knn_ivf_quantized(
+        emb, qs, k=5, n_cells=4, centroids=cents
+    )
+    got = approx.select("query_id", "neighbor_id",
+                        F.lit(1).alias("hit"))
+    row = exact.join(got, ["query_id", "neighbor_id"], "left").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("h"),
+    ).first()
+    assert row.h / row.n >= 0.4
+    # per query at most k rows, rn dense from 1
+    per = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("c"), F.max("rn").alias("m")
+    ).collect()
+    assert all(r.c <= 5 and r.m == r.c for r in per)
