@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CROSS_JOIN_OK = {
     "knn_bruteforce",      # declared exactness baseline
     "knn_ivf_recall",      # embeds knn_bruteforce as its ground truth
+    "knn_ivf_quantized_recall",  # same: brute-force ground-truth side
     "bm25_scores",         # 1-row corpus-stats scalar attach
     "tfidf_top_terms",     # 1-row n_docs scalar attach
     "sketch_accuracy",     # 1-row exact/sketch scalar attaches
