@@ -109,10 +109,10 @@ _DRIVER_WINDOW: list[str] = [
     "url_curation",
     "domain_stats",
     "span_dedup",
-    # knn_ivf_recall keeps the IVF accuracy contract under audit;
-    # media_features (green r5-r6, fake-path codec untouched) rotates
-    # out to the local gate in favor of the new r7 ops below.
-    "knn_ivf_recall",
+    # knn_ivf_recall (green r5-r6) and media_features (green r5-r6)
+    # rotate out: the IVF accuracy floor stays under audit via the
+    # superset knn_ivf_quantized_recall contract below (same shared
+    # fit + probe machinery, plus the codec).
     # wav_roundtrip (green r6 first row, codec untouched) rotates out;
     # the real-codec tier stays audited via bmp_roundtrip and the new
     # png_roundtrip below. knn_ivf_quantized_recall is new this
@@ -198,6 +198,9 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_shards",
     "documents_jsonl_roundtrip",
     "events_csv_roundtrip",
+    # new this session: the columnar interchange twin (built-in ORC
+    # source; pruned ReadSchema + pushed filter, parquet economics)
+    "lineitem_orc_roundtrip",
     # knn_quantized is new this session (exact oracle over the
     # quantized read path); embedding_near_dups (green r5, sign-LSH
     # path untouched since) rotates out to the local gate.

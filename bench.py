@@ -174,6 +174,10 @@ def run_slice(
         from flink_log_analysis_spark.plans.formats import csv_dir
 
         prestep("csv_input", lambda: csv_dir(spark, sf_dir))
+    if "lineitem_orc_roundtrip" in names:
+        from flink_log_analysis_spark.plans.formats import orc_dir
+
+        prestep("orc_input", lambda: orc_dir(spark, sf_dir))
 
     def timed(name: str) -> float | None:
         t0 = time.perf_counter()

@@ -101,7 +101,65 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORC_CACHE: dict[str, str] = {}
+
+
+def orc_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Manufacture ``lineitem`` as ORC once per corpus (ORC is the
+    other columnar interchange format warehouses hand over; Spark's
+    reader/writer are built in — no external jars)."""
+    path = _ORC_CACHE.get(sf_dir)
+    if path is None:
+        path = shared_tmp_dir("loganalysis_lineitem_orc_")
+        read_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(
+            f"{path}/lineitem"
+        )
+        _ORC_CACHE[sf_dir] = path
+    return path
+
+
+def lineitem_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> ORC -> pruned/filtered read -> fidelity aggregate.
+
+    Unlike the JSONL/CSV ingest formats, ORC is columnar: the read
+    projects 4 of the table's columns and pushes the quantity filter
+    into the scan (same pruning/pushdown posture as parquet —
+    `.explain` shows the pruned ReadSchema), so this also certifies
+    that a columnar interchange handoff keeps its scan economics.
+    """
+    li = spark.read.orc(f"{orc_dir(spark, sf_dir)}/lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.min("l_orderkey"),
+                    F.max("l_orderkey"),
+                    F.count(F.lit(1)),
+                )
+            ).alias("range_md5"),
+        )
+    )
+
+
 ORACLE = {
+    "lineitem_orc_roundtrip": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               md5(CAST(MIN(l_orderkey) AS VARCHAR) || '|'
+                   || CAST(MAX(l_orderkey) AS VARCHAR) || '|'
+                   || CAST(COUNT(*) AS VARCHAR)) AS range_md5
+        FROM lineitem WHERE l_quantity > 25
+        GROUP BY l_returnflag
+    """,
     "documents_jsonl_roundtrip": """
         SELECT doc_id, lang, source,
                CAST(length(text) AS INTEGER) AS n_chars_read,
@@ -118,4 +176,5 @@ ORACLE = {
 QUERIES = {
     "documents_jsonl_roundtrip": documents_jsonl_roundtrip,
     "events_csv_roundtrip": events_csv_roundtrip,
+    "lineitem_orc_roundtrip": lineitem_orc_roundtrip,
 }
