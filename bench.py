@@ -73,6 +73,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 EXCLUDE = ("knn_ivf_recall", "knn_ivf_quantized_recall")
 
 
+def assemble_lines(
+    timings: dict,
+    errors: dict,
+    retried: list,
+    retry_samples: dict,
+    prebuild: dict,
+    prebuild_errors: dict,
+    sf: float,
+) -> tuple[dict, dict]:
+    """Build the (detail, compact) JSON payloads from a run's results.
+
+    Pure so the error contract is unit-testable: when ANY query
+    errored, both lines carry ``"incomplete": true`` — a partial run's
+    total sums only the queries that succeeded and must never be read
+    as a faster COMPLETE run (tests/test_bench_lines.py forces an
+    error and asserts the marker).
+    """
+    total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_detail",
+        "queries": timings,
+        "errors": errors,
+        "retried": retried,
+        "retry_times": retry_samples,
+        "prebuild": prebuild,
+        "prebuild_errors": prebuild_errors,
+        "sf": sf,
+    }
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+    }
+    if errors:
+        detail["incomplete"] = True
+        compact["errors"] = len(errors)
+        compact["incomplete"] = True
+    return detail, compact
+
+
 def query_names() -> list[str]:
     import __spark_entry__ as entrymod
 
@@ -302,21 +343,11 @@ def main() -> None:
                 if n not in timings:
                     errors[n] = f"chunk failed: {exc}"[:300]
 
-    total = round(sum(timings.values()), 3)
-    detail = {
-        "metric": "headline_queries_detail",
-        "queries": timings,
-        "errors": errors,
-        "retried": retried,
-        "retry_times": retry_samples,
-        "prebuild": prebuild,
-        "prebuild_errors": prebuild_errors,
-        "sf": sf,
-    }
-    if errors:
-        # A partial run's total sums only the queries that succeeded —
-        # it must never be read as a faster COMPLETE run.
-        detail["incomplete"] = True
+    detail, compact = assemble_lines(
+        timings, errors, retried, retry_samples, prebuild,
+        prebuild_errors, sf,
+    )
+    total = compact["value"]
     print(json.dumps(detail))
     try:
         detail_path = os.path.join(
@@ -329,15 +360,6 @@ def main() -> None:
     # Compact line LAST so the driver's bounded tail capture always
     # contains a complete, parseable JSON object.
     sys.stdout.flush()
-    compact = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-    }
-    if errors:
-        compact["errors"] = len(errors)
-        compact["incomplete"] = True
     print(json.dumps(compact))
 
 
