@@ -268,7 +268,7 @@ ORACLE = {
         ), n AS (
             SELECT doc_id, domain,
                    'https://' || domain || path || q AS url_norm,
-                   domain IN ('spamfarm3.com', 'mirror5.net') AS blocked
+                   domain IN {blocklist} AS blocked
             FROM c
         )
         SELECT doc_id, url_norm, domain, blocked,
@@ -302,7 +302,7 @@ ORACLE = {
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_pages,
-               MAX(domain IN ('spamfarm3.com', 'mirror5.net')) AS blocked
+               MAX(domain IN {blocklist}) AS blocked
         FROM n GROUP BY domain
     """,
     "training_order_shuffle": f"""
@@ -341,6 +341,12 @@ ORACLE = {
         GROUP BY 1
     """,
 }
+
+# Splice the blocklist from its single source (operators.urls) so the
+# oracles can never drift from the operator's constant.
+_BLOCKLIST_SQL = "(" + ", ".join(f"'{d}'" for d in urls.BLOCKED_DOMAINS) + ")"
+for _k in ("url_curation", "domain_stats"):
+    ORACLE[_k] = ORACLE[_k].replace("{blocklist}", _BLOCKLIST_SQL)
 
 QUERIES = {
     "salted_event_counts": salted_event_counts,
