@@ -130,7 +130,11 @@ _DRIVER_WINDOW: list[str] = [
     # windowed_event_counts_stream (green r5 after the r4 fix, code
     # untouched since) rotates out to the local gate.
     "corpus_report",
-    "pii_scrub",
+    # pii_scrub (green r6) rotates out — the scrub path stays under
+    # audit inside corpus_prep and corpus_ingest_stream below, which
+    # embed the identical scrub+keep projections. In its place: the
+    # new A-ES weighted sampling primitive.
+    "weighted_doc_sample",
     "benchmark_contamination",
     "pack_chunks",
     # orders_snapshot_diff is new this session (CDC diff operator);

@@ -237,3 +237,37 @@ def training_order_shuffle(
         (F.col("_rank") - 1).alias("position"),
         ((F.col("_rank") - 1) % n_shards).cast("int").alias("shard"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    n: int,
+    seed: int | str = 0,
+    es_col: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row draws a hash-uniform
+    u in (0,1) and the sample is the n smallest ``-ln(u)/w`` — the
+    order statistic equivalent of drawing rows one by one with
+    probability proportional to ``weight``. The same content-hash
+    portability contract as :func:`hash_sample`: independent of
+    partitioning, retries, and engine, and re-seedable.
+
+    The ES key is rounded to 6 decimals BEFORE ranking with a
+    ``key_col`` tie-break (the repo-wide float-comparison convention),
+    so a 1-ulp ln() divergence between engines can never flip a
+    boundary row.
+
+    Scale shape: the key is a map-side projection and the selection is
+    ``orderBy().limit(n)`` — TakeOrderedAndProject, per-partition
+    heaps of n + a driver merge of n rows, never a global sort.
+    """
+    u = (sample_bucket(F.col(key_col), seed) + F.lit(0.5)) / BUCKETS
+    es = F.round(-F.log(u) / weight, 6)
+    return (
+        df.withColumn(es_col, es)
+        .orderBy(es_col, key_col)
+        .limit(n)
+    )

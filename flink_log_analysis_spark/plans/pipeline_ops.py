@@ -68,6 +68,25 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+WEIGHTED_SAMPLE_N = 200
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted selection primitive: Efraimidis-Spirakis A-ES
+    sample of 200 docs with probability proportional to length
+    (n_chars) — deterministic, partitioning/engine-independent, and
+    selected via TakeOrderedAndProject (never a global sort)."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = sampling.weighted_sample(
+        docs,
+        "doc_id",
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
+        n=WEIGHTED_SAMPLE_N,
+        seed=SAMPLE_SEED,
+    )
+    return out.select("doc_id", "lang", "n_chars", "es_key")
+
+
 def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle + round-robin sharding of the
     corpus: exact global position under the md5(seed:id) pseudorandom
@@ -305,6 +324,17 @@ ORACLE = {
                MAX(domain IN {blocklist}) AS blocked
         FROM n GROUP BY domain
     """,
+    "weighted_doc_sample": f"""
+        WITH k AS (
+            SELECT doc_id, lang, n_chars,
+                   ROUND(-ln(({sampling.sample_bucket_sql("doc_id", SAMPLE_SEED)}
+                              + 0.5) / {sampling.BUCKETS})
+                         / GREATEST(n_chars, 1), 6) AS es_key
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars, es_key
+        FROM k ORDER BY es_key, doc_id LIMIT {WEIGHTED_SAMPLE_N}
+    """,
     "training_order_shuffle": f"""
         WITH k AS (
             SELECT doc_id,
@@ -357,6 +387,7 @@ QUERIES = {
     "train_split_assign": train_split_assign,
     "lang_mixture_resample": lang_mixture_resample,
     "training_order_shuffle": training_order_shuffle,
+    "weighted_doc_sample": weighted_doc_sample,
     "url_curation": url_curation,
     "domain_stats": domain_stats,
     "promo_window_orders": promo_window_orders,

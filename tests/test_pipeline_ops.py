@@ -230,3 +230,27 @@ def test_training_order_shuffle_is_permutation_and_layout_stable(spark):
     # re-seeding permutes differently (fresh epoch order)
     c = sampling.training_order_shuffle(df, seed=4)
     assert sorted(tuple(r) for r in c.collect()) != ra
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """A-ES sampling must (a) be identical under different input
+    partitionings, (b) re-seed into a different sample, and (c) bias
+    toward heavy rows: with weights 100 vs 1, heavy rows dominate."""
+    import pyspark.sql.functions as F
+
+    from flink_log_analysis_spark.operators import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id").withColumn(
+        "w", F.when(F.col("doc_id") < 200, 100.0).otherwise(1.0)
+    )
+    a = sampling.weighted_sample(df.repartition(7), "doc_id", F.col("w"), 100, seed=1)
+    b = sampling.weighted_sample(df.repartition(3), "doc_id", F.col("w"), 100, seed=1)
+    ra = [tuple(r) for r in a.collect()]
+    rb = [tuple(r) for r in b.collect()]
+    assert ra == rb and len(ra) == 100
+    heavy = sum(1 for r in ra if r[0] < 200)
+    # 200 heavy rows at weight 100 vs 1800 light at 1: expected heavy
+    # share ~> 80%; assert a conservative floor.
+    assert heavy >= 70, heavy
+    c = sampling.weighted_sample(df, "doc_id", F.col("w"), 100, seed=2)
+    assert [tuple(r) for r in c.collect()] != ra
