@@ -270,11 +270,23 @@ def run_slice(
             trigger = min(threshold, max(1.5, 4.0 * warm))
         if t <= trigger:
             continue
-        retried.append(name)
         samples = [t] + [s for s in (timed(name), timed(name)) if s is not None]
-        if len(samples) > 1:
+        if len(samples) == 3:
+            retried.append(name)
             retry_samples[name] = samples
-            timings[name] = sorted(samples)[len(samples) // 2]
+            timings[name] = sorted(samples)[1]
+        elif len(samples) == 2:
+            # One re-time errored: a true median doesn't exist, and
+            # sorted[len//2] of 2 would keep the MAX (neither median
+            # nor best-case). Fall back explicitly to the min — the
+            # outlier first sample is the reading under suspicion —
+            # and record both samples so the fallback is auditable.
+            retried.append(name)
+            retry_samples[name] = samples
+            timings[name] = min(samples)
+        # Both re-times errored: keep the original time and do NOT
+        # mark the query as retried (no retry evidence exists); the
+        # re-time errors are already counted in `errors` by timed().
     spark.stop()
     return timings, errors, retried, retry_samples, prebuild, prebuild_errors
 

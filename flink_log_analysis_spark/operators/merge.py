@@ -189,6 +189,10 @@ def snapshot_diff(
     should still be unique per snapshot — several NULL-keyed rows on
     both sides would pair many-to-many like any duplicated key.
     """
+    if not keys:
+        # reduce() over the per-key conditions below has no initializer;
+        # fail descriptively instead of with a bare TypeError.
+        raise ValueError("snapshot_diff requires at least one key")
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in keys]
     # An explicit [] is a presence-only diff (inserted/deleted, never

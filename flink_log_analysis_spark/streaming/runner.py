@@ -204,6 +204,12 @@ def start_lookup_upsert_stream(
     callable ``(batch_df, dim_df) -> list[Column]`` projecting the
     sink schema.
     """
+    if top_k is not None and not order_by:
+        # Same construction-time guard as start_upsert_stream: inside
+        # foreachBatch, orderBy(*None) surfaces only as an opaque
+        # mid-stream StreamingQueryException at the first micro-batch.
+        raise ValueError("top_k requires order_by (a total tie-break order)")
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         dim = dim_cache.get()
         out = batch_df.join(

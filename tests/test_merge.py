@@ -196,3 +196,13 @@ def test_snapshot_diff_presence_only(spark):
     }
     # explicit [] = presence-only: value changes are NOT reported
     assert out == {1: "deleted", 3: "inserted"}
+
+
+def test_snapshot_diff_empty_keys_raises(spark):
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators.merge import snapshot_diff
+
+    df = spark.createDataFrame([Row(k=1, v="a")])
+    with pytest.raises(ValueError, match="at least one key"):
+        snapshot_diff(df, df, [])

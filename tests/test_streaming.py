@@ -791,3 +791,23 @@ def test_lookup_stream_sees_dim_updates_within_ttl(spark, tmp_path):
         .collect()
     }
     assert {k: pv for k, (_, pv) in got.items()} == exp
+
+
+def test_lookup_upsert_top_k_requires_order_by():
+    # Construction-time guard: orderBy(*None) inside foreachBatch would
+    # otherwise only surface as an opaque StreamingQueryException at
+    # the first micro-batch. The guard fires before any DataFrame use,
+    # so dummies suffice.
+    import pytest as _pytest
+
+    from flink_log_analysis_spark.streaming.runner import (
+        start_lookup_upsert_stream,
+        start_upsert_stream,
+    )
+
+    with _pytest.raises(ValueError, match="top_k requires order_by"):
+        start_lookup_upsert_stream(
+            None, None, None, None, None, "/tmp/ckpt-unused", top_k=10
+        )
+    with _pytest.raises(ValueError, match="top_k requires order_by"):
+        start_upsert_stream(None, None, "/tmp/ckpt-unused", top_k=10)

@@ -116,8 +116,13 @@ def main() -> None:
             "reps": args.reps,
             "base": base_times,
             "scaled": big_times,
+            # base_times are rounded to 3 decimals and can legitimately
+            # be 0.0 for a trivially fast query; emit null rather than
+            # dividing by zero after the expensive replica build.
             "ratio": {
-                k: round(big_times[k] / base_times[k], 2) for k in base_times
+                k: (round(big_times[k] / base_times[k], 2)
+                    if base_times[k] > 0 else None)
+                for k in base_times
             },
         }
         print(json.dumps(report))
