@@ -1,0 +1,241 @@
+"""Real byte-pair-encoding: learned merge tables, applied natively.
+
+Upgrades the BPE-ish regex *counter* (``textstats.bpe_token_stats``)
+to actual merge-table BPE (Sennrich et al. 2016, the public GPT-2
+application loop): pre-tokenize with :data:`textstats.BPE_TOKEN_REGEX`,
+split each piece into characters, then apply merges in rank order.
+
+Spark-first design — both halves avoid Python in the hot path:
+
+- **Fit** (:func:`fit_bpe`) is driver-side over a BOUNDED sample, like
+  the IVF centroid fit (``similarity.py``): piece frequencies come from
+  one distributed explode+agg, only the top ``sample_pieces`` distinct
+  pieces (count desc, piece asc — total order) are collected, and the
+  classic pair-count/merge loop runs on that dictionary in
+  milliseconds. 100 TB of text changes the agg, not the collect bound.
+- **Apply** (:func:`encode_expr`) is a pure column expression: each
+  piece is wrapped into a delimited char string (``\\x1f c \\x1f`` per
+  char) and each merge ``(a, b) -> ab`` becomes one literal
+  ``replace('\\x1fa\\x1f\\x1fb\\x1f' -> '\\x1fab\\x1f')``. String
+  ``replace`` scans left-to-right over non-overlapping matches —
+  exactly the greedy within-piece merge order of the reference BPE
+  loop — so a chain of N replaces in rank order IS merge-table
+  application, JVM-side, codegen-friendly, zero Python per row. (For a
+  learned table, rank-sequential application equals the classic
+  lowest-rank-first loop: a merge's parts are single chars or outputs
+  of strictly earlier merges, so later merges can never create an
+  occurrence of an earlier pair.)
+
+The same wrapped-string representation is reproducible verbatim in
+DuckDB (``plans/llm_text.py``), giving an EXACT oracle for token
+counts and the encoded token stream itself. :func:`encode` is the
+pure-Python reference used by unit tests to certify the expression
+chain against an independent implementation.
+
+No counterpart in the reference repo (LogAnalysis.java has no text
+pipeline); this is part of the LLM-training-data extension tier.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import textstats
+
+# Unit separator: cannot appear in piece text (pieces come from
+# BPE_TOKEN_REGEX over delimiter-scrubbed text; see scrub in callers).
+DELIM = "\x1f"
+
+# Frozen merge table: ``fit_bpe(documents @ sf0.01, n_merges=48,
+# sample_pieces=10_000)`` — regenerate with ``python tools/freeze_bpe.py``.
+# Frozen (not refit per run) so the exact-token DuckDB oracle can
+# replay the identical table; the runtime-fit path is certified
+# separately by the ``bpe_vocab_fit`` contract query.
+BPE_MERGES_V1: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+    ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
+    ("e", "ctor"), ("or", "der"), ("v", "ector"),
+]
+
+
+# ---------------------------------------------------------------- fit
+
+def learn_merges(
+    piece_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE learning over a (piece -> occurrence count) sample.
+
+    Deterministic: the best pair each round is max count, ties broken
+    by lexicographically smallest (left, right) — the same total order
+    the DuckDB fit-contract oracle states in SQL.
+    """
+    vocab: dict[tuple[str, ...], int] = {}
+    for piece, cnt in piece_counts:
+        key = tuple(piece)
+        vocab[key] = vocab.get(key, 0) + cnt
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for seq, cnt in vocab.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {
+            tuple(_merge_seq(seq, best)): cnt for seq, cnt in vocab.items()
+        }
+    return merges
+
+
+def _merge_seq(seq: tuple[str, ...], pair: tuple[str, str]) -> list[str]:
+    """One greedy left-to-right non-overlapping merge pass."""
+    a, b = pair
+    out: list[str] = []
+    i = 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def fit_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 16,
+    sample_pieces: int = 10_000,
+) -> list[tuple[str, str]]:
+    """Learn a merge table from a corpus — driver-side over a BOUNDED
+    sample (the only collect; same pattern as the IVF fit).
+
+    The sample is the ``sample_pieces`` most frequent distinct pieces
+    (count desc, piece asc — a total order, so the cut is deterministic
+    on both engines). At 100 TB the explode+agg is the distributed
+    work; the collected dictionary stays <= sample_pieces rows.
+    """
+    rows = (
+        docs.select(
+            F.explode(
+                textstats.bpe_tokens(_scrubbed(F.col(text_col)))
+            ).alias("piece")
+        )
+        .groupBy("piece")
+        .count()
+        .orderBy(F.desc("count"), F.asc("piece"))
+        .limit(sample_pieces)
+        .collect()
+    )
+    return learn_merges([(r["piece"], r["count"]) for r in rows], n_merges)
+
+
+# -------------------------------------------------------------- apply
+
+def encode(piece: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python reference application (tests / oracles only):
+    rank-sequential greedy merge passes over the character split."""
+    seq: list[str] = list(piece)
+    for pair in merges:
+        if len(seq) < 2:
+            break
+        seq = _merge_seq(tuple(seq), pair)
+    return seq
+
+
+def _scrubbed(col: Column) -> Column:
+    """Drop any literal delimiter chars from hostile input so the
+    wrapped representation stays unambiguous (no-op on normal text;
+    the DuckDB twin applies the same replace)."""
+    return F.replace(col, F.lit(DELIM), F.lit(""))
+
+
+def wrap_expr(piece: Column) -> Column:
+    """Piece -> delimited char string: ``abc`` -> ``\\x1fa\\x1f\\x1fb
+    \\x1f\\x1fc\\x1f`` (every token wrapped on both sides, so merge
+    patterns are full-token anchored and a match consumes no shared
+    delimiter — overlap-safe)."""
+    return F.regexp_replace(piece, "(.)", DELIM + "$1" + DELIM)
+
+
+def merge_chain(wrapped: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply the merge table: one literal replace per merge, in rank
+    order — the native-expression form of BPE application."""
+    out = wrapped
+    for a, b in merges:
+        out = F.replace(
+            out,
+            F.lit(DELIM + a + DELIM + DELIM + b + DELIM),
+            F.lit(DELIM + a + b + DELIM),
+        )
+    return out
+
+
+def token_count_expr(encoded: Column) -> Column:
+    """Tokens in a wrapped encoded string: every token carries exactly
+    two delimiters, so count = (len - len_without_delims) / 2."""
+    return (
+        (
+            F.length(encoded)
+            - F.length(F.replace(encoded, F.lit(DELIM), F.lit("")))
+        )
+        / F.lit(2)
+    ).cast("int")
+
+
+def encode_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document real-BPE statistics in ONE projection pass: piece
+    count, base (character) token count, merged token count, the
+    compression ratio in exact integer arithmetic, and the encoded
+    token stream of the first piece (certifies the actual
+    tokenization, not just counts).
+    """
+    pieces = textstats.bpe_tokens(_scrubbed(F.col(text_col)))
+    per_piece_tokens = F.transform(
+        pieces, lambda p: token_count_expr(merge_chain(wrap_expr(p), merges))
+    )
+    n_base = F.aggregate(
+        F.transform(pieces, F.length), F.lit(0), lambda acc, v: acc + v
+    )
+    n_bpe = F.aggregate(per_piece_tokens, F.lit(0), lambda acc, v: acc + v)
+    # try_element_at: ANSI mode makes element_at THROW on an empty
+    # array (a zero-piece doc); NULL is the contract here.
+    head = merge_chain(wrap_expr(F.try_element_at(pieces, F.lit(1))), merges)
+    head_tokens = F.btrim(
+        F.replace(head, F.lit(DELIM + DELIM), F.lit(" ")), F.lit(DELIM)
+    )
+    return df.select(
+        id_col,
+        F.size(pieces).alias("n_pieces"),
+        n_base.alias("n_base_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        head_tokens.alias("head_encoding"),
+    ).withColumn(
+        # exact integer division (DuckDB //): a double ratio would not
+        # be bit-reproducible at floor boundaries. NULL when no pieces
+        # (ANSI mode: DIV by zero throws, so guard first).
+        "merged_per_10k_base",
+        F.when(
+            F.col("n_base_tokens") > 0,
+            F.expr("(n_bpe_tokens * 10000) DIV n_base_tokens"),
+        ),
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import bpe as bpe_ops
 from ..operators import textstats
 from ..session import read_table
 
@@ -46,6 +47,54 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting under the BPE-ish pre-tokenization regex."""
     return textstats.bpe_token_stats(read_table(spark, sf_dir, "documents"))
+
+
+def bpe_merge_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merge-table BPE over the frozen corpus-learned table:
+    per-doc base vs merged token counts plus the first piece's encoded
+    token stream (operators/bpe.py — native replace-chain application,
+    zero Python per row). The DuckDB oracle replays the identical
+    table over the identical wrapped-string representation, so counts
+    AND the token stream itself are exact."""
+    return bpe_ops.encode_stats(
+        read_table(spark, sf_dir, "documents"), bpe_ops.BPE_MERGES_V1
+    )
+
+
+# Runtime-fit contract bounds (bpe_vocab_fit): small enough that any
+# corpus slice >= sf0.001 sustains the full merge count.
+BPE_FIT_MERGES = 16
+BPE_FIT_SAMPLE = 10_000
+
+
+def bpe_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side BPE fit contract (the IVF-fit pattern): learn
+    BPE_FIT_MERGES merges from the bounded top-BPE_FIT_SAMPLE piece
+    sample, then emit a one-row contract: the FIRST merge pair (which
+    IS SQL-derivable — argmax over weighted adjacent char pairs with
+    the same total-order tie-break) plus structural validity of the
+    whole table (every merge part is a single char or the output of a
+    strictly earlier merge — the property that makes rank-sequential
+    application equal to the classic lowest-rank-first loop)."""
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_ops.fit_bpe(
+        docs, n_merges=BPE_FIT_MERGES, sample_pieces=BPE_FIT_SAMPLE
+    )
+    outputs: set[str] = set()
+    well_formed = bool(merges)
+    for a, b in merges:
+        for part in (a, b):
+            if len(part) > 1 and part not in outputs:
+                well_formed = False
+        outputs.add(a + b)
+    first = merges[0] if merges else ("", "")
+    return spark.range(1).select(
+        F.lit(BPE_FIT_MERGES).alias("n_merges_requested"),
+        F.lit(len(merges)).alias("n_merges_learned"),
+        F.lit(first[0]).alias("first_merge_left"),
+        F.lit(first[1]).alias("first_merge_right"),
+        F.lit(well_formed).alias("merges_well_formed"),
+    )
 
 
 def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +194,87 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DuckDB twin of the native BPE replace-chain (operators/bpe.py) ---
+_BPE_D = bpe_ops.DELIM  # \x1f, embedded raw in the SQL literals
+
+
+def _bpe_sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _bpe_chain_sql(piece_expr: str, merges: list[tuple[str, str]]) -> str:
+    """Wrapped-char representation + one literal replace per merge, in
+    rank order — spliced from the SAME table constant the Spark side
+    uses (single-constant oracle pattern)."""
+    out = f"regexp_replace({piece_expr}, '(.)', '{_BPE_D}\\1{_BPE_D}', 'g')"
+    for a, b in merges:
+        pat = _bpe_sql_quote(f"{_BPE_D}{a}{_BPE_D}{_BPE_D}{b}{_BPE_D}")
+        rep = _bpe_sql_quote(f"{_BPE_D}{a}{b}{_BPE_D}")
+        out = f"replace({out}, '{pat}', '{rep}')"
+    return out
+
+
+# pieces over delimiter-scrubbed text (twin of bpe._scrubbed)
+_BPE_PIECES = (
+    f"regexp_extract_all(replace(text, '{_BPE_D}', ''),"
+    f" '{textstats.BPE_TOKEN_REGEX}')"
+)
+
 ORACLE = {
+    "bpe_merge_tokens": f"""
+        WITH t AS (
+            SELECT doc_id, {_BPE_PIECES} AS pieces FROM documents
+        ), e AS (
+            SELECT doc_id, pieces,
+                   list_transform(pieces,
+                       p -> {_bpe_chain_sql('p', bpe_ops.BPE_MERGES_V1)})
+                       AS enc
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(pieces) AS INTEGER) AS n_pieces,
+               CAST(COALESCE(list_sum(
+                   list_transform(pieces, p -> length(p))), 0)
+                   AS INTEGER) AS n_base_tokens,
+               CAST(COALESCE(list_sum(list_transform(enc,
+                   s -> (length(s) - length(replace(s, '{_BPE_D}', ''))) // 2
+                   )), 0) AS INTEGER) AS n_bpe_tokens,
+               trim(replace(enc[1], '{_BPE_D}{_BPE_D}', ' '), '{_BPE_D}')
+                   AS head_encoding,
+               CASE WHEN COALESCE(list_sum(
+                        list_transform(pieces, p -> length(p))), 0) > 0
+                    THEN CAST((COALESCE(list_sum(list_transform(enc,
+                        s -> (length(s) - length(replace(s, '{_BPE_D}', '')))
+                             // 2)), 0) * 10000)
+                        // list_sum(list_transform(pieces, p -> length(p)))
+                        AS BIGINT)
+               END AS merged_per_10k_base
+        FROM e
+    """,
+    "bpe_vocab_fit": f"""
+        WITH pieces AS (
+            SELECT t.piece
+            FROM documents d, unnest({_BPE_PIECES.replace('text', 'd.text')})
+                 AS t(piece)
+        ), pc AS (
+            SELECT piece, COUNT(*) AS c FROM pieces GROUP BY piece
+            ORDER BY c DESC, piece ASC LIMIT {BPE_FIT_SAMPLE}
+        ), ii AS (
+            SELECT piece, c,
+                   unnest(generate_series(1, length(piece) - 1)) AS i
+            FROM pc WHERE length(piece) >= 2
+        ), best AS (
+            SELECT substr(piece, i, 1) AS l, substr(piece, i + 1, 1) AS r
+            FROM ii GROUP BY l, r
+            ORDER BY SUM(c) DESC, l ASC, r ASC LIMIT 1
+        )
+        SELECT CAST({BPE_FIT_MERGES} AS INTEGER) AS n_merges_requested,
+               CAST({BPE_FIT_MERGES} AS INTEGER) AS n_merges_learned,
+               l AS first_merge_left,
+               r AS first_merge_right,
+               TRUE AS merges_well_formed
+        FROM best
+    """,
     "text_stats": f"""
         SELECT doc_id,
                CAST(length(text) AS INTEGER)                    AS n_chars,
@@ -282,6 +411,8 @@ QUERIES = {
     "text_quality": text_quality,
     "source_token_stats": source_token_stats,
     "bpe_token_stats": bpe_token_stats,
+    "bpe_merge_tokens": bpe_merge_tokens,
+    "bpe_vocab_fit": bpe_vocab_fit,
     "token_frequencies": token_frequencies,
     "rolling_fingerprints": rolling_fingerprints,
     "lang_id_ngram": lang_id_ngram,

@@ -1,0 +1,141 @@
+"""Real-BPE operator tests (operators/bpe.py).
+
+Certifies the native replace-chain application against TWO independent
+implementations: the pure-Python rank-sequential encoder and a
+GPT-2-style lowest-rank-first loop (the classic application algorithm)
+— plus learning determinism and the structural property that makes
+the two application orders equivalent for learned tables.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import Row
+
+from flink_log_analysis_spark.operators import bpe
+from flink_log_analysis_spark.operators.textstats import BPE_TOKEN_REGEX
+from flink_log_analysis_spark.session import read_table
+
+
+def _minrank_encode(piece: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Independent reference: the classic application loop — find the
+    LOWEST-RANK pair present, merge all its occurrences, repeat."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+    seq = list(piece)
+    while len(seq) >= 2:
+        pairs = {(seq[i], seq[i + 1]) for i in range(len(seq) - 1)}
+        ranked = [p for p in pairs if p in rank]
+        if not ranked:
+            break
+        best = min(ranked, key=lambda p: rank[p])
+        seq = bpe._merge_seq(tuple(seq), best)
+    return seq
+
+
+def test_learn_merges_deterministic_tiebreak():
+    # counts tie between (a,b) and (b,a): lexicographically smaller wins
+    merges = bpe.learn_merges([("ab", 2), ("ba", 2)], 1)
+    assert merges[0] == ("a", "b")
+    # higher count wins regardless of lexicographic order
+    merges = bpe.learn_merges([("zz", 3), ("aa", 2)], 1)
+    assert merges[0] == ("z", "z")
+
+
+def test_learn_merges_stops_when_dry():
+    # single-char pieces contribute no pairs at all
+    assert bpe.learn_merges([("a", 5), ("b", 3)], 4) == []
+    # "ab" supports exactly one merge, then the vocab has no pairs left
+    assert bpe.learn_merges([("ab", 5)], 4) == [("a", "b")]
+
+
+def test_frozen_table_well_formed():
+    """Every merge part is a single char or an earlier merge's output —
+    the property that makes rank-sequential == lowest-rank-first."""
+    outputs = set()
+    for a, b in bpe.BPE_MERGES_V1:
+        for part in (a, b):
+            assert len(part) == 1 or part in outputs, (a, b, part)
+        outputs.add(a + b)
+    assert len(bpe.BPE_MERGES_V1) == 48
+
+
+def test_encode_matches_minrank_loop():
+    """Rank-sequential application (what the replace chain implements)
+    equals the classic lowest-rank-first loop on the learned table."""
+    words = [
+        "customer", "customers", "vector", "vectors", "order", "orders",
+        "column", "filter", "filtering", "aaaa", "merge", "join", "slow",
+        "hashjoin", "batchscan", "x", "", "smallorder", "ordering",
+    ]
+    for w in words:
+        assert bpe.encode(w, bpe.BPE_MERGES_V1) == _minrank_encode(
+            w, bpe.BPE_MERGES_V1
+        ), w
+
+
+def test_encode_greedy_overlap():
+    merges = [("a", "a")]
+    assert bpe.encode("aaaa", merges) == ["aa", "aa"]
+    assert bpe.encode("aaa", merges) == ["aa", "a"]
+
+
+def test_encode_stats_matches_python_reference(spark, sf_dir):
+    """The native replace-chain column expression reproduces the pure-
+    Python encoder exactly — counts AND the head token stream — over
+    every sf0.001 document."""
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe.BPE_MERGES_V1
+    got = {
+        r["doc_id"]: r
+        for r in bpe.encode_stats(docs, merges).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        text = r["text"].replace("\x1f", "")
+        pieces = re.findall(BPE_TOKEN_REGEX, text)
+        encoded = [bpe.encode(p, merges) for p in pieces]
+        n_base = sum(len(p) for p in pieces)
+        n_bpe = sum(len(e) for e in encoded)
+        row = got[r["doc_id"]]
+        assert row["n_pieces"] == len(pieces)
+        assert row["n_base_tokens"] == n_base
+        assert row["n_bpe_tokens"] == n_bpe
+        assert row["head_encoding"] == (
+            " ".join(encoded[0]) if encoded else None
+        )
+        assert row["merged_per_10k_base"] == (
+            (n_bpe * 10000) // n_base if n_base else None
+        )
+
+
+def test_encode_stats_hostile_rows(spark):
+    """Empty text, whitespace-only text, and literal delimiter bytes
+    degrade gracefully (ANSI mode: no throw, exact zeros/nulls)."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="   \n\t "),
+            Row(doc_id=3, text="a\x1fb"),  # scrubbed -> one piece "ab"
+        ]
+    )
+    rows = {r["doc_id"]: r for r in
+            bpe.encode_stats(df, [("a", "b")]).collect()}
+    assert rows[1]["n_pieces"] == 0
+    assert rows[1]["n_bpe_tokens"] == 0
+    assert rows[1]["merged_per_10k_base"] is None
+    assert rows[2]["n_pieces"] == 0
+    assert rows[3]["n_pieces"] == 1
+    assert rows[3]["n_bpe_tokens"] == 1
+    assert rows[3]["head_encoding"] == "ab"
+
+
+def test_fit_bpe_driver_side_bounded(spark, sf_dir):
+    """fit_bpe learns a well-formed table at sf0.001 and honors the
+    requested merge budget."""
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe.fit_bpe(docs, n_merges=8, sample_pieces=1000)
+    assert len(merges) == 8
+    outputs = set()
+    for a, b in merges:
+        for part in (a, b):
+            assert len(part) == 1 or part in outputs
+        outputs.add(a + b)
