@@ -70,7 +70,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # with duplicate work. (sketch_accuracy IS benched: it replaced
 # approx_sketches as the sketch component's registry entry in r6, so
 # the sketch path keeps a headline number.)
-EXCLUDE = ("knn_ivf_recall", "knn_ivf_quantized_recall")
+EXCLUDE = (
+    "knn_ivf_recall",
+    "knn_ivf_quantized_recall",
+    "knn_ivf_quantized_recall_p6",
+)
 
 
 def assemble_lines(
@@ -201,6 +205,12 @@ def run_slice(
         from flink_log_analysis_spark.plans.llm_similarity import _ivf_centroids
 
         prestep("ivf_centroids", lambda: _ivf_centroids(spark, sf_dir))
+    if "knn_ivf_persisted" in names:
+        from flink_log_analysis_spark.plans.llm_similarity import (
+            _ensure_ivf_index,
+        )
+
+        prestep("ivf_persisted_index", lambda: _ensure_ivf_index(spark, sf_dir))
     # Manufactured JSONL/CSV inputs are shared corpus snapshots like
     # the stream inputs above — build them at the timed SF outside
     # the timed windows.

@@ -651,6 +651,180 @@ def knn_ivf_quantized(
     )
 
 
+def _dq_codes(codes: Column, mn_arr: Column, mx_arr: Column) -> Column:
+    """Dequantize STORED codes (what :func:`knn_ivf_persisted` reads
+    back from the index) — the read half of the canonical codec.
+    Bit-identical to :func:`_dequantized` over the raw vector, because
+    the stored code came from the same :func:`_quant_code`."""
+    return F.transform(
+        codes,
+        lambda c, i: _quant_dq(
+            c.cast("double"),
+            F.element_at(mn_arr, i + 1),
+            F.element_at(mx_arr, i + 1),
+        ),
+    )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_rows: int = 100_000,
+) -> None:
+    """Persist the IVF-quantized index as a CELL-PARTITIONED layout —
+    the durable form of :func:`knn_ivf_quantized`'s in-memory build,
+    turning the "cell partitioning prunes the scan to n_probe cells'
+    files" claim into an on-disk fact:
+
+    - ``{path}/vectors``: (id, code smallint[]) parquet, PARTITIONED BY
+      cell — a search that filters on probed cells reads only those
+      cells' files (PartitionFilters; plan-asserted in
+      ``tests/test_ivf_persist.py``), and the int codes are the 4x
+      storage story.
+    - ``{path}/meta``: ONE row — centroid matrix + scalar codebook
+      (mn/mx per dimension). Everything a searcher needs besides the
+      codes; reading it is a bounded 1-row collect.
+
+    Build once, search many: at 100 TB the build is one assignment
+    scan + one partitioned write (the shuffle is paid here, not per
+    query), and reruns only ever touch ``n_probe`` partitions.
+    """
+    ranges = quantization_ranges(emb, vec_col)
+    assigned, centroids, cmat = ivf_assign(
+        emb,
+        n_cells=n_cells,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        fit_sample_rows=fit_sample_rows,
+    )
+    codes = (
+        assigned.crossJoin(F.broadcast(ranges))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("arr"),
+                lambda x, i: _quant_code(
+                    x,
+                    F.element_at(F.col("mn_arr"), i + 1),
+                    F.element_at(F.col("mx_arr"), i + 1),
+                ).cast("smallint"),
+            ).alias("code"),
+            "cell",
+        )
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
+    cmat.crossJoin(ranges).select(
+        F.col("cmat").alias("centroids"),
+        "mn_arr",
+        "mx_arr",
+        F.lit(n_cells).alias("n_cells"),
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_ivf_meta(spark, path: str):
+    """Load the index metadata: (centroids, cmat 1-row DF, ranges
+    1-row DF, n_cells). One bounded 1-row collect."""
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    centroids = [list(map(float, c)) for c in row["centroids"]]
+    cmat = spark.createDataFrame(
+        [(centroids,)], "cmat array<array<double>>"
+    )
+    ranges = spark.createDataFrame(
+        [(list(row["mn_arr"]), list(row["mx_arr"]))],
+        "mn_arr array<double>, mx_arr array<double>",
+    )
+    return centroids, cmat, ranges, int(row["n_cells"])
+
+
+def knn_ivf_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Search a :func:`write_ivf_index` layout with a PRUNED scan.
+
+    Flow: read the 1-row meta; probe each query's ``n_probe`` nearest
+    cells (full-precision query against the tiny centroid matrix);
+    collect the DISTINCT probed cells (bounded by n_cells — this is
+    the one driver-side step, and it is what turns the cell set into
+    scan-time literals); read ``vectors`` filtered to those cells —
+    partition pruning drops every other cell's files from the scan —
+    then dequantize codes and score exactly like
+    :func:`knn_ivf_quantized` (same codec, same round(6), same
+    tie-break), so results are identical to the in-memory composition
+    over the same fit.
+
+    Returns ``(result_df, scanned_cells)`` — callers assert
+    ``len(scanned_cells) < n_cells`` / plan PartitionFilters.
+    """
+    from ..session import ensure_min_partitions
+
+    _, cmat, ranges, _ = read_ivf_meta(spark, path)
+    dq = lambda v: _dequantized(v, F.col("mn_arr"), F.col("mx_arr"))  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qraw"),
+    )
+    q = (
+        probe_cells(q, "qraw", cmat, range(n_probe))
+        .crossJoin(F.broadcast(ranges))
+        .select(
+            "query_id",
+            dq(F.col("qraw")).alias("qv"),
+            F.explode(
+                F.array(*[F.col(f"cell_p{p}") for p in range(n_probe)])
+            ).alias("cell"),
+        )
+    )
+    scanned_cells = sorted(
+        int(r["cell"]) for r in q.select("cell").distinct().collect()
+    )
+    vecs = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin(scanned_cells))
+    )
+    c = (
+        ensure_min_partitions(vecs)
+        .crossJoin(F.broadcast(ranges))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _dq_codes(
+                F.col("code"), F.col("mn_arr"), F.col("mx_arr")
+            ).alias("cv"),
+            "cell",
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    result = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+    return result, scanned_cells
+
+
 # Johnson-Lindenstrauss random-projection contract: project onto
 # JL_PLANES deterministic md5 hyperplanes (components uniform[-1,1],
 # variance 1/3 — hence the 3/p normalizer) and check that pairwise

@@ -184,6 +184,157 @@ def knn_ivf_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- high-recall operating point + persisted index (round 8) --------
+#
+# The production artifact is the recall/cost CURVE, not one point.
+# Measured on the shared seeded fit (n_cells=8, N_QUERIES=10, k=5),
+# recall@5 vs brute force / fraction of the corpus scanned:
+#   n_probe=2: 0.54 / 0.25      n_probe=4: 0.78 / 0.50
+#   n_probe=3: 0.65 / 0.38      n_probe=5: 0.88 / 0.62
+#   n_probe=6: 0.96 / 0.75   (sf0.01; sf0.001 p6 0.91, sf0.1 p6 0.89)
+# The synthetic embeddings are near-uniform — the WORST case for a
+# cell quantizer (no cluster structure to exploit), so this curve is
+# the honest floor: real embedding corpora cluster and reach the same
+# recall at smaller scan fractions. knn_ivf_quantized_recall keeps
+# the cheap point (p2, floor 0.4); the p6 contract below pins the
+# production-recall point with its measured cost alongside.
+IVF_HIGH_PROBE = 6
+IVF_HIGH_RECALL_FLOOR = 0.8
+IVF_HIGH_RECALL_COL = f"recall_ge_{int(IVF_HIGH_RECALL_FLOOR * 100):03d}"
+IVF_HIGH_COST_BOUND = 0.85  # scanned/cross fraction bound (measured 0.75)
+IVF_HIGH_COST_COL = f"cost_frac_le_{int(IVF_HIGH_COST_BOUND * 100):03d}"
+
+
+def knn_ivf_quantized_recall_p6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-recall operating point of the IVF-over-int8-codes ANN:
+    same bounds pattern as knn_ivf_quantized_recall but at
+    ``n_probe=6``, asserting recall@5 >= 0.8 AND that the candidate
+    scan stays under IVF_HIGH_COST_BOUND of the brute-force cross —
+    the recall AND the price, in one driver-auditable row."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = _ivf_centroids(spark, sf_dir)
+    exact = similarity.knn_bruteforce(emb, queries, k=K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.knn_ivf_quantized(
+        emb, queries, k=K, n_probe=IVF_HIGH_PROBE, centroids=cents
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    recall_row = exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))
+            >= F.lit(IVF_HIGH_RECALL_FLOOR)
+        ).alias(IVF_HIGH_RECALL_COL),
+    )
+    # Scan cost: sum over queries of probed-cell occupancies (the rows
+    # a searcher reads), as a fraction of the n_queries x n_corpus
+    # brute-force cross. All 1-row scalar attaches.
+    assigned, _, cmat = similarity.ivf_assign(emb, centroids=cents)
+    occ = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double(F.col("embedding")).alias("qv"),
+    )
+    probed = similarity.probe_cells(
+        q, "qv", cmat, range(IVF_HIGH_PROBE)
+    ).select(
+        "query_id",
+        F.explode(
+            F.array(*[F.col(f"cell_p{p}") for p in range(IVF_HIGH_PROBE)])
+        ).alias("cell"),
+    )
+    cost = (
+        probed.join(occ, "cell")
+        .agg(F.sum("cnt").alias("_scanned"))
+        .crossJoin(emb.agg(F.count(F.lit(1)).alias("_nc")))
+        .crossJoin(queries.agg(F.count(F.lit(1)).alias("_nq")))
+    )
+    return (
+        recall_row.crossJoin(cost)
+        .select(
+            "n_truth",
+            F.lit(K).alias("k"),
+            F.lit(IVF_HIGH_PROBE).alias("n_probe"),
+            IVF_HIGH_RECALL_COL,
+            (
+                F.col("_scanned") / (F.col("_nc") * F.col("_nq"))
+                <= F.lit(IVF_HIGH_COST_BOUND)
+            ).alias(IVF_HIGH_COST_COL),
+        )
+    )
+
+
+# Persisted-index demo configuration: MORE cells than the in-memory
+# demos (16) and a small query batch (4), so the union of probed cells
+# is provably a strict subset and the pruned scan is visible in the
+# plan (with 8 cells and 10 queries the union covers everything).
+IVF_INDEX_CELLS = 16
+IVF_INDEX_PROBE = 2
+IVF_INDEX_QUERIES = 4
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    import os as _os
+
+    leaf = _os.path.basename(sf_dir.rstrip("/"))
+    return f"/tmp/spark_graft_ivf_index/{leaf}"
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted index once per corpus (bench prebuilds it
+    untimed; the gate/driver pay it on first touch)."""
+    import os as _os
+
+    path = _ivf_index_path(sf_dir)
+    if not _os.path.exists(f"{path}/meta"):
+        similarity.write_ivf_index(
+            read_table(spark, sf_dir, "embeddings"),
+            path,
+            n_cells=IVF_INDEX_CELLS,
+            seed=42,
+        )
+    return path
+
+
+def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over the PERSISTED cell-partitioned IVF index
+    (similarity.write_ivf_index / knn_ivf_persisted): one driver row
+    certifying that (a) the pruned-scan search returns exactly the
+    in-memory composition's results over the same fit (codes on disk
+    lose nothing) and (b) the scan touched a strict subset of cells —
+    the partition-pruning fact, plan-asserted in
+    tests/test_ivf_persist.py with a negative control."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = _ensure_ivf_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < IVF_INDEX_QUERIES)
+    res, cells = similarity.knn_ivf_persisted(
+        spark, path, queries, k=K, n_probe=IVF_INDEX_PROBE
+    )
+    cents, _, _, n_cells = similarity.read_ivf_meta(spark, path)
+    mem = similarity.knn_ivf_quantized(
+        emb,
+        queries,
+        k=K,
+        n_cells=n_cells,
+        n_probe=IVF_INDEX_PROBE,
+        centroids=cents,
+    )
+    mism = res.exceptAll(mem).union(mem.exceptAll(res))
+    return (
+        res.agg(F.count(F.lit(1)).alias("n_results"))
+        .crossJoin(mism.agg(F.count(F.lit(1)).alias("_mm")))
+        .select(
+            "n_results",
+            F.lit(K).alias("k"),
+            F.lit(IVF_INDEX_PROBE).alias("n_probe"),
+            F.lit(n_cells).alias("n_cells"),
+            (F.col("_mm") == 0).alias("matches_inmemory"),
+            F.lit(len(cells) < n_cells).alias("partition_pruned"),
+        )
+    )
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(
@@ -408,6 +559,40 @@ ORACLE = {
 # seeded fit + bit-reproducible codec (measured 0.50/0.54).
 ORACLE["knn_ivf_quantized_recall"] = ORACLE["knn_ivf_recall"]
 
+# High-recall point: n_truth/k derivable, the recall floor AND the
+# scan-cost bound are deterministic properties of the seeded fit
+# (measured: recall 0.96/0.91/0.89 and cost 0.75 at sf0.01/0.001/0.1).
+ORACLE["knn_ivf_quantized_recall_p6"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      ROUND(list_cosine_similarity(qv, cv), 6) AS cos
+               FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+         r AS (SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rn
+               FROM s)
+    SELECT COUNT(*) AS n_truth, {K} AS k,
+           CAST({IVF_HIGH_PROBE} AS INTEGER) AS n_probe,
+           TRUE AS {IVF_HIGH_RECALL_COL},
+           TRUE AS {IVF_HIGH_COST_COL}
+    FROM r WHERE rn <= {K}
+"""
+
+# Persisted index: every column is a constant of the configuration or
+# a deterministic boolean of the seeded build (result identity with
+# the in-memory composition; strict-subset cell scan).
+ORACLE["knn_ivf_persisted"] = f"""
+    SELECT CAST({IVF_INDEX_QUERIES * K} AS BIGINT) AS n_results,
+           {K} AS k,
+           CAST({IVF_INDEX_PROBE} AS INTEGER) AS n_probe,
+           CAST({IVF_INDEX_CELLS} AS INTEGER) AS n_cells,
+           TRUE AS matches_inmemory,
+           TRUE AS partition_pruned
+"""
+
 # Splice the (long) embedded-hyperplane bucket expressions in once.
 ORACLE["knn_lsh"] = ORACLE["knn_lsh"].replace("{bucket}", _bucket_expr("e"))
 ORACLE["embedding_near_dups"] = (
@@ -422,6 +607,8 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "knn_ivf_recall": knn_ivf_recall,
     "knn_ivf_quantized_recall": knn_ivf_quantized_recall,
+    "knn_ivf_quantized_recall_p6": knn_ivf_quantized_recall_p6,
+    "knn_ivf_persisted": knn_ivf_persisted,
     "embedding_near_dups": embedding_near_dups,
     "embedding_norms": embedding_norms,
     "embedding_quantize": embedding_quantize,

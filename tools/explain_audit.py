@@ -41,6 +41,8 @@ CROSS_JOIN_OK = {
     "knn_ivf",             # 1-row centroid-matrix broadcast attach
     "token_budget_select",  # 1-row corpus token-budget scalar attach
     "knn_quantized",       # exactness demo of the quantized read path
+    "knn_ivf_quantized_recall_p6",  # brute ground truth + 1-row cost attaches
+    "knn_ivf_persisted",   # 1-row codebook/centroid + contract attaches
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
