@@ -811,3 +811,82 @@ def test_lookup_upsert_top_k_requires_order_by():
         )
     with _pytest.raises(ValueError, match="top_k requires order_by"):
         start_upsert_stream(None, None, "/tmp/ckpt-unused", top_k=10)
+
+
+def test_checkpoint_recovery_sqlite_sink_no_double_count(spark, tmp_path):
+    """B2 restart evidence against a REAL database: run the unbounded
+    per-IP count stream into a sqlite3 sink, stop it, land more data,
+    restart from the SAME checkpoint — the DB's final keyed state must
+    equal the batch twin over all input (state resumed, nothing
+    double-counted). Then replay the final batch through the writer
+    explicitly: the keyed upsert is idempotent, so a checkpoint-replayed
+    batch (stop between sink commit and checkpoint commit) leaves the
+    table unchanged — the property exactly-once-at-the-sink rests on."""
+    import sqlite3
+
+    from flink_log_analysis_spark.streaming.runner import (
+        parsed_log_stream,
+        read_log_file_stream,
+        start_upsert_stream,
+    )
+    from flink_log_analysis_spark.streaming.upsert import jdbc_upsert_writer
+
+    land = tmp_path / "land"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt_sqlite")
+    db = str(tmp_path / "sink.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE client_ip_access (client_ip TEXT PRIMARY KEY, "
+            "client_access_cnt INTEGER, statistic_time TEXT)"
+        )
+        conn.commit()
+
+    def factory(path=db):
+        import sqlite3 as s
+
+        return s.connect(path, timeout=30)
+
+    sink = jdbc_upsert_writer(
+        factory, "client_ip_access", ["client_ip"], dialect="postgres"
+    )
+
+    def start():
+        lines = read_log_file_stream(spark, str(land), max_files_per_trigger=1)
+        agg = client_ip_access_agg(parsed_log_stream(lines))
+        return start_upsert_stream(agg, sink, ckpt, stat_time=STAT_TIME)
+
+    write_log_file(str(land / "a.log"), 200, seed=30)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    write_log_file(str(land / "b.log"), 200, seed=31)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    logs = _batch_logs(spark, str(land))
+    exp = {
+        r.client_ip: r.client_access_cnt
+        for r in client_ip_access_agg(logs).collect()
+    }
+
+    def table_state():
+        with sqlite3.connect(db) as conn:
+            return dict(
+                conn.execute(
+                    "SELECT client_ip, client_access_cnt "
+                    "FROM client_ip_access"
+                ).fetchall()
+            )
+
+    got = table_state()
+    assert got == exp and len(got) > 0
+
+    # Explicit batch replay through the same writer: idempotent.
+    replay = client_ip_access_agg(logs).withColumn(
+        "statistic_time", F.lit(STAT_TIME)
+    )
+    sink(replay, batch_id=999)
+    assert table_state() == exp
