@@ -101,122 +101,75 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # session_windows + user_session_stats (the r4-NTZ-regression
-    # family; read_table's normalization is exercised by every
-    # timestamp-reading query in this window) rotate out after two
-    # clean rounds with untouched code, making room for the new
-    # URL-curation pair and the C4 span-dedup tier below.
-    "url_curation",
-    "domain_stats",
-    "span_dedup",
-    # knn_ivf_recall (green r5-r6) and media_features (green r5-r6)
-    # rotate out: the IVF accuracy floor stays under audit via the
-    # superset knn_ivf_quantized_recall contract below (same shared
-    # fit + probe machinery, plus the codec).
-    # wav_roundtrip (green r6 first row, codec untouched) rotates out;
-    # the real-codec tier stays audited via bmp_roundtrip and the new
-    # png_roundtrip below. knn_ivf_quantized_recall is new this
-    # session: the IVF-pruning-over-int8-codes composition's recall
-    # contract (same bounds pattern as knn_ivf_recall).
-    "bmp_roundtrip",
-    "knn_ivf_quantized_recall",
-    # new this session: the PNG sibling (struct+zlib codec, all five
-    # RFC 2083 scanline filters certified by pixel_match)
-    "png_roundtrip",
-    # new this round: corpus-hygiene operators (quality filter, PII
-    # scrub, decontamination, sequence packing) — need first rows
-    "doc_quality_signals",
-    # corpus_report is new this session (hygiene rollup dashboard);
-    # windowed_event_counts_stream (green r5 after the r4 fix, code
-    # untouched since) rotates out to the local gate.
-    "corpus_report",
-    # pii_scrub (green r6) rotates out — the scrub path stays under
-    # audit inside corpus_prep and corpus_ingest_stream below, which
-    # embed the identical scrub+keep projections. In its place: the
-    # new A-ES weighted sampling primitive.
-    "weighted_doc_sample",
-    "benchmark_contamination",
-    "pack_chunks",
-    # orders_snapshot_diff is new this session (CDC diff operator);
-    # deduped_events_stream (green r5, code untouched since) rotates
-    # out to the local gate.
+    # Round-8 rotation (VERDICT r7 item 1): the 21-query r4-stale
+    # analytics block — the oldest cohort in the registry (their last
+    # driver rows are CORRECTNESS_r04) — rotates in oldest-first.
+    # knn_ivf stays the one rows-only entry (seeded KMeans fit); its
+    # checkable contracts ride knn_ivf_recall (gate) and the two
+    # recall-contract rows below.
+    "pricing_summary",
+    "regional_revenue",
+    "orders_cube",
+    "orders_rollup",
+    "bm25_scores",
+    "tfidf_top_terms",
+    "nation_trade_flows",
+    "nation_market_share",
+    "top_customers_revenue",
+    "top_orders_per_customer",
+    "salted_brand_revenue",
+    "small_quantity_revenue",
+    "stratified_doc_sample",
+    "train_split_assign",
+    "customer_segments_setops",
+    "distinct_parts_per_supplier",
+    "lineitem_global_stats",
+    "order_priority_check",
+    "order_scalar_features",
+    "parts_never_ordered",
+    "knn_ivf",
+    # new this round: real merge-table BPE (frozen-table application
+    # with an exact token-stream oracle + the runtime-fit contract),
+    # the IVF production operating point (recall>=0.8 with its scan
+    # cost), and the persisted cell-partitioned IVF index search
+    "bpe_merge_tokens",
+    "bpe_vocab_fit",
+    "knn_ivf_quantized_recall_p6",
+    "knn_ivf_persisted",
+    # touched-path policy: round 8 adds the empty-keys guard to
+    # snapshot_diff (operators/merge.py), so the CDC diff keeps its
+    # driver row for one more round
     "orders_snapshot_diff",
-    # new this session: sliding-window chunking with overlap (the
-    # long-document complement of pack_chunks) and the deterministic
-    # epoch shuffle + round-robin sharding; sketch_accuracy (green
-    # r5-r6, code untouched) rotates out to make room.
-    "doc_chunks",
-    "training_order_shuffle",
-    # order_value_ntile stays: it rides the distributed-rank machinery
-    # whose docs round 7 touches, and its r6 row was its first on the
-    # new scale-safe path. The other five r6-refreshed r1-stale greens
-    # (quantity_quantiles, bpe_token_stats, token_frequencies,
-    # rolling_fingerprints, doc_fingerprints) rotate out, code
-    # untouched, to make room for the never-audited set below.
-    "order_value_ntile",
-    # never driver-audited until now (r6-newborn, local-gate green):
-    # cluster-size histogram, quality-aware survivor selection, and
-    # the rare/OOV-token signal
-    "dup_cluster_sizes",
-    "near_dedup_best_docs",
-    "rare_token_stats",
-    # back under audit for a round: r6 commit d51b788 refactored
-    # lsh_bucket, the sign-LSH path this query exercises
-    "knn_lsh",
-    # new this round: Gopher n-gram repetition signals + cross-doc
-    # boilerplate detection (need first rows; exact_dedup_groups and
-    # simhash — green r1-r5, code untouched — rotate out to make room
-    # and stay under the local gate)
-    # embedding_quantize is new this session (scalar-quantization
-    # contract); minhash_signatures rotates out — the MinHash chain
-    # stays audited via the three near_dup_* queries below.
-    "doc_repetition_signals",
-    "doc_boilerplate_signals",
-    "embedding_quantize",
-    # jl_projection_contract is new this session; near_dedup_docs
-    # rotates out — near_dup_pairs + near_dup_clusters keep the shared
-    # MinHash chain (and the cluster graph on top of it) under audit.
-    "jl_projection_contract",
-    "near_dup_pairs",
-    "near_dup_clusters",
-    # new this round: the end-to-end corpus-prep composition query and
-    # the temperature mixture resampler
-    "corpus_prep",
-    "lang_mixture_resample",
-    # incremental_near_dups (green r5-r6, code untouched) rotates out;
-    # its corpus-index chain stays audited via the _stream twin and
-    # simhash_near_dups below.
-    "incremental_near_dups_stream",
-    "simhash_near_dups",
-    # new this round: stream-stream event-time interval join (needs a
-    # first row; knn_bruteforce — green r1-r5, code untouched —
-    # rotates out and stays under the local gate)
-    "conversion_pairs_stream",
-    # new this session: token-budget selection + shard manifest (both
-    # ride the shared distributed prefix-sum/rank machinery that
-    # pack_chunks was refactored onto) and the JSONL/CSV ingest
-    # round-trips — need first rows. customer_balance_merge,
-    # stateful_sessions, ngram_jaccard_pairs, knn_lsh (green r5, code
-    # untouched since) rotate out and stay under the local gate.
-    "token_budget_select",
-    "corpus_shards",
-    "documents_jsonl_roundtrip",
-    "events_csv_roundtrip",
-    # new this session: the columnar interchange twin (built-in ORC
-    # source; pruned ReadSchema + pushed filter, parquet economics)
-    "lineitem_orc_roundtrip",
-    # knn_quantized is new this session (exact oracle over the
-    # quantized read path); embedding_near_dups (green r5, sign-LSH
-    # path untouched since) rotates out to the local gate.
-    "knn_quantized",
-    # table_profile is new this session (single-scan stats collection);
-    # binary_meta (green r1-r5, cold-start placement fix verified by two
-    # clean benches this round) rotates out to the local gate.
-    "table_profile",
-    # corpus_ingest_stream is new this session (streaming JSONL hygiene
-    # ingest); embedding_norms (green r1-r5, cold-start placement fix
-    # verified by three clean benches this round) rotates out.
-    "corpus_ingest_stream",
+    # oldest-first refresh of the r5 cohort (12 of 26; the rest stay
+    # r5-fresh, inside the staleness bound): dedup/ANN/text cores,
+    # the stateful-streaming path, MERGE, and the media decode tier
+    "exact_dedup_groups",
+    "simhash",
+    "knn_bruteforce",
+    "minhash_signatures",
+    "near_dedup_docs",
+    "stateful_sessions",
+    "customer_balance_merge",
+    "hourly_event_stats",
+    "text_stats",
+    "text_quality",
+    "lang_id_ngram",
+    "media_frames",
+    # Rotated OUT this round (all r7-green, code untouched since):
+    # the r7-newborn one-shot contracts (png_roundtrip, bmp_roundtrip,
+    # embedding_quantize, jl_projection_contract, knn_quantized,
+    # table_profile, the JSONL/CSV/ORC round-trips, doc_chunks,
+    # training_order_shuffle, weighted_doc_sample, span_dedup,
+    # url_curation, domain_stats, knn_ivf_quantized_recall — its floor
+    # stays audited via the superset p6 contract — knn_lsh,
+    # dup_cluster_sizes, near_dedup_best_docs, rare_token_stats,
+    # doc_quality_signals, corpus_report, benchmark_contamination,
+    # pack_chunks, token_budget_select, corpus_shards, corpus_prep,
+    # lang_mixture_resample, doc_repetition/boilerplate_signals,
+    # near_dup_pairs/clusters, simhash_near_dups, order_value_ntile,
+    # and the four non-core streams). Every rotated-out name still
+    # runs in the local gate (tools/check_correctness.py,
+    # driver-identical canon) and in tests/test_oracle_parity.
 ]
 
 

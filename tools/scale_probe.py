@@ -45,6 +45,25 @@ DEFAULT_QUERIES = (
 TABLES = {"documents": "doc_id", "orders": "o_orderkey"}
 
 
+def _near_dup_pairs_build(spark, sf_dir):
+    """Cache-bypassing twin of the near_dup_pairs registry entry: the
+    registry version materializes the pair index once per corpus
+    (production build-once shape), which would make a timed second
+    pass measure only a parquet read. This probes the BUILD —
+    signatures -> banded LSH join -> exact-Jaccard verify."""
+    from flink_log_analysis_spark.operators import dedup
+    from flink_log_analysis_spark.plans.llm_dedup import NEAR_DUP_THRESHOLD
+    from flink_log_analysis_spark.session import read_table
+
+    return dedup.near_dup_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=NEAR_DUP_THRESHOLD
+    )
+
+
+# Probe names that are not registry entries (cache-bypassing builds).
+SPECIAL = {"near_dup_pairs_build": _near_dup_pairs_build}
+
+
 def build_replica(spark, base: str, out: str, reps: int) -> None:
     from pyspark.sql import functions as F
 
@@ -77,7 +96,8 @@ def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
 
     from flink_log_analysis_spark.session import release_checkpoints
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs.update(SPECIAL)
     out = {}
     for name in names:
         # one untimed warm pass at the probe SF itself (JIT/codegen),
