@@ -211,6 +211,15 @@ def run_slice(
         )
 
         prestep("ivf_persisted_index", lambda: _ensure_ivf_index(spark, sf_dir))
+    if "knn_ivf_appended" in names:
+        from flink_log_analysis_spark.plans.llm_similarity import (
+            _ensure_ivf_appended_index,
+        )
+
+        prestep(
+            "ivf_appended_index",
+            lambda: _ensure_ivf_appended_index(spark, sf_dir),
+        )
     # Manufactured JSONL/CSV inputs are shared corpus snapshots like
     # the stream inputs above — build them at the timed SF outside
     # the timed windows.

@@ -584,6 +584,7 @@ def knn_ivf_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    ranges: DataFrame | None = None,
 ) -> DataFrame:
     """The production ANN composition: IVF coarse pruning + search over
     stored scalar-int8 codes — :func:`knn_ivf`'s candidate pruning with
@@ -601,7 +602,13 @@ def knn_ivf_quantized(
     """
     from ..session import ensure_min_partitions
 
-    ranges = quantization_ranges(corpus, vec_col).localCheckpoint(eager=True)
+    if ranges is None:
+        # fit-time codebook from this corpus; callers searching against
+        # a PERSISTED index pass its meta ranges instead, so the twin
+        # reads the exact codebook the stored codes were written with
+        ranges = quantization_ranges(corpus, vec_col).localCheckpoint(
+            eager=True
+        )
     assigned, centroids, cmat = ivf_assign(
         corpus,
         n_cells=n_cells,
@@ -741,6 +748,56 @@ def read_ivf_meta(spark, path: str):
         "mn_arr array<double>, mx_arr array<double>",
     )
     return centroids, cmat, ranges, int(row["n_cells"])
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Index INGESTION without refit: assign an incoming batch to the
+    index's EXISTING centroids, code it with the EXISTING codebook,
+    and append the rows into their cell partitions — how a production
+    IVF absorbs a streaming corpus (centroids/codebook are fit-time
+    artifacts; refits are an offline rebuild, not an ingest step).
+
+    Out-of-range values (an incoming dim exceeding the fit corpus's
+    [mn, mx]) keep the unclamped affine code, so a reader dequantizes
+    them exactly like the in-memory composition does; a deployment
+    preferring saturation would clamp to [0, QUANT_LEVELS] here AND in
+    the search-side codec (the two must stay one expression).
+
+    Scale shape: one projection over the batch + an append that
+    touches only the cells the batch lands in — existing partitions
+    are never rewritten.
+    """
+    _, cmat, ranges, _ = read_ivf_meta(spark, path)
+    vecs = new_vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("arr")
+    )
+    assigned = probe_cells(vecs, "arr", cmat, [0]).withColumnRenamed(
+        "cell_p0", "cell"
+    )
+    (
+        assigned.crossJoin(F.broadcast(ranges))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("arr"),
+                lambda x, i: _quant_code(
+                    x,
+                    F.element_at(F.col("mn_arr"), i + 1),
+                    F.element_at(F.col("mx_arr"), i + 1),
+                ).cast("smallint"),
+            ).alias("code"),
+            "cell",
+        )
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
 
 
 def knn_ivf_persisted(

@@ -335,6 +335,86 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ingest-without-refit demo: the corpus slice vec_id % 5 == 3 plays
+# the "arriving batch" appended into the already-built index.
+IVF_APPEND_MOD = 5
+IVF_APPEND_REM = 3
+
+
+def _ensure_ivf_appended_index(spark: SparkSession, sf_dir: str) -> str:
+    """Base index from 4/5 of the corpus, then ivf_index_append of the
+    remaining 1/5 — built once per corpus behind a marker file (a
+    partial build without the marker is torn down and rebuilt, so an
+    interrupted run can never leave a half-appended index)."""
+    import os as _os
+    import shutil as _shutil
+
+    path = f"/tmp/spark_graft_ivf_append/{_os.path.basename(sf_dir.rstrip('/'))}"
+    marker = f"{path}/_APPENDED"
+    if not _os.path.exists(marker):
+        _shutil.rmtree(path, ignore_errors=True)
+        emb = read_table(spark, sf_dir, "embeddings")
+        similarity.write_ivf_index(
+            emb.filter(F.col("vec_id") % IVF_APPEND_MOD != IVF_APPEND_REM),
+            path,
+            n_cells=IVF_INDEX_CELLS,
+            seed=42,
+        )
+        similarity.ivf_index_append(
+            spark,
+            path,
+            emb.filter(F.col("vec_id") % IVF_APPEND_MOD == IVF_APPEND_REM),
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def knn_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index INGESTION contract: append a corpus slice into the
+    persisted IVF index (existing centroids + codebook, no refit —
+    similarity.ivf_index_append), then certify that searching the
+    appended index returns exactly what the in-memory composition
+    computes over the FULL corpus under the same fit artifacts, and
+    that every corpus row is indexed. The ANN index absorbs a
+    streaming corpus without rebuild — partition-append only touches
+    the cells the batch lands in."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = _ensure_ivf_appended_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < IVF_INDEX_QUERIES)
+    res, _cells = similarity.knn_ivf_persisted(
+        spark, path, queries, k=K, n_probe=IVF_INDEX_PROBE
+    )
+    cents, _, ranges, n_cells = similarity.read_ivf_meta(spark, path)
+    mem = similarity.knn_ivf_quantized(
+        emb,
+        queries,
+        k=K,
+        n_cells=n_cells,
+        n_probe=IVF_INDEX_PROBE,
+        centroids=cents,
+        ranges=ranges,
+    )
+    mism = res.exceptAll(mem).union(mem.exceptAll(res))
+    indexed = spark.read.parquet(f"{path}/vectors").agg(
+        F.count(F.lit(1)).alias("_indexed")
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        res.agg(F.count(F.lit(1)).alias("n_results"))
+        .crossJoin(mism.agg(F.count(F.lit(1)).alias("_mm")))
+        .crossJoin(indexed)
+        .crossJoin(total)
+        .select(
+            "n_results",
+            F.lit(K).alias("k"),
+            F.lit(IVF_INDEX_PROBE).alias("n_probe"),
+            (F.col("_mm") == 0).alias("matches_inmemory"),
+            (F.col("_indexed") == F.col("_total")).alias("index_complete"),
+        )
+    )
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(
@@ -581,6 +661,17 @@ ORACLE["knn_ivf_quantized_recall_p6"] = f"""
     FROM r WHERE rn <= {K}
 """
 
+# Append-ingest contract: constants of the configuration plus
+# deterministic booleans (result identity under the shared fit
+# artifacts; indexed row count equals the corpus count).
+ORACLE["knn_ivf_appended"] = f"""
+    SELECT CAST({IVF_INDEX_QUERIES * K} AS BIGINT) AS n_results,
+           {K} AS k,
+           CAST({IVF_INDEX_PROBE} AS INTEGER) AS n_probe,
+           TRUE AS matches_inmemory,
+           TRUE AS index_complete
+"""
+
 # Persisted index: every column is a constant of the configuration or
 # a deterministic boolean of the seeded build (result identity with
 # the in-memory composition; strict-subset cell scan).
@@ -609,6 +700,7 @@ QUERIES = {
     "knn_ivf_quantized_recall": knn_ivf_quantized_recall,
     "knn_ivf_quantized_recall_p6": knn_ivf_quantized_recall_p6,
     "knn_ivf_persisted": knn_ivf_persisted,
+    "knn_ivf_appended": knn_ivf_appended,
     "embedding_near_dups": embedding_near_dups,
     "embedding_norms": embedding_norms,
     "embedding_quantize": embedding_quantize,

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import relevance, sampling, skew, urls
+from ..operators import dedup, relevance, sampling, skew, urls
 from ..operators.rangejoin import bucketed_range_join
 from ..session import read_table
 from .analytics import _dec
@@ -147,6 +147,17 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.domain_stats(_curated(spark, sf_dir))
 
 
+def supplier_fuzzy_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution over supplier names: every pair
+    within Levenshtein distance 1, via the complete 1-deletion-
+    neighborhood blocking (operators/dedup.fuzzy_key_pairs) — the typo
+    dedup tier between exact hashing and MinHash. The oracle computes
+    the ALL-PAIRS truth directly (DuckDB levenshtein), so the hash
+    match certifies the blocking has zero false negatives."""
+    sup = read_table(spark, sf_dir, "supplier")
+    return dedup.fuzzy_key_pairs(sup, "s_name", "s_suppkey", max_dist=1)
+
+
 def promo_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders falling in overlapping 90-day promo windows (one window
     per nation, staggered by 60 days from 1995-06-01), via the
@@ -236,6 +247,13 @@ def _split_case() -> str:
 
 
 ORACLE = {
+    "supplier_fuzzy_dups": """
+        SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+               a.s_name AS key_a, b.s_name AS key_b,
+               CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS lev
+        FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
     # Plain formulations on purpose: the salted rewrites must be
     # logically invisible (see operators/skew.py docstring).
     "salted_event_counts": """
@@ -390,5 +408,6 @@ QUERIES = {
     "weighted_doc_sample": weighted_doc_sample,
     "url_curation": url_curation,
     "domain_stats": domain_stats,
+    "supplier_fuzzy_dups": supplier_fuzzy_dups,
     "promo_window_orders": promo_window_orders,
 }

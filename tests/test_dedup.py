@@ -248,3 +248,47 @@ def test_simhash_near_dups_pigeonhole_exact(spark):
     }
     assert got == expected
     assert (0, 4) in got and got[(0, 4)] == 0  # identical docs
+
+
+def test_fuzzy_key_pairs_complete_vs_bruteforce(spark):
+    """1-deletion-neighborhood blocking has ZERO false negatives at
+    lev <= 1: compare against the all-pairs brute force over a key set
+    covering equality, substitution, insertion, deletion, repeated
+    chars, and far-apart keys."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators.dedup import fuzzy_key_pairs
+
+    keys = [
+        "alpha", "alpha", "alpja",  # equal + substitution
+        "alphax", "lpha",           # insertion + deletion
+        "aaa", "aa", "ab",          # repeats / short keys
+        "omega", "omeka", "zzzz",   # substitution + far
+        "a", "b", "",               # single chars + empty
+    ]
+    df = spark.createDataFrame(
+        [Row(k=i, name=s) for i, s in enumerate(keys)]
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["lev"])
+        for r in fuzzy_key_pairs(df, "name", "k", max_dist=1).collect()
+    }
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return d[len(b)]
+
+    exp = {
+        (i, j, lev(keys[i], keys[j]))
+        for i, j in itertools.combinations(range(len(keys)), 2)
+        if lev(keys[i], keys[j]) <= 1
+    }
+    assert got == exp and len(exp) > 5

@@ -98,3 +98,43 @@ def test_persisted_matches_inmemory(spark, sf_dir, index_path):
     assert res.exceptAll(mem).count() == 0
     assert mem.exceptAll(res).count() == 0
     assert res.count() == 4 * K
+
+
+def test_append_ingests_without_refit(spark, sf_dir, tmp_path):
+    """ivf_index_append: base index from part of the corpus, append
+    the rest — every row indexed, appended rows land in existing cell
+    partitions, and the pruned search over the appended index matches
+    the in-memory composition under the SAME fit artifacts."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "appendix")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    incoming = emb.filter(F.col("vec_id") % 5 == 3)
+    similarity.write_ivf_index(base, path, n_cells=N_CELLS, seed=42)
+    similarity.ivf_index_append(spark, path, incoming)
+
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.count() == emb.count()
+    # no new cell directories appeared: append assigns to EXISTING cells
+    cells = {
+        int(d.split("=")[1])
+        for d in os.listdir(f"{path}/vectors")
+        if d.startswith("cell=")
+    }
+    assert cells <= set(range(N_CELLS))
+    # appended ids are present and searchable
+    n_inc = incoming.count()
+    assert vecs.join(
+        incoming.select("vec_id"), "vec_id"
+    ).count() == n_inc
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    res, _ = similarity.knn_ivf_persisted(
+        spark, path, queries, k=K, n_probe=2
+    )
+    cents, _, ranges, n_cells = similarity.read_ivf_meta(spark, path)
+    mem = similarity.knn_ivf_quantized(
+        emb, queries, k=K, n_cells=n_cells, n_probe=2,
+        centroids=cents, ranges=ranges,
+    )
+    assert res.exceptAll(mem).count() == 0
+    assert mem.exceptAll(res).count() == 0
