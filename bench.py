@@ -74,6 +74,14 @@ EXCLUDE = (
     "knn_ivf_recall",
     "knn_ivf_quantized_recall",
     "knn_ivf_quantized_recall_p6",
+    # identity contracts over the persisted/appended IVF index: each
+    # runs the pruned-scan search AND the full in-memory composition
+    # AND two exceptAll set-diffs purely to assert byte-equality —
+    # duplicate work by design, like the recall contracts above. The
+    # index build itself is timed under "prebuild"
+    # (ivf_persisted_index / ivf_appended_index).
+    "knn_ivf_persisted",
+    "knn_ivf_appended",
 )
 
 

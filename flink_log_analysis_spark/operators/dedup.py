@@ -673,6 +673,13 @@ def fuzzy_key_pairs(
     the quadratic cross — the same candidate-generation discipline as
     the MinHash/SimHash/IVF tiers.
     """
+    if max_dist != 1:
+        # The 1-deletion neighborhood is only recall-complete at
+        # lev <= 1; a larger bound needs d-deletion variants (variant
+        # count grows ~len^d). Refuse rather than silently miss pairs.
+        raise ValueError(
+            "fuzzy_key_pairs blocking is complete only for max_dist=1"
+        )
     s = F.col(key_col)
     deletions = F.transform(
         F.sequence(F.lit(1), F.length(s)),

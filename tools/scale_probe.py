@@ -42,7 +42,11 @@ DEFAULT_QUERIES = (
     "corpus_shards",
     "order_value_ntile",
 )
-TABLES = {"documents": "doc_id", "orders": "o_orderkey"}
+TABLES = {
+    "documents": "doc_id",
+    "orders": "o_orderkey",
+    "embeddings": "vec_id",
+}
 
 
 def _near_dup_pairs_build(spark, sf_dir):
