@@ -138,11 +138,12 @@ _DRIVER_WINDOW: list[str] = [
     "knn_ivf_persisted",
     "knn_ivf_appended",
     "supplier_fuzzy_dups",
+    "bpe_pack_chunks",
     # touched-path policy: round 8 adds the empty-keys guard to
     # snapshot_diff (operators/merge.py), so the CDC diff keeps its
     # driver row for one more round
     "orders_snapshot_diff",
-    # oldest-first refresh of the r5 cohort (10 of 26; the rest stay
+    # oldest-first refresh of the r5 cohort (9 of 26; the rest stay
     # r5-fresh, inside the staleness bound): dedup/ANN/text cores,
     # the stateful-streaming path, and MERGE
     "exact_dedup_groups",
@@ -154,7 +155,6 @@ _DRIVER_WINDOW: list[str] = [
     "customer_balance_merge",
     "hourly_event_stats",
     "text_stats",
-    "text_quality",
     # Rotated OUT this round (all r7-green, code untouched since):
     # the r7-newborn one-shot contracts (png_roundtrip, bmp_roundtrip,
     # embedding_quantize, jl_projection_contract, knn_quantized,

@@ -197,6 +197,22 @@ def token_count_expr(encoded: Column) -> Column:
     ).cast("int")
 
 
+def doc_token_count(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """Per-document REAL-BPE token count as one column expression —
+    the measure downstream packing/budget arithmetic should use when
+    chunks are denominated in trained-tokenizer tokens rather than
+    whitespace words."""
+    pieces = textstats.bpe_tokens(_scrubbed(text))
+    return F.aggregate(
+        F.transform(
+            pieces,
+            lambda p: token_count_expr(merge_chain(wrap_expr(p), merges)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
 def encode_stats(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -210,13 +226,10 @@ def encode_stats(
     tokenization, not just counts).
     """
     pieces = textstats.bpe_tokens(_scrubbed(F.col(text_col)))
-    per_piece_tokens = F.transform(
-        pieces, lambda p: token_count_expr(merge_chain(wrap_expr(p), merges))
-    )
     n_base = F.aggregate(
         F.transform(pieces, F.length), F.lit(0), lambda acc, v: acc + v
     )
-    n_bpe = F.aggregate(per_piece_tokens, F.lit(0), lambda acc, v: acc + v)
+    n_bpe = doc_token_count(F.col(text_col), merges)
     # try_element_at: ANSI mode makes element_at THROW on an empty
     # array (a zero-piece doc); NULL is the contract here.
     head = merge_chain(wrap_expr(F.try_element_at(pieces, F.lit(1))), merges)

@@ -392,6 +392,7 @@ def pack_chunks(
     block: int = PACK_BLOCK_TOKENS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_tokens_expr: Column | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing assignment: documents are concatenated
     in ``id_col`` order and split into fixed ``block``-token training
@@ -412,7 +413,14 @@ def pack_chunks(
     """
     from .ranking import distributed_prefix_sum
 
-    n_tokens = F.size(tokens(F.col(text_col)))
+    # n_tokens_expr swaps the token MEASURE (default: whitespace words;
+    # pass operators.bpe.doc_token_count for trained-tokenizer tokens)
+    # without touching the packing arithmetic or its scale shape.
+    n_tokens = (
+        n_tokens_expr
+        if n_tokens_expr is not None
+        else F.size(tokens(F.col(text_col)))
+    )
     t = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
     c = distributed_prefix_sum(
         t, [F.col(id_col).asc()], "n_tokens", out_col="cum_tokens"

@@ -95,6 +95,24 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.pack_chunks(read_table(spark, sf_dir, "documents"))
 
 
+def bpe_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing denominated in REAL BPE tokens: the same
+    two-pass distributed prefix-sum layout as pack_chunks, but the
+    token measure is the frozen merge-table tokenizer
+    (operators/bpe.doc_token_count) — what a training pipeline packing
+    toward a model's actual context length computes. The oracle
+    replays the identical merge chain, then windows the cumsum."""
+    from ..operators import bpe as bpe_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return quality.pack_chunks(
+        docs,
+        n_tokens_expr=bpe_ops.doc_token_count(
+            F.col("text"), bpe_ops.BPE_MERGES_V1
+        ),
+    )
+
+
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-document span dedup: every repeated 8-token span
     keeps exactly its first corpus occurrence; kept_md5 certifies the
@@ -471,8 +489,46 @@ ORACLE = {
     """,
 }
 
+
+def _bpe_pack_sql() -> str:
+    """Build the bpe_pack_chunks oracle by splicing the SAME frozen
+    merge table as the Spark side (single-constant pattern; the chain
+    builder lives beside the bpe_merge_tokens oracle in llm_text)."""
+    from ..operators import bpe as _bpe_ops
+    from .llm_text import _BPE_D, _BPE_PIECES, _bpe_chain_sql
+
+    chain = _bpe_chain_sql("p", _bpe_ops.BPE_MERGES_V1)
+    n = (
+        f"CAST(COALESCE(list_sum(list_transform({_BPE_PIECES}, "
+        f"p -> (length({chain}) - length(replace({chain}, '{_BPE_D}', '')))"
+        f" // 2)), 0) AS INTEGER)"
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {n} AS n_tokens FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, n_tokens, cum_tokens,
+               CAST(FLOOR((cum_tokens - n_tokens)
+                          / {quality.PACK_BLOCK_TOKENS}.0) AS BIGINT)
+                   AS chunk_first,
+               CAST(FLOOR((cum_tokens - 1)
+                          / {quality.PACK_BLOCK_TOKENS}.0) AS BIGINT)
+                   AS chunk_last
+        FROM c
+    """
+
+
+ORACLE["bpe_pack_chunks"] = _bpe_pack_sql()
+
 QUERIES = {
     "corpus_report": corpus_report,
+    "bpe_pack_chunks": bpe_pack_chunks,
     "doc_quality_signals": doc_quality_signals,
     "doc_repetition_signals": doc_repetition_signals,
     "doc_boilerplate_signals": doc_boilerplate_signals,
