@@ -213,6 +213,68 @@ def doc_token_count(text: Column, merges: list[tuple[str, str]]) -> Column:
     )
 
 
+def vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """The CLOSED-FORM vocabulary for a merge table: printable ASCII
+    single chars (33..126, the piece alphabet — pieces contain no
+    whitespace) followed by each merge's output in rank order. Token
+    id = position in this list; chars outside the universe map to
+    UNK_ID. Closed-form (no corpus scan) so the oracle can state the
+    identical id assignment from the same constant."""
+    return [chr(c) for c in range(33, 127)] + [a + b for a, b in merges]
+
+
+UNK_ID = -1
+
+
+def token_stream(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """Per-document encoded token array (across all pieces, in order)
+    — the flatten of each piece's delimiter-wrapped encoding."""
+    pieces = textstats.bpe_tokens(_scrubbed(text))
+    return F.flatten(
+        F.transform(
+            pieces,
+            lambda p: F.filter(
+                F.split(merge_chain(wrap_expr(p), merges), DELIM),
+                lambda t: t != "",
+            ),
+        )
+    )
+
+
+def token_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize-to-ids — what a training pipeline actually emits: per
+    doc the id count, the unknown-token count (chars outside the
+    printable-ASCII piece alphabet), and an md5 digest of the
+    comma-joined id sequence (certifies the exact ids AND their order
+    without shipping the arrays through the compare).
+
+    The vocab rides as ONE array literal (~140 entries); the id is
+    ``array_position - 1`` (Spark returns 0 for a missing element, so
+    unknowns land on UNK_ID = -1 with no branch — and DuckDB's
+    ``coalesce(list_position, 0) - 1`` states the identical
+    assignment). Lookup + digest are native expressions — zero Python
+    per row.
+    """
+    varr = F.array(*[F.lit(tok) for tok in vocab(merges)])
+    ids = F.transform(
+        token_stream(F.col(text_col), merges),
+        lambda t: (F.array_position(varr, t) - 1).cast("int"),
+    )
+    return df.select(
+        id_col,
+        F.size(ids).alias("n_ids"),
+        F.size(F.filter(ids, lambda i: i == UNK_ID)).alias("n_unk"),
+        F.md5(
+            F.array_join(F.transform(ids, lambda i: i.cast("string")), ",")
+        ).alias("ids_md5"),
+    )
+
+
 def encode_stats(
     df: DataFrame,
     merges: list[tuple[str, str]],

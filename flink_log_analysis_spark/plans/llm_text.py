@@ -61,6 +61,17 @@ def bpe_merge_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids over the frozen table and its closed-form vocab
+    (printable ASCII + merge outputs in rank order): per-doc id count,
+    unknown count, and an md5 digest of the exact id SEQUENCE — the
+    arrays a training pipeline materializes, certified order-and-all
+    without shipping them through the compare."""
+    return bpe_ops.token_ids(
+        read_table(spark, sf_dir, "documents"), bpe_ops.BPE_MERGES_V1
+    )
+
+
 # Runtime-fit contract bounds (bpe_vocab_fit): small enough that any
 # corpus slice >= sf0.001 sustains the full merge count.
 BPE_FIT_MERGES = 16
@@ -406,12 +417,48 @@ ORACLE = {
     """,
 }
 
+def _bpe_token_ids_sql() -> str:
+    """bpe_token_ids oracle: splice the closed-form vocab and the SAME
+    frozen chain; id = coalesce(list_position, 0) - 1, the DuckDB
+    statement of Spark's array_position - 1 (missing -> UNK_ID)."""
+    voc = bpe_ops.vocab(bpe_ops.BPE_MERGES_V1)
+    voc_sql = (
+        "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in voc) + "]"
+    )
+    chain = _bpe_chain_sql("p", bpe_ops.BPE_MERGES_V1)
+    toks = (
+        f"flatten(list_transform({_BPE_PIECES}, "
+        f"p -> list_filter(string_split({chain}, '{_BPE_D}'), "
+        f"x -> x <> '')))"
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {toks} AS toks FROM documents
+        ), i AS (
+            SELECT doc_id,
+                   list_transform(toks,
+                       t -> CAST(COALESCE(list_position({voc_sql}, t), 0) - 1
+                                 AS INTEGER)) AS ids
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(ids) AS INTEGER) AS n_ids,
+               CAST(len(list_filter(ids, x -> x = {bpe_ops.UNK_ID}))
+                    AS INTEGER) AS n_unk,
+               md5(array_to_string(ids, ',')) AS ids_md5
+        FROM i
+    """
+
+
+ORACLE["bpe_token_ids"] = _bpe_token_ids_sql()
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
     "source_token_stats": source_token_stats,
     "bpe_token_stats": bpe_token_stats,
     "bpe_merge_tokens": bpe_merge_tokens,
+    "bpe_token_ids": bpe_token_ids,
     "bpe_vocab_fit": bpe_vocab_fit,
     "token_frequencies": token_frequencies,
     "rolling_fingerprints": rolling_fingerprints,

@@ -139,3 +139,34 @@ def test_fit_bpe_driver_side_bounded(spark, sf_dir):
         for part in (a, b):
             assert len(part) == 1 or part in outputs
         outputs.add(a + b)
+
+
+def test_token_ids_unknowns_and_digest(spark):
+    """token_ids: ids follow the closed-form vocab (ASCII + merge
+    outputs), non-ASCII chars map to UNK_ID, digest certifies order."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    merges = [("a", "b")]
+    voc = bpe.vocab(merges)
+    assert voc[-1] == "ab" and voc[ord("!") - 33] == "!"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="ab ba"),
+            Row(doc_id=2, text="café"),  # é outside the ASCII universe
+            Row(doc_id=3, text=""),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in bpe.token_ids(df, merges).collect()}
+    ab, b_, a_ = voc.index("ab"), voc.index("b"), voc.index("a")
+    exp1 = [ab, b_, a_]  # "ab" merges; "ba" stays b,a
+    assert rows[1]["n_ids"] == 3 and rows[1]["n_unk"] == 0
+    assert rows[1]["ids_md5"] == hashlib.md5(
+        ",".join(map(str, exp1)).encode()
+    ).hexdigest()
+    # c,a,f in vocab; é -> UNK
+    assert rows[2]["n_ids"] == 4 and rows[2]["n_unk"] == 1
+    assert rows[3]["n_ids"] == 0 and rows[3]["ids_md5"] == hashlib.md5(
+        b""
+    ).hexdigest()
