@@ -140,6 +140,7 @@ _DRIVER_WINDOW: list[str] = [
     "supplier_fuzzy_dups",
     "bpe_pack_chunks",
     "bpe_token_ids",
+    "domain_quota_sample",
     # touched-path policy: round 8 adds the empty-keys guard to
     # snapshot_diff (operators/merge.py), so the CDC diff keeps its
     # driver row for one more round
@@ -153,7 +154,6 @@ _DRIVER_WINDOW: list[str] = [
     "minhash_signatures",
     "near_dedup_docs",
     "stateful_sessions",
-    "customer_balance_merge",
     "text_stats",
     # Rotated OUT this round (all r7-green, code untouched since):
     # the r7-newborn one-shot contracts (png_roundtrip, bmp_roundtrip,

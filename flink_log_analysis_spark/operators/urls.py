@@ -113,3 +113,31 @@ def domain_stats(curated: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.sum(F.col("is_canonical").cast("int")).alias("n_pages"),
         F.max(F.col("blocked").cast("int")).cast("boolean").alias("blocked"),
     )
+
+
+def domain_quota(
+    curated: DataFrame,
+    cap: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain quota curation (the C4/RefinedWeb "limit pages per
+    domain" step): over :func:`url_curation` output, keep at most
+    ``cap`` canonical, non-blocked pages per registered domain —
+    deterministic order (lowest ``id_col`` first), so the kept set is
+    reproducible across runs and engines.
+
+    Emits EVERY candidate page with its within-domain rank and the
+    keep verdict (the audit view a curation run reports), not just the
+    survivors. One window partitioned by the high-cardinality domain
+    key — the same scale shape as the URL-dedup window feeding it: no
+    global funnel, text never moves, only (id, url, domain) rows
+    shuffle.
+    """
+    pages = curated.filter(F.col("is_canonical") & ~F.col("blocked"))
+    w = Window.partitionBy("domain").orderBy(F.col(id_col).asc())
+    return pages.select(
+        id_col,
+        "domain",
+        "url_norm",
+        F.row_number().over(w).cast("int").alias("domain_rank"),
+    ).withColumn("kept", F.col("domain_rank") <= cap)

@@ -158,6 +158,21 @@ def supplier_fuzzy_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_key_pairs(sup, "s_name", "s_suppkey", max_dist=1)
 
 
+# At 500 docs / ~8 domains the synth yields ~20 canonical pages per
+# domain; an 8-page cap makes both verdicts well-populated.
+DOMAIN_QUOTA_CAP = 8
+
+
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota curation over the synthesized URL mess: at most
+    DOMAIN_QUOTA_CAP canonical non-blocked pages per registered
+    domain, deterministic keep order, every candidate emitted with its
+    rank + verdict (operators/urls.domain_quota). The oracle wraps the
+    url_curation closed-formula derivation and windows it the same
+    way."""
+    return urls.domain_quota(_curated(spark, sf_dir), cap=DOMAIN_QUOTA_CAP)
+
+
 def promo_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders falling in overlapping 90-day promo windows (one window
     per nation, staggered by 60 days from 1995-06-01), via the
@@ -396,6 +411,24 @@ _BLOCKLIST_SQL = "(" + ", ".join(f"'{d}'" for d in urls.BLOCKED_DOMAINS) + ")"
 for _k in ("url_curation", "domain_stats"):
     ORACLE[_k] = ORACLE[_k].replace("{blocklist}", _BLOCKLIST_SQL)
 
+# Derived oracle: wrap the url_curation derivation verbatim (CTE
+# nesting convention) and window it per domain.
+ORACLE["domain_quota_sample"] = f"""
+    WITH curated AS ({ORACLE["url_curation"]}
+    ), pages AS (
+        SELECT * FROM curated WHERE is_canonical AND NOT blocked
+    ), r AS (
+        SELECT doc_id, domain, url_norm,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY doc_id) AS INTEGER)
+                   AS domain_rank
+        FROM pages
+    )
+    SELECT doc_id, domain, url_norm, domain_rank,
+           domain_rank <= {DOMAIN_QUOTA_CAP} AS kept
+    FROM r
+"""
+
 QUERIES = {
     "salted_event_counts": salted_event_counts,
     "salted_brand_revenue": salted_brand_revenue,
@@ -409,5 +442,6 @@ QUERIES = {
     "url_curation": url_curation,
     "domain_stats": domain_stats,
     "supplier_fuzzy_dups": supplier_fuzzy_dups,
+    "domain_quota_sample": domain_quota_sample,
     "promo_window_orders": promo_window_orders,
 }

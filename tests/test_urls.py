@@ -60,3 +60,29 @@ def test_url_curation_dedup_and_blocklist(spark):
     assert stats["site1.com"].n_pages == 2   # /a deduped, /b
     assert not stats["site1.com"].blocked
     assert stats["spamfarm3.com"].blocked
+
+
+def test_domain_quota_cap_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators.urls import (
+        domain_quota,
+        url_curation,
+    )
+
+    rows = [
+        Row(doc_id=i, url=f"https://site{i % 2}.com/p/{i}") for i in range(10)
+    ]
+    curated = url_curation(spark.createDataFrame(rows))
+    out = domain_quota(curated, cap=3).collect()
+    by_domain = {}
+    for r in out:
+        by_domain.setdefault(r["domain"], []).append(r)
+    for dom, rs in by_domain.items():
+        rs.sort(key=lambda r: r["domain_rank"])
+        # ranks dense from 1, keep order = ascending doc_id
+        assert [r["domain_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        ids = [r["doc_id"] for r in rs]
+        assert ids == sorted(ids)
+        kept = [r for r in rs if r["kept"]]
+        assert len(kept) == min(3, len(rs))
