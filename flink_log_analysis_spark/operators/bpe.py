@@ -201,7 +201,9 @@ def doc_token_count(text: Column, merges: list[tuple[str, str]]) -> Column:
     """Per-document REAL-BPE token count as one column expression —
     the measure downstream packing/budget arithmetic should use when
     chunks are denominated in trained-tokenizer tokens rather than
-    whitespace words."""
+    whitespace words. (Callers feeding a single-file local scan should
+    widen it first — see session.ensure_min_partitions — or the
+    replace chain serializes onto one core.)"""
     pieces = textstats.bpe_tokens(_scrubbed(text))
     return F.aggregate(
         F.transform(
@@ -253,17 +255,28 @@ def token_ids(
     comma-joined id sequence (certifies the exact ids AND their order
     without shipping the arrays through the compare).
 
-    The vocab rides as ONE array literal (~140 entries); the id is
-    ``array_position - 1`` (Spark returns 0 for a missing element, so
-    unknowns land on UNK_ID = -1 with no branch — and DuckDB's
+    The vocab rides as ONE map literal (~140 entries, hash lookup per
+    token); ``try_element_at`` returns NULL for unknowns (plain
+    element_at THROWS under ANSI), which coalesces to UNK_ID. DuckDB's
     ``coalesce(list_position, 0) - 1`` states the identical
-    assignment). Lookup + digest are native expressions — zero Python
+    assignment. Lookup + digest are native expressions — zero Python
     per row.
     """
-    varr = F.array(*[F.lit(tok) for tok in vocab(merges)])
+    from ..session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+    vmap = F.create_map(
+        *[
+            x
+            for i, tok in enumerate(vocab(merges))
+            for x in (F.lit(tok), F.lit(i))
+        ]
+    )
     ids = F.transform(
         token_stream(F.col(text_col), merges),
-        lambda t: (F.array_position(varr, t) - 1).cast("int"),
+        lambda t: F.coalesce(
+            F.try_element_at(vmap, t), F.lit(UNK_ID)
+        ).cast("int"),
     )
     return df.select(
         id_col,
@@ -287,6 +300,9 @@ def encode_stats(
     token stream of the first piece (certifies the actual
     tokenization, not just counts).
     """
+    from ..session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     pieces = textstats.bpe_tokens(_scrubbed(F.col(text_col)))
     n_base = F.aggregate(
         F.transform(pieces, F.length), F.lit(0), lambda acc, v: acc + v

@@ -103,8 +103,12 @@ def bpe_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward a model's actual context length computes. The oracle
     replays the identical merge chain, then windows the cumsum."""
     from ..operators import bpe as bpe_ops
+    from ..session import ensure_min_partitions
 
-    docs = read_table(spark, sf_dir, "documents")
+    # widen the single-file local scan BEFORE the replace chain runs
+    # (else the expression-heavy count serializes onto one core —
+    # a no-op on a real cluster's multi-split scans)
+    docs = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     return quality.pack_chunks(
         docs,
         n_tokens_expr=bpe_ops.doc_token_count(

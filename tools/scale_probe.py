@@ -46,6 +46,7 @@ TABLES = {
     "documents": "doc_id",
     "orders": "o_orderkey",
     "embeddings": "vec_id",
+    "supplier": "s_suppkey",
 }
 
 
