@@ -47,6 +47,7 @@ TABLES = {
     "orders": "o_orderkey",
     "embeddings": "vec_id",
     "supplier": "s_suppkey",
+    "events": "event_id",
 }
 
 
