@@ -170,3 +170,41 @@ def test_token_ids_unknowns_and_digest(spark):
     assert rows[3]["n_ids"] == 0 and rows[3]["ids_md5"] == hashlib.md5(
         b""
     ).hexdigest()
+
+
+def test_property_encode_equivalences():
+    """Property check (hypothesis): for LEARNED tables over random
+    corpora, (a) rank-sequential encode == GPT-2-style min-rank loop,
+    (b) both == a pure string-level simulation of the wrapped-string
+    replace chain (the exact algorithm the Spark expression runs), and
+    (c) concatenating the tokens reproduces the word."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def replace_chain_sim(piece, merges):
+        D = "\x1f"
+        s = "".join(D + c + D for c in piece)
+        for a, b in merges:
+            s = s.replace(D + a + D + D + b + D, D + a + b + D)
+        return [t for t in s.split(D) if t]
+
+    words_strategy = st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(words=words_strategy, n_merges=st.integers(0, 12))
+    def check(words, n_merges):
+        from collections import Counter
+
+        counts = Counter(words)
+        merges = bpe.learn_merges(list(counts.items()), n_merges)
+        for w in words:
+            seq = bpe.encode(w, merges)
+            assert seq == _minrank_encode(w, merges)
+            assert seq == replace_chain_sim(w, merges)
+            assert "".join(seq) == w
+
+    check()
