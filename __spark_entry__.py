@@ -167,9 +167,15 @@ _DRIVER_WINDOW: list[str] = [
     # pack_chunks, token_budget_select, corpus_shards, corpus_prep,
     # lang_mixture_resample, doc_repetition/boilerplate_signals,
     # near_dup_pairs/clusters, simhash_near_dups, order_value_ntile,
-    # and the four non-core streams). Every rotated-out name still
-    # runs in the local gate (tools/check_correctness.py,
-    # driver-identical canon) and in tests/test_oracle_parity.
+    # and the four non-core streams). Five r5 refresh slots were
+    # reclaimed mid-round for the newborn r8 queries above —
+    # lang_id_ngram, media_frames, hourly_event_stats,
+    # customer_balance_merge, and text_quality stay r5-fresh in the
+    # gate (each path also audited via an in-window sibling:
+    # text_stats, the core streams, orders_snapshot_diff).
+    # Every rotated-out name still runs in the local gate
+    # (tools/check_correctness.py, driver-identical canon) and in
+    # tests/test_oracle_parity.
 ]
 
 
