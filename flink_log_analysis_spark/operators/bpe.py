@@ -13,7 +13,7 @@ Spark-first design — both halves avoid Python in the hot path:
   pieces (count desc, piece asc — total order) are collected, and the
   classic pair-count/merge loop runs on that dictionary in
   milliseconds. 100 TB of text changes the agg, not the collect bound.
-- **Apply** (:func:`encode_expr`) is a pure column expression: each
+- **Apply** (:func:`merge_chain`) is a pure column expression: each
   piece is wrapped into a delimited char string (``\\x1f c \\x1f`` per
   char) and each merge ``(a, b) -> ab`` becomes one literal
   ``replace('\\x1fa\\x1f\\x1fb\\x1f' -> '\\x1fab\\x1f')``. String

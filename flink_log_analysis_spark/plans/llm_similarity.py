@@ -274,11 +274,35 @@ IVF_INDEX_PROBE = 2
 IVF_INDEX_QUERIES = 4
 
 
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint (sizes + mtimes of the embeddings
+    parquet) baked into the /tmp index paths: a driver that
+    regenerates testdata between rounds while /tmp persists must get a
+    fresh index build, or the identity contracts would compare a stale
+    index against fresh in-memory results (the r4 NTZ regeneration is
+    the precedent)."""
+    import hashlib
+    import os as _os
+
+    target = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    parts = []
+    if _os.path.isdir(target):
+        for name in sorted(_os.listdir(target)):
+            st = _os.stat(f"{target}/{name}")
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif _os.path.exists(target):
+        st = _os.stat(target)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def _ivf_index_path(sf_dir: str) -> str:
     import os as _os
 
     leaf = _os.path.basename(sf_dir.rstrip("/"))
-    return f"/tmp/spark_graft_ivf_index/{leaf}"
+    return (
+        f"/tmp/spark_graft_ivf_index/{leaf}-{_embeddings_fingerprint(sf_dir)}"
+    )
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
@@ -349,7 +373,10 @@ def _ensure_ivf_appended_index(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
     import shutil as _shutil
 
-    path = f"/tmp/spark_graft_ivf_append/{_os.path.basename(sf_dir.rstrip('/'))}"
+    leaf = _os.path.basename(sf_dir.rstrip("/"))
+    path = (
+        f"/tmp/spark_graft_ivf_append/{leaf}-{_embeddings_fingerprint(sf_dir)}"
+    )
     marker = f"{path}/_APPENDED"
     if not _os.path.exists(marker):
         _shutil.rmtree(path, ignore_errors=True)
