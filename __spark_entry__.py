@@ -141,6 +141,7 @@ _DRIVER_WINDOW: list[str] = [
     "bpe_pack_chunks",
     "bpe_token_ids",
     "domain_quota_sample",
+    "hard_negative_mining",
     # touched-path policy: round 8 adds the empty-keys guard to
     # snapshot_diff (operators/merge.py), so the CDC diff keeps its
     # driver row for one more round
@@ -152,7 +153,6 @@ _DRIVER_WINDOW: list[str] = [
     "simhash",
     "knn_bruteforce",
     "minhash_signatures",
-    "near_dedup_docs",
     "stateful_sessions",
     "text_stats",
     # Rotated OUT this round (all r7-green, code untouched since):

@@ -88,6 +88,72 @@ def knn_bruteforce(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive-training negative mining: for each anchor, the k
+    nearest neighbors whose ``label_col`` DIFFERS from the anchor's —
+    the confusable-but-wrong examples a contrastive or reranker
+    objective needs (random negatives are trivially far; these are the
+    hard ones).
+
+    Exact by construction here (the exactness baseline, like
+    knn_bruteforce — same round(6)-before-rank + id tie-break
+    discipline, so the oracle is exact); at scale the same label
+    predicate drops into :func:`knn_ivf` / :func:`knn_ivf_persisted`'s
+    candidate stream unchanged — filtering candidates AFTER cell
+    pruning, never widening the scan.
+    """
+    from ..session import ensure_min_partitions
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(
+            # a NULL label on either side is "unknown" and can never
+            # certify a hard NEGATIVE — require two known, different
+            # labels (plain != is exactly that: NULL-in -> NULL -> drop)
+            F.col("negative_label") != F.col("anchor_label")
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cos",
+            "rn",
+        )
+    )
+
+
 ADAPTIVE_MIN_PLANES = 4
 ADAPTIVE_MAX_PLANES = 12
 ADAPTIVE_TARGET_OCCUPANCY = 32

@@ -442,6 +442,16 @@ def knn_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: per anchor, the 5 nearest neighbors
+    with a DIFFERENT label (similarity.hard_negatives — exactness
+    baseline with an exact oracle; the label predicate composes with
+    the IVF candidate stream at scale)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.hard_negatives(emb, anchors, k=K)
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(
@@ -688,6 +698,30 @@ ORACLE["knn_ivf_quantized_recall_p6"] = f"""
     FROM r WHERE rn <= {K}
 """
 
+# Hard-negative mining is exact (brute-force over a broadcast anchor
+# set + rounded cosine + total tie-break), so the oracle states the
+# full truth with a null-safe label inequality.
+ORACLE["hard_negative_mining"] = f"""
+    WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS negative_id, label AS negative_label,
+                      embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         s AS (SELECT anchor_id, anchor_label, negative_id,
+                      negative_label,
+                      ROUND(list_cosine_similarity(qv, cv), 6) AS cos
+               FROM a CROSS JOIN c
+               WHERE negative_label <> anchor_label),
+         r AS (SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY cos DESC, negative_id ASC) AS rn
+               FROM s)
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cos,
+           CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= {K}
+"""
+
 # Append-ingest contract: constants of the configuration plus
 # deterministic booleans (result identity under the shared fit
 # artifacts; indexed row count equals the corpus count).
@@ -728,6 +762,7 @@ QUERIES = {
     "knn_ivf_quantized_recall_p6": knn_ivf_quantized_recall_p6,
     "knn_ivf_persisted": knn_ivf_persisted,
     "knn_ivf_appended": knn_ivf_appended,
+    "hard_negative_mining": hard_negative_mining,
     "embedding_near_dups": embedding_near_dups,
     "embedding_norms": embedding_norms,
     "embedding_quantize": embedding_quantize,

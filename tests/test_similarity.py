@@ -252,3 +252,25 @@ def test_knn_ivf_quantized_recall_floor(spark):
         F.count(F.lit(1)).alias("c"), F.max("rn").alias("m")
     ).collect()
     assert all(r.c <= 5 and r.m == r.c for r in per)
+
+
+def test_hard_negatives_excludes_same_and_null_labels(spark):
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators.similarity import hard_negatives
+
+    rows = [
+        Row(vec_id=0, label="a", embedding=[1.0, 0.0]),
+        Row(vec_id=1, label="a", embedding=[0.99, 0.01]),  # same label
+        Row(vec_id=2, label="b", embedding=[0.98, 0.02]),  # hard negative
+        Row(vec_id=3, label=None, embedding=[0.97, 0.03]),  # unknown
+        Row(vec_id=4, label="b", embedding=[0.0, 1.0]),    # easy negative
+    ]
+    df = spark.createDataFrame(rows)
+    out = hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
+    got = [(r["negative_id"], r["rn"]) for r in
+           sorted(out, key=lambda r: r["rn"])]
+    # nearest different-label first; same-label and NULL-label excluded
+    assert got == [(2, 1), (4, 2)]
+    assert all(r["anchor_label"] == "a" and r["negative_label"] == "b"
+               for r in out)
