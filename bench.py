@@ -77,9 +77,11 @@ EXCLUDE = (
     # identity contracts over the persisted/appended IVF index: each
     # runs the pruned-scan search AND the full in-memory composition
     # AND two exceptAll set-diffs purely to assert byte-equality —
-    # duplicate work by design, like the recall contracts above. The
-    # index build itself is timed under "prebuild"
-    # (ivf_persisted_index / ivf_appended_index).
+    # duplicate work by design, like the recall contracts above. Their
+    # index-build cost is exercised (and visible) in the correctness
+    # gate, not here: nothing TIMED consumes the index, so prebuilding
+    # it would spend bench wall-clock on an artifact no timed query
+    # reads.
     "knn_ivf_persisted",
     "knn_ivf_appended",
 )
@@ -213,21 +215,6 @@ def run_slice(
         from flink_log_analysis_spark.plans.llm_similarity import _ivf_centroids
 
         prestep("ivf_centroids", lambda: _ivf_centroids(spark, sf_dir))
-    if "knn_ivf_persisted" in names:
-        from flink_log_analysis_spark.plans.llm_similarity import (
-            _ensure_ivf_index,
-        )
-
-        prestep("ivf_persisted_index", lambda: _ensure_ivf_index(spark, sf_dir))
-    if "knn_ivf_appended" in names:
-        from flink_log_analysis_spark.plans.llm_similarity import (
-            _ensure_ivf_appended_index,
-        )
-
-        prestep(
-            "ivf_appended_index",
-            lambda: _ensure_ivf_appended_index(spark, sf_dir),
-        )
     # Manufactured JSONL/CSV inputs are shared corpus snapshots like
     # the stream inputs above — build them at the timed SF outside
     # the timed windows.

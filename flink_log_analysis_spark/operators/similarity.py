@@ -739,6 +739,28 @@ def _dq_codes(codes: Column, mn_arr: Column, mx_arr: Column) -> Column:
     )
 
 
+def _coded(assigned: DataFrame, ranges: DataFrame, id_col: str) -> DataFrame:
+    """THE write-side code projection — (id, smallint codes, cell) from
+    an assigned frame + broadcast codebook. Single implementation
+    shared by :func:`write_ivf_index` and :func:`ivf_index_append`: the
+    base build and every appended batch MUST encode identically or the
+    byte-identity contracts break only for appended corpora (the
+    two-site-drift failure mode the canonical-codec convention
+    exists to prevent)."""
+    return assigned.crossJoin(F.broadcast(ranges)).select(
+        F.col(id_col),
+        F.transform(
+            F.col("arr"),
+            lambda x, i: _quant_code(
+                x,
+                F.element_at(F.col("mn_arr"), i + 1),
+                F.element_at(F.col("mx_arr"), i + 1),
+            ).cast("smallint"),
+        ).alias("code"),
+        "cell",
+    )
+
+
 def write_ivf_index(
     emb: DataFrame,
     path: str,
@@ -766,7 +788,10 @@ def write_ivf_index(
     scan + one partitioned write (the shuffle is paid here, not per
     query), and reruns only ever touch ``n_probe`` partitions.
     """
-    ranges = quantization_ranges(emb, vec_col)
+    # lineage cut: ranges feeds BOTH the codes write and the meta
+    # write below — without it each write re-runs the full per-dim
+    # min/max corpus scan (the same hazard knn_quantized documents)
+    ranges = quantization_ranges(emb, vec_col).localCheckpoint(eager=True)
     assigned, centroids, cmat = ivf_assign(
         emb,
         n_cells=n_cells,
@@ -775,24 +800,9 @@ def write_ivf_index(
         vec_col=vec_col,
         fit_sample_rows=fit_sample_rows,
     )
-    codes = (
-        assigned.crossJoin(F.broadcast(ranges))
-        .select(
-            F.col(id_col),
-            F.transform(
-                F.col("arr"),
-                lambda x, i: _quant_code(
-                    x,
-                    F.element_at(F.col("mn_arr"), i + 1),
-                    F.element_at(F.col("mx_arr"), i + 1),
-                ).cast("smallint"),
-            ).alias("code"),
-            "cell",
-        )
-    )
-    codes.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/vectors"
-    )
+    _coded(assigned, ranges, id_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
     cmat.crossJoin(ranges).select(
         F.col("cmat").alias("centroids"),
         "mn_arr",
@@ -846,24 +856,9 @@ def ivf_index_append(
     assigned = probe_cells(vecs, "arr", cmat, [0]).withColumnRenamed(
         "cell_p0", "cell"
     )
-    (
-        assigned.crossJoin(F.broadcast(ranges))
-        .select(
-            F.col(id_col),
-            F.transform(
-                F.col("arr"),
-                lambda x, i: _quant_code(
-                    x,
-                    F.element_at(F.col("mn_arr"), i + 1),
-                    F.element_at(F.col("mx_arr"), i + 1),
-                ).cast("smallint"),
-            ).alias("code"),
-            "cell",
-        )
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/vectors")
-    )
+    _coded(assigned, ranges, id_col).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
 
 
 def knn_ivf_persisted(

@@ -306,18 +306,26 @@ def _ivf_index_path(sf_dir: str) -> str:
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the persisted index once per corpus (bench prebuilds it
-    untimed; the gate/driver pay it on first touch)."""
+    """Build the persisted index once per corpus, behind a marker file
+    (same torn-build guard as _ensure_ivf_appended_index: a build
+    interrupted mid-write leaves directories without the marker, so
+    the next touch tears the partial index down and rebuilds instead
+    of wedging every later search on a half-written meta)."""
     import os as _os
+    import shutil as _shutil
 
     path = _ivf_index_path(sf_dir)
-    if not _os.path.exists(f"{path}/meta"):
+    marker = f"{path}/_BUILT"
+    if not _os.path.exists(marker):
+        _shutil.rmtree(path, ignore_errors=True)
         similarity.write_ivf_index(
             read_table(spark, sf_dir, "embeddings"),
             path,
             n_cells=IVF_INDEX_CELLS,
             seed=42,
         )
+        with open(marker, "w") as fh:
+            fh.write("ok")
     return path
 
 

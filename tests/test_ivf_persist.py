@@ -138,3 +138,20 @@ def test_append_ingests_without_refit(spark, sf_dir, tmp_path):
     )
     assert res.exceptAll(mem).count() == 0
     assert mem.exceptAll(res).count() == 0
+
+
+def test_ensure_index_recovers_from_torn_build(spark, monkeypatch, tmp_path):
+    """A build interrupted mid-write (directories exist, no marker)
+    must be torn down and rebuilt, not trusted."""
+    from flink_log_analysis_spark.plans import llm_similarity as plan
+
+    fake = str(tmp_path / "torn")
+    monkeypatch.setattr(plan, "_ivf_index_path", lambda sf: fake)
+    # simulate the torn state: meta dir exists but is an empty shell
+    os.makedirs(f"{fake}/meta")
+    path = plan._ensure_ivf_index(spark, "/root/testdata/sf0.001")
+    assert path == fake
+    assert os.path.exists(f"{fake}/_BUILT")
+    # the rebuilt meta is readable — the wedge the guard prevents
+    _, _, _, n_cells = similarity.read_ivf_meta(spark, fake)
+    assert n_cells == plan.IVF_INDEX_CELLS
