@@ -168,8 +168,14 @@ def wrap_expr(piece: Column) -> Column:
     """Piece -> delimited char string: ``abc`` -> ``\\x1fa\\x1f\\x1fb
     \\x1f\\x1fc\\x1f`` (every token wrapped on both sides, so merge
     patterns are full-token anchored and a match consumes no shared
-    delimiter — overlap-safe)."""
-    return F.regexp_replace(piece, "(.)", DELIM + "$1" + DELIM)
+    delimiter — overlap-safe).
+
+    Dot-all ``(?s)``: Java's plain ``.`` excludes line terminators
+    U+0085/U+2028/U+2029, which BPE_TOKEN_REGEX admits as single-char
+    pieces — without (?s) such a piece stays unwrapped and counts as
+    zero tokens (r8 advisory). The DuckDB twin (_bpe_chain_sql) carries
+    the same flag so both engines wrap every char unconditionally."""
+    return F.regexp_replace(piece, "(?s)(.)", DELIM + "$1" + DELIM)
 
 
 def merge_chain(wrapped: Column, merges: list[tuple[str, str]]) -> Column:
@@ -221,8 +227,27 @@ def vocab(merges: list[tuple[str, str]]) -> list[str]:
     whitespace) followed by each merge's output in rank order. Token
     id = position in this list; chars outside the universe map to
     UNK_ID. Closed-form (no corpus scan) so the oracle can state the
-    identical id assignment from the same constant."""
-    return [chr(c) for c in range(33, 127)] + [a + b for a, b in merges]
+    identical id assignment from the same constant.
+
+    Rejects merge tables with duplicate OUTPUT strings (e.g. ('a','bc')
+    learned after ('ab','c'), both yielding 'abc'): token_ids builds a
+    map literal from this list, and Spark's default mapKeyDedupPolicy
+    throws DUPLICATE_MAP_KEY at runtime — fail here with a clear error
+    instead (r8 advisory). fit_bpe can legitimately learn such tables;
+    callers must dedupe or re-fit, not silently alias two ids."""
+    outputs = [a + b for a, b in merges]
+    seen: set[str] = set()
+    for out in outputs:
+        if out in seen:
+            raise ValueError(
+                f"duplicate merge output {out!r}: two merges produce the "
+                "same token string, so position-based token ids would "
+                "collide (DUPLICATE_MAP_KEY in token_ids' map literal). "
+                "Dedupe the merge table (keep the lowest rank) before "
+                "building a vocabulary."
+            )
+        seen.add(out)
+    return [chr(c) for c in range(33, 127)] + outputs
 
 
 UNK_ID = -1

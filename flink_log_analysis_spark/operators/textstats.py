@@ -69,8 +69,13 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 # BPE-ish pre-tokenization classes (letter runs / digit runs / single
 # punctuation marks) — the regex split BPE vocabularies apply before
 # merging; counting these approximates trained-tokenizer token counts
-# far better than whitespace words. Same regex dialect in Java and RE2.
-BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# far better than whitespace words. The whitespace class is spelled
+# EXPLICITLY (not \s) because the three engines disagree on \s: Java
+# \s = [ \t\n\x0B\f\r], RE2's lacks \x0B, Python's is Unicode-wide
+# (r8 advisory — verified piece-count divergence on 'a\x0Bb'). The
+# explicit class below is bit-identical in Java, RE2/DuckDB, and
+# Python re, making piece segmentation engine-independent.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
 
 ROLLING_HASH_MULT = 1_000_003
 ROLLING_HASH_MOD = 2_147_483_647

@@ -305,28 +305,69 @@ def _ivf_index_path(sf_dir: str) -> str:
     )
 
 
-def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the persisted index once per corpus, behind a marker file
-    (same torn-build guard as _ensure_ivf_appended_index: a build
-    interrupted mid-write leaves directories without the marker, so
-    the next touch tears the partial index down and rebuilds instead
-    of wedging every later search on a half-written meta)."""
+def _build_index_once(path: str, marker_name: str, build_fn) -> str:
+    """Shared /tmp-index lifecycle (r8 advisory): build into a
+    side directory and atomically rename into place, with stale-
+    sibling pruning.
+
+    - **Prune**: ``path`` embeds the testdata fingerprint; when the
+      driver regenerates testdata, the old fingerprint's directory
+      would leak forever. Before building, every sibling sharing the
+      same ``{leaf}-`` prefix but a different fingerprint is removed.
+    - **Atomic**: ``build_fn(tmp)`` writes into ``{path}.build-{pid}``
+      (marker included), then one ``os.rename`` publishes it. A crash
+      mid-build leaves only a prunable ``.build-*`` orphan, never a
+      half-written index at the published path; two concurrent gate
+      runs race only on the rename, and the loser's finished copy is
+      discarded — no reader ever sees a torn index."""
     import os as _os
     import shutil as _shutil
 
-    path = _ivf_index_path(sf_dir)
-    marker = f"{path}/_BUILT"
-    if not _os.path.exists(marker):
+    if _os.path.exists(f"{path}/{marker_name}"):
+        return path
+    base, name = _os.path.split(path)
+    leaf_prefix = name.rsplit("-", 1)[0] + "-"
+    if _os.path.isdir(base):
+        for sib in _os.listdir(base):
+            # stale-fingerprint siblings (and their .build orphans);
+            # same-fingerprint .build dirs are left alone — one may be
+            # a live concurrent builder, and orphans rotate out with
+            # the next fingerprint change.
+            if sib.startswith(leaf_prefix) and not sib.startswith(name):
+                _shutil.rmtree(f"{base}/{sib}", ignore_errors=True)
+    tmp = f"{path}.build-{_os.getpid()}"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    with open(f"{tmp}/{marker_name}", "w") as fh:
+        fh.write("ok")
+    # A pre-existing unmarked dir at the published path (legacy torn
+    # build) blocks rename; clear it, then publish. If a concurrent
+    # builder published first, keep theirs (marker present = complete).
+    if _os.path.exists(path) and not _os.path.exists(f"{path}/{marker_name}"):
         _shutil.rmtree(path, ignore_errors=True)
-        similarity.write_ivf_index(
+    try:
+        _os.rename(tmp, path)
+    except OSError:
+        if _os.path.exists(f"{path}/{marker_name}"):
+            _shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return path
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted index once per corpus (atomic-rename +
+    stale-fingerprint pruning via _build_index_once)."""
+    return _build_index_once(
+        _ivf_index_path(sf_dir),
+        "_BUILT",
+        lambda tmp: similarity.write_ivf_index(
             read_table(spark, sf_dir, "embeddings"),
-            path,
+            tmp,
             n_cells=IVF_INDEX_CELLS,
             seed=42,
-        )
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return path
+        ),
+    )
 
 
 def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,34 +416,31 @@ IVF_APPEND_REM = 3
 
 def _ensure_ivf_appended_index(spark: SparkSession, sf_dir: str) -> str:
     """Base index from 4/5 of the corpus, then ivf_index_append of the
-    remaining 1/5 — built once per corpus behind a marker file (a
-    partial build without the marker is torn down and rebuilt, so an
-    interrupted run can never leave a half-appended index)."""
+    remaining 1/5 — built once per corpus (atomic-rename + pruning via
+    _build_index_once; an interrupted run can never publish a
+    half-appended index)."""
     import os as _os
-    import shutil as _shutil
 
     leaf = _os.path.basename(sf_dir.rstrip("/"))
     path = (
         f"/tmp/spark_graft_ivf_append/{leaf}-{_embeddings_fingerprint(sf_dir)}"
     )
-    marker = f"{path}/_APPENDED"
-    if not _os.path.exists(marker):
-        _shutil.rmtree(path, ignore_errors=True)
+
+    def _build(tmp: str) -> None:
         emb = read_table(spark, sf_dir, "embeddings")
         similarity.write_ivf_index(
             emb.filter(F.col("vec_id") % IVF_APPEND_MOD != IVF_APPEND_REM),
-            path,
+            tmp,
             n_cells=IVF_INDEX_CELLS,
             seed=42,
         )
         similarity.ivf_index_append(
             spark,
-            path,
+            tmp,
             emb.filter(F.col("vec_id") % IVF_APPEND_MOD == IVF_APPEND_REM),
         )
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return path
+
+    return _build_index_once(path, "_APPENDED", _build)
 
 
 def knn_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:

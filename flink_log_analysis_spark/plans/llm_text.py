@@ -217,7 +217,9 @@ def _bpe_chain_sql(piece_expr: str, merges: list[tuple[str, str]]) -> str:
     """Wrapped-char representation + one literal replace per merge, in
     rank order — spliced from the SAME table constant the Spark side
     uses (single-constant oracle pattern)."""
-    out = f"regexp_replace({piece_expr}, '(.)', '{_BPE_D}\\1{_BPE_D}', 'g')"
+    # (?s): RE2 dot normally stops at \n; Java's stops at all five line
+    # terminators. Dot-all on BOTH engines wraps every char (bpe.wrap_expr).
+    out = f"regexp_replace({piece_expr}, '(?s)(.)', '{_BPE_D}\\1{_BPE_D}', 'g')"
     for a, b in merges:
         pat = _bpe_sql_quote(f"{_BPE_D}{a}{_BPE_D}{_BPE_D}{b}{_BPE_D}")
         rep = _bpe_sql_quote(f"{_BPE_D}{a}{b}{_BPE_D}")

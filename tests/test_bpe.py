@@ -208,3 +208,36 @@ def test_property_encode_equivalences():
             assert "".join(seq) == w
 
     check()
+
+
+def test_encode_stats_line_terminator_pieces(spark):
+    """r8 advisory regression: U+0085/U+2028/U+2029 are legal
+    single-char pieces (outside the explicit whitespace class), and
+    U+000B is whitespace on ALL engines now — wrap_expr's (?s) must
+    wrap the line-terminator pieces so they count as one token each,
+    matching the pure-Python reference."""
+    hostile = [
+        Row(doc_id=1, text="a\u0085b"),  # NEL: 3 pieces a, NEL, b
+        Row(doc_id=2, text="a\u2028b"),  # LINE SEPARATOR
+        Row(doc_id=3, text="a\u2029b"),  # PARAGRAPH SEPARATOR
+        Row(doc_id=4, text="a\x0bb"),    # VT: whitespace -> 2 pieces
+    ]
+    df = spark.createDataFrame(hostile)
+    got = {r["doc_id"]: r for r in bpe.encode_stats(df, []).collect()}
+    for r in hostile:
+        pieces = re.findall(BPE_TOKEN_REGEX, r.text)
+        row = got[r.doc_id]
+        assert row["n_pieces"] == len(pieces), (r.doc_id, pieces)
+        assert row["n_bpe_tokens"] == sum(len(p) for p in pieces), r.doc_id
+    assert got[1]["n_pieces"] == 3 and got[1]["n_bpe_tokens"] == 3
+    assert got[4]["n_pieces"] == 2 and got[4]["n_bpe_tokens"] == 2
+
+
+def test_vocab_rejects_duplicate_merge_outputs():
+    """Two merges yielding the same output string collide on token id;
+    vocab() must refuse loudly (r8 advisory) instead of letting
+    token_ids hit DUPLICATE_MAP_KEY at runtime."""
+    dup = [("a", "b"), ("ab", "c"), ("a", "bc")]  # 'abc' twice
+    with pytest.raises(ValueError, match="duplicate merge output"):
+        bpe.vocab(dup)
+    assert bpe.vocab([("a", "b"), ("ab", "c")])[-1] == "abc"

@@ -155,3 +155,29 @@ def test_ensure_index_recovers_from_torn_build(spark, monkeypatch, tmp_path):
     # the rebuilt meta is readable — the wedge the guard prevents
     _, _, _, n_cells = similarity.read_ivf_meta(spark, fake)
     assert n_cells == plan.IVF_INDEX_CELLS
+
+
+def test_ensure_index_prunes_stale_fingerprints(spark, monkeypatch, tmp_path):
+    """r8 advisory: testdata regeneration changes the fingerprint
+    suffix; superseded '{leaf}-*' sibling dirs (and their .build
+    orphans) must be pruned, while same-fingerprint .build dirs and
+    other-leaf dirs are left alone."""
+    from flink_log_analysis_spark.plans import llm_similarity as plan
+
+    base = tmp_path / "idx"
+    base.mkdir()
+    fresh = str(base / "sf0.001-aaaaaaaaaaaa")
+    (base / "sf0.001-000000000000").mkdir()          # stale fingerprint
+    (base / "sf0.001-000000000000.build-1").mkdir()  # stale orphan
+    (base / "sf0.001-aaaaaaaaaaaa.build-7").mkdir()  # same-fp builder
+    (base / "sf0.1-bbbbbbbbbbbb").mkdir()            # other leaf
+    monkeypatch.setattr(plan, "_ivf_index_path", lambda sf: fresh)
+    path = plan._ensure_ivf_index(spark, "/root/testdata/sf0.001")
+    assert path == fresh and os.path.exists(f"{fresh}/_BUILT")
+    left = sorted(os.listdir(base))
+    assert "sf0.001-000000000000" not in left
+    assert "sf0.001-000000000000.build-1" not in left
+    assert "sf0.001-aaaaaaaaaaaa.build-7" in left
+    assert "sf0.1-bbbbbbbbbbbb" in left
+    # idempotent second call: marker present, nothing rebuilt or pruned
+    assert plan._ensure_ivf_index(spark, "/root/testdata/sf0.001") == fresh
