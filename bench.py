@@ -196,6 +196,28 @@ def run_slice(
         except Exception:
             pass
         release_checkpoints(spark)
+    # Second warm sample for non-trivial first warms: a query whose
+    # first sf0.001 pass includes a ONE-TIME session-cache build
+    # (incremental_near_dups builds its corpus index inline at the
+    # warm SF) reports a build-inflated warm time, which pushes its
+    # retry trigger to the 4.0s cap and lets genuine outliers escape
+    # re-timing (r8: 3.17s driver reading, trigger never fired). The
+    # min of two samples is the steady-state warm — the triviality
+    # signal the trigger formula assumes.
+    for name in names:
+        if warm_times.get(name, 0.0) <= 0.5:
+            continue
+        try:
+            t0 = time.perf_counter()
+            qs[name](spark, warm_sf).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            warm_times[name] = min(
+                warm_times[name], time.perf_counter() - t0
+            )
+        except Exception:
+            pass
+        release_checkpoints(spark)
     # Shared one-time index builds at the TIMED sf, same convention
     # as the stream-input manufacture above: the near-dup pair set
     # and the IVF centroids are corpus preprocessing built once per
