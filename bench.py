@@ -84,6 +84,11 @@ EXCLUDE = (
     # reads.
     "knn_ivf_persisted",
     "knn_ivf_appended",
+    # many-cell geometry contract: brute-force truth + THREE search
+    # paths (persisted, full-precision routing, in-memory twin) + two
+    # set-diffs, all to assert recall/scan/identity bounds — a
+    # correctness artifact like the recall contracts above
+    "knn_ivf_manycell_recall",
 )
 
 

@@ -274,3 +274,65 @@ def test_hard_negatives_excludes_same_and_null_labels(spark):
     assert got == [(2, 1), (4, 2)]
     assert all(r["anchor_label"] == "a" and r["negative_label"] == "b"
                for r in out)
+
+
+def test_clustered_corpus_matches_closed_formula(spark):
+    """The Spark generator reproduces the documented integer formula
+    exactly (the same formula the manycell oracle replicates in SQL)."""
+    from flink_log_analysis_spark.operators.similarity import clustered_corpus
+
+    nc, pc, dim, spread = 4, 8, 4, 0.3
+    got = {
+        r["vec_id"]: list(r["embedding"])
+        for r in clustered_corpus(
+            spark, n_clusters=nc, per_cluster=pc, dim=dim, spread=spread
+        ).collect()
+    }
+    assert len(got) == nc * pc
+    for v in range(nc * pc):
+        c = v // pc
+        exp = [
+            (c * 37 + d * 101) * 1000003 % 1997 / 998.5 - 1.0
+            + spread * ((v * 7919 + d * 104729) % 1009 / 504.5 - 1.0)
+            for d in range(dim)
+        ]
+        assert got[v] == exp, v
+
+
+def test_l2_normalize_unit_norms_and_zero_passthrough(spark):
+    from flink_log_analysis_spark.operators.similarity import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-2.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r["vec_id"]: list(r["embedding"])
+            for r in l2_normalize(df).collect()}
+    assert rows[1] == [0.6, 0.8]
+    assert rows[2] == [0.0, 0.0]  # zero vector: unchanged, not NaN
+    assert rows[3] == [-1.0, 0.0]
+
+
+def test_manycell_geometry_bounds(spark):
+    """The many-cell contract's three bounds hold with margin on the
+    clustered corpus (the driver row asserts the same booleans; this
+    pins the MEASURED values so a silent geometry regression is
+    visible before the gate)."""
+    from flink_log_analysis_spark.operators import similarity as sim
+    from flink_log_analysis_spark.plans import llm_similarity as plan
+
+    raw, nrm = plan._manycell_corpora(spark)
+    cents = sim.ivf_fit(nrm, n_cells=plan.MANYCELL_CELLS, seed=42)
+    q = nrm.filter(F.col("vec_id") % plan.MANYCELL_QUERY_MOD == 0)
+    q_raw = raw.filter(F.col("vec_id") % plan.MANYCELL_QUERY_MOD == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_bruteforce(raw, q_raw, k=5).collect()
+    }
+    routed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_ivf(
+            nrm, q, k=5, n_probe=plan.MANYCELL_PROBE, centroids=cents
+        ).collect()
+    }
+    assert len(exact & routed) / len(exact) >= plan.MANYCELL_ROUTING_FLOOR

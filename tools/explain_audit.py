@@ -45,6 +45,7 @@ CROSS_JOIN_OK = {
     "knn_ivf_persisted",   # 1-row codebook/centroid + contract attaches
     "knn_ivf_appended",    # same contract shape over the appended index
     "hard_negative_mining",  # declared exactness baseline (broadcast anchors)
+    "knn_ivf_manycell_recall",  # brute ground truth + contract attaches
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
