@@ -221,6 +221,177 @@ def doc_token_count(text: Column, merges: list[tuple[str, str]]) -> Column:
     )
 
 
+# Native-chain depth ceiling, MEASURED (local[32], Spark 4.1.2,
+# default driver stack): the chain works at 320 merges and dies at 384
+# with a driver-side StackOverflowError inside the analyzer's
+# recursive Column-tree conversion (ColumnNodeToExpressionConverter) —
+# and the exact failure depth varies with thread-stack state, so the
+# dispatch threshold keeps ~3x margin below the shallowest observed
+# failure. Below the threshold the chain is pure JVM codegen (the fast
+# path); above it :func:`token_digests` switches to the Arrow-batched
+# pandas tier, which has no depth limit.
+BPE_NATIVE_CHAIN_MAX = 128
+
+
+def digit_merges(n: int = 1024) -> list[tuple[str, str]]:
+    """Constructed well-formed merge table for the large-vocab tier:
+    every 2-digit pair merge (100, rank order by value), then every
+    3-digit extension (1000) — parts are single chars or earlier
+    outputs, outputs distinct, so all application-order equivalences
+    hold (test_property_encode_equivalences' well-formedness).
+
+    Constructed rather than learned because the synthetic documents
+    corpus SATURATES a learned fit at 89 merges — the pair loop goes
+    dry once every sampled piece is fully merged — while digit runs in
+    the same corpus genuinely match this table, so throughput probes
+    exercise real replace work at realistic depth."""
+    out = [(a, b) for a in "0123456789" for b in "0123456789"]
+    out += [
+        (x + y, c)
+        for x in "0123456789"
+        for y in "0123456789"
+        for c in "0123456789"
+    ]
+    if n > len(out):
+        raise ValueError(f"digit_merges supports up to {len(out)} merges")
+    return out[:n]
+
+
+def _require_native_depth(merges, fn_name: str) -> None:
+    """Native-expression APIs refuse tables past the measured chain
+    ceiling (a deeper chain dies in the analyzer with a driver-side
+    StackOverflowError — an unhelpful crash) and point at the
+    dispatching :func:`token_digests` instead."""
+    if len(merges) > BPE_NATIVE_CHAIN_MAX:
+        raise ValueError(
+            f"{fn_name} builds a native replace chain, which is only "
+            f"stable to {BPE_NATIVE_CHAIN_MAX} merges (measured "
+            "analyzer stack-overflow past ~384); use token_digests, "
+            "whose pandas tier handles arbitrarily large merge tables."
+        )
+
+
+def piece_encoder(merges: list[tuple[str, str]]):
+    """Caching closure over :func:`encode` — the pandas tier's
+    per-batch amortizer: each DISTINCT piece pays the merge loop once,
+    repeats are a dict hit (Zipf text makes the hit rate ~99%)."""
+    cache: dict[str, list[str]] = {}
+
+    def enc(piece: str) -> list[str]:
+        got = cache.get(piece)
+        if got is None:
+            got = encode(piece, merges)
+            cache[piece] = got
+        return got
+
+    return enc
+
+
+def token_digests(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document ``(id, n_tokens, stream_md5)`` under the ACTIVE
+    tier — the two-tier dispatch for merge tables of any size:
+
+    - ``len(merges) <= BPE_NATIVE_CHAIN_MAX``: the native replace
+      chain (pure JVM projection, zero Python per row).
+    - larger vocabularies: Arrow-batched ``mapInPandas`` with a
+      cached per-piece encoder — no expression-depth limit, Python
+      cost amortized across a batch's repeated pieces.
+
+    ``stream_md5`` digests the DELIM-joined encoded token stream, so
+    the two tiers (and the DuckDB recursive-CTE oracle) are
+    byte-comparable; tier equivalence is property-tested in
+    ``tests/test_bpe.py``."""
+    from ..session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+    if len(merges) <= BPE_NATIVE_CHAIN_MAX:
+        toks = token_stream(F.col(text_col), merges)
+        return df.select(
+            id_col,
+            F.size(toks).alias("n_tokens"),
+            F.md5(F.array_join(toks, DELIM)).alias("stream_md5"),
+        )
+    return _token_digests_pandas(df, merges, text_col, id_col)
+
+
+def _token_digests_pandas(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow-batched large-vocab tokenizer (the declared escape hatch
+    above the native chain's depth ceiling). Same pre-tokenization
+    (Python ``re`` over BPE_TOKEN_REGEX — the explicit whitespace
+    class is bit-identical across engines), same scrub, same greedy
+    merge semantics via :func:`encode`."""
+    import re as _re
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_tokens int, stream_md5 string"
+    pat = _re.compile(textstats.BPE_TOKEN_REGEX)
+    merges_local = [tuple(m) for m in merges]
+    delim = DELIM
+
+    # Self-contained closure (multimodal.py's portability pattern): the
+    # worker fn captures only stdlib + plain data, never this module,
+    # so Python workers without the package on PYTHONPATH still run
+    # it. The inlined merge pass duplicates :func:`_merge_seq` BY
+    # DESIGN — tier equivalence against encode()/the native chain is
+    # pinned by tests/test_bpe.py, which is the anti-drift contract.
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        cache: dict = {}
+
+        def enc(piece):
+            got = cache.get(piece)
+            if got is None:
+                seq = list(piece)
+                for a, b in merges_local:
+                    if len(seq) < 2:
+                        break
+                    out, i = [], 0
+                    while i < len(seq):
+                        if (
+                            i + 1 < len(seq)
+                            and seq[i] == a
+                            and seq[i + 1] == b
+                        ):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(seq[i])
+                            i += 1
+                    seq = out
+                cache[piece] = got = seq
+            return got
+
+        for pdf in batches:
+            ids, counts, digests = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for p in pat.findall((text or "").replace(delim, "")):
+                    toks.extend(enc(p))
+                ids.append(i)
+                counts.append(len(toks))
+                digests.append(
+                    hashlib.md5(delim.join(toks).encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "n_tokens": counts, "stream_md5": digests}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
 def vocab(merges: list[tuple[str, str]]) -> list[str]:
     """The CLOSED-FORM vocabulary for a merge table: printable ASCII
     single chars (33..126, the piece alphabet — pieces contain no
@@ -289,6 +460,7 @@ def token_ids(
     """
     from ..session import ensure_min_partitions
 
+    _require_native_depth(merges, "token_ids")
     df = ensure_min_partitions(df)
     vmap = F.create_map(
         *[
@@ -327,6 +499,7 @@ def encode_stats(
     """
     from ..session import ensure_min_partitions
 
+    _require_native_depth(merges, "encode_stats")
     df = ensure_min_partitions(df)
     pieces = textstats.bpe_tokens(_scrubbed(F.col(text_col)))
     n_base = F.aggregate(

@@ -72,6 +72,32 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Realistic-depth tier (round 9): the corpus-learned fit SATURATES at
+# 89 merges (the synthetic vocabulary fully merges and the pair loop
+# goes dry), so realistic depth uses the constructed digit table. The
+# native replace chain was measured stable to 320 merges and dead at
+# 384 (driver-side StackOverflowError in the analyzer's recursive
+# Column conversion), so token_digests dispatches to the Arrow-batched
+# pandas tier above BPE_NATIVE_CHAIN_MAX=128 — measured 2.09 M
+# tokens/s at 1024 merges on sf0.1, equal to the native tier at 128
+# on the same corpus (the per-piece cache amortizes the merge loop).
+BPE_LARGE_MERGES_N = 1024
+
+
+def bpe_large_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-vocabulary BPE contract: per-doc token count + md5 of the
+    exact encoded token stream under the 1024-merge table — runs the
+    PANDAS tier (the only tier legal at this depth; the dispatch and
+    the measured ceiling live in operators/bpe.py). The oracle replays
+    the same table as DATA through a recursive CTE — one replace per
+    rank per step over the wrapped-doc representation — so the stream
+    digest is exact without a 1024-deep SQL expression."""
+    return bpe_ops.token_digests(
+        read_table(spark, sf_dir, "documents"),
+        bpe_ops.digit_merges(BPE_LARGE_MERGES_N),
+    )
+
+
 # Runtime-fit contract bounds (bpe_vocab_fit): small enough that any
 # corpus slice >= sf0.001 sustains the full merge count.
 BPE_FIT_MERGES = 16
@@ -454,6 +480,63 @@ def _bpe_token_ids_sql() -> str:
 
 ORACLE["bpe_token_ids"] = _bpe_token_ids_sql()
 
+
+def _bpe_recursive_oracle(merges: list[tuple[str, str]]) -> str:
+    """Large-vocab twin: the merge table rides as a VALUES relation
+    and a recursive CTE applies rank ``step+1``'s single literal
+    replace each iteration — the chain as DATA-driven recursion, so
+    oracle depth never hits a SQL expression-nesting limit.
+
+    The whole doc is wrapped at once (pieces joined by \\x0b, a
+    WHITESPACE char that can never appear inside a piece, so merges
+    cannot match across piece boundaries and the boundary strips
+    cleanly); after the final step the delimiter arithmetic turns the
+    wrapped string into exactly the DELIM-joined token stream the
+    Spark tiers digest."""
+    D = _BPE_D
+    B = "\x0b"
+    n = len(merges)
+    vals = ", ".join(
+        f"({i + 1}, '{_bpe_sql_quote(a)}', '{_bpe_sql_quote(b)}')"
+        for i, (a, b) in enumerate(merges)
+    )
+    return f"""
+        WITH RECURSIVE mt(rank, l, r) AS (
+            SELECT * FROM (VALUES {vals}) t(rank, l, r)
+        ),
+        base AS (
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(
+                       regexp_extract_all(replace(text, '{D}', ''),
+                                          '{textstats.BPE_TOKEN_REGEX}'),
+                       p -> regexp_replace(p, '(?s)(.)', '{D}\\1{D}', 'g')
+                     ), '{B}') AS s
+            FROM documents
+        ),
+        enc AS (
+            SELECT doc_id, s, 0 AS step FROM base
+            UNION ALL
+            SELECT e.doc_id,
+                   replace(e.s,
+                           '{D}' || m.l || '{D}{D}' || m.r || '{D}',
+                           '{D}' || m.l || m.r || '{D}'),
+                   e.step + 1
+            FROM enc e JOIN mt m ON m.rank = e.step + 1
+        )
+        SELECT doc_id,
+               CAST((length(s) - length(replace(s, '{D}', ''))) // 2
+                    AS INTEGER) AS n_tokens,
+               md5(trim(replace(replace(s, '{B}', ''), '{D}{D}', '{D}'),
+                        '{D}')) AS stream_md5
+        FROM enc WHERE step = {n}
+    """
+
+
+ORACLE["bpe_large_vocab"] = _bpe_recursive_oracle(
+    bpe_ops.digit_merges(BPE_LARGE_MERGES_N)
+)
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -461,6 +544,7 @@ QUERIES = {
     "bpe_token_stats": bpe_token_stats,
     "bpe_merge_tokens": bpe_merge_tokens,
     "bpe_token_ids": bpe_token_ids,
+    "bpe_large_vocab": bpe_large_vocab,
     "bpe_vocab_fit": bpe_vocab_fit,
     "token_frequencies": token_frequencies,
     "rolling_fingerprints": rolling_fingerprints,

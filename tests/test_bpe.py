@@ -241,3 +241,59 @@ def test_vocab_rejects_duplicate_merge_outputs():
     with pytest.raises(ValueError, match="duplicate merge output"):
         bpe.vocab(dup)
     assert bpe.vocab([("a", "b"), ("ab", "c")])[-1] == "abc"
+
+
+def test_digit_merges_well_formed():
+    m = bpe.digit_merges(1024)
+    outputs = set()
+    for a, b in m:
+        for part in (a, b):
+            assert len(part) == 1 or part in outputs, (a, b)
+        outputs.add(a + b)
+    assert len(outputs) == 1024  # distinct outputs (vocab-safe)
+    with pytest.raises(ValueError, match="up to"):
+        bpe.digit_merges(1101)
+
+
+def test_token_digests_tier_equivalence(spark, sf_dir):
+    """The native chain, the pandas tier, and the pure-Python encoder
+    produce identical (n_tokens, stream_md5) rows — the anti-drift
+    contract for the deliberately inlined worker closure."""
+    import hashlib
+
+    from flink_log_analysis_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe.digit_merges(100)  # <= BPE_NATIVE_CHAIN_MAX: both legal
+    nat = {r["doc_id"]: (r["n_tokens"], r["stream_md5"])
+           for r in bpe.token_digests(docs, merges).collect()}
+    pan = {r["doc_id"]: (r["n_tokens"], r["stream_md5"])
+           for r in bpe._token_digests_pandas(
+               docs, merges, "text", "doc_id").collect()}
+    assert nat == pan
+    for r in docs.select("doc_id", "text").collect():
+        toks = []
+        for p in re.findall(BPE_TOKEN_REGEX, r["text"].replace("\x1f", "")):
+            toks.extend(bpe.encode(p, merges))
+        exp = (len(toks),
+               hashlib.md5("\x1f".join(toks).encode()).hexdigest())
+        assert nat[r["doc_id"]] == exp, r["doc_id"]
+
+
+def test_token_digests_dispatches_past_native_ceiling(spark):
+    """Above BPE_NATIVE_CHAIN_MAX token_digests must run (pandas
+    tier), while the native-only APIs refuse with a pointer."""
+    from pyspark.sql import Row as R
+
+    big = bpe.digit_merges(1024)
+    df = spark.createDataFrame([R(doc_id=1, text="ab 1234 cd 56")])
+    rows = bpe.token_digests(df, big).collect()
+    exp = sum(
+        len(bpe.encode(p, big))
+        for p in re.findall(BPE_TOKEN_REGEX, "ab 1234 cd 56")
+    )
+    assert rows[0]["n_tokens"] == exp == 7  # ab,12,34,cd,56
+    with pytest.raises(ValueError, match="token_digests"):
+        bpe.encode_stats(df, big)
+    with pytest.raises(ValueError, match="token_digests"):
+        bpe.token_ids(df, big)
