@@ -84,6 +84,7 @@ EXCLUDE = (
     # reads.
     "knn_ivf_persisted",
     "knn_ivf_appended",
+    "knn_ivf_streamed",
     # many-cell geometry contract: brute-force truth + THREE search
     # paths (persisted, full-precision routing, in-memory twin) + two
     # set-diffs, all to assert recall/scan/identity bounds — a

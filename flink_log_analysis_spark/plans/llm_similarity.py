@@ -488,6 +488,99 @@ def knn_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming ingest demo: base index from vec_id % 5 in {0,1,2}; the
+# remaining two residue classes arrive as two parquet files consumed
+# maxFilesPerTrigger=1 — two genuine micro-batches through foreachBatch.
+IVF_STREAM_BASE_REMS = (0, 1, 2)
+IVF_STREAM_BATCH_REMS = (3, 4)
+
+
+def _ensure_ivf_streamed_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted index built by the STREAMING ingest path: write the
+    base index, manufacture the arriving batches as parquet files, and
+    drain them through streaming.ann_ingest.ivf_ingest_stream
+    (foreachBatch -> ivf_index_append, availableNow, durable
+    replay-skip markers). Stream inputs + checkpoint live inside the
+    published index dir — the atomic-rename publish (_build_index_once)
+    covers the whole artifact."""
+    import os as _os
+
+    from ..streaming.ann_ingest import ivf_ingest_stream
+
+    leaf = _os.path.basename(sf_dir.rstrip("/"))
+    path = (
+        f"/tmp/spark_graft_ivf_stream/{leaf}-{_embeddings_fingerprint(sf_dir)}"
+    )
+
+    def _build(tmp: str) -> None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        base = emb.filter(
+            (F.col("vec_id") % IVF_APPEND_MOD).isin(*IVF_STREAM_BASE_REMS)
+        )
+        similarity.write_ivf_index(
+            base, tmp, n_cells=IVF_INDEX_CELLS, seed=42
+        )
+        for i, rem in enumerate(IVF_STREAM_BATCH_REMS):
+            emb.filter(F.col("vec_id") % IVF_APPEND_MOD == rem).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{tmp}/input/b{i}")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{tmp}/input")
+        )
+        ivf_ingest_stream(spark, tmp, stream, f"{tmp}/ckpt")
+
+    return _build_index_once(path, "_STREAMED", _build)
+
+
+def knn_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest contract (the knn_ivf_appended identity one
+    level up): after the stream drains, searching the stream-built
+    persisted index returns exactly what the in-memory composition
+    computes over the FULL corpus under the same fit artifacts, every
+    corpus row is indexed, and at least two genuine micro-batches
+    flowed through foreachBatch (n_ingest_batches)."""
+    from ..streaming.ann_ingest import committed_batches
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = _ensure_ivf_streamed_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < IVF_INDEX_QUERIES)
+    res, _cells = similarity.knn_ivf_persisted(
+        spark, path, queries, k=K, n_probe=IVF_INDEX_PROBE
+    )
+    cents, _, ranges, n_cells = similarity.read_ivf_meta(spark, path)
+    mem = similarity.knn_ivf_quantized(
+        emb,
+        queries,
+        k=K,
+        n_cells=n_cells,
+        n_probe=IVF_INDEX_PROBE,
+        centroids=cents,
+        ranges=ranges,
+    )
+    mism = res.exceptAll(mem).union(mem.exceptAll(res))
+    indexed = spark.read.parquet(f"{path}/vectors").agg(
+        F.count(F.lit(1)).alias("_indexed")
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        res.agg(F.count(F.lit(1)).alias("n_results"))
+        .crossJoin(mism.agg(F.count(F.lit(1)).alias("_mm")))
+        .crossJoin(indexed)
+        .crossJoin(total)
+        .select(
+            "n_results",
+            F.lit(K).alias("k"),
+            F.lit(IVF_INDEX_PROBE).alias("n_probe"),
+            F.lit(len(committed_batches(path))).alias("n_ingest_batches"),
+            (F.col("_mm") == 0).alias("matches_inmemory"),
+            (F.col("_indexed") == F.col("_total")).alias("index_complete"),
+        )
+    )
+
+
 # --- many-cell index geometry (round 9) -----------------------------
 #
 # The 8-cell curve above is honest but small-corpus: its high-recall
@@ -925,6 +1018,20 @@ ORACLE["knn_ivf_quantized_recall_p6"] = f"""
     FROM r WHERE rn <= {K}
 """
 
+# Stream-ingest contract: constants of the configuration plus
+# deterministic booleans (stream-final index search == the in-memory
+# composition over the full corpus; complete indexing; two genuine
+# micro-batches committed).
+ORACLE["knn_ivf_streamed"] = f"""
+    SELECT CAST({IVF_INDEX_QUERIES * K} AS BIGINT) AS n_results,
+           {K} AS k,
+           CAST({IVF_INDEX_PROBE} AS INTEGER) AS n_probe,
+           CAST({len(IVF_STREAM_BATCH_REMS)} AS INTEGER)
+               AS n_ingest_batches,
+           TRUE AS matches_inmemory,
+           TRUE AS index_complete
+"""
+
 # Many-cell geometry: the corpus replica is the closed integer formula
 # from similarity.clustered_corpus, stated verbatim in SQL (verified
 # bit-identical to the Spark generator, 4096/4096 vectors), so n_truth
@@ -1034,6 +1141,7 @@ QUERIES = {
     "knn_ivf_quantized_recall_p6": knn_ivf_quantized_recall_p6,
     "knn_ivf_persisted": knn_ivf_persisted,
     "knn_ivf_appended": knn_ivf_appended,
+    "knn_ivf_streamed": knn_ivf_streamed,
     "knn_ivf_manycell_recall": knn_ivf_manycell_recall,
     "hard_negative_mining": hard_negative_mining,
     "embedding_near_dups": embedding_near_dups,

@@ -181,3 +181,71 @@ def test_ensure_index_prunes_stale_fingerprints(spark, monkeypatch, tmp_path):
     assert "sf0.1-bbbbbbbbbbbb" in left
     # idempotent second call: marker present, nothing rebuilt or pruned
     assert plan._ensure_ivf_index(spark, "/root/testdata/sf0.001") == fresh
+
+
+def test_stream_ingest_with_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Streaming ANN ingest (streaming/ann_ingest.py): batches drain
+    through foreachBatch into the persisted index; a RESTART on the
+    same checkpoint processes only new files; a replayed batch_id is
+    skipped (durable markers); and the stream-final index search
+    equals the in-memory composition over the full corpus under the
+    same fit artifacts."""
+    from flink_log_analysis_spark.streaming.ann_ingest import (
+        committed_batches,
+        ivf_append_batch,
+        ivf_ingest_stream,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(
+        emb.filter(F.col("vec_id") % 5 < 3), idx, n_cells=4, seed=42
+    )
+    base_count = spark.read.parquet(f"{idx}/vectors").count()
+    inputs, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+
+    def arrive(rem: int, name: str) -> None:
+        emb.filter(F.col("vec_id") % 5 == rem).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{inputs}/{name}")
+
+    def drain() -> list[int]:
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(inputs)
+        )
+        return ivf_ingest_stream(spark, idx, stream, ckpt)
+
+    arrive(3, "b0")
+    assert drain() == [0]
+    count_after_b0 = spark.read.parquet(f"{idx}/vectors").count()
+    assert count_after_b0 > base_count
+    # restart on the same checkpoint: only the NEW file is processed
+    arrive(4, "b1")
+    assert drain() == [0, 1]
+    total = spark.read.parquet(f"{idx}/vectors").count()
+    assert total == emb.count()
+    # idle restart: nothing new, nothing re-appended
+    assert drain() == [0, 1]
+    assert spark.read.parquet(f"{idx}/vectors").count() == total
+    # forced replay of a committed batch id: skipped, count unchanged
+    replayed = ivf_append_batch(
+        spark, idx, emb.filter(F.col("vec_id") % 5 == 3), batch_id=0
+    )
+    assert replayed is False
+    assert spark.read.parquet(f"{idx}/vectors").count() == total
+    assert committed_batches(idx) == [0, 1]
+    # stream-final identity with the in-memory composition
+    queries = emb.filter(F.col("vec_id") < 3)
+    res, _ = similarity.knn_ivf_persisted(
+        spark, idx, queries, k=K, n_probe=2
+    )
+    cents, _, ranges, n_cells = similarity.read_ivf_meta(spark, idx)
+    mem = similarity.knn_ivf_quantized(
+        emb, queries, k=K, n_cells=n_cells, n_probe=2,
+        centroids=cents, ranges=ranges,
+    )
+    assert res.exceptAll(mem).count() == 0
+    assert mem.exceptAll(res).count() == 0
