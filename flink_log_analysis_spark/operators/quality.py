@@ -556,6 +556,13 @@ def span_dedup(
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_kept_spans"),
+        # tokens surviving span dedup — the measure downstream packing
+        # uses when it runs AFTER this stage (tokens are whitespace-
+        # free, so splitting the span text on single spaces recovers
+        # the exact token count)
+        F.sum(F.size(F.split(F.col("span_text"), " ")))
+        .cast("int")
+        .alias("n_kept_tokens"),
         F.md5(
             F.concat_ws(
                 " ",
@@ -577,6 +584,7 @@ def span_dedup(
             id_col,
             "n_spans",
             F.coalesce("n_kept_spans", F.lit(0)).alias("n_kept_spans"),
+            F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
             F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
         )
     )

@@ -364,7 +364,7 @@ ORACLE = {
         WITH t AS (
             SELECT doc_id, {_TOKS} AS toks,
                    len({_TOKS}) AS n
-            FROM documents
+            FROM {{span_src}}
         ), b AS (
             SELECT doc_id, toks, n,
                    CAST(CEIL(n / {quality.SPAN_TOKENS}.0) AS INTEGER)
@@ -389,12 +389,15 @@ ORACLE = {
         ), kept AS (
             SELECT doc_id,
                    CAST(COUNT(*) AS INTEGER) AS n_kept_spans,
+                   CAST(SUM(len(string_split(span_text, ' ')))
+                        AS INTEGER) AS n_kept_tokens,
                    md5(string_agg(span_text, ' ' ORDER BY pos))
                        AS kept_md5
             FROM k WHERE rn = 1 GROUP BY doc_id
         )
         SELECT b.doc_id, b.n_spans,
                COALESCE(kept.n_kept_spans, 0) AS n_kept_spans,
+               COALESCE(kept.n_kept_tokens, 0) AS n_kept_tokens,
                COALESCE(kept.kept_md5, md5('')) AS kept_md5
         FROM b LEFT JOIN kept ON b.doc_id = kept.doc_id
     """,
@@ -492,6 +495,20 @@ ORACLE = {
         FROM r GROUP BY 1
     """,
 }
+
+
+_SPAN_DEDUP_TMPL = ORACLE["span_dedup"]
+
+
+def span_dedup_sql(src: str) -> str:
+    """The span-dedup oracle parameterized on its source relation —
+    the _sig_cte convention: composition queries (pipeline_full
+    web_corpus_prep) run the IDENTICAL span chain on a filtered
+    corpus by naming their survivor CTE here."""
+    return _SPAN_DEDUP_TMPL.replace("{span_src}", src)
+
+
+ORACLE["span_dedup"] = span_dedup_sql("documents")
 
 
 def _bpe_pack_sql() -> str:

@@ -26,10 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, quality
+from ..operators import dedup, quality, urls
 from ..session import read_table
 from .llm_dedup import NEAR_DUP_THRESHOLD, _bands_cte, _sig_cte
-from .llm_quality import _TOKS
+from .llm_quality import _TOKS, span_dedup_sql
 
 
 def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,6 +48,62 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         "chunk_first",
         "chunk_last",
+    )
+
+
+def web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB curation tier composed end-to-end (r8 verdict item 6):
+
+        synth URL -> canonicalize + URL dedup (url_curation)
+          -> per-domain quota (domain_quota, cap from pipeline_ops)
+            -> quality keep (C4/Gopher predicate)
+              -> cross-document span dedup (within the survivor set)
+                -> pack chunks denominated in SURVIVING span tokens
+
+    Every stage is an already-green operator; this query proves they
+    compose — no column collisions, survivor cardinality flows
+    through, and packing is measured in post-span-dedup tokens
+    (span_dedup's n_kept_tokens). The oracle wraps the url_curation
+    closed-formula derivation, the quota window, the keep predicate,
+    and the PARAMETERIZED span chain (span_dedup_sql — the _sig_cte
+    composition hook) verbatim, then packs the same cumsum."""
+    from .pipeline_ops import DOMAIN_QUOTA_CAP, _synth_url
+
+    docs = read_table(spark, sf_dir, "documents")
+    curated = urls.url_curation(
+        docs.select("doc_id", _synth_url().alias("url"))
+    )
+    pages = (
+        urls.domain_quota(curated, cap=DOMAIN_QUOTA_CAP)
+        .filter(F.col("kept"))
+        .select("doc_id", "domain")
+    )
+    qkept = docs.join(pages, "doc_id").filter(
+        quality.keep_predicate(F.col("text"))
+    )
+    spans = quality.span_dedup(qkept)
+    packed = quality.pack_chunks(
+        spans, n_tokens_expr=F.col("n_kept_tokens")
+    )
+    return (
+        packed.join(
+            spans.select(
+                "doc_id", "n_spans", "n_kept_spans", "kept_md5"
+            ),
+            "doc_id",
+        )
+        .join(pages, "doc_id")
+        .select(
+            "doc_id",
+            "domain",
+            "n_spans",
+            "n_kept_spans",
+            "kept_md5",
+            "n_tokens",
+            "cum_tokens",
+            "chunk_first",
+            "chunk_last",
+        )
     )
 
 
@@ -126,6 +182,54 @@ ORACLE = {
     """,
 }
 
+# Web-tier composition oracle: wrap the url_curation independent
+# derivation, re-state the quota window (the domain_quota_sample
+# shape), apply the keep predicate, then run the PARAMETERIZED span
+# chain on the survivor CTE and pack its surviving-token counts.
+from .pipeline_ops import DOMAIN_QUOTA_CAP as _QUOTA_CAP  # noqa: E402
+from .pipeline_ops import ORACLE as _OPS_ORACLE  # noqa: E402
+
+ORACLE["web_corpus_prep"] = f"""
+    WITH curated AS ({_OPS_ORACLE["url_curation"]}
+    ), qpages AS (
+        SELECT doc_id, domain,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY doc_id) AS INTEGER)
+                   AS domain_rank
+        FROM curated WHERE is_canonical AND NOT blocked
+    ), quota_kept AS (
+        SELECT doc_id, domain FROM qpages
+        WHERE domain_rank <= {_QUOTA_CAP}
+    ), webdocs AS (
+        SELECT d.*, qk.domain FROM documents d
+        JOIN quota_kept qk USING (doc_id)
+    ), wtoks AS (
+        SELECT doc_id, {_TOKS} AS toks FROM webdocs
+    ), qkept AS (
+        SELECT w.* FROM webdocs w JOIN wtoks USING (doc_id)
+        WHERE {_KEEP_PRED}
+    ), spanagg AS (
+        {span_dedup_sql("qkept")}
+    ), pc AS (
+        SELECT doc_id, n_spans, n_kept_spans, kept_md5,
+               CAST(n_kept_tokens AS INTEGER) AS n_tokens,
+               CAST(SUM(n_kept_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM spanagg
+    )
+    SELECT pc.doc_id, qk.domain, pc.n_spans, pc.n_kept_spans,
+           pc.kept_md5, pc.n_tokens, pc.cum_tokens,
+           CAST(FLOOR((cum_tokens - n_tokens)
+                      / {quality.PACK_BLOCK_TOKENS}.0) AS BIGINT)
+               AS chunk_first,
+           CAST(FLOOR((cum_tokens - 1)
+                      / {quality.PACK_BLOCK_TOKENS}.0) AS BIGINT)
+               AS chunk_last
+    FROM pc JOIN quota_kept qk ON pc.doc_id = qk.doc_id
+"""
+
 QUERIES = {
     "corpus_prep": corpus_prep,
+    "web_corpus_prep": web_corpus_prep,
 }
