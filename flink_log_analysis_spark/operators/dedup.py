@@ -673,12 +673,16 @@ def fuzzy_key_pairs(
     the quadratic cross — the same candidate-generation discipline as
     the MinHash/SimHash/IVF tiers.
     """
-    if max_dist != 1:
-        # The 1-deletion neighborhood is only recall-complete at
-        # lev <= 1; a larger bound needs d-deletion variants (variant
-        # count grows ~len^d). Refuse rather than silently miss pairs.
+    if max_dist not in (1, 2):
+        # The d-deletion neighborhood is recall-complete for lev <= d
+        # (an optimal alignment yields a common string reachable by
+        # <= d deletions from EACH side: delete a's deleted/substituted
+        # chars and b's inserted/substituted chars), but variant count
+        # grows ~len^d — implemented for d in {1, 2}; refuse a larger
+        # bound rather than silently miss pairs.
         raise ValueError(
-            "fuzzy_key_pairs blocking is complete only for max_dist=1"
+            "fuzzy_key_pairs blocking is implemented for max_dist in "
+            "{1, 2} (the d-deletion neighborhood; variants ~len^d)"
         )
     s = F.col(key_col)
     deletions = F.transform(
@@ -688,12 +692,38 @@ def fuzzy_key_pairs(
             s.substr(i + 1, F.length(s)),
         ),
     )
+    variants = F.array_union(F.array(s), deletions)
+    if max_dist == 2:
+        # 2-deletion tier: drop positions i < j in one concat — the
+        # ~len^2/2 extra variants that make the blocking complete at
+        # lev <= 2. array_union also dedupes collapsing variants
+        # (repeated chars), so the explode stays <= 1 + len + C(len,2)
+        # narrow rows per key.
+        idx_pairs = F.filter(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s)),
+                    lambda i: F.transform(
+                        F.sequence(F.lit(1), F.length(s)),
+                        lambda j: F.struct(i.alias("i"), j.alias("j")),
+                    ),
+                )
+            ),
+            lambda p: p["i"] < p["j"],
+        )
+        deletions2 = F.transform(
+            idx_pairs,
+            lambda p: F.concat(
+                F.substring(s, 1, p["i"] - 1),
+                s.substr(p["i"] + 1, p["j"] - p["i"] - 1),
+                s.substr(p["j"] + 1, F.length(s)),
+            ),
+        )
+        variants = F.array_union(variants, deletions2)
     blocks = df.select(
         F.col(id_col),
         s.alias("_key"),
-        F.explode(
-            F.array_union(F.array(s), deletions)
-        ).alias("_block"),
+        F.explode(variants).alias("_block"),
     )
     a = blocks.select(
         F.col(id_col).alias("id_a"), F.col("_key").alias("key_a"), "_block"

@@ -173,6 +173,17 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.domain_quota(_curated(spark, sf_dir), cap=DOMAIN_QUOTA_CAP)
 
 
+def supplier_fuzzy_dups_lev2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lev <= 2 entity-resolution tier: 2-deletion-neighborhood
+    blocking (~len^2/2 variants per key, complete — an optimal
+    alignment yields a common string reachable by <= 2 deletions from
+    each side), JVM levenshtein verify on deduped candidates only.
+    The oracle is again the exact all-pairs truth, so the hash match
+    certifies zero false negatives at the wider bound."""
+    sup = read_table(spark, sf_dir, "supplier")
+    return dedup.fuzzy_key_pairs(sup, "s_name", "s_suppkey", max_dist=2)
+
+
 def promo_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders falling in overlapping 90-day promo windows (one window
     per nation, staggered by 60 days from 1995-06-01), via the
@@ -268,6 +279,13 @@ ORACLE = {
                CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS lev
         FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+    "supplier_fuzzy_dups_lev2": """
+        SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+               a.s_name AS key_a, b.s_name AS key_b,
+               CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS lev
+        FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 2
     """,
     # Plain formulations on purpose: the salted rewrites must be
     # logically invisible (see operators/skew.py docstring).
@@ -442,6 +460,7 @@ QUERIES = {
     "url_curation": url_curation,
     "domain_stats": domain_stats,
     "supplier_fuzzy_dups": supplier_fuzzy_dups,
+    "supplier_fuzzy_dups_lev2": supplier_fuzzy_dups_lev2,
     "domain_quota_sample": domain_quota_sample,
     "promo_window_orders": promo_window_orders,
 }

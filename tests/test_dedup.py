@@ -292,3 +292,58 @@ def test_fuzzy_key_pairs_complete_vs_bruteforce(spark):
         if lev(keys[i], keys[j]) <= 1
     }
     assert got == exp and len(exp) > 5
+
+
+def test_fuzzy_key_pairs_lev2_complete_vs_bruteforce(spark):
+    """2-deletion-neighborhood blocking has ZERO false negatives at
+    lev <= 2: all-pairs brute force over keys covering double
+    substitution, sub+indel, double insert/delete, transposition
+    (lev 2), short keys, and just-outside-the-bound keys."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from flink_log_analysis_spark.operators.dedup import fuzzy_key_pairs
+
+    keys = [
+        "alpha", "alpja", "alxja",   # 1-sub chain -> lev 2 ends
+        "alphaxy", "lpha",           # +2 inserts / 1 del (lev2 to some)
+        "ahpla",                     # transposition-ish (lev 2)
+        "aaa", "a", "",              # short: lev 2 via double delete
+        "omega", "ameko", "zzzzz",   # 2 subs / far
+        "abcdef", "abdcef", "abcfed",  # adjacent swaps = lev 2
+    ]
+    df = spark.createDataFrame(
+        [Row(k=i, name=s) for i, s in enumerate(keys)]
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["lev"])
+        for r in fuzzy_key_pairs(df, "name", "k", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return d[len(b)]
+
+    exp = {
+        (i, j, lev(keys[i], keys[j]))
+        for i, j in itertools.combinations(range(len(keys)), 2)
+        if lev(keys[i], keys[j]) <= 2
+    }
+    assert got == exp and any(v == 2 for _, _, v in exp)
+    # the wider bound is a strict superset of the lev-1 tier
+    lev1 = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_key_pairs(df, "name", "k", max_dist=1).collect()
+    }
+    assert lev1 <= {(i, j) for i, j, _ in got}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_dist"):
+        fuzzy_key_pairs(df, "name", "k", max_dist=3)
