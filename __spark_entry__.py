@@ -101,81 +101,74 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # Round-8 rotation (VERDICT r7 item 1): the 21-query r4-stale
-    # analytics block — the oldest cohort in the registry (their last
-    # driver rows are CORRECTNESS_r04) — rotates in oldest-first.
-    # knn_ivf stays the one rows-only entry (seeded KMeans fit); its
-    # checkable contracts ride knn_ivf_recall (gate) and the two
-    # recall-contract rows below.
-    "pricing_summary",
-    "regional_revenue",
-    "orders_cube",
-    "orders_rollup",
-    "bm25_scores",
-    "tfidf_top_terms",
-    "nation_trade_flows",
-    "nation_market_share",
-    "top_customers_revenue",
-    "top_orders_per_customer",
-    "salted_brand_revenue",
-    "small_quantity_revenue",
-    "stratified_doc_sample",
-    "train_split_assign",
-    "customer_segments_setops",
-    "distinct_parts_per_supplier",
-    "lineitem_global_stats",
-    "order_priority_check",
-    "order_scalar_features",
-    "parts_never_ordered",
-    "knn_ivf",
-    # new this round: real merge-table BPE (frozen-table application
-    # with an exact token-stream oracle + the runtime-fit contract),
-    # the IVF production operating point (recall>=0.8 with its scan
-    # cost), and the persisted cell-partitioned IVF index search
+    # Round-9 rotation (VERDICT r8 item 1): the ENTIRE remaining
+    # r5-stale cohort (20 — their last driver rows are CORRECTNESS_r05)
+    # rotates in oldest-first...
+    "near_dedup_docs",
+    "binary_meta",
+    "customer_order_cadence",
+    "deduped_events_stream",
+    "embedding_near_dups",
+    "embedding_norms",
+    "last_purchase_asof",
+    "media_frames",
+    "media_resize",
+    "monthly_revenue_moving_avg",
+    "ngram_jaccard_pairs",
+    "promo_window_orders",
+    "salted_event_counts",
+    "source_token_stats",
+    "user_event_pivot",
+    "windowed_event_counts_stream",
+    "lang_id_ngram",
+    "text_quality",
+    "hourly_event_stats",
+    "customer_balance_merge",
+    # ...plus 11 of the 13 r6-stale block. The two left at r6 (inside
+    # the staleness bound): knn_ivf_recall — its floor stays audited
+    # via the superset p6 contract AND the new manycell row — and
+    # wav_roundtrip (one-shot codec contract, code untouched).
+    "bpe_token_stats",
+    "doc_fingerprints",
+    "incremental_near_dups",
+    "media_features",
+    "pii_scrub",
+    "quantity_quantiles",
+    "rolling_fingerprints",
+    "session_windows",
+    "sketch_accuracy",
+    "token_frequencies",
+    "user_session_stats",
+    # new this round: many-cell IVF geometry (recall/scan/identity on
+    # the clustered corpus), the large-vocab BPE tier (pandas dispatch
+    # + recursive-CTE oracle), streaming ANN ingest, the composed web
+    # curation pipeline, and lev<=2 fuzzy dedup
+    "knn_ivf_manycell_recall",
+    "bpe_large_vocab",
+    "knn_ivf_streamed",
+    "web_corpus_prep",
+    "supplier_fuzzy_dups_lev2",
+    # touched-path re-audits: the r8-advisory BPE fixes changed the
+    # native chain (dot-all wrap) and the shared piece regex —
+    # bpe_merge_tokens is the native-chain query; span_dedup grew the
+    # n_kept_tokens column (schema change) for web_corpus_prep
     "bpe_merge_tokens",
-    "bpe_vocab_fit",
-    "knn_ivf_quantized_recall_p6",
-    "knn_ivf_persisted",
-    "knn_ivf_appended",
-    "supplier_fuzzy_dups",
-    "bpe_pack_chunks",
-    "bpe_token_ids",
-    "domain_quota_sample",
-    "hard_negative_mining",
-    # touched-path policy: round 8 adds the empty-keys guard to
-    # snapshot_diff (operators/merge.py), so the CDC diff keeps its
-    # driver row for one more round
-    "orders_snapshot_diff",
-    # oldest-first refresh of the r5 cohort (9 of 26; the rest stay
-    # r5-fresh, inside the staleness bound): dedup/ANN/text cores,
-    # the stateful-streaming path, and MERGE
-    "exact_dedup_groups",
-    "simhash",
-    "knn_bruteforce",
-    "minhash_signatures",
-    "stateful_sessions",
-    "text_stats",
-    # Rotated OUT this round (all r7-green, code untouched since):
-    # the r7-newborn one-shot contracts (png_roundtrip, bmp_roundtrip,
-    # embedding_quantize, jl_projection_contract, knn_quantized,
-    # table_profile, the JSONL/CSV/ORC round-trips, doc_chunks,
-    # training_order_shuffle, weighted_doc_sample, span_dedup,
-    # url_curation, domain_stats, knn_ivf_quantized_recall — its floor
-    # stays audited via the superset p6 contract — knn_lsh,
-    # dup_cluster_sizes, near_dedup_best_docs, rare_token_stats,
-    # doc_quality_signals, corpus_report, benchmark_contamination,
-    # pack_chunks, token_budget_select, corpus_shards, corpus_prep,
-    # lang_mixture_resample, doc_repetition/boilerplate_signals,
-    # near_dup_pairs/clusters, simhash_near_dups, order_value_ntile,
-    # and the four non-core streams). Five r5 refresh slots were
-    # reclaimed mid-round for the newborn r8 queries above —
-    # lang_id_ngram, media_frames, hourly_event_stats,
-    # customer_balance_merge, and text_quality stay r5-fresh in the
-    # gate (each path also audited via an in-window sibling:
-    # text_stats, the core streams, orders_snapshot_diff).
-    # Every rotated-out name still runs in the local gate
-    # (tools/check_correctness.py, driver-identical canon) and in
-    # tests/test_oracle_parity.
+    "span_dedup",
+    # Rotated OUT this round (r8-green, code untouched since, except
+    # where a sibling above covers the touched path): the 21-query
+    # analytics block, orders_snapshot_diff, the r8-newborn contracts
+    # (bpe_vocab_fit / bpe_token_ids / bpe_pack_chunks ride the same
+    # chain as the in-window bpe_merge_tokens; knn_ivf_persisted /
+    # knn_ivf_appended ride the same index machinery as the in-window
+    # knn_ivf_streamed and manycell rows; supplier_fuzzy_dups' blocking
+    # path is a strict subset of the in-window lev2 row;
+    # domain_quota_sample / hard_negative_mining untouched), the six
+    # r5-refresh rows from r8 (exact_dedup_groups, simhash,
+    # knn_bruteforce, minhash_signatures, stateful_sessions,
+    # text_stats), and knn_ivf (rows-only by design; its checkable
+    # contracts are the recall rows). Every rotated-out name still
+    # runs in the local gate (tools/check_correctness.py,
+    # driver-identical canon) and in tests/test_oracle_parity.
 ]
 
 

@@ -124,6 +124,34 @@ def log_roundtrip_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, keep_non_200=True)
 
 
+def log_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows over the PARSED pipeline's
+    ``accessDate`` — the A6 timestamp finally drives windowing. The
+    reference parses and carries this timestamp but never windows it
+    (SURVEY §2.C: all its aggregation is unbounded over proctime);
+    this ties the parse tier to the engine's windowing tier: per
+    (hour, section) page views and distinct client IPs. The oracle is
+    the same independent re-derivation from events the roundtrip
+    queries use — it never runs the parser."""
+    parsed = log_roundtrip(spark, sf_dir)
+    ts = F.to_timestamp("access_date")
+    return (
+        parsed.groupBy(
+            F.window(ts, "1 hour").alias("w"), F.col("section_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pv"),
+            F.countDistinct("client_ip").alias("n_client_ips"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "section_id",
+            "pv",
+            "n_client_ips",
+        )
+    )
+
+
 # The oracle computes the EXPECTED parser output straight from events —
 # an independent re-derivation, not a re-run of the parser.
 _K = SECTION_ID_SQL
@@ -155,7 +183,21 @@ ORACLE = {
     """,
 }
 
+ORACLE["log_hourly_windows"] = f"""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           CASE WHEN e.event_type = 'view' THEN {_K} ELSE 0 END
+               ::INTEGER AS section_id,
+           COUNT(*) AS pv,
+           COUNT(DISTINCT '10.0.' || CAST(e.event_id % 250 AS VARCHAR)
+                 || '.' || CAST(e.event_id % 199 AS VARCHAR))
+               AS n_client_ips
+    FROM events e
+    WHERE e.event_type <> 'error'
+    GROUP BY 1, 2
+"""
+
 QUERIES = {
     "log_roundtrip": log_roundtrip,
     "log_roundtrip_literal": log_roundtrip_literal,
+    "log_hourly_windows": log_hourly_windows,
 }

@@ -242,6 +242,53 @@ def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def log_hourly_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowed_event_counts_stream's bounded-state pattern over the
+    PARSED LOG stream: raw lines -> the real parser -> event-time
+    watermark on the parsed ``accessDate`` -> hourly tumbling windows
+    per section, APPEND mode (only windows finalized by the watermark
+    emit; their state is dropped). This is the event-time query the
+    reference never wrote for the timestamp it parses (SURVEY §2.C) —
+    A2-A8 feeding the windowing tier end-to-end."""
+    work = shared_tmp_dir("loganalysis_stream_")
+    try:
+        lines = read_log_file_stream(
+            spark, f"{lines_dir(spark, sf_dir)}/lines"
+        )
+        logs = parsed_log_stream(lines)
+        agg = (
+            logs.withColumn("ts", F.to_timestamp("accessDate"))
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), F.col("sectionId"))
+            .agg(F.count(F.lit(1)).alias("pv"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("sectionId").alias("section_id"),
+                F.col("pv"),
+            )
+        )
+        name = f"log_windows_{abs(hash(work)) % 10**9}"
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+        ):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
+        out = spark.createDataFrame(
+            spark.table(name).collect(), schema=spark.table(name).schema
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def deduped_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keyed
     on event_id — the ingest-dedup stage of a streaming training-data
@@ -525,6 +572,24 @@ ORACLE = {
               <= m - INTERVAL 30 MINUTE
         GROUP BY 1, 2
     """,
+    # Finalized hourly windows over the PARSED log stream: the
+    # watermark sees only non-error rows (the parser drops status 500),
+    # and floor-to-second accessDate parsing cannot flip the exact-hour
+    # finalization boundary (hour ends and the truncated max are both
+    # integer-second). Derivation from events, never the parser.
+    "log_hourly_windows_stream": """
+        WITH mx AS (SELECT max(ts) AS m FROM events
+                    WHERE event_type <> 'error')
+        SELECT date_trunc('hour', e.ts) AS window_start,
+               CASE WHEN e.event_type = 'view' THEN {section_id_sql}
+                    ELSE 0 END::INTEGER AS section_id,
+               COUNT(*) AS pv
+        FROM events e, mx
+        WHERE e.event_type <> 'error'
+          AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR
+              <= m - INTERVAL 30 MINUTE
+        GROUP BY 1, 2
+    """,
     # The stream doubles every event then dedups on event_id: the sink
     # must hold the events table exactly once.
     "deduped_events_stream": """
@@ -548,12 +613,19 @@ ORACLE = {
     """,
 }
 
+# Splice the shared section-id derivation into the parsed-log window
+# oracle (single-source convention — same _K every log query uses).
+ORACLE["log_hourly_windows_stream"] = ORACLE[
+    "log_hourly_windows_stream"
+].replace("{section_id_sql}", SECTION_ID_SQL)
+
 QUERIES = {
     "hot_section_stream": hot_section_stream,
     "hot_article_stream": hot_article_stream,
     "client_ip_access_stream": client_ip_access_stream,
     "hourly_event_stats_stream": hourly_event_stats_stream,
     "windowed_event_counts_stream": windowed_event_counts_stream,
+    "log_hourly_windows_stream": log_hourly_windows_stream,
     "deduped_events_stream": deduped_events_stream,
     "conversion_pairs_stream": conversion_pairs_stream,
     "incremental_near_dups_stream": incremental_near_dups_stream,

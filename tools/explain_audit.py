@@ -44,6 +44,7 @@ CROSS_JOIN_OK = {
     "knn_ivf_quantized_recall_p6",  # brute ground truth + 1-row cost attaches
     "knn_ivf_persisted",   # 1-row codebook/centroid + contract attaches
     "knn_ivf_appended",    # same contract shape over the appended index
+    "knn_ivf_streamed",    # same contract shape over the stream-built index
     "hard_negative_mining",  # declared exactness baseline (broadcast anchors)
     "knn_ivf_manycell_recall",  # brute ground truth + contract attaches
 }
