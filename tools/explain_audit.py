@@ -159,6 +159,10 @@ def audit(name: str, df, codegen_plan: str | None = None) -> dict:
         # real-codec round-trips: Arrow-batched encode/decode IS the
         # operator (stdlib codecs run in Python by construction)
         "wav_roundtrip", "bmp_roundtrip", "png_roundtrip",
+        # large-vocab BPE: the pandas tier IS the declared dispatch
+        # above the native chain's measured 384-merge analyzer ceiling
+        # (operators/bpe.py token_digests)
+        "bpe_large_vocab",
     ):
         flags.append("PYTHON-IN-HOT-PATH")
     if props["sp_funnels"] and name not in SINGLE_PARTITION_OK:
