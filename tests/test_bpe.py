@@ -251,8 +251,15 @@ def test_digit_merges_well_formed():
             assert len(part) == 1 or part in outputs, (a, b)
         outputs.add(a + b)
     assert len(outputs) == 1024  # distinct outputs (vocab-safe)
+    m4 = bpe.digit_merges(4096)
+    outs4 = set()
+    for a, b in m4:
+        for part in (a, b):
+            assert len(part) == 1 or part in outs4, (a, b)
+        outs4.add(a + b)
+    assert len(outs4) == 4096
     with pytest.raises(ValueError, match="up to"):
-        bpe.digit_merges(1101)
+        bpe.digit_merges(11101)
 
 
 def test_token_digests_tier_equivalence(spark, sf_dir):
