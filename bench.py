@@ -85,6 +85,9 @@ EXCLUDE = (
     "knn_ivf_persisted",
     "knn_ivf_appended",
     "knn_ivf_streamed",
+    # IVF hard-negative recall contract: embeds the exact brute-force
+    # baseline as its truth side
+    "hard_negative_mining_ivf",
     # many-cell geometry contract: brute-force truth + THREE search
     # paths (persisted, full-precision routing, in-memory twin) + two
     # set-diffs, all to assert recall/scan/identity bounds — a

@@ -154,6 +154,110 @@ def hard_negatives(
     )
 
 
+def hard_negatives_ivf(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    ranges: DataFrame | None = None,
+) -> DataFrame:
+    """The SCALE path for negative mining: :func:`hard_negatives`'
+    different-label predicate dropped into :func:`knn_ivf_quantized`'s
+    candidate stream — the composition the exactness baseline's
+    docstring promises, implemented. Candidates come only from each
+    anchor's ``n_probe`` probed cells (scored over the same dequantized
+    codec the stored index reads), and the label filter runs AFTER
+    cell pruning — it narrows the candidate stream, never widens the
+    scan. Labels ride the assignment projection, so no extra join
+    reunites them with the vectors. Output schema matches
+    :func:`hard_negatives`, so recall contracts join on
+    ``(anchor_id, negative_id)``."""
+    from ..session import ensure_min_partitions
+
+    if centroids is None:
+        centroids = ivf_fit(
+            corpus, n_cells=n_cells, seed=seed, vec_col=vec_col
+        )
+    cmat = corpus.sparkSession.createDataFrame(
+        [(centroids,)], "cmat array<array<double>>"
+    )
+    if ranges is None:
+        ranges = quantization_ranges(corpus, vec_col).localCheckpoint(
+            eager=True
+        )
+    dq = lambda v: _dequantized(v, F.col("mn_arr"), F.col("mx_arr"))  # noqa: E731
+    c = (
+        probe_cells(
+            ensure_min_partitions(corpus).select(
+                F.col(id_col).alias("negative_id"),
+                F.col(label_col).alias("negative_label"),
+                as_double(F.col(vec_col)).alias("arr"),
+            ),
+            "arr",
+            cmat,
+            [0],
+        )
+        .withColumnRenamed("cell_p0", "cell")
+        .crossJoin(F.broadcast(ranges))
+        .select(
+            "negative_id",
+            "negative_label",
+            dq(F.col("arr")).alias("cv"),
+            "cell",
+        )
+    )
+    q = probe_cells(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            as_double(F.col(vec_col)).alias("qraw"),
+        ),
+        "qraw",
+        cmat,
+        range(n_probe),
+    ).crossJoin(F.broadcast(ranges)).select(
+        "anchor_id",
+        "anchor_label",
+        dq(F.col("qraw")).alias("qv"),
+        F.explode(
+            F.array(*[F.col(f"cell_p{p}") for p in range(n_probe)])
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        # same NULL-label-safe predicate as the exactness baseline
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cos",
+            "rn",
+        )
+    )
+
+
 ADAPTIVE_MIN_PLANES = 4
 ADAPTIVE_MAX_PLANES = 12
 ADAPTIVE_TARGET_OCCUPANCY = 32

@@ -336,3 +336,32 @@ def test_manycell_geometry_bounds(spark):
         ).collect()
     }
     assert len(exact & routed) / len(exact) >= plan.MANYCELL_ROUTING_FLOOR
+
+
+def test_hard_negatives_ivf_recall_floor(spark):
+    """The IVF-composed negative miner recovers >= the contract floor
+    of the exact hard-negative set on the clustered corpus, and never
+    emits a same-label or self pair."""
+    from flink_log_analysis_spark.operators import similarity as sim
+    from flink_log_analysis_spark.plans import llm_similarity as plan
+
+    raw, nrm = plan._manycell_corpora(spark)
+    lbl = (F.col("vec_id") % plan.HN_LABELS).cast("int").alias("label")
+    raw = raw.select("vec_id", lbl, "embedding")
+    nrm = nrm.select("vec_id", lbl, "embedding")
+    cents = sim.ivf_fit(nrm, n_cells=plan.MANYCELL_CELLS, seed=42)
+    a_raw = raw.filter(F.col("vec_id") % plan.MANYCELL_QUERY_MOD == 0)
+    a_nrm = nrm.filter(F.col("vec_id") % plan.MANYCELL_QUERY_MOD == 0)
+    exact = {
+        (r["anchor_id"], r["negative_id"])
+        for r in sim.hard_negatives(raw, a_raw, k=5).collect()
+    }
+    rows = sim.hard_negatives_ivf(
+        nrm, a_nrm, k=5, n_cells=plan.MANYCELL_CELLS,
+        n_probe=plan.MANYCELL_PROBE, centroids=cents,
+    ).collect()
+    got = {(r["anchor_id"], r["negative_id"]) for r in rows}
+    assert len(exact & got) / len(exact) >= plan.HN_IVF_RECALL_FLOOR
+    for r in rows:
+        assert r["anchor_label"] != r["negative_label"]
+        assert r["anchor_id"] != r["negative_id"]

@@ -47,6 +47,7 @@ CROSS_JOIN_OK = {
     "knn_ivf_streamed",    # same contract shape over the stream-built index
     "hard_negative_mining",  # declared exactness baseline (broadcast anchors)
     "knn_ivf_manycell_recall",  # brute ground truth + contract attaches
+    "hard_negative_mining_ivf",  # brute ground truth + contract attaches
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
