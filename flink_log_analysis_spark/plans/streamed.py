@@ -479,6 +479,42 @@ def incremental_near_dups_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def corpus_tokenize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TOKENIZATION: documents arrive on a JSONL file stream
+    and the large-vocab two-tier tokenizer (operators/bpe.py
+    token_digests, 1024-merge table -> the Arrow-batched pandas tier)
+    runs per micro-batch — the tokenize stage of a streaming training
+    pipeline. mapInPandas is a stateless row transform, so append mode
+    needs no watermark and the stream-final sink equals the batch
+    tokenization — certified by the SAME recursive-CTE oracle as
+    bpe_large_vocab (chain-as-data replay; the oracle never sees JSON,
+    the stream, or Python)."""
+    from ..operators import bpe as bpe_ops
+    from .formats import DOC_SCHEMA, jsonl_dir
+    from .llm_text import BPE_LARGE_MERGES_N
+
+    work = shared_tmp_dir("loganalysis_stream_")
+    try:
+        docs = spark.readStream.schema(DOC_SCHEMA).json(
+            f"{jsonl_dir(spark, sf_dir)}/docs"
+        )
+        out = bpe_ops.token_digests(
+            docs, bpe_ops.digit_merges(BPE_LARGE_MERGES_N)
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return spark.read.parquet(f"{work}/out").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming JSONL corpus ingestion with hygiene: a file stream of
     JSON-lines documents (the interchange format an LLM pipeline
@@ -615,6 +651,13 @@ ORACLE = {
 
 # Splice the shared section-id derivation into the parsed-log window
 # oracle (single-source convention — same _K every log query uses).
+# Streaming tokenization shares the large-vocab recursive-CTE oracle:
+# identical output columns, identical merge table, the stream adds no
+# semantics (stateless append transform drained to completion).
+from .llm_text import ORACLE as _TEXT_ORACLE  # noqa: E402
+
+ORACLE["corpus_tokenize_stream"] = _TEXT_ORACLE["bpe_large_vocab"]
+
 ORACLE["log_hourly_windows_stream"] = ORACLE[
     "log_hourly_windows_stream"
 ].replace("{section_id_sql}", SECTION_ID_SQL)
@@ -630,6 +673,7 @@ QUERIES = {
     "conversion_pairs_stream": conversion_pairs_stream,
     "incremental_near_dups_stream": incremental_near_dups_stream,
     "corpus_ingest_stream": corpus_ingest_stream,
+    "corpus_tokenize_stream": corpus_tokenize_stream,
 }
 
 # The streamed incremental dedup must converge to the batch query's

@@ -245,6 +245,11 @@ def ensure_min_partitions(df, target: int | None = None):
     scans already produce >= cores splits it is a no-op, so plans
     keep their scale posture.
     """
+    if df.isStreaming:
+        # streaming plans have no rdd to inspect; micro-batch sources
+        # already split per file/offset range, and callers that need a
+        # specific stream parallelism set shuffle partitions instead
+        return df
     sc = df.sparkSession.sparkContext
     if target is None:
         target = sc.defaultParallelism
