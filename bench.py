@@ -250,7 +250,8 @@ def run_slice(
     # the stream inputs above — build them at the timed SF outside
     # the timed windows.
     if any(
-        n in ("documents_jsonl_roundtrip", "corpus_ingest_stream")
+        n in ("documents_jsonl_roundtrip", "corpus_ingest_stream",
+              "corpus_tokenize_stream")
         for n in names
     ):
         from flink_log_analysis_spark.plans.formats import jsonl_dir

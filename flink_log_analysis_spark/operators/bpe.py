@@ -276,22 +276,6 @@ def _require_native_depth(merges, fn_name: str) -> None:
         )
 
 
-def piece_encoder(merges: list[tuple[str, str]]):
-    """Caching closure over :func:`encode` — the pandas tier's
-    per-batch amortizer: each DISTINCT piece pays the merge loop once,
-    repeats are a dict hit (Zipf text makes the hit rate ~99%)."""
-    cache: dict[str, list[str]] = {}
-
-    def enc(piece: str) -> list[str]:
-        got = cache.get(piece)
-        if got is None:
-            got = encode(piece, merges)
-            cache[piece] = got
-        return got
-
-    return enc
-
-
 def token_digests(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -333,7 +317,13 @@ def token_digests(
         outputs.add(a + b)
     df = ensure_min_partitions(df)
     if len(merges) <= BPE_NATIVE_CHAIN_MAX:
-        toks = token_stream(F.col(text_col), merges)
+        # NULL text tokenizes as empty on BOTH tiers (the pandas tier
+        # maps None -> ''; without this coalesce the native chain
+        # would propagate NULL and the tiers would diverge at the
+        # dispatch boundary)
+        toks = token_stream(
+            F.coalesce(F.col(text_col), F.lit("")), merges
+        )
         return df.select(
             id_col,
             F.size(toks).alias("n_tokens"),

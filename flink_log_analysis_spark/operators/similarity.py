@@ -960,6 +960,14 @@ def write_ivf_index(
     Build once, search many: at 100 TB the build is one assignment
     scan + one partitioned write (the shuffle is paid here, not per
     query), and reruns only ever touch ``n_probe`` partitions.
+
+    Layout is TWO-level: ``ingest=.../cell=...``. The base build lands
+    in ``ingest=base``; :func:`ivf_index_append` gives each batch its
+    own ``ingest`` partition, which is what makes a replayed streaming
+    batch idempotent (deterministic dynamic-partition overwrite — the
+    standard exactly-once foreachBatch sink pattern). Searches filter
+    on ``cell`` only, and partition pruning on the second level works
+    identically.
     """
     # lineage cut: ranges feeds BOTH the codes write and the meta
     # write below — without it each write re-runs the full per-dim
@@ -973,9 +981,11 @@ def write_ivf_index(
         vec_col=vec_col,
         fit_sample_rows=fit_sample_rows,
     )
-    _coded(assigned, ranges, id_col).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/vectors")
+    _coded(assigned, ranges, id_col).withColumn(
+        "ingest", F.lit("base")
+    ).write.mode("overwrite").partitionBy("ingest", "cell").parquet(
+        f"{path}/vectors"
+    )
     cmat.crossJoin(ranges).select(
         F.col("cmat").alias("centroids"),
         "mn_arr",
@@ -1005,12 +1015,21 @@ def ivf_index_append(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ingest_key: str | None = None,
 ) -> None:
     """Index INGESTION without refit: assign an incoming batch to the
     index's EXISTING centroids, code it with the EXISTING codebook,
-    and append the rows into their cell partitions — how a production
+    and land the rows in their cell partitions — how a production
     IVF absorbs a streaming corpus (centroids/codebook are fit-time
     artifacts; refits are an offline rebuild, not an ingest step).
+
+    ``ingest_key=None`` appends into the shared ``ingest=append``
+    partition (batch semantics). A streaming caller passes a
+    DETERMINISTIC per-batch key instead: the batch then lands in its
+    own ``ingest=<key>`` partition via dynamic-partition OVERWRITE, so
+    replaying the same batch (crash after commit, before the caller's
+    bookkeeping) REPLACES its own rows rather than duplicating them —
+    idempotent, the exactly-once foreachBatch sink pattern.
 
     Out-of-range values (an incoming dim exceeding the fit corpus's
     [mn, mx]) keep the unclamped affine code, so a reader dequantizes
@@ -1018,10 +1037,12 @@ def ivf_index_append(
     preferring saturation would clamp to [0, QUANT_LEVELS] here AND in
     the search-side codec (the two must stay one expression).
 
-    Scale shape: one projection over the batch + an append that
-    touches only the cells the batch lands in — existing partitions
-    are never rewritten.
+    Scale shape: one projection over the batch + a write that touches
+    only the batch's own ingest partition — existing partitions are
+    never rewritten.
     """
+    from ..session import scoped_conf
+
     _, cmat, ranges, _ = read_ivf_meta(spark, path)
     vecs = new_vectors.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("arr")
@@ -1029,9 +1050,22 @@ def ivf_index_append(
     assigned = probe_cells(vecs, "arr", cmat, [0]).withColumnRenamed(
         "cell_p0", "cell"
     )
-    _coded(assigned, ranges, id_col).write.mode("append").partitionBy(
-        "cell"
-    ).parquet(f"{path}/vectors")
+    coded = _coded(assigned, ranges, id_col).withColumn(
+        "ingest", F.lit(ingest_key or "append")
+    )
+    if ingest_key is None:
+        coded.write.mode("append").partitionBy("ingest", "cell").parquet(
+            f"{path}/vectors"
+        )
+        return
+    with scoped_conf(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        # writer-level option too: it takes precedence over session
+        # conf and survives callers that run inside other scoped confs
+        coded.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("ingest", "cell").parquet(f"{path}/vectors")
 
 
 def knn_ivf_persisted(

@@ -293,7 +293,11 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     elif _os.path.exists(target):
         st = _os.stat(target)
         parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    # "L2" = on-disk layout version (ingest=/cell= two-level
+    # partitioning, round 9): bumping it retires every pre-change /tmp
+    # index through the stale-sibling pruning, exactly like a testdata
+    # regeneration would
+    return "L2" + hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
 def _ivf_index_path(sf_dir: str) -> str:
@@ -634,7 +638,7 @@ def _ensure_manycell_index(spark: SparkSession) -> str:
     path = (
         "/tmp/spark_graft_ivf_manycell/"
         f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
-        f"s{int(MANYCELL_SPREAD * 100)}-cells{MANYCELL_CELLS}"
+        f"s{int(MANYCELL_SPREAD * 100)}-cells{MANYCELL_CELLS}L2"
     )
     return _build_index_once(
         path,

@@ -4,28 +4,30 @@ Completes the persisted IVF index's lifecycle (``similarity.py``:
 build once -> append batches -> search many) with the STREAMING ingest
 path a production corpus actually has: embedding batches arrive on a
 stream, each micro-batch assigns to the index's frozen centroids,
-codes with its frozen codebook, and partition-appends into only the
-cells it lands in — the index absorbs the stream without a rebuild.
+codes with its frozen codebook, and lands in its own
+``ingest=<stream>-b<batch>`` partition touching only the cells it
+contains — the index absorbs the stream without a rebuild.
 
-Exactly-once at the sink: Structured Streaming replays a micro-batch
-after a crash-before-checkpoint, and a parquet append is not naturally
-idempotent (rows would duplicate), so each committed batch leaves a
-durable marker under ``{index}/_ingest_commits/`` and a replayed
-batch_id is skipped — the same replay-skip contract as the keyed
-upsert sinks (``upsert.py``), made durable because the appended rows
-are durable. Ordering: the append job runs first and the marker is
-written only after it returns; Spark's file output committer only
-publishes a job's files on commit, so a crash mid-append leaves no
-visible rows and no marker — replay then appends cleanly.
+Exactly-once at the sink comes from the WRITE, not from bookkeeping:
+each micro-batch's partition key is deterministic, and the append uses
+dynamic-partition OVERWRITE (``ivf_index_append(ingest_key=...)``), so
+a batch replayed after a crash — whether the crash hit mid-write or
+after the write but before any marker — REPLACES its own partition
+instead of duplicating rows. The commit markers under
+``{index}/_ingest_commits/`` are a skip optimization plus an audit
+trail, namespaced by INGEST id (derived from the checkpoint location):
+batch ids are only unique per checkpoint, so a second stream ingesting
+into the same index starts again at batch 0 and must neither be
+skipped by the first stream's markers nor overwrite its partitions.
 
-Scale shape: per batch, one projection over the batch + an append
-touching only the landed cells (``ivf_index_append``); stream volume
-never rewrites existing partitions, and a restart resumes from the
-checkpoint with replays skipped.
+Scale shape: per batch, one projection + one partition-scoped write;
+stream volume never rewrites other ingests' partitions, and a restart
+resumes from the checkpoint with replays overwriting idempotently.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,16 +37,31 @@ from ..operators import similarity
 COMMITS_DIR = "_ingest_commits"
 
 
-def committed_batches(index_path: str) -> list[int]:
-    """Batch ids durably committed into the index (sorted)."""
+def stream_ingest_id(checkpoint_dir: str) -> str:
+    """Stable ingest id for a stream: derived from its checkpoint
+    location, the same scope Structured Streaming's batch ids live in."""
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
+
+
+def committed_batches(
+    index_path: str, ingest_id: str | None = None
+) -> list[int]:
+    """Batch ids durably committed into the index (sorted). With
+    ``ingest_id`` only that stream's commits; otherwise every commit
+    (the audit-trail view the stream-final contract counts)."""
     d = f"{index_path}/{COMMITS_DIR}"
     if not os.path.isdir(d):
         return []
-    return sorted(
-        int(name.split("-", 1)[1])
-        for name in os.listdir(d)
-        if name.startswith("batch-")
-    )
+    out = []
+    for name in os.listdir(d):
+        ing, _, batch = name.rpartition("-batch-")
+        if not batch:
+            continue
+        if ingest_id is None or ing == ingest_id:
+            out.append(int(batch))
+    return sorted(out)
 
 
 def ivf_append_batch(
@@ -52,17 +69,26 @@ def ivf_append_batch(
     index_path: str,
     batch_df: DataFrame,
     batch_id: int,
+    ingest_id: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> bool:
-    """One idempotent ingest step: append unless this batch_id already
-    committed (restart replay). Returns whether an append ran."""
+    """One ingest step. The marker skip is scoped to THIS ingest id (a
+    different stream's batch 0 is a different batch); a replay that
+    races past a missing marker is still safe because the write
+    overwrites its own deterministic partition. Returns whether a
+    write ran."""
     marker_dir = f"{index_path}/{COMMITS_DIR}"
-    marker = f"{marker_dir}/batch-{batch_id}"
+    marker = f"{marker_dir}/{ingest_id}-batch-{batch_id}"
     if os.path.exists(marker):
         return False
     similarity.ivf_index_append(
-        spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
+        spark,
+        index_path,
+        batch_df,
+        id_col=id_col,
+        vec_col=vec_col,
+        ingest_key=f"{ingest_id}-b{batch_id}",
     )
     os.makedirs(marker_dir, exist_ok=True)
     with open(marker, "w") as fh:
@@ -82,7 +108,8 @@ def ivf_ingest_stream(
     """Drain a stream of embedding rows into the persisted index with
     ``availableNow`` (process everything currently available, then
     stop — the batch-twin convention of ``plans/streamed.py``).
-    Returns the committed batch ids after the drain."""
+    Returns this stream's committed batch ids after the drain."""
+    ingest_id = stream_ingest_id(checkpoint_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         ivf_append_batch(
@@ -90,6 +117,7 @@ def ivf_ingest_stream(
             index_path,
             batch_df,
             batch_id,
+            ingest_id,
             id_col=id_col,
             vec_col=vec_col,
         )
@@ -106,4 +134,4 @@ def ivf_ingest_stream(
             f"IVF ingest stream did not drain availableNow input in "
             f"{timeout_sec}s"
         )
-    return committed_batches(index_path)
+    return committed_batches(index_path, ingest_id)

@@ -304,3 +304,20 @@ def test_token_digests_dispatches_past_native_ceiling(spark):
         bpe.encode_stats(df, big)
     with pytest.raises(ValueError, match="token_digests"):
         bpe.token_ids(df, big)
+
+
+def test_token_digests_null_text_tier_parity(spark):
+    """NULL text tokenizes as empty on BOTH tiers (the byte-comparable
+    dispatch-boundary contract; without the native-side coalesce a
+    NULL row diverged between 128 and 129 merges)."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "ab")], "doc_id bigint, text string"
+    )
+    empty = (0, hashlib.md5(b"").hexdigest())
+    for merges in (bpe.digit_merges(100), bpe.digit_merges(1024)):
+        rows = {r["doc_id"]: (r["n_tokens"], r["stream_md5"])
+                for r in bpe.token_digests(df, merges).collect()}
+        assert rows[1] == empty, len(merges)
+        assert rows[2][0] == 2

@@ -35,8 +35,9 @@ def index_path(spark, sf_dir, tmp_path_factory):
 
 
 def test_layout_cell_partitioned(index_path):
+    # two-level layout: base build under ingest=base, cells below it
     cells = [
-        d for d in os.listdir(f"{index_path}/vectors")
+        d for d in os.listdir(f"{index_path}/vectors/ingest=base")
         if d.startswith("cell=")
     ]
     assert len(cells) == N_CELLS
@@ -194,6 +195,7 @@ def test_stream_ingest_with_checkpoint_restart(spark, sf_dir, tmp_path):
         committed_batches,
         ivf_append_batch,
         ivf_ingest_stream,
+        stream_ingest_id,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -230,13 +232,24 @@ def test_stream_ingest_with_checkpoint_restart(spark, sf_dir, tmp_path):
     # idle restart: nothing new, nothing re-appended
     assert drain() == [0, 1]
     assert spark.read.parquet(f"{idx}/vectors").count() == total
-    # forced replay of a committed batch id: skipped, count unchanged
+    ingest = stream_ingest_id(ckpt)
+    # forced replay of a committed batch id: marker-skipped, unchanged
     replayed = ivf_append_batch(
-        spark, idx, emb.filter(F.col("vec_id") % 5 == 3), batch_id=0
+        spark, idx, emb.filter(F.col("vec_id") % 5 == 3),
+        batch_id=0, ingest_id=ingest,
     )
     assert replayed is False
     assert spark.read.parquet(f"{idx}/vectors").count() == total
-    assert committed_batches(idx) == [0, 1]
+    # replay WITHOUT the marker (crash-after-commit window): the
+    # deterministic partition overwrite replaces the batch's own rows
+    # — no duplicates, same total
+    os.remove(f"{idx}/_ingest_commits/{ingest}-batch-0")
+    assert ivf_append_batch(
+        spark, idx, emb.filter(F.col("vec_id") % 5 == 3),
+        batch_id=0, ingest_id=ingest,
+    ) is True
+    assert spark.read.parquet(f"{idx}/vectors").count() == total
+    assert committed_batches(idx, ingest) == [0, 1]
     # stream-final identity with the in-memory composition
     queries = emb.filter(F.col("vec_id") < 3)
     res, _ = similarity.knn_ivf_persisted(
@@ -249,3 +262,18 @@ def test_stream_ingest_with_checkpoint_restart(spark, sf_dir, tmp_path):
     )
     assert res.exceptAll(mem).count() == 0
     assert mem.exceptAll(res).count() == 0
+    # a SECOND stream into the same index restarts batch ids at 0:
+    # its batch 0 is a DIFFERENT batch (different ingest id), so it
+    # must neither be skipped by the first stream's marker nor
+    # overwrite the first stream's partition (r9 review finding)
+    other = stream_ingest_id(str(tmp_path / "ck2"))
+    batch2 = emb.filter(F.col("vec_id") % 5 == 2)
+    assert ivf_append_batch(
+        spark, idx, batch2, batch_id=0, ingest_id=other
+    ) is True
+    assert (
+        spark.read.parquet(f"{idx}/vectors").count()
+        == total + batch2.count()
+    )
+    assert committed_batches(idx, other) == [0]
+    assert committed_batches(idx) == [0, 0, 1]
