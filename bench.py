@@ -205,16 +205,23 @@ def run_slice(
         except Exception:
             pass
         release_checkpoints(spark)
-    # Second warm sample for non-trivial first warms: a query whose
-    # first sf0.001 pass includes a ONE-TIME session-cache build
-    # (incremental_near_dups builds its corpus index inline at the
-    # warm SF) reports a build-inflated warm time, which pushes its
-    # retry trigger to the 4.0s cap and lets genuine outliers escape
-    # re-timing (r8: 3.17s driver reading, trigger never fired). The
-    # min of two samples is the steady-state warm — the triviality
-    # signal the trigger formula assumes.
+    # Second warm sample ONLY where the first warm pushed the retry
+    # trigger to its cap: a query whose first sf0.001 pass includes a
+    # ONE-TIME session-cache build (incremental_near_dups builds its
+    # corpus index inline at the warm SF) reports a build-inflated
+    # warm time, which pushes its retry trigger to the 4.0s cap and
+    # lets genuine outliers escape re-timing (r8: 3.17s driver
+    # reading, trigger never fired). The min of two samples is the
+    # steady-state warm — the triviality signal the trigger formula
+    # assumes. Scope (r9 advisory): warms below threshold/4 cannot
+    # reach the cap (trigger = min(threshold, max(1.5, 4*warm))), so
+    # re-sampling them only re-drains streams and doubles warm cost;
+    # they keep their single sample.
+    retry_threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "4.0")
+    )
     for name in names:
-        if warm_times.get(name, 0.0) <= 0.5:
+        if warm_times.get(name, 0.0) < retry_threshold / 4.0:
             continue
         try:
             t0 = time.perf_counter()

@@ -1210,3 +1210,89 @@ def jl_projection_contract(
             >= F.lit(JL_MIN_FRAC) * F.count(F.lit(1))
         ).alias("band_ok"),
     )
+
+
+def ivf_index_compact(
+    spark,
+    path: str,
+    keep_ingests: tuple[str, ...] = (),
+) -> dict:
+    """Fold accumulated ``ingest=`` partitions back into the base cell
+    layout — the maintenance pass a STREAMED index needs (every
+    micro-batch lands its own ``ingest=<id>-b<n>`` partition via
+    :func:`ivf_index_append`, so at production ingest rates the index
+    re-grows the small-file problem inside itself).
+
+    The rewrite preserves search results EXACTLY: rows are copied
+    unmodified (id, code, cell), only the ``ingest`` partition value
+    collapses to ``base`` — and :func:`knn_ivf_persisted` filters on
+    ``cell`` alone, so partition pruning is unchanged. Cells are
+    re-clustered one-file-per-cell (`repartition(n_cells, "cell")` —
+    each task writes one file per cell it holds), so the file count
+    drops from O(ingests x cells) to O(cells).
+
+    Swap protocol (reusing the build-aside pattern of the /tmp index
+    lifecycle, routed through the sources/fsio seam): write the
+    consolidated layout to ``vectors.compact-<pid>``, then rename the
+    old ``vectors`` aside and the new one into place, then delete the
+    old. The two renames are atomic individually on POSIX/HDFS but not
+    jointly; like :func:`~..operators.maintenance.compact_parquet`,
+    this is a single-maintainer operation. Run it on a QUIESCENT index
+    (no stream mid-drain): commit markers under ``_ingest_commits``
+    are retained, so a stream restarting from its checkpoint still
+    skips every committed batch — after folding, the marker (not the
+    partition overwrite) is what makes a late replay idempotent.
+
+    ``keep_ingests`` exempts partitions from folding (e.g. a stream
+    known to still be active). Returns a stats dict:
+    ``{"ingests_folded", "files_before", "files_after", "rows"}``.
+    """
+    from ..sources import fsio
+
+    vectors = f"{path}/vectors"
+    ingests = sorted(
+        name.split("=", 1)[1]
+        for name in fsio.list_names(vectors, spark)
+        if name.startswith("ingest=")
+    )
+    foldable = [i for i in ingests if i not in keep_ingests]
+    files_before = fsio.count_files(vectors, spark)
+    if len(foldable) <= 1:
+        return {
+            "ingests_folded": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+            "rows": None,
+        }
+    _, _, _, n_cells = read_ivf_meta(spark, path)
+    df = spark.read.parquet(vectors)
+    folded = df.filter(F.col("ingest").isin(foldable)).drop("ingest")
+    kept = df.filter(~F.col("ingest").isin(foldable))
+    data_cols = [c for c in folded.columns if c != "cell"]
+    consolidated = (
+        folded.repartition(n_cells, "cell")
+        .select(*data_cols, F.lit("base").alias("ingest"), "cell")
+    )
+    if keep_ingests:
+        consolidated = consolidated.unionByName(
+            kept.select(*data_cols, "ingest", "cell")
+        )
+    rows = consolidated.count()
+    import os as _os
+
+    tmp = f"{vectors}.compact-{_os.getpid()}"
+    fsio.delete(tmp, spark=spark)
+    consolidated.write.partitionBy("ingest", "cell").parquet(tmp)
+    old = f"{vectors}.pre-compact-{_os.getpid()}"
+    fsio.rename(vectors, old, spark)
+    if not fsio.rename(tmp, vectors, spark):
+        # restore the original layout rather than leave no index
+        fsio.rename(old, vectors, spark)
+        raise RuntimeError(f"ivf_index_compact: publish rename failed for {path}")
+    fsio.delete(old, spark=spark)
+    return {
+        "ingests_folded": len(foldable),
+        "files_before": files_before,
+        "files_after": fsio.count_files(vectors, spark),
+        "rows": rows,
+    }

@@ -323,7 +323,15 @@ def _build_index_once(path: str, marker_name: str, build_fn) -> str:
       mid-build leaves only a prunable ``.build-*`` orphan, never a
       half-written index at the published path; two concurrent gate
       runs race only on the rename, and the loser's finished copy is
-      discarded — no reader ever sees a torn index."""
+      discarded — no reader ever sees a torn index.
+
+    Filesystem assumption, stated explicitly (r9 advisory): this
+    lifecycle is the GATE's /tmp artifact cache and requires a
+    rename-atomic local filesystem — deliberate, since the cache root
+    is hardcoded under /tmp. Production index bookkeeping (markers,
+    commit listings) goes through sources/fsio's Hadoop FS seam
+    instead; an object-store deployment replaces this rename-publish
+    with a manifest pointer swap (fsio module docstring)."""
     import os as _os
     import shutil as _shutil
 
@@ -551,7 +559,7 @@ def knn_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     path = _ensure_ivf_streamed_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < IVF_INDEX_QUERIES)
-    res, _cells = similarity.knn_ivf_persisted(
+    res, cells = similarity.knn_ivf_persisted(
         spark, path, queries, k=K, n_probe=IVF_INDEX_PROBE
     )
     cents, _, ranges, n_cells = similarity.read_ivf_meta(spark, path)
@@ -581,6 +589,154 @@ def knn_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(committed_batches(path))).alias("n_ingest_batches"),
             (F.col("_mm") == 0).alias("matches_inmemory"),
             (F.col("_indexed") == F.col("_total")).alias("index_complete"),
+            # pruning must hold on the stream-built ingest=/cell=
+            # layout too, not only on the manycell row (r9 advisory):
+            # a regression in the two-level layout's partition
+            # discovery would otherwise go unnoticed here
+            F.lit(len(cells) < n_cells).alias("partition_pruned"),
+        )
+    )
+
+
+# Compaction demo (round 10): base index from vec_id % 5 in {0,1};
+# three residue classes arrive as three micro-batches, then
+# ivf_index_compact folds the accumulated ingest partitions back into
+# the base cell layout. The contract pins the maintenance pass's whole
+# promise: search results BYTE-IDENTICAL before/after (and equal to
+# the in-memory composition), every row still indexed, the layout
+# collapsed to a single ingest, the file count strictly reduced, and
+# the commit markers (the post-compaction replay guard) intact.
+IVF_COMPACT_BASE_REMS = (0, 1)
+IVF_COMPACT_BATCH_REMS = (2, 3, 4)
+
+
+def _ensure_ivf_compacted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Streamed index taken through its maintenance pass: build base,
+    drain three micro-batches (streaming.ann_ingest), snapshot the
+    pre-compaction search + file census inside the artifact, compact
+    (similarity.ivf_index_compact), and record the stats — all under
+    one atomic publish so the contract query reads a consistent
+    artifact."""
+    import os as _os
+
+    from ..sources import fsio
+    from ..streaming.ann_ingest import ivf_ingest_stream
+
+    leaf = _os.path.basename(sf_dir.rstrip("/"))
+    path = (
+        f"/tmp/spark_graft_ivf_compact/{leaf}-{_embeddings_fingerprint(sf_dir)}"
+    )
+
+    def _build(tmp: str) -> None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        base = emb.filter(
+            (F.col("vec_id") % IVF_APPEND_MOD).isin(*IVF_COMPACT_BASE_REMS)
+        )
+        similarity.write_ivf_index(
+            base, tmp, n_cells=IVF_INDEX_CELLS, seed=42
+        )
+        for i, rem in enumerate(IVF_COMPACT_BATCH_REMS):
+            emb.filter(F.col("vec_id") % IVF_APPEND_MOD == rem).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{tmp}/input/b{i}")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{tmp}/input")
+        )
+        ivf_ingest_stream(spark, tmp, stream, f"{tmp}/ckpt")
+        queries = emb.filter(F.col("vec_id") < IVF_INDEX_QUERIES)
+        pre, _ = similarity.knn_ivf_persisted(
+            spark, tmp, queries, k=K, n_probe=IVF_INDEX_PROBE
+        )
+        pre.coalesce(1).write.parquet(f"{tmp}/precompact_search")
+        n_ingests = sum(
+            1
+            for n in fsio.list_names(f"{tmp}/vectors", spark)
+            if n.startswith("ingest=")
+        )
+        stats = similarity.ivf_index_compact(spark, tmp)
+        spark.createDataFrame(
+            [
+                (
+                    n_ingests,
+                    stats["ingests_folded"],
+                    stats["files_before"],
+                    stats["files_after"],
+                )
+            ],
+            "ingests_before int, ingests_folded int, "
+            "files_before int, files_after int",
+        ).coalesce(1).write.parquet(f"{tmp}/compact_stats")
+
+    return _build_index_once(path, "_COMPACTED", _build)
+
+
+def knn_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed-index MAINTENANCE contract (VERDICT r9 item 3): after
+    three micro-batches accumulate their ingest partitions, compaction
+    folds them into the base cell layout. One row certifies: search
+    over the compacted index == the pre-compaction snapshot == the
+    in-memory composition over the full corpus; the corpus is fully
+    indexed; the ingest partitions collapsed to base only; the file
+    count strictly dropped; the replay-guard markers survived; and the
+    pruned scan still touches a strict subset of cells."""
+    from ..sources import fsio
+    from ..streaming.ann_ingest import committed_batches
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = _ensure_ivf_compacted_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < IVF_INDEX_QUERIES)
+    res, cells = similarity.knn_ivf_persisted(
+        spark, path, queries, k=K, n_probe=IVF_INDEX_PROBE
+    )
+    cents, _, ranges, n_cells = similarity.read_ivf_meta(spark, path)
+    mem = similarity.knn_ivf_quantized(
+        emb,
+        queries,
+        k=K,
+        n_cells=n_cells,
+        n_probe=IVF_INDEX_PROBE,
+        centroids=cents,
+        ranges=ranges,
+    )
+    pre = spark.read.parquet(f"{path}/precompact_search")
+    mism_mem = res.exceptAll(mem).union(mem.exceptAll(res))
+    mism_pre = res.exceptAll(pre).union(pre.exceptAll(res))
+    stats = spark.read.parquet(f"{path}/compact_stats")
+    indexed = spark.read.parquet(f"{path}/vectors").agg(
+        F.count(F.lit(1)).alias("_indexed")
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("_total"))
+    ingests_now = [
+        n
+        for n in fsio.list_names(f"{path}/vectors", spark)
+        if n.startswith("ingest=")
+    ]
+    markers = committed_batches(path)
+    return (
+        res.agg(F.count(F.lit(1)).alias("n_results"))
+        .crossJoin(mism_pre.agg(F.count(F.lit(1)).alias("_mp")))
+        .crossJoin(mism_mem.agg(F.count(F.lit(1)).alias("_mm")))
+        .crossJoin(indexed)
+        .crossJoin(total)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_results",
+            F.lit(K).alias("k"),
+            "ingests_folded",
+            (F.col("_mp") == 0).alias("matches_precompact"),
+            (F.col("_mm") == 0).alias("matches_inmemory"),
+            (F.col("_indexed") == F.col("_total")).alias("index_complete"),
+            F.lit(ingests_now == ["ingest=base"]).alias("folded_to_base"),
+            (F.col("files_after") < F.col("files_before")).alias(
+                "files_reduced"
+            ),
+            F.lit(markers == list(range(len(IVF_COMPACT_BATCH_REMS)))).alias(
+                "markers_intact"
+            ),
+            F.lit(len(cells) < n_cells).alias("partition_pruned"),
         )
     )
 
@@ -1096,7 +1252,27 @@ ORACLE["knn_ivf_streamed"] = f"""
            CAST({len(IVF_STREAM_BATCH_REMS)} AS INTEGER)
                AS n_ingest_batches,
            TRUE AS matches_inmemory,
-           TRUE AS index_complete
+           TRUE AS index_complete,
+           TRUE AS partition_pruned
+"""
+
+# Compaction: every column is either SQL-derivable (result cardinality,
+# the folded-partition count = base + one per micro-batch) or a
+# deterministic boolean the Spark side must EARN (identity vs the
+# pre-compaction snapshot and the in-memory composition, completeness,
+# layout collapse, file-count drop, marker survival, pruning).
+ORACLE["knn_ivf_compacted"] = f"""
+    SELECT CAST({IVF_INDEX_QUERIES * K} AS BIGINT) AS n_results,
+           {K} AS k,
+           CAST({1 + len(IVF_COMPACT_BATCH_REMS)} AS INTEGER)
+               AS ingests_folded,
+           TRUE AS matches_precompact,
+           TRUE AS matches_inmemory,
+           TRUE AS index_complete,
+           TRUE AS folded_to_base,
+           TRUE AS files_reduced,
+           TRUE AS markers_intact,
+           TRUE AS partition_pruned
 """
 
 # Many-cell geometry: the corpus replica is the closed integer formula
@@ -1244,6 +1420,7 @@ QUERIES = {
     "knn_ivf_persisted": knn_ivf_persisted,
     "knn_ivf_appended": knn_ivf_appended,
     "knn_ivf_streamed": knn_ivf_streamed,
+    "knn_ivf_compacted": knn_ivf_compacted,
     "knn_ivf_manycell_recall": knn_ivf_manycell_recall,
     "hard_negative_mining": hard_negative_mining,
     "hard_negative_mining_ivf": hard_negative_mining_ivf,

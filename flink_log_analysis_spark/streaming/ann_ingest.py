@@ -23,6 +23,11 @@ skipped by the first stream's markers nor overwrite its partitions.
 Scale shape: per batch, one projection + one partition-scoped write;
 stream volume never rewrites other ingests' partitions, and a restart
 resumes from the checkpoint with replays overwriting idempotently.
+
+Marker IO goes through :mod:`..sources.fsio` (Hadoop FileSystem API),
+so an index rooted on any Hadoop-supported filesystem records and
+lists its commits the same way the vectors are written — the marker
+layer is not silently local-only (r9 advisory).
 """
 
 from __future__ import annotations
@@ -33,6 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import similarity
+from ..sources import fsio
 
 COMMITS_DIR = "_ingest_commits"
 
@@ -50,14 +56,15 @@ def committed_batches(
 ) -> list[int]:
     """Batch ids durably committed into the index (sorted). With
     ``ingest_id`` only that stream's commits; otherwise every commit
-    (the audit-trail view the stream-final contract counts)."""
-    d = f"{index_path}/{COMMITS_DIR}"
-    if not os.path.isdir(d):
-        return []
+    (the audit-trail view the stream-final contract counts).
+
+    Non-marker names are SKIPPED, not errors: a stray file whose
+    ``-batch-`` tail is not numeric (editor droppings, a torn upload)
+    must not break every subsequent drain (r9 advisory)."""
     out = []
-    for name in os.listdir(d):
+    for name in fsio.list_names(f"{index_path}/{COMMITS_DIR}"):
         ing, _, batch = name.rpartition("-batch-")
-        if not batch:
+        if not batch or not batch.isdigit():
             continue
         if ingest_id is None or ing == ingest_id:
             out.append(int(batch))
@@ -78,9 +85,8 @@ def ivf_append_batch(
     races past a missing marker is still safe because the write
     overwrites its own deterministic partition. Returns whether a
     write ran."""
-    marker_dir = f"{index_path}/{COMMITS_DIR}"
-    marker = f"{marker_dir}/{ingest_id}-batch-{batch_id}"
-    if os.path.exists(marker):
+    marker = f"{index_path}/{COMMITS_DIR}/{ingest_id}-batch-{batch_id}"
+    if fsio.exists(marker, spark):
         return False
     similarity.ivf_index_append(
         spark,
@@ -90,9 +96,7 @@ def ivf_append_batch(
         vec_col=vec_col,
         ingest_key=f"{ingest_id}-b{batch_id}",
     )
-    os.makedirs(marker_dir, exist_ok=True)
-    with open(marker, "w") as fh:
-        fh.write("ok")
+    fsio.write_text(marker, "ok", spark)
     return True
 
 

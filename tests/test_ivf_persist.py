@@ -277,3 +277,148 @@ def test_stream_ingest_with_checkpoint_restart(spark, sf_dir, tmp_path):
     )
     assert committed_batches(idx, other) == [0]
     assert committed_batches(idx) == [0, 0, 1]
+
+
+def test_compact_folds_ingests_preserving_search(spark, sf_dir, tmp_path):
+    """ivf_index_compact: after >=3 streamed micro-batches the index
+    holds base + 3 ingest partitions; compaction folds them into the
+    base cell layout with byte-identical search results, a reduced
+    file count, and the commit markers (the post-compaction replay
+    guard) intact."""
+    from flink_log_analysis_spark.streaming.ann_ingest import (
+        committed_batches,
+        ivf_ingest_stream,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(
+        emb.filter(F.col("vec_id") % 5 < 2), idx, n_cells=4, seed=42
+    )
+    inputs, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    for i, rem in enumerate((2, 3, 4)):
+        emb.filter(F.col("vec_id") % 5 == rem).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{inputs}/b{i}")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(inputs)
+    )
+    assert ivf_ingest_stream(spark, idx, stream, ckpt) == [0, 1, 2]
+    total = spark.read.parquet(f"{idx}/vectors").count()
+    queries = emb.filter(F.col("vec_id") < 4)
+    pre, pre_cells = similarity.knn_ivf_persisted(
+        spark, idx, queries, k=K, n_probe=2
+    )
+    pre_rows = sorted(map(tuple, pre.collect()))
+    ingests_before = {
+        d for d in os.listdir(f"{idx}/vectors") if d.startswith("ingest=")
+    }
+    assert len(ingests_before) == 4  # base + 3 micro-batches
+
+    stats = similarity.ivf_index_compact(spark, idx)
+    assert stats["ingests_folded"] == 4
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == total
+    # layout folded to the base ingest only; cells unchanged
+    assert {
+        d for d in os.listdir(f"{idx}/vectors") if d.startswith("ingest=")
+    } == {"ingest=base"}
+    assert spark.read.parquet(f"{idx}/vectors").count() == total
+    # search identity + unchanged pruning
+    post, post_cells = similarity.knn_ivf_persisted(
+        spark, idx, queries, k=K, n_probe=2
+    )
+    assert sorted(map(tuple, post.collect())) == pre_rows
+    assert post_cells == pre_cells
+    # markers survive: a restarted stream still skips committed batches
+    assert committed_batches(idx) == [0, 1, 2]
+    # idempotent re-run: nothing left to fold
+    again = similarity.ivf_index_compact(spark, idx)
+    assert again["ingests_folded"] == 0
+    assert again["files_after"] == stats["files_after"]
+
+
+def test_compact_keep_ingests_exempts_active_stream(spark, sf_dir, tmp_path):
+    """keep_ingests: an exempted ingest partition survives compaction
+    untouched while the rest fold into base."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(
+        emb.filter(F.col("vec_id") % 5 < 3), idx, n_cells=4, seed=42
+    )
+    similarity.ivf_index_append(
+        spark, idx, emb.filter(F.col("vec_id") % 5 == 3),
+        ingest_key="s1-b0",
+    )
+    similarity.ivf_index_append(
+        spark, idx, emb.filter(F.col("vec_id") % 5 == 4),
+        ingest_key="live-b0",
+    )
+    total = spark.read.parquet(f"{idx}/vectors").count()
+    stats = similarity.ivf_index_compact(
+        spark, idx, keep_ingests=("live-b0",)
+    )
+    assert stats["ingests_folded"] == 2
+    assert {
+        d for d in os.listdir(f"{idx}/vectors") if d.startswith("ingest=")
+    } == {"ingest=base", "ingest=live-b0"}
+    assert spark.read.parquet(f"{idx}/vectors").count() == total
+
+
+def test_committed_batches_skips_stray_files(spark, tmp_path):
+    """r9 advisory: a non-marker file in _ingest_commits (torn upload,
+    editor dropping) must be skipped, not raise and break every drain."""
+    from flink_log_analysis_spark.streaming.ann_ingest import (
+        committed_batches,
+    )
+
+    idx = str(tmp_path / "idx")
+    d = f"{idx}/_ingest_commits"
+    os.makedirs(d)
+    for name in (
+        "aaaa-batch-0", "aaaa-batch-2", "aaaa-batch-1.tmp~",
+        "aaaa-batch-", "stray.txt", ".aaaa-batch-3.crc",
+    ):
+        with open(f"{d}/{name}", "w") as fh:
+            fh.write("x")
+    assert committed_batches(idx, "aaaa") == [0, 2]
+    assert committed_batches(idx) == [0, 2]
+
+
+def test_fsio_seam_roundtrip(spark, tmp_path):
+    """sources/fsio: the Hadoop-FS marker seam behaves like the os
+    path it replaced (write/exists/list/rename/count/delete)."""
+    from flink_log_analysis_spark.sources import fsio
+
+    root = str(tmp_path / "fs")
+    fsio.write_text(f"{root}/a/m1", "ok", spark)
+    assert fsio.exists(f"{root}/a/m1", spark)
+    assert not fsio.exists(f"{root}/a/m2", spark)
+    assert fsio.list_names(f"{root}/a", spark) == ["m1"]
+    assert fsio.list_names(f"{root}/missing", spark) == []
+    fsio.write_text(f"{root}/a/m2", "ok", spark)
+    assert fsio.count_files(f"{root}/a", spark=spark) == 2
+    assert fsio.rename(f"{root}/a", f"{root}/b", spark)
+    assert sorted(fsio.list_names(f"{root}/b", spark)) == ["m1", "m2"]
+    fsio.delete(f"{root}/b", spark=spark)
+    assert not fsio.exists(f"{root}/b", spark)
+
+
+def test_fsio_no_session_fallback(monkeypatch, tmp_path):
+    """Callers without an active SparkSession (introspection in
+    tests) fall back to plain os operations with identical semantics."""
+    from flink_log_analysis_spark.sources import fsio
+
+    monkeypatch.setattr(fsio, "_active", lambda: None)
+    root = str(tmp_path / "fs")
+    fsio.write_text(f"{root}/a/m1", "ok")
+    assert fsio.exists(f"{root}/a/m1")
+    assert fsio.list_names(f"{root}/a") == ["m1"]
+    assert fsio.list_names(f"{root}/nope") == []
+    assert fsio.count_files(root) == 1
+    assert fsio.rename(f"{root}/a", f"{root}/b")
+    fsio.delete(f"{root}/b")
+    assert not fsio.exists(f"{root}/b")
