@@ -11,7 +11,13 @@ match certifies the full regex-parse -> status-filter -> date-normalize
 implementation, at every scale factor.
 
 Line construction (mirrored exactly in the oracle SQL):
-  ip     = '10.0.' || (event_id % 250) || '.' || (event_id % 199)
+  ip     = '10.0.' || (user_id % 250) || '.' || (event_id % 199)
+           (the /24 network belongs to the USER — same user, same NAT
+           network across hits, the realistic client granularity — while
+           the host octet varies per connection; event_id is strictly
+           time-ordered in the testdata, so an event-derived network
+           octet would space same-network hits at a near-constant ~22 h
+           and no gap-based session could ever merge two of them)
   time   = strftime(ts) as 'dd/MMM/yyyy:HH:mm:ss +0800'  (zone dropped
            by the parser — SURVEY §2.E.3)
   uri    = forumdisplay&fid=k%25 for views / viewthread&tid=user_id for
@@ -37,7 +43,7 @@ def _log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.regexp_extract("props", K_REGEX, 1).try_cast("int")
     ip = F.concat(
         F.lit("10.0."),
-        (F.col("event_id") % 250).cast("string"),
+        (F.col("user_id") % 250).cast("string"),
         F.lit("."),
         (F.col("event_id") % 199).cast("string"),
     )
@@ -152,6 +158,63 @@ def log_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session gap shared by the batch/stream log-session twins AND their
+# oracles (same 30-minute convention as merge_state.stateful_sessions;
+# the split condition is strictly-greater, matching the pandas
+# sessionizer — stating it once keeps the exact-gap boundary from
+# diverging between the three sites).
+SESSION_GAP_SECONDS = 1800
+
+
+def log_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-client-network GAP sessions over the parsed pipeline's
+    ``accessDate`` — the reference's ``client_ip_access`` (a lifetime
+    count per IP, SURVEY §2.B6) upgraded to session analytics, fed by
+    the REAL parser chain (VERDICT r9 item 4). The session key is the
+    /24 network of the parsed IP (the user's NAT network — full IPs
+    are per-connection-unique in this corpus, so they'd make every
+    session a singleton); a new session starts when the gap since the
+    network's previous hit exceeds SESSION_GAP_SECONDS. Output is one
+    row per session with epoch-ms bounds (timezone-neutral longs, the
+    convention of ``stateful_sessions``).
+
+    Formulated as window expressions (lag -> split flag -> running
+    session id -> group), the batch twin of ``log_sessions_stream``'s
+    ``applyInPandasWithState`` formulation — both share the
+    strictly-greater gap convention, so batch rows == stream
+    gap-closed rows + each network's final open session. The windows
+    partition on client_net (scales with the user population, no
+    funnel); ties on the second-truncated timestamp cannot move a
+    session boundary (equal times always extend), so the lag order is
+    deterministic where it matters."""
+    from pyspark.sql import Window
+
+    parsed = log_roundtrip(spark, sf_dir)
+    ms = (F.unix_timestamp(F.to_timestamp("access_date")) * 1000).alias("ms")
+    ev = parsed.select(
+        F.substring_index("client_ip", ".", 3).alias("client_net"), ms
+    )
+    w = Window.partitionBy("client_net").orderBy("ms")
+    prev = F.lag("ms").over(w)
+    split = (
+        prev.isNull()
+        | (F.col("ms") - prev > SESSION_GAP_SECONDS * 1000)
+    ).cast("long")
+    sid = F.sum(split).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("client_net", "ms", sid.alias("sid"))
+        .groupBy("client_net", "sid")
+        .agg(
+            F.min("ms").alias("session_start_ms"),
+            F.max("ms").alias("session_end_ms"),
+            F.count(F.lit(1)).alias("session_hits"),
+        )
+        .drop("sid")
+    )
+
+
 # The oracle computes the EXPECTED parser output straight from events —
 # an independent re-derivation, not a re-run of the parser.
 _K = SECTION_ID_SQL
@@ -159,7 +222,7 @@ _K = SECTION_ID_SQL
 ORACLE = {
     "log_roundtrip": f"""
         SELECT
-            '10.0.' || CAST(e.event_id % 250 AS VARCHAR) || '.'
+            '10.0.' || CAST(e.user_id % 250 AS VARCHAR) || '.'
                     || CAST(e.event_id % 199 AS VARCHAR)      AS client_ip,
             strftime(e.ts, '%Y-%m-%d %H:%M:%S')               AS access_date,
             CASE WHEN e.event_type = 'view' THEN {_K} ELSE 0 END
@@ -173,7 +236,7 @@ ORACLE = {
     # lines; error events carry the plain /index.php uri -> ids 0.
     "log_roundtrip_literal": """
         SELECT
-            '10.0.' || CAST(e.event_id % 250 AS VARCHAR) || '.'
+            '10.0.' || CAST(e.user_id % 250 AS VARCHAR) || '.'
                     || CAST(e.event_id % 199 AS VARCHAR)      AS client_ip,
             strftime(e.ts, '%Y-%m-%d %H:%M:%S')               AS access_date,
             0::INTEGER                                        AS section_id,
@@ -183,12 +246,45 @@ ORACLE = {
     """,
 }
 
+# Gap sessions, restated in SQL window form over events (never runs
+# the parser): lag -> strictly-greater split flag -> running sid ->
+# group. ms is second-truncated (the Apache time format carries no
+# sub-second part) and the lag tie-break on event_id is harmless —
+# equal timestamps can never split a session.
+ORACLE["log_sessions"] = f"""
+    WITH e AS (
+        SELECT '10.0.' || CAST(user_id % 250 AS VARCHAR) AS client_net,
+               epoch_us(date_trunc('second', ts)) // 1000 AS ms,
+               event_id
+        FROM events WHERE event_type <> 'error'
+    ), seq AS (
+        SELECT client_net, ms,
+               LAG(ms) OVER (PARTITION BY client_net
+                             ORDER BY ms ASC, event_id ASC) AS prev_ms
+        FROM e
+    ), grp AS (
+        SELECT client_net, ms,
+               SUM(CASE WHEN prev_ms IS NULL
+                             OR ms - prev_ms > {SESSION_GAP_SECONDS * 1000}
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY client_net
+                   ORDER BY ms ASC
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    )
+    SELECT client_net,
+           MIN(ms) AS session_start_ms,
+           MAX(ms) AS session_end_ms,
+           COUNT(*) AS session_hits
+    FROM grp GROUP BY client_net, sid
+"""
+
 ORACLE["log_hourly_windows"] = f"""
     SELECT date_trunc('hour', e.ts) AS window_start,
            CASE WHEN e.event_type = 'view' THEN {_K} ELSE 0 END
                ::INTEGER AS section_id,
            COUNT(*) AS pv,
-           COUNT(DISTINCT '10.0.' || CAST(e.event_id % 250 AS VARCHAR)
+           COUNT(DISTINCT '10.0.' || CAST(e.user_id % 250 AS VARCHAR)
                  || '.' || CAST(e.event_id % 199 AS VARCHAR))
                AS n_client_ips
     FROM events e
@@ -200,4 +296,5 @@ QUERIES = {
     "log_roundtrip": log_roundtrip,
     "log_roundtrip_literal": log_roundtrip_literal,
     "log_hourly_windows": log_hourly_windows,
+    "log_sessions": log_sessions,
 }

@@ -289,6 +289,69 @@ def log_hourly_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def log_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``plans.logpipe.log_sessions``'s gap sessions through the REAL
+    log stream: raw lines -> the A2-A8 parser -> /24 client network ->
+    ``applyInPandasWithState`` sessionizer (the Spark shape of Flink's
+    KeyedProcessFunction + timers, SURVEY §2.D). Emits gap-CLOSED
+    sessions only — each network's final session is still open when
+    the finite stream drains (``use_timeout=False``: pending
+    processing-time timers would keep an availableNow query alive
+    forever, see ``stateful.py``) — so the oracle is the batch
+    session derivation minus each network's last session.
+
+    Sink is parquet via foreachBatch (output stays executor-side;
+    session volume at 100 TB is far beyond driver memory), bounds are
+    timezone-neutral epoch-ms longs (``emit_epoch_ms``)."""
+    import os
+
+    from ..streaming.stateful import sessionize_with_state
+    from .logpipe import SESSION_GAP_SECONDS
+
+    work = shared_tmp_dir("loganalysis_stream_")
+    try:
+        lines = read_log_file_stream(
+            spark, f"{lines_dir(spark, sf_dir)}/lines"
+        )
+        logs = parsed_log_stream(lines)
+        keyed = logs.select(
+            F.substring_index("clientIP", ".", 3).alias("client_net"),
+            F.to_timestamp("accessDate").alias("accessTs"),
+        )
+        sess = sessionize_with_state(
+            keyed,
+            key_col="client_net",
+            ts_col="accessTs",
+            gap_seconds=SESSION_GAP_SECONDS,
+            use_timeout=False,
+            emit_epoch_ms=True,
+        ).select(
+            F.col("key").alias("client_net"),
+            "session_start_ms",
+            "session_end_ms",
+            "session_hits",
+        )
+        out_dir = f"{work}/sessions"
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+        ):
+            q = (
+                sess.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                )
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
+        if not os.path.exists(out_dir):
+            return spark.createDataFrame([], sess.schema)
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def deduped_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keyed
     on event_id — the ingest-dedup stage of a streaming training-data
@@ -560,7 +623,7 @@ def corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parser's ==200 filter.
 _K = SECTION_ID_SQL
 _IP = (
-    "'10.0.' || CAST(e.event_id % 250 AS VARCHAR) || '.' || "
+    "'10.0.' || CAST(e.user_id % 250 AS VARCHAR) || '.' || "
     "CAST(e.event_id % 199 AS VARCHAR)"
 )
 
@@ -662,6 +725,20 @@ ORACLE["log_hourly_windows_stream"] = ORACLE[
     "log_hourly_windows_stream"
 ].replace("{section_id_sql}", SECTION_ID_SQL)
 
+# The stream emits gap-closed sessions only; each network's final
+# session is still open at drain end. Sessions are disjoint in time
+# per network, so "the open one" == the one with the latest start.
+# Wraps the batch oracle verbatim — the two derivations cannot drift.
+from .logpipe import ORACLE as _LOGPIPE_ORACLE  # noqa: E402
+
+ORACLE["log_sessions_stream"] = f"""
+    WITH base AS ({_LOGPIPE_ORACLE["log_sessions"]})
+    SELECT client_net, session_start_ms, session_end_ms, session_hits
+    FROM base
+    QUALIFY session_start_ms
+            < MAX(session_start_ms) OVER (PARTITION BY client_net)
+"""
+
 QUERIES = {
     "hot_section_stream": hot_section_stream,
     "hot_article_stream": hot_article_stream,
@@ -669,6 +746,7 @@ QUERIES = {
     "hourly_event_stats_stream": hourly_event_stats_stream,
     "windowed_event_counts_stream": windowed_event_counts_stream,
     "log_hourly_windows_stream": log_hourly_windows_stream,
+    "log_sessions_stream": log_sessions_stream,
     "deduped_events_stream": deduped_events_stream,
     "conversion_pairs_stream": conversion_pairs_stream,
     "incremental_near_dups_stream": incremental_near_dups_stream,

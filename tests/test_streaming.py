@@ -532,6 +532,33 @@ def test_kafka_reader_plan_construction(spark):
     assert dict(df.dtypes)["line"] == "string"
 
 
+def test_log_sessions_stream_equals_batch_minus_open(spark, sf_dir):
+    """Batch/stream session parity: the stream's gap-closed output is
+    exactly the batch derivation minus each network's final (still
+    open) session — the same contract the wrapped oracle states, here
+    asserted engine-side so a drift in either twin fails locally."""
+    from flink_log_analysis_spark.plans.logpipe import log_sessions
+    from flink_log_analysis_spark.plans.streamed import log_sessions_stream
+
+    batch = log_sessions(spark, sf_dir).toPandas()
+    stream = log_sessions_stream(spark, sf_dir).toPandas()
+    # sessions are time-disjoint per network: the open one is the
+    # latest-start row of each client_net
+    open_idx = batch.groupby("client_net")["session_start_ms"].idxmax()
+    closed = batch.drop(index=open_idx)
+
+    def canon(pdf):
+        cols = sorted(pdf.columns)
+        return sorted(map(tuple, pdf[cols].itertuples(index=False, name=None)))
+
+    assert canon(closed) == canon(stream)
+    # hit conservation: every parsed (non-error) event lands in
+    # exactly one batch session
+    from flink_log_analysis_spark.plans.logpipe import log_roundtrip
+
+    assert batch["session_hits"].sum() == log_roundtrip(spark, sf_dir).count()
+
+
 def test_deduped_events_stream_removes_doubled_rows(spark, sf_dir):
     """The stream doubles every event then dropDuplicatesWithinWatermark
     restores exactly-once: sink rows == distinct events, no id twice."""
