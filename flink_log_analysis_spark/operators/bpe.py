@@ -244,7 +244,9 @@ def digit_merges(n: int = 1024) -> list[tuple[str, str]]:
     corpus SATURATES a learned fit at 89 merges — the pair loop goes
     dry once every sampled piece is fully merged — while digit runs in
     the same corpus genuinely match this table, so throughput probes
-    exercise real replace work at realistic depth."""
+    exercise real replace work at realistic depth. (Deep LEARNED
+    tables are covered separately: the staircase corpus below supports
+    a provable 768-merge end-to-end fit — ``bpe_learned_deep``.)"""
     digits = "0123456789"
     out = [(a, b) for a in digits for b in digits]
     out += [(x + y, c) for x in digits for y in digits for c in digits]
@@ -260,6 +262,132 @@ def digit_merges(n: int = 1024) -> list[tuple[str, str]]:
     if n > len(out):
         raise ValueError(f"digit_merges supports up to {len(out)} merges")
     return out[:n]
+
+
+# --- staircase corpus: a LEARNED deep merge table (round 10) -----------
+#
+# The natural documents corpus saturates fit_bpe at 89 merges (its
+# sampled vocabulary fully merges and the pair loop goes dry), so deep
+# LEARNED tables need a corpus engineered with enough pair mass. The
+# staircase corpus is that corpus, built from a closed integer formula
+# (replicable verbatim in DuckDB) whose BPE merge sequence is PROVABLE:
+#
+# - Tier 1: STAIR_T1 distinct 2-char pieces p_i = X_i Y_i with X from
+#   'a'..'t' (i DIV 26) and Y from 'A'..'Z' (i % 26) — the two halves
+#   come from DISJOINT alphabets. Piece i occurs STAIR_C1 - i times.
+# - Tier 2: STAIR_T2 4-char pieces q_j = p_{2j} || p_{2j+1} (each
+#   tier-1 piece is used by EXACTLY ONE tier-2 piece). Piece j occurs
+#   STAIR_C2 - j times.
+#
+# Why the learned sequence is exactly tier-1-in-i-order then
+# tier-2-in-j-order:
+#
+# 1. A tier-1 pair (X_i, Y_i) is (lower, UPPER); a tier-2 cross pair
+#    (Y_{2j}, X_{2j+1}) is (UPPER, lower) — alphabet disjointness means
+#    NO cross pair can alias a tier-1 pair, so pair (X_i, Y_i)'s exact
+#    count is c(i) = (STAIR_C1 - i) + (STAIR_C2 - i DIV 2): its own
+#    occurrences plus the one tier-2 piece containing it. c is strictly
+#    decreasing in i (consecutive diffs -1 / -2), so NO TIES and the
+#    argmax walks i = 0, 1, 2, ...
+# 2. Every other pair present at any point before tier-1 completes —
+#    cross pairs, and the emergent (p_{2j}, X_{2j+1}) after p_{2j}
+#    merges — has count STAIR_C2 - j <= STAIR_C2, strictly below the
+#    tier-1 minimum c(T1-1) = (STAIR_C1 - T1 + 1) + 1, so none of them
+#    ever wins before all tier-1 merges are done.
+# 3. After tier-1, each q_j is the 2-token sequence [p_{2j}, p_{2j+1}]
+#    (crosses vanished with their right halves); the only remaining
+#    pairs are the distinct (p_{2j}, p_{2j+1}) with strictly-decreasing
+#    counts STAIR_C2 - j — merged in j order, each a DEPTH-2 chained
+#    merge (both parts are earlier merge outputs). Then the vocabulary
+#    is fully merged and the fit goes dry: requesting more merges than
+#    STAIR_T1 + STAIR_T2 certifies saturation at exactly that count.
+#
+# learn_merges on the formula's piece counts reproduces this sequence
+# exactly (asserted in tests/test_bpe.py); the ORACLE's merge table is
+# spliced from expected_stair_merges() — the FORMULA, never the fit —
+# so a fit regression changes the applied table and every stream md5.
+
+STAIR_T1 = 512
+STAIR_T2 = 256
+STAIR_C1 = 770
+STAIR_C2 = 256
+STAIR_DOCS = 512
+# total word occurrences: sum(C1-i) + sum(C2-j) = 296,320
+STAIR_T1_OCC = STAIR_T1 * STAIR_C1 - STAIR_T1 * (STAIR_T1 - 1) // 2
+
+
+def stair_piece(i: int) -> str:
+    """Tier-1 piece i — the closed formula (mirrored in SQL by the
+    oracle's chr() arithmetic)."""
+    return chr(97 + i // 26) + chr(65 + i % 26)
+
+
+def expected_stair_merges() -> list[tuple[str, str]]:
+    """The PROVEN merge sequence of the staircase corpus, stated from
+    the formula (see the construction proof above) — what the oracle
+    splices, and what fit_bpe must reproduce."""
+    t1 = [(stair_piece(i)[0], stair_piece(i)[1]) for i in range(STAIR_T1)]
+    t2 = [
+        (stair_piece(2 * j), stair_piece(2 * j + 1)) for j in range(STAIR_T2)
+    ]
+    return t1 + t2
+
+
+def staircase_corpus(spark) -> DataFrame:
+    """Materialize the staircase corpus as (doc_id, text): one row per
+    word occurrence from the two tier ramps, deterministically dealt
+    into STAIR_DOCS documents (doc = occurrence index mod docs, words
+    ordered by index within each doc — DuckDB restates the identical
+    dealing with generate_series + string_agg ORDER BY).
+
+    Scale shape: generation is two range-explodes (no driver data), the
+    group-by shuffles one small (idx, word) row per occurrence, and the
+    downstream fit is the usual bounded-sample collect. A bigger
+    corpus is a constant change, not a plan change."""
+    x = "char(97 + (i DIV 26))"
+    y = "char(65 + (i % 26))"
+    t1 = (
+        spark.range(STAIR_T1)
+        .selectExpr("id AS i")
+        .selectExpr(
+            "i",
+            f"explode(sequence(0, {STAIR_C1 - 1} - i)) AS c",
+        )
+        .selectExpr(
+            f"i * {STAIR_C1} - (i * (i - 1)) DIV 2 + c AS idx",
+            f"{x} || {y} AS word",
+        )
+    )
+    xa = "char(97 + ((2*j) DIV 26))"
+    ya = "char(65 + ((2*j) % 26))"
+    xb = "char(97 + ((2*j+1) DIV 26))"
+    yb = "char(65 + ((2*j+1) % 26))"
+    t2 = (
+        spark.range(STAIR_T2)
+        .selectExpr("id AS j")
+        .selectExpr(
+            "j",
+            f"explode(sequence(0, {STAIR_C2 - 1} - j)) AS c",
+        )
+        .selectExpr(
+            f"{STAIR_T1_OCC} + j * {STAIR_C2} - (j * (j - 1)) DIV 2 + c"
+            " AS idx",
+            f"{xa} || {ya} || {xb} || {yb} AS word",
+        )
+    )
+    occ = t1.unionByName(t2)
+    return (
+        occ.groupBy((F.col("idx") % STAIR_DOCS).alias("doc_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
 
 
 def _require_native_depth(merges, fn_name: str) -> None:

@@ -72,9 +72,11 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Realistic-depth tier (round 9): the corpus-learned fit SATURATES at
-# 89 merges (the synthetic vocabulary fully merges and the pair loop
-# goes dry), so realistic depth uses the constructed digit table. The
+# Realistic-depth tier (round 9): the DOCUMENTS-corpus fit SATURATES
+# at 89 merges (the synthetic vocabulary fully merges and the pair
+# loop goes dry), so this row's depth uses the constructed digit table
+# (the deep LEARNED table lives in bpe_learned_deep, fit end-to-end on
+# the staircase corpus). The
 # native replace chain was measured stable to 320 merges and dead at
 # 384 (driver-side StackOverflowError in the analyzer's recursive
 # Column conversion), so token_digests dispatches to the Arrow-batched
@@ -130,6 +132,65 @@ def bpe_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(merges)).alias("n_merges_learned"),
         F.lit(first[0]).alias("first_merge_left"),
         F.lit(first[1]).alias("first_merge_right"),
+        F.lit(well_formed).alias("merges_well_formed"),
+    )
+
+
+# Deep-fit contract: more merges REQUESTED than the staircase corpus
+# supports, so n_merges_learned certifies saturation at exactly
+# STAIR_T1 + STAIR_T2 = 768 learned merges.
+STAIR_REQUEST = 800
+
+
+def bpe_learned_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep LEARNED-table BPE contract (VERDICT r9 item 2): the
+    distributed fit learns 768 merges END-TO-END from the staircase
+    corpus (a closed-formula corpus whose merge sequence is provable —
+    construction proof in ``operators/bpe.py``), and the learned table
+    is applied through the pandas tier (768 > BPE_NATIVE_CHAIN_MAX).
+
+    Certification is three-way, all against independent derivations:
+
+    - per-doc ``(n_tokens, stream_md5)``: the oracle re-synthesizes
+      the corpus in SQL from the same integer formula and replays the
+      FORMULA-derived expected table (``expected_stair_merges`` — the
+      oracle never sees the fit) through the recursive CTE, so ANY fit
+      divergence changes the applied table and the stream digests.
+    - ``first_merge_left/right``: the oracle derives the first merge
+      by the weighted-pair ARGMAX over its own corpus replica (the
+      bpe_vocab_fit contract, now on a corpus where it is one step of
+      a 768-step provable sequence).
+    - ``n_merges_learned`` + ``table_md5``: the learned table's size
+      and rank-ordered digest vs the formula's (saturation at 768
+      proves the fit ran dry exactly where the construction says).
+    """
+    import hashlib
+
+    corpus = bpe_ops.staircase_corpus(spark)
+    merges = bpe_ops.fit_bpe(
+        corpus, n_merges=STAIR_REQUEST, sample_pieces=BPE_FIT_SAMPLE
+    )
+    table_md5 = hashlib.md5(
+        "|".join(f"{a},{b}" for a, b in merges).encode()
+    ).hexdigest()
+    outputs: set[str] = set()
+    well_formed = bool(merges)
+    for a, b in merges:
+        for part in (a, b):
+            if len(part) > 1 and part not in outputs:
+                well_formed = False
+        outputs.add(a + b)
+    first = merges[0] if merges else ("", "")
+    td = bpe_ops.token_digests(corpus, merges)
+    return td.select(
+        "doc_id",
+        "n_tokens",
+        "stream_md5",
+        F.lit(STAIR_REQUEST).alias("n_merges_requested"),
+        F.lit(len(merges)).alias("n_merges_learned"),
+        F.lit(first[0]).alias("first_merge_left"),
+        F.lit(first[1]).alias("first_merge_right"),
+        F.lit(table_md5).alias("table_md5"),
         F.lit(well_formed).alias("merges_well_formed"),
     )
 
@@ -481,7 +542,13 @@ def _bpe_token_ids_sql() -> str:
 ORACLE["bpe_token_ids"] = _bpe_token_ids_sql()
 
 
-def _bpe_recursive_oracle(merges: list[tuple[str, str]]) -> str:
+def _bpe_recursive_oracle(
+    merges: list[tuple[str, str]],
+    source: str = "documents",
+    prelude: str = "",
+    extra_cols: str = "",
+    extra_from: str = "",
+) -> str:
     """Large-vocab twin: the merge table rides as a VALUES relation
     and a recursive CTE applies rank ``step+1``'s single literal
     replace each iteration — the chain as DATA-driven recursion, so
@@ -492,7 +559,12 @@ def _bpe_recursive_oracle(merges: list[tuple[str, str]]) -> str:
     cannot match across piece boundaries and the boundary strips
     cleanly); after the final step the delimiter arithmetic turns the
     wrapped string into exactly the DELIM-joined token stream the
-    Spark tiers digest."""
+    Spark tiers digest.
+
+    ``source``/``prelude``/``extra_cols``/``extra_from`` let callers
+    replay the chain over a synthesized CTE relation (``prelude``
+    defines it) and attach one-row certification CTEs to the final
+    projection (``bpe_learned_deep``)."""
     D = _BPE_D
     B = "\x0b"
     n = len(merges)
@@ -501,7 +573,7 @@ def _bpe_recursive_oracle(merges: list[tuple[str, str]]) -> str:
         for i, (a, b) in enumerate(merges)
     )
     return f"""
-        WITH RECURSIVE mt(rank, l, r) AS (
+        WITH RECURSIVE {prelude}mt(rank, l, r) AS (
             SELECT * FROM (VALUES {vals}) t(rank, l, r)
         ),
         base AS (
@@ -512,7 +584,7 @@ def _bpe_recursive_oracle(merges: list[tuple[str, str]]) -> str:
                                           '{textstats.BPE_TOKEN_REGEX}'),
                        p -> regexp_replace(p, '(?s)(.)', '{D}\\1{D}', 'g')
                      ), '{B}') AS s
-            FROM documents
+            FROM {source}
         ),
         enc AS (
             SELECT doc_id, s, 0 AS step FROM base
@@ -528,14 +600,88 @@ def _bpe_recursive_oracle(merges: list[tuple[str, str]]) -> str:
                CAST((length(s) - length(replace(s, '{D}', ''))) // 2
                     AS INTEGER) AS n_tokens,
                md5(trim(replace(replace(s, '{B}', ''), '{D}{D}', '{D}'),
-                        '{D}')) AS stream_md5
-        FROM enc WHERE step = {n}
+                        '{D}')) AS stream_md5{extra_cols}
+        FROM enc{extra_from} WHERE step = {n}
     """
 
 
 ORACLE["bpe_large_vocab"] = _bpe_recursive_oracle(
     bpe_ops.digit_merges(BPE_LARGE_MERGES_N)
 )
+
+
+def _stair_oracle() -> str:
+    """bpe_learned_deep oracle: re-synthesize the staircase corpus from
+    the integer formula (generate_series — never the Spark generator),
+    derive the first merge by weighted-pair argmax over that replica,
+    and replay the FORMULA-derived expected table (never the fit)
+    through the recursive chain. table_md5 is a scalar subquery over
+    the spliced VALUES relation, rank-ordered exactly like the Spark
+    side's join of its LEARNED table."""
+    b = bpe_ops
+    merges = b.expected_stair_merges()
+    pieces_expr = _BPE_PIECES.replace("text", "d.text")
+    prelude = f"""occ AS (
+            SELECT i * {b.STAIR_C1} - (i * (i - 1)) // 2 + c AS idx,
+                   chr(CAST(97 + (i // 26) AS INTEGER)) || chr(CAST(65 + (i % 26) AS INTEGER)) AS word
+            FROM (SELECT i,
+                         unnest(generate_series(0, {b.STAIR_C1 - 1} - i))
+                             AS c
+                  FROM (SELECT unnest(generate_series(0, {b.STAIR_T1 - 1}))
+                            AS i))
+            UNION ALL
+            SELECT {b.STAIR_T1_OCC}
+                   + j * {b.STAIR_C2} - (j * (j - 1)) // 2 + c AS idx,
+                   chr(CAST(97 + ((2 * j) // 26) AS INTEGER)) || chr(CAST(65 + ((2 * j) % 26) AS INTEGER))
+                   || chr(CAST(97 + ((2 * j + 1) // 26) AS INTEGER))
+                   || chr(CAST(65 + ((2 * j + 1) % 26) AS INTEGER)) AS word
+            FROM (SELECT j,
+                         unnest(generate_series(0, {b.STAIR_C2 - 1} - j))
+                             AS c
+                  FROM (SELECT unnest(generate_series(0, {b.STAIR_T2 - 1}))
+                            AS j))
+        ),
+        stair AS (
+            SELECT idx % {b.STAIR_DOCS} AS doc_id,
+                   string_agg(word, ' ' ORDER BY idx) AS text
+            FROM occ GROUP BY 1
+        ),
+        fit_pieces AS (
+            SELECT t.piece FROM stair d, unnest({pieces_expr}) AS t(piece)
+        ),
+        fit_pc AS (
+            SELECT piece, COUNT(*) AS cnt FROM fit_pieces GROUP BY piece
+            ORDER BY cnt DESC, piece ASC LIMIT {BPE_FIT_SAMPLE}
+        ),
+        fit_ii AS (
+            SELECT piece, cnt,
+                   unnest(generate_series(1, length(piece) - 1)) AS i
+            FROM fit_pc WHERE length(piece) >= 2
+        ),
+        best AS (
+            SELECT substr(piece, i, 1) AS l, substr(piece, i + 1, 1) AS r
+            FROM fit_ii GROUP BY l, r
+            ORDER BY SUM(cnt) DESC, l ASC, r ASC LIMIT 1
+        ),
+        """
+    extra_cols = f""",
+               CAST({STAIR_REQUEST} AS INTEGER) AS n_merges_requested,
+               CAST({len(merges)} AS INTEGER) AS n_merges_learned,
+               best.l AS first_merge_left,
+               best.r AS first_merge_right,
+               (SELECT md5(string_agg(l || ',' || r, '|' ORDER BY rank))
+                FROM mt) AS table_md5,
+               TRUE AS merges_well_formed"""
+    return _bpe_recursive_oracle(
+        merges,
+        source="stair",
+        prelude=prelude,
+        extra_cols=extra_cols,
+        extra_from=", best",
+    )
+
+
+ORACLE["bpe_learned_deep"] = _stair_oracle()
 
 QUERIES = {
     "text_stats": text_stats,
@@ -545,6 +691,7 @@ QUERIES = {
     "bpe_merge_tokens": bpe_merge_tokens,
     "bpe_token_ids": bpe_token_ids,
     "bpe_large_vocab": bpe_large_vocab,
+    "bpe_learned_deep": bpe_learned_deep,
     "bpe_vocab_fit": bpe_vocab_fit,
     "token_frequencies": token_frequencies,
     "rolling_fingerprints": rolling_fingerprints,

@@ -321,3 +321,61 @@ def test_token_digests_null_text_tier_parity(spark):
                 for r in bpe.token_digests(df, merges).collect()}
         assert rows[1] == empty, len(merges)
         assert rows[2][0] == 2
+
+
+def test_staircase_fit_learns_expected_table():
+    """The staircase construction proof, executed: learn_merges on the
+    formula's piece counts reproduces expected_stair_merges EXACTLY,
+    saturating at T1+T2 with headroom requested — the pure-Python half
+    of the bpe_learned_deep contract (the Spark half runs the
+    distributed fit over the generated corpus)."""
+    counts = [
+        (bpe.stair_piece(i), bpe.STAIR_C1 - i) for i in range(bpe.STAIR_T1)
+    ] + [
+        (
+            bpe.stair_piece(2 * j) + bpe.stair_piece(2 * j + 1),
+            bpe.STAIR_C2 - j,
+        )
+        for j in range(bpe.STAIR_T2)
+    ]
+    learned = bpe.learn_merges(counts, bpe.STAIR_T1 + bpe.STAIR_T2 + 32)
+    expected = bpe.expected_stair_merges()
+    assert learned == expected
+    assert len(learned) == bpe.STAIR_T1 + bpe.STAIR_T2 == 768
+    # depth-2 chaining: every tier-2 merge's parts are earlier outputs
+    outputs = set()
+    for k, (a, b) in enumerate(learned):
+        if k >= bpe.STAIR_T1:
+            assert a in outputs and b in outputs
+        outputs.add(a + b)
+
+
+def test_staircase_corpus_matches_formula(spark):
+    """The Spark generator deals exactly the formula's occurrences:
+    word mass per tier, doc count, and the per-doc word order being
+    idx-sorted (spot-checked via a reconstructed doc)."""
+    corpus = bpe.staircase_corpus(spark)
+    rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    assert len(rows) == bpe.STAIR_DOCS
+    total_words = sum(len(t.split()) for t in rows.values())
+    t1 = bpe.STAIR_T1 * bpe.STAIR_C1 - bpe.STAIR_T1 * (bpe.STAIR_T1 - 1) // 2
+    t2 = bpe.STAIR_T2 * bpe.STAIR_C2 - bpe.STAIR_T2 * (bpe.STAIR_T2 - 1) // 2
+    assert total_words == t1 + t2 == 296320
+    # doc 0 reconstructed from the formula: occurrences with
+    # idx % DOCS == 0 in idx order
+    words = []
+    for i in range(bpe.STAIR_T1):
+        off = i * bpe.STAIR_C1 - i * (i - 1) // 2
+        for c in range(bpe.STAIR_C1 - i):
+            if (off + c) % bpe.STAIR_DOCS == 0:
+                words.append((off + c, bpe.stair_piece(i)))
+    for j in range(bpe.STAIR_T2):
+        off = bpe.STAIR_T1_OCC + j * bpe.STAIR_C2 - j * (j - 1) // 2
+        for c in range(bpe.STAIR_C2 - j):
+            if (off + c) % bpe.STAIR_DOCS == 0:
+                words.append(
+                    (off + c,
+                     bpe.stair_piece(2 * j) + bpe.stair_piece(2 * j + 1))
+                )
+    expected_doc0 = " ".join(w for _, w in sorted(words))
+    assert rows[0] == expected_doc0
