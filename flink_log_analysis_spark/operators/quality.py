@@ -125,6 +125,94 @@ def quality_signals(
     )
 
 
+# Ablation-report signal order (stable across Spark and the oracle's
+# UNION ALL — the report is row-per-signal).
+ABLATION_SIGNALS: tuple[str, ...] = (
+    "min_tokens",
+    "max_tokens",
+    "mean_word_len_low",
+    "mean_word_len_high",
+    "dup_token_ratio",
+    "stop_ratio",
+)
+
+
+def ablation_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-signal rejection ablation for the C4/Gopher filter bank —
+    the report a curation team reads before re-thresholding: for each
+    signal, how many documents fail it at all (``n_fail``) and how
+    many it UNIQUELY rejects (``n_fail_alone`` — docs that would be
+    kept if only this signal were dropped), beside the corpus totals.
+
+    One projection computes the six fail flags (identical rounding to
+    :func:`quality_signals`, so the verdicts can never drift from the
+    filter), one global aggregate sums them, and the per-signal rows
+    come from exploding a 6-struct array over that single agg row —
+    the whole report is a linear scan plus a 1-row agg at any corpus
+    size."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_wl = F.round(
+        token_char_sum(toks).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    dup_ratio = F.round(
+        (n_tokens - n_distinct).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    stop_ratio = F.round(
+        stopword_count(toks).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    fails = {
+        "min_tokens": n_tokens < MIN_TOKENS,
+        "max_tokens": n_tokens > MAX_TOKENS,
+        "mean_word_len_low": mean_wl < MIN_MEAN_WORD_LEN,
+        "mean_word_len_high": mean_wl > MAX_MEAN_WORD_LEN,
+        "dup_token_ratio": dup_ratio > MAX_DUP_TOKEN_RATIO,
+        "stop_ratio": stop_ratio < MIN_STOPWORD_RATIO,
+    }
+    assert tuple(fails) == ABLATION_SIGNALS
+    flagged = df.select(
+        *[flag.cast("int").alias(f"_f_{name}") for name, flag in fails.items()]
+    )
+    nf = None
+    for name in fails:
+        c = F.col(f"_f_{name}")
+        nf = c if nf is None else nf + c
+    flagged = flagged.withColumn("_nf", nf)
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("_nf") == 0).cast("long")).alias("n_kept"),
+        *[F.sum(F.col(f"_f_{n}")).alias(f"_fail_{n}") for n in fails],
+        *[
+            F.sum(
+                ((F.col(f"_f_{n}") == 1) & (F.col("_nf") == 1)).cast("long")
+            ).alias(f"_alone_{n}")
+            for n in fails
+        ],
+    )
+    per_signal = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("signal"),
+                    F.col(f"_fail_{n}").alias("n_fail"),
+                    F.col(f"_alone_{n}").alias("n_fail_alone"),
+                )
+                for n in fails
+            ]
+        )
+    ).alias("s")
+    return agg.select(per_signal, "n_docs", "n_kept").select(
+        F.col("s.signal").alias("signal"),
+        F.col("s.n_fail").alias("n_fail"),
+        F.col("s.n_fail_alone").alias("n_fail_alone"),
+        "n_docs",
+        "n_kept",
+    )
+
+
 # PII patterns restricted to the regex subset Java (Spark) and RE2
 # (DuckDB) treat identically: character classes, bounded repetition,
 # alternation — no backreferences, no lookaround.

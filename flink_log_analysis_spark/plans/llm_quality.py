@@ -168,6 +168,15 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal rejection ablation over the C4/Gopher filter bank
+    (operators/quality.ablation_report): one row per signal with its
+    total and UNIQUE rejection counts beside the corpus totals — the
+    re-thresholding report (which filter is pulling its weight, which
+    is redundant) computed in one scan + one 1-row agg."""
+    return quality.ablation_report(read_table(spark, sf_dir, "documents"))
+
+
 def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.repetition_signals(read_table(spark, sf_dir, "documents"))
 
@@ -547,7 +556,62 @@ def _bpe_pack_sql() -> str:
 
 ORACLE["bpe_pack_chunks"] = _bpe_pack_sql()
 
+def _ablation_oracle() -> str:
+    """quality_ablation_report twin: the same six fail flags (same
+    rounding as _KEEP_PRED's conjuncts, list_sum COALESCEd because an
+    empty token list is NULL in DuckDB but 0 in Spark's aggregate),
+    one agg row, six UNION ALL signal rows."""
+    flags = {
+        "min_tokens": f"n_tokens < {quality.MIN_TOKENS}",
+        "max_tokens": f"n_tokens > {quality.MAX_TOKENS}",
+        "mean_word_len_low": f"mean_wl < {quality.MIN_MEAN_WORD_LEN}",
+        "mean_word_len_high": f"mean_wl > {quality.MAX_MEAN_WORD_LEN}",
+        "dup_token_ratio": f"dup_ratio > {quality.MAX_DUP_TOKEN_RATIO}",
+        "stop_ratio": f"stop_ratio < {quality.MIN_STOPWORD_RATIO}",
+    }
+    assert tuple(flags) == quality.ABLATION_SIGNALS
+    flag_cols = ",\n               ".join(
+        f"CASE WHEN {cond} THEN 1 ELSE 0 END AS f_{n}"
+        for n, cond in flags.items()
+    )
+    nf = " + ".join(f"f_{n}" for n in flags)
+    aggs = ",\n               ".join(
+        f"SUM(f_{n}) AS fail_{n}, "
+        f"SUM(CASE WHEN f_{n} = 1 AND nf = 1 THEN 1 ELSE 0 END) AS alone_{n}"
+        for n in flags
+    )
+    rows = "\n        UNION ALL\n        ".join(
+        f"SELECT '{n}' AS signal, CAST(fail_{n} AS BIGINT) AS n_fail, "
+        f"CAST(alone_{n} AS BIGINT) AS n_fail_alone, n_docs, "
+        f"CAST(n_kept AS BIGINT) AS n_kept FROM a"
+        for n in flags
+    )
+    return f"""
+        WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+        s AS (SELECT
+               len(toks) AS n_tokens,
+               ROUND(COALESCE(list_sum(list_transform(toks, x -> length(x))),
+                              0) * 1.0 / GREATEST(len(toks), 1), 4)
+                   AS mean_wl,
+               ROUND((len(toks) - len(list_distinct(toks))) * 1.0
+                     / GREATEST(len(toks), 1), 4) AS dup_ratio,
+               ROUND(len(list_filter(toks, x -> lower(x) IN {_STOP})) * 1.0
+                     / GREATEST(len(toks), 1), 4) AS stop_ratio
+              FROM t),
+        f AS (SELECT {flag_cols} FROM s),
+        g AS (SELECT *, {nf} AS nf FROM f),
+        a AS (SELECT COUNT(*) AS n_docs,
+               SUM(CASE WHEN nf = 0 THEN 1 ELSE 0 END) AS n_kept,
+               {aggs}
+              FROM g)
+        {rows}
+    """
+
+
+ORACLE["quality_ablation_report"] = _ablation_oracle()
+
 QUERIES = {
+    "quality_ablation_report": quality_ablation_report,
     "corpus_report": corpus_report,
     "bpe_pack_chunks": bpe_pack_chunks,
     "doc_quality_signals": doc_quality_signals,

@@ -413,3 +413,30 @@ def test_span_dedup_first_occurrence_wins(spark):
     assert out[2].kept_md5 == md5("z1 z2")  # dup span removed, tail kept
     assert (out[3].n_spans, out[3].n_kept_spans) == (2, 0)
     assert out[3].kept_md5 == md5("")
+
+
+def test_ablation_report_consistency(spark, sf_dir):
+    """The ablation report's cross-signal arithmetic: unique rejections
+    never exceed total rejections, every rejected doc fails >= 1
+    signal, and n_kept equals the filter verdict's keep count — the
+    report and the filter cannot disagree."""
+    from flink_log_analysis_spark.operators import quality
+    from flink_log_analysis_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = quality.ablation_report(docs).collect()
+    assert {r["signal"] for r in rows} == set(quality.ABLATION_SIGNALS)
+    n_docs = rows[0]["n_docs"]
+    n_kept = rows[0]["n_kept"]
+    assert all(r["n_docs"] == n_docs and r["n_kept"] == n_kept for r in rows)
+    for r in rows:
+        assert 0 <= r["n_fail_alone"] <= r["n_fail"] <= n_docs - n_kept or (
+            r["n_fail"] == 0 and r["n_fail_alone"] == 0
+        )
+    rejected = n_docs - n_kept
+    assert sum(r["n_fail"] for r in rows) >= rejected
+    assert sum(r["n_fail_alone"] for r in rows) <= rejected
+    kept_direct = (
+        quality.quality_signals(docs).filter("keep").count()
+    )
+    assert n_kept == kept_direct
