@@ -422,3 +422,78 @@ def test_fsio_no_session_fallback(monkeypatch, tmp_path):
     assert fsio.rename(f"{root}/a", f"{root}/b")
     fsio.delete(f"{root}/b")
     assert not fsio.exists(f"{root}/b")
+
+
+def test_two_streams_interleaved_ingest_one_index(spark, sf_dir, tmp_path):
+    """Two REAL checkpointed streams (own input dirs, own checkpoints)
+    interleave availableNow drains into ONE index: batch ids restart
+    at 0 per checkpoint, yet neither stream's markers skip the other's
+    batches or overwrite its partitions, every ingested row is
+    searchable afterwards, and the final search equals the in-memory
+    composition over the full corpus (VERDICT r9 optional-depth)."""
+    from flink_log_analysis_spark.streaming.ann_ingest import (
+        committed_batches,
+        ivf_ingest_stream,
+        stream_ingest_id,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(
+        emb.filter(F.col("vec_id") % 6 < 2), idx, n_cells=4, seed=42
+    )
+
+    def arrive(where: str, rem: int, name: str) -> None:
+        emb.filter(F.col("vec_id") % 6 == rem).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{where}/{name}")
+
+    def drain(inputs: str, ckpt: str) -> list[int]:
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(inputs)
+        )
+        return ivf_ingest_stream(spark, idx, stream, ckpt)
+
+    in_a, ck_a = str(tmp_path / "in_a"), str(tmp_path / "ck_a")
+    in_b, ck_b = str(tmp_path / "in_b"), str(tmp_path / "ck_b")
+    counts = [spark.read.parquet(f"{idx}/vectors").count()]
+
+    # interleaved drains: A b0, B b0, A b1, B b1 — each drain must
+    # ingest its own new file (no cross-skip from the other stream's
+    # markers, whose batch numbering is identical)
+    arrive(in_a, 2, "b0")
+    assert drain(in_a, ck_a) == [0]
+    counts.append(spark.read.parquet(f"{idx}/vectors").count())
+    arrive(in_b, 4, "b0")
+    assert drain(in_b, ck_b) == [0]
+    counts.append(spark.read.parquet(f"{idx}/vectors").count())
+    arrive(in_a, 3, "b1")
+    assert drain(in_a, ck_a) == [0, 1]
+    counts.append(spark.read.parquet(f"{idx}/vectors").count())
+    arrive(in_b, 5, "b1")
+    assert drain(in_b, ck_b) == [0, 1]
+    counts.append(spark.read.parquet(f"{idx}/vectors").count())
+    assert counts == sorted(set(counts)), "every drain must append rows"
+    assert counts[-1] == emb.count()
+
+    # audit trail: two distinct ingest ids, each with batches [0, 1]
+    id_a, id_b = stream_ingest_id(ck_a), stream_ingest_id(ck_b)
+    assert id_a != id_b
+    assert committed_batches(idx, id_a) == [0, 1]
+    assert committed_batches(idx, id_b) == [0, 1]
+    assert committed_batches(idx) == [0, 0, 1, 1]
+
+    # both streams' rows are searchable: persisted == in-memory over
+    # the FULL corpus under the same fit artifacts
+    queries = emb.filter(F.col("vec_id") < 3)
+    res, _ = similarity.knn_ivf_persisted(spark, idx, queries, k=K, n_probe=2)
+    cents, _, ranges, n_cells = similarity.read_ivf_meta(spark, idx)
+    mem = similarity.knn_ivf_quantized(
+        emb, queries, k=K, n_cells=n_cells, n_probe=2,
+        centroids=cents, ranges=ranges,
+    )
+    assert res.exceptAll(mem).count() == 0
+    assert mem.exceptAll(res).count() == 0
