@@ -74,19 +74,32 @@ def _plan_modules():
 # Names pinned to the driver's 50-entry audit window, in order.
 # Anything not listed here follows afterwards in module order.
 #
-# Round-7 rotation (VERDICT r6 item 1): the three never-driver-audited
-# oracle-backed queries (dup_cluster_sizes, near_dedup_best_docs,
-# rare_token_stats) jump the queue, png_roundtrip is new this session,
-# and knn_lsh comes back under audit because r6's d51b788 refactored
-# lsh_bucket (the sign-LSH path) — per the policy that a touched path
-# keeps one driver query for a round (the r6 rotation comment wrongly
-# claimed that path was untouched; ADVICE r6). Rotating OUT: the five
-# r6-refreshed greens whose code is untouched (quantity_quantiles,
-# bpe_token_stats, token_frequencies, rolling_fingerprints,
-# doc_fingerprints). orders_snapshot_diff stays under audit because
-# round 7 touches snapshot_diff (null-safe keys). Every rotated-out
-# name still runs in the local gate (tools/check_correctness.py) and
-# tests/test_oracle_parity.
+# Round-10 rotation (VERDICT r9 item 1): the 12-query reference-parity
+# core stays pinned (and doubles as the touched-path audit for this
+# round's manufactured-IP change — log_roundtrip/_literal and
+# client_ip_access_stream restate the changed formula on both sides).
+# Then every query with NO driver row yet jumps the queue: the four
+# r9 newborns the verdict named (log_hourly_windows,
+# log_hourly_windows_stream, corpus_tokenize_stream,
+# hard_negative_mining_ivf) plus this round's five new queries
+# (knn_ivf_compacted, log_sessions, log_sessions_stream,
+# bpe_learned_deep, quality_ablation_report). The two r6-stale
+# exemptions return (knn_ivf_recall, wav_roundtrip — their documented
+# waivers are two rounds old). The remaining 27 slots take the
+# r7-stale cohort oldest-first; 9 of its 36 defer to r11's head, each
+# with an in-window sibling covering its path: knn_ivf_quantized_recall
+# (floor re-audited via knn_ivf_recall now in-window + the r8 p6
+# superset + r9 manycell), dup_cluster_sizes / near_dedup_best_docs
+# (oracles WRAP the in-window near_dup_clusters), bmp_roundtrip /
+# png_roundtrip (one-shot codec contracts, code untouched — the same
+# waiver class wav_roundtrip just aged out of, so they return next
+# round), doc_quality_signals / corpus_report (the new in-window
+# quality_ablation_report re-derives the same signal bank and keep
+# predicate), doc_chunks / token_budget_select (untouched packing
+# arithmetic; pack_chunks keeps the family audited). Rotating OUT: the
+# entire r9-green non-core block. Every rotated-out name still runs in
+# the local gate (tools/check_correctness.py, driver-identical canon)
+# and in tests/test_oracle_parity.
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",
@@ -101,74 +114,48 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # Round-9 rotation (VERDICT r8 item 1): the ENTIRE remaining
-    # r5-stale cohort (20 — their last driver rows are CORRECTNESS_r05)
-    # rotates in oldest-first...
-    "near_dedup_docs",
-    "binary_meta",
-    "customer_order_cadence",
-    "deduped_events_stream",
-    "embedding_near_dups",
-    "embedding_norms",
-    "last_purchase_asof",
-    "media_frames",
-    "media_resize",
-    "monthly_revenue_moving_avg",
-    "ngram_jaccard_pairs",
-    "promo_window_orders",
-    "salted_event_counts",
-    "source_token_stats",
-    "user_event_pivot",
-    "windowed_event_counts_stream",
-    "lang_id_ngram",
-    "text_quality",
-    "hourly_event_stats",
-    "customer_balance_merge",
-    # ...plus 11 of the 13 r6-stale block. The two left at r6 (inside
-    # the staleness bound): knn_ivf_recall — its floor stays audited
-    # via the superset p6 contract AND the new manycell row — and
-    # wav_roundtrip (one-shot codec contract, code untouched).
-    "bpe_token_stats",
-    "doc_fingerprints",
-    "incremental_near_dups",
-    "media_features",
-    "pii_scrub",
-    "quantity_quantiles",
-    "rolling_fingerprints",
-    "session_windows",
-    "sketch_accuracy",
-    "token_frequencies",
-    "user_session_stats",
-    # new this round: many-cell IVF geometry (recall/scan/identity on
-    # the clustered corpus), the large-vocab BPE tier (pandas dispatch
-    # + recursive-CTE oracle), streaming ANN ingest, the composed web
-    # curation pipeline, and lev<=2 fuzzy dedup
-    "knn_ivf_manycell_recall",
-    "bpe_large_vocab",
-    "knn_ivf_streamed",
-    "web_corpus_prep",
-    "supplier_fuzzy_dups_lev2",
-    # touched-path re-audits: the r8-advisory BPE fixes changed the
-    # native chain (dot-all wrap) and the shared piece regex —
-    # bpe_merge_tokens is the native-chain query; span_dedup grew the
-    # n_kept_tokens column (schema change) for web_corpus_prep
-    "bpe_merge_tokens",
-    "span_dedup",
-    # Rotated OUT this round (r8-green, code untouched since, except
-    # where a sibling above covers the touched path): the 21-query
-    # analytics block, orders_snapshot_diff, the r8-newborn contracts
-    # (bpe_vocab_fit / bpe_token_ids / bpe_pack_chunks ride the same
-    # chain as the in-window bpe_merge_tokens; knn_ivf_persisted /
-    # knn_ivf_appended ride the same index machinery as the in-window
-    # knn_ivf_streamed and manycell rows; supplier_fuzzy_dups' blocking
-    # path is a strict subset of the in-window lev2 row;
-    # domain_quota_sample / hard_negative_mining untouched), the six
-    # r5-refresh rows from r8 (exact_dedup_groups, simhash,
-    # knn_bruteforce, minhash_signatures, stateful_sessions,
-    # text_stats), and knn_ivf (rows-only by design; its checkable
-    # contracts are the recall rows). Every rotated-out name still
-    # runs in the local gate (tools/check_correctness.py,
-    # driver-identical canon) and in tests/test_oracle_parity.
+    # never-driver-audited (r9 newborns named by the verdict)
+    "log_hourly_windows",
+    "log_hourly_windows_stream",
+    "corpus_tokenize_stream",
+    "hard_negative_mining_ivf",
+    # never-driver-audited (new this round)
+    "knn_ivf_compacted",
+    "log_sessions",
+    "log_sessions_stream",
+    "bpe_learned_deep",
+    "quality_ablation_report",
+    # r6-stale exemptions returning
+    "knn_ivf_recall",
+    "wav_roundtrip",
+    # r7-stale cohort (27 of 36; the 9 deferrals are justified above)
+    "benchmark_contamination",
+    "conversion_pairs_stream",
+    "corpus_ingest_stream",
+    "corpus_prep",
+    "corpus_shards",
+    "doc_boilerplate_signals",
+    "doc_repetition_signals",
+    "documents_jsonl_roundtrip",
+    "domain_stats",
+    "embedding_quantize",
+    "events_csv_roundtrip",
+    "incremental_near_dups_stream",
+    "jl_projection_contract",
+    "knn_lsh",
+    "knn_quantized",
+    "lang_mixture_resample",
+    "lineitem_orc_roundtrip",
+    "near_dup_clusters",
+    "near_dup_pairs",
+    "order_value_ntile",
+    "pack_chunks",
+    "rare_token_stats",
+    "simhash_near_dups",
+    "table_profile",
+    "training_order_shuffle",
+    "url_curation",
+    "weighted_doc_sample",
 ]
 
 
