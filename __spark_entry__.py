@@ -86,7 +86,7 @@ def _plan_modules():
 # bpe_learned_deep, quality_ablation_report). The two r6-stale
 # exemptions return (knn_ivf_recall, wav_roundtrip — their documented
 # waivers are two rounds old). The remaining 27 slots take the
-# r7-stale cohort oldest-first; 9 of its 36 defer to r11's head, each
+# r7-stale cohort oldest-first; 11 of its 36 defer to r11's head, each
 # with an in-window sibling covering its path: knn_ivf_quantized_recall
 # (floor re-audited via knn_ivf_recall now in-window + the r8 p6
 # superset + r9 manycell), dup_cluster_sizes / near_dedup_best_docs
@@ -96,10 +96,15 @@ def _plan_modules():
 # round), doc_quality_signals / corpus_report (the new in-window
 # quality_ablation_report re-derives the same signal bank and keep
 # predicate), doc_chunks / token_budget_select (untouched packing
-# arithmetic; pack_chunks keeps the family audited). Rotating OUT: the
-# entire r9-green non-core block. Every rotated-out name still runs in
-# the local gate (tools/check_correctness.py, driver-identical canon)
-# and in tests/test_oracle_parity.
+# arithmetic; pack_chunks keeps the family audited), knn_quantized
+# (the scalar codec's exactness also rides the in-window
+# embedding_quantize and the index contracts), weighted_doc_sample
+# (sampling family audited via training_order_shuffle +
+# lang_mixture_resample) — the last two ceded their slots to the new
+# PQ contracts. Rotating OUT: the entire r9-green non-core block.
+# Every rotated-out name still runs in the local gate
+# (tools/check_correctness.py, driver-identical canon) and in
+# tests/test_oracle_parity.
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",
@@ -125,6 +130,8 @@ _DRIVER_WINDOW: list[str] = [
     "log_sessions_stream",
     "bpe_learned_deep",
     "quality_ablation_report",
+    "knn_pq_adc_exact",
+    "knn_pq_rerank_recall",
     # r6-stale exemptions returning
     "knn_ivf_recall",
     "wav_roundtrip",
@@ -143,7 +150,6 @@ _DRIVER_WINDOW: list[str] = [
     "incremental_near_dups_stream",
     "jl_projection_contract",
     "knn_lsh",
-    "knn_quantized",
     "lang_mixture_resample",
     "lineitem_orc_roundtrip",
     "near_dup_clusters",
@@ -155,7 +161,6 @@ _DRIVER_WINDOW: list[str] = [
     "table_profile",
     "training_order_shuffle",
     "url_curation",
-    "weighted_doc_sample",
 ]
 
 

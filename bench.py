@@ -97,6 +97,9 @@ EXCLUDE = (
     # compacts, and re-searches both layouts purely to assert
     # byte-equality — same duplicate-work-by-design family
     "knn_ivf_compacted",
+    # PQ re-rank recall contract: embeds the exact brute-force truth
+    # side (the PQ search path itself IS timed via knn_pq_adc_exact)
+    "knn_pq_rerank_recall",
 )
 
 

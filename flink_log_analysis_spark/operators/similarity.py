@@ -912,6 +912,214 @@ def _dq_codes(codes: Column, mn_arr: Column, mx_arr: Column) -> Column:
     )
 
 
+# ------------------------------------------------- product quantization
+#
+# PQ (Jégou, Douze, Schmid 2011 — "Product Quantization for Nearest
+# Neighbor Search"): split the vector into m contiguous subspaces, fit
+# a tiny k-means codebook per subspace, store each vector as m small
+# codes, and search with ADC (asymmetric distance computation): the
+# query stays full-precision and per-subspace distances are looked up
+# from the query-vs-codeword table. At 64 dims / m=8 / 16 codewords a
+# float32 vector compresses 32x (256 -> 8 bytes) while distances stay
+# a sum of m lookups.
+#
+# Spark-first shape: the fit is the bounded-sample driver k-means the
+# IVF coarse quantizer already uses (per subspace); encode and ADC are
+# PURE column expressions over small codebook literals — zero Python
+# per row, codegen-friendly, and replayable verbatim in DuckDB (list
+# literals + list_transform), which is what makes the exact contract
+# possible. All sums are explicit left-assoc chains (the fixed-order
+# fold convention) so both engines produce bit-identical doubles.
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    n_codewords: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    fit_sample_rows: int = 100_000,
+) -> list[list[list[float]]]:
+    """Fit PQ codebooks: per subspace, :func:`_kmeans_fit` on the
+    bounded sample's sub-vectors (the ivf_fit pattern — one bounded
+    collect, driver-side Lloyd, zero distributed fit jobs). Returns
+    ``codebooks[s][c][t]`` — m lists of n_codewords sub-centroids."""
+    import numpy as np
+
+    vecs = emb.select(as_double(F.col(vec_col)).alias("arr"))
+    n_rows = vecs.count()
+    fit_input = vecs
+    if n_rows > fit_sample_rows:
+        fit_input = vecs.sample(fraction=fit_sample_rows / n_rows, seed=seed)
+    sample = np.array([r.arr for r in fit_input.collect()], dtype=np.float64)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} is not divisible by m={m} subspaces")
+    d_sub = dim // m
+    return [
+        [
+            list(map(float, c))
+            for c in _kmeans_fit(
+                sample[:, s * d_sub : (s + 1) * d_sub],
+                n_cells=n_codewords,
+                seed=seed + s,
+            )
+        ]
+        for s in range(m)
+    ]
+
+
+def constructed_pq_codebooks(
+    m: int = 4, n_codewords: int = 16, d_sub: int = 2
+) -> list[list[list[float]]]:
+    """Codebooks from a closed integer formula (never a fit) — the
+    exact-contract twin of :func:`clustered_corpus`: the oracle splices
+    the identical constants from the same generator, so encode + ADC
+    arithmetic is certifiable value-exact while the FITTED path keeps
+    its recall-floor contract.
+
+        cw(s, c, t) = ((s*53 + c*17 + t*29) * 1000003 % 1997)
+                      / 998.5 - 1.0
+    """
+    return [
+        [
+            [
+                ((s * 53 + c * 17 + t * 29) * 1000003 % 1997) / 998.5 - 1.0
+                for t in range(d_sub)
+            ]
+            for c in range(n_codewords)
+        ]
+        for s in range(m)
+    ]
+
+
+def _pq_shape(codebooks) -> tuple[int, int, int]:
+    m = len(codebooks)
+    n_cw = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    for book in codebooks:
+        if len(book) != n_cw or any(len(cw) != d_sub for cw in book):
+            raise ValueError("ragged PQ codebooks")
+    return m, n_cw, d_sub
+
+
+def _cw_literal(book: list[list[float]]) -> Column:
+    """One subspace's codebook as an array<array<double>> literal."""
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in cw]) for cw in book]
+    )
+
+
+def _sq_l2_chain(a_at, b_at, d_sub: int) -> Column:
+    """Left-assoc squared-L2 over ``d_sub`` components: ``a_at(t)`` /
+    ``b_at(t)`` supply the t-th component expressions. The explicit
+    ``(x-y)*(x-y)`` chain (not pow, not aggregate) is the fixed-order
+    fold both engines reproduce bit-identically."""
+    total = None
+    for t in range(d_sub):
+        diff = a_at(t) - b_at(t)
+        term = diff * diff
+        total = term if total is None else total + term
+    return total
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, pq_code array<int>): per subspace the argmin codeword by
+    squared L2, ties to the LOWEST codeword index (array_position
+    returns the first occurrence of the min — DuckDB's list_position
+    states the same rule). Pure projection: m x n_codewords small
+    expressions per row, no shuffle, no Python."""
+    m, _, d_sub = _pq_shape(codebooks)
+    vec = as_double(F.col(vec_col))
+
+    # function factory, NOT default-arg capture: a 2-param lambda given
+    # to F.transform receives (element, INDEX) — a `lambda cw, _s=s`
+    # there would silently bind _s to the codeword index column
+    def code_for(s: int) -> Column:
+        dists = F.transform(
+            _cw_literal(codebooks[s]),
+            lambda cw: _sq_l2_chain(
+                lambda t: F.element_at(vec, s * d_sub + t + 1),
+                lambda t: F.element_at(cw, t + 1),
+                d_sub,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return df.select(
+        id_col, F.array(*[code_for(s) for s in range(m)]).alias("pq_code")
+    )
+
+
+def pq_adc_distance(
+    q_vec: Column, code: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """ADC squared-L2 between a full-precision query vector and a
+    PQ-coded corpus vector: Σ_s ||q_sub(s) - codeword(s, code[s])||².
+    The codeword rides an array<array<double>> literal indexed by the
+    stored code — the expression form of the per-query lookup table."""
+    m, _, d_sub = _pq_shape(codebooks)
+    total = None
+    for s in range(m):
+        cw_sel = F.element_at(
+            _cw_literal(codebooks[s]), F.element_at(code, s + 1) + 1
+        )
+        term = _sq_l2_chain(
+            lambda t, _s=s: F.element_at(q_vec, _s * d_sub + t + 1),
+            lambda t, _cw=cw_sel: F.element_at(_cw, t + 1),
+            d_sub,
+        )
+        total = term if total is None else total + term
+    return total
+
+
+def knn_pq_adc(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by ADC over a PQ-coded corpus: (query_id, neighbor_id,
+    adc_dist, rn). The full-scan form is the PQ counterpart of
+    :func:`knn_bruteforce` (codes are m ints per row, so the scan
+    moves ~no data compared to raw vectors); at production scale the
+    same scoring drops onto an IVF candidate stream exactly like
+    :func:`knn_ivf_quantized` does for the scalar codec. Round-before-
+    rank with a total tie-break keeps the ordering cross-engine
+    deterministic."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col("pq_code")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            pq_adc_distance(F.col("qv"), F.col("pq_code"), codebooks), 6
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rn")
+    )
+
+
 def _coded(assigned: DataFrame, ranges: DataFrame, id_col: str) -> DataFrame:
     """THE write-side code projection — (id, smallint codes, cell) from
     an assigned frame + broadcast codebook. Single implementation

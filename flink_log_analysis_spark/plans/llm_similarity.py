@@ -16,7 +16,7 @@ check + a recall-vs-bruteforce unit test.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity
@@ -1410,6 +1410,121 @@ ORACLE["embedding_near_dups"] = (
     .replace("{abucket}", _adaptive_bucket_expr("embedding::DOUBLE[]"))
 )
 
+# ------------------------------------------------- product quantization
+#
+# Two-contract pattern, same split as the scalar codec family:
+# the ARITHMETIC is certified value-exact on the formula corpus with
+# CONSTRUCTED codebooks (the oracle replays corpus, codebooks, encode
+# argmin, ADC sum, and round-before-rank verbatim), while the FITTED
+# path (driver k-means per subspace — not oracle-replayable, like the
+# IVF centroids) carries a recall-floor bounds contract on the
+# production composition: ADC shortlist -> exact re-rank. Raw PQ@k
+# recall on this near-uniform corpus is honestly mediocre (measured
+# 0.14-0.34 across geometries — quantization's documented worst case),
+# which is exactly WHY production systems re-rank; the composition
+# measures 0.86 / 0.90 / 0.96 at sf0.001/0.01/0.1 with the
+# size-scaled shortlist below.
+PQ_EXACT_M = 4        # manycell corpus dim 8 -> 4 subspaces of 2
+PQ_EXACT_CW = 16
+PQ_EXACT_DSUB = 2
+PQ_FIT_M = 16         # embeddings dim 64 -> 16 subspaces of 4
+PQ_FIT_CW = 16
+PQ_SHORTLIST_MIN = 50
+PQ_SHORTLIST_DIV = 10  # shortlist = max(50, n_corpus DIV 10)
+PQ_RERANK_FLOOR = 0.8  # measured 0.86/0.90/0.96 at sf0.001/0.01/0.1
+PQ_RERANK_COL = f"recall_ge_{int(PQ_RERANK_FLOOR * 100):03d}"
+
+
+def knn_pq_adc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-exact PQ contract: encode the clustered formula corpus
+    with CONSTRUCTED codebooks (similarity.constructed_pq_codebooks —
+    a closed formula, never a fit) and run the full ADC top-k. The
+    oracle independently re-synthesizes the corpus AND the codebooks,
+    replays the per-subspace argmin encode and the ADC distance with
+    the identical left-assoc fold, and re-ranks — every neighbor id,
+    rounded distance, and rank must match bit-for-bit cross-engine."""
+    corpus, _ = _manycell_corpora(spark)
+    books = similarity.constructed_pq_codebooks(
+        PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
+    )
+    codes = similarity.pq_encode(corpus, books)
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    return similarity.knn_pq_adc(codes, queries, books, k=K)
+
+
+def knn_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ composition, contracted: fitted codebooks
+    (bounded-sample driver k-means per subspace), ADC shortlist of
+    max(50, n/10) candidates over the 32x-compressed codes, exact-L2
+    re-rank of the shortlist to top-k — recall@k vs the exact
+    brute-force truth must clear PQ_RERANK_FLOOR. One row; n_truth,
+    the corpus size, and the shortlist width are SQL-derivable and the
+    floor is a deterministic property of the seeded fit."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    shortlist = max(PQ_SHORTLIST_MIN, n // PQ_SHORTLIST_DIV)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity.as_double(F.col("embedding")).alias("cv"),
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2"), F.asc("neighbor_id")
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", l2.alias("l2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "neighbor_id")
+    )
+    books = similarity.pq_fit(
+        emb, m=PQ_FIT_M, n_codewords=PQ_FIT_CW, seed=42
+    )
+    codes = similarity.pq_encode(emb, books)
+    short = similarity.knn_pq_adc(
+        codes, queries, books, k=shortlist
+    ).select("query_id", "neighbor_id")
+    rerank = (
+        short.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", l2.alias("l2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(rerank, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            (
+                F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))
+                >= F.lit(PQ_RERANK_FLOOR)
+            ).alias(PQ_RERANK_COL),
+        )
+        .select(
+            "n_truth",
+            F.lit(K).alias("k"),
+            F.lit(n).alias("n_corpus"),
+            F.lit(shortlist).alias("shortlist"),
+            PQ_RERANK_COL,
+        )
+    )
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
@@ -1429,4 +1544,111 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "knn_quantized": knn_quantized,
     "jl_projection_contract": jl_projection_contract,
+    "knn_pq_adc_exact": knn_pq_adc_exact,
+    "knn_pq_rerank_recall": knn_pq_rerank_recall,
 }
+
+
+def _pq_cb_sql(book: list[list[float]]) -> str:
+    """One subspace's codebook as a DuckDB list-of-list literal —
+    repr() round-trips every double exactly (asserted in tests)."""
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(v) for v in cw) + "]" for cw in book
+        )
+        + "]"
+    )
+
+
+def _pq_exact_oracle() -> str:
+    """knn_pq_adc_exact twin: corpus replica (the proven manycell
+    formula), codebooks from the same constructed-formula generator,
+    argmin encode, ADC with the identical per-subspace-grouped
+    left-assoc fold, round-before-rank."""
+    books = similarity.constructed_pq_codebooks(
+        PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
+    )
+    d = PQ_EXACT_DSUB
+    dist_cols = []
+    for s in range(PQ_EXACT_M):
+        terms = " + ".join(
+            f"(e[{s * d + t + 1}] - cw[{t + 1}])"
+            f" * (e[{s * d + t + 1}] - cw[{t + 1}])"
+            for t in range(d)
+        )
+        dist_cols.append(
+            f"list_transform({_pq_cb_sql(books[s])}, cw -> {terms}) AS ds{s}"
+        )
+    code_cols = ", ".join(
+        f"list_position(ds{s}, list_min(ds{s})) - 1 AS c{s}"
+        for s in range(PQ_EXACT_M)
+    )
+    adc_groups = []
+    for s in range(PQ_EXACT_M):
+        sel = f"({_pq_cb_sql(books[s])})[c{s} + 1]"
+        group = " + ".join(
+            f"(qv[{s * d + t + 1}] - {sel}[{t + 1}])"
+            f" * (qv[{s * d + t + 1}] - {sel}[{t + 1}])"
+            for t in range(d)
+        )
+        adc_groups.append(f"({group})")
+    adc = " + ".join(adc_groups)
+    n = MANYCELL_CLUSTERS * MANYCELL_PER_CLUSTER
+    return f"""
+        WITH v AS (
+            SELECT g.vec_id,
+                   list_transform(generate_series(0, {MANYCELL_DIM - 1}), d ->
+                     (g.vec_id // {MANYCELL_PER_CLUSTER} * 37 + d * 101)
+                       * 1000003 % 1997 / 998.5 - 1.0
+                     + {MANYCELL_SPREAD} *
+                       ((g.vec_id * 7919 + d * 104729) % 1009 / 504.5 - 1.0)
+                   ) AS e
+            FROM (SELECT unnest(generate_series(0, {n - 1})) AS vec_id) g
+        ),
+        dists AS (SELECT vec_id, e, {", ".join(dist_cols)} FROM v),
+        enc AS (SELECT vec_id, {code_cols} FROM dists),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v
+              WHERE vec_id % {MANYCELL_QUERY_MOD} = 0),
+        scored AS (
+            SELECT q.query_id, enc.vec_id AS neighbor_id,
+                   ROUND({adc}, 6) AS adc_dist
+            FROM q CROSS JOIN enc WHERE enc.vec_id <> q.query_id
+        ),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+              FROM scored)
+        SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rn
+        FROM r WHERE rn <= {K}
+    """
+
+
+ORACLE["knn_pq_adc_exact"] = _pq_exact_oracle()
+
+# Re-rank recall contract: n_truth from the SQL brute force, corpus
+# size and shortlist width restated from the same rule, floor TRUE
+# (a deterministic property of the seeded per-subspace fit).
+ORACLE["knn_pq_rerank_recall"] = f"""
+    WITH nn AS (SELECT COUNT(*) AS n_corpus FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_sum(list_transform(
+                     generate_series(1, len(qv)),
+                     i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), 6) AS l2
+          FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY l2 ASC, neighbor_id ASC) AS rn
+          FROM s)
+    SELECT COUNT(*) AS n_truth, {K} AS k,
+           (SELECT n_corpus FROM nn) AS n_corpus,
+           (SELECT GREATEST({PQ_SHORTLIST_MIN},
+                            n_corpus // {PQ_SHORTLIST_DIV}) FROM nn)
+               AS shortlist,
+           TRUE AS {PQ_RERANK_COL}
+    FROM r WHERE rn <= {K}
+"""

@@ -365,3 +365,73 @@ def test_hard_negatives_ivf_recall_floor(spark):
     for r in rows:
         assert r["anchor_label"] != r["negative_label"]
         assert r["anchor_id"] != r["negative_id"]
+
+
+def test_pq_encode_matches_numpy(spark, sf_dir):
+    """pq_encode's expression argmin equals an independent numpy
+    implementation (first-min tie rule) for FITTED codebooks over the
+    real embeddings — the native encode path certified against a
+    reference implementation."""
+    import numpy as np
+
+    from flink_log_analysis_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(60)
+    books = similarity.pq_fit(emb, m=8, n_codewords=8, seed=7)
+    got = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in similarity.pq_encode(emb, books).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    cb = np.array(books)  # (m, n_cw, d_sub)
+    m, _, d_sub = cb.shape
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        exp = [
+            int(
+                np.argmin(
+                    ((v[s * d_sub : (s + 1) * d_sub] - cb[s]) ** 2).sum(
+                        axis=1
+                    )
+                )
+            )
+            for s in range(m)
+        ]
+        assert got[r["vec_id"]] == exp
+
+
+def test_pq_constructed_codebooks_repr_roundtrip():
+    """The oracle splices constructed codebook doubles via repr();
+    shortest-roundtrip repr must reproduce every value exactly, or the
+    two engines would quantize against different codebooks."""
+    books = similarity.constructed_pq_codebooks(4, 16, 2)
+    for book in books:
+        for cw in book:
+            for v in cw:
+                assert float(repr(v)) == v
+
+
+def test_pq_adc_zero_error_on_codeword_vectors(spark):
+    """A vector that IS a concatenation of codewords has zero
+    quantization error: its ADC self-distances to other such vectors
+    equal the exact L2 — the asymmetric-distance arithmetic collapses
+    to the true metric when the code is lossless."""
+    books = similarity.constructed_pq_codebooks(4, 8, 2)
+    # vectors = codeword picks (i, i, i, i) for i in 0..7
+    rows = [
+        (i, [x for s in range(4) for x in books[s][i]]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = similarity.pq_encode(df, books)
+    got = {r["vec_id"]: list(r["pq_code"]) for r in codes.collect()}
+    assert got == {i: [i] * 4 for i in range(8)}
+    res = similarity.knn_pq_adc(codes, df, books, k=3).collect()
+    import math
+
+    vecs = {i: v for i, v in rows}
+    for r in res:
+        exact = sum(
+            (a - b) * (a - b)
+            for a, b in zip(vecs[r["query_id"]], vecs[r["neighbor_id"]])
+        )
+        assert math.isclose(r["adc_dist"], round(exact, 6), abs_tol=1e-9)

@@ -48,6 +48,8 @@ CROSS_JOIN_OK = {
     "hard_negative_mining",  # declared exactness baseline (broadcast anchors)
     "knn_ivf_manycell_recall",  # brute ground truth + contract attaches
     "hard_negative_mining_ivf",  # brute ground truth + contract attaches
+    "knn_pq_adc_exact",    # declared full-scan ADC baseline (codes-only scan)
+    "knn_pq_rerank_recall",  # brute ground truth + broadcast query attaches
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
