@@ -100,8 +100,10 @@ def _plan_modules():
 # (the scalar codec's exactness also rides the in-window
 # embedding_quantize and the index contracts), weighted_doc_sample
 # (sampling family audited via training_order_shuffle +
-# lang_mixture_resample) — the last two ceded their slots to the new
-# PQ contracts. Rotating OUT: the entire r9-green non-core block.
+# lang_mixture_resample), jl_projection_contract (one-shot math
+# contract, untouched; quantization family keeps embedding_quantize)
+# — the last three ceded their slots to the new PQ / IVF-PQ
+# contracts. Rotating OUT: the entire r9-green non-core block.
 # Every rotated-out name still runs in the local gate
 # (tools/check_correctness.py, driver-identical canon) and in
 # tests/test_oracle_parity.
@@ -132,6 +134,7 @@ _DRIVER_WINDOW: list[str] = [
     "quality_ablation_report",
     "knn_pq_adc_exact",
     "knn_pq_rerank_recall",
+    "knn_ivf_pq_exact",
     # r6-stale exemptions returning
     "knn_ivf_recall",
     "wav_roundtrip",
@@ -148,7 +151,6 @@ _DRIVER_WINDOW: list[str] = [
     "embedding_quantize",
     "events_csv_roundtrip",
     "incremental_near_dups_stream",
-    "jl_projection_contract",
     "knn_lsh",
     "lang_mixture_resample",
     "lineitem_orc_roundtrip",

@@ -1028,12 +1028,13 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, pq_code array<int>): per subspace the argmin codeword by
-    squared L2, ties to the LOWEST codeword index (array_position
-    returns the first occurrence of the min — DuckDB's list_position
-    states the same rule). Pure projection: m x n_codewords small
-    expressions per row, no shuffle, no Python."""
+    """(id, [keep_cols...,] pq_code array<int>): per subspace the
+    argmin codeword by squared L2, ties to the LOWEST codeword index
+    (array_position returns the first occurrence of the min — DuckDB's
+    list_position states the same rule). Pure projection: m x
+    n_codewords small expressions per row, no shuffle, no Python."""
     m, _, d_sub = _pq_shape(codebooks)
     vec = as_double(F.col(vec_col))
 
@@ -1052,7 +1053,9 @@ def pq_encode(
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     return df.select(
-        id_col, F.array(*[code_for(s) for s in range(m)]).alias("pq_code")
+        id_col,
+        *keep_cols,
+        F.array(*[code_for(s) for s in range(m)]).alias("pq_code"),
     )
 
 
@@ -1109,6 +1112,86 @@ def knn_pq_adc(
         F.round(
             pq_adc_distance(F.col("qv"), F.col("pq_code"), codebooks), 6
         ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rn")
+    )
+
+
+def clustered_corpus_centers(
+    n_clusters: int = 64, dim: int = 8
+) -> list[list[float]]:
+    """The EXACT cluster centers of :func:`clustered_corpus`, stated
+    from its formula (noise-free): a closed-form coarse quantizer for
+    value-exact IVF contracts — unlike a fitted k-means, an oracle can
+    splice these constants and replay cell assignment verbatim."""
+    return [
+        [
+            ((c * 37 + d * 101) * 1000003 % 1997) / 998.5 - 1.0
+            for d in range(dim)
+        ]
+        for c in range(n_clusters)
+    ]
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production ANN index composition (the faiss
+    ``IVFx,PQy`` shape): coarse-quantize the corpus into cells, PQ-code
+    each vector, and search by probing ``n_probe`` cells and scoring
+    ONLY their candidates with ADC. The scan is bounded by the probed
+    cells' population and each candidate is m small ints — the 100 TB
+    posture is cells as partitions (pruned reads, see
+    ``write_ivf_index``) with 32x-compressed payloads.
+
+    Composition of the certified pieces: :func:`ivf_assign`/
+    :func:`probe_cells` for routing (ties toward the lower cell),
+    :func:`pq_encode` codes, :func:`pq_adc_distance` scoring,
+    round-before-rank output (query_id, neighbor_id, adc_dist, rn)."""
+    assigned, _, cmat = ivf_assign(
+        corpus,
+        centroids=centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    codes = pq_encode(
+        assigned, codebooks, vec_col="arr", id_col=id_col,
+        keep_cols=("cell",),
+    ).select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    probed = probe_cells(q, "qv", cmat, list(range(n_probe)))
+    probes = probed.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(*[F.col(f"cell_p{p}") for p in range(n_probe)])
+        ).alias("cell"),
+    )
+    scored = (
+        probes.join(codes, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                pq_adc_distance(F.col("qv"), F.col("pq_code"), codebooks), 6
+            ).alias("adc_dist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")

@@ -1433,6 +1433,7 @@ PQ_SHORTLIST_MIN = 50
 PQ_SHORTLIST_DIV = 10  # shortlist = max(50, n_corpus DIV 10)
 PQ_RERANK_FLOOR = 0.8  # measured 0.86/0.90/0.96 at sf0.001/0.01/0.1
 PQ_RERANK_COL = f"recall_ge_{int(PQ_RERANK_FLOOR * 100):03d}"
+IVFPQ_PROBE = 2
 
 
 def knn_pq_adc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,6 +1451,33 @@ def knn_pq_adc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = similarity.pq_encode(corpus, books)
     queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
     return similarity.knn_pq_adc(codes, queries, books, k=K)
+
+
+def knn_ivf_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the full production index composition (faiss's
+    ``IVFx,PQy``), certified VALUE-exact end to end: the coarse
+    quantizer is the clustered corpus's own noise-free center formula
+    (similarity.clustered_corpus_centers — constructed, so the oracle
+    can replay cell ASSIGNMENT, not just bound its recall), the codes
+    are the constructed PQ codebooks, and the search probes
+    IVFPQ_PROBE cells and ADC-scores only their candidates. The
+    DuckDB twin re-derives corpus, centers, codebooks, assignment
+    argmin, per-query probe ranking, codes, ADC, and the final rank —
+    every output cell must match bit-for-bit. This is the strongest
+    statement the engine makes about its ANN tier: the entire pruned
+    search path is deterministic arithmetic, independently
+    reproducible."""
+    corpus, _ = _manycell_corpora(spark)
+    centers = similarity.clustered_corpus_centers(
+        MANYCELL_CLUSTERS, MANYCELL_DIM
+    )
+    books = similarity.constructed_pq_codebooks(
+        PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
+    )
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    return similarity.knn_ivf_pq(
+        corpus, queries, centers, books, k=K, n_probe=IVFPQ_PROBE
+    )
 
 
 def knn_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1545,6 +1573,7 @@ QUERIES = {
     "knn_quantized": knn_quantized,
     "jl_projection_contract": jl_projection_contract,
     "knn_pq_adc_exact": knn_pq_adc_exact,
+    "knn_ivf_pq_exact": knn_ivf_pq_exact,
     "knn_pq_rerank_recall": knn_pq_rerank_recall,
 }
 
@@ -1561,11 +1590,11 @@ def _pq_cb_sql(book: list[list[float]]) -> str:
     )
 
 
-def _pq_exact_oracle() -> str:
-    """knn_pq_adc_exact twin: corpus replica (the proven manycell
-    formula), codebooks from the same constructed-formula generator,
-    argmin encode, ADC with the identical per-subspace-grouped
-    left-assoc fold, round-before-rank."""
+def _pq_sql_parts() -> tuple[str, str, str]:
+    """Shared SQL fragments for the PQ exact contracts: per-subspace
+    codeword-distance columns (ds{s}), argmin code columns (c{s}), and
+    the ADC expression over qv/c{s} — per-subspace-grouped left-assoc
+    folds matching the Spark expressions exactly."""
     books = similarity.constructed_pq_codebooks(
         PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
     )
@@ -1593,10 +1622,10 @@ def _pq_exact_oracle() -> str:
             for t in range(d)
         )
         adc_groups.append(f"({group})")
-    adc = " + ".join(adc_groups)
-    n = MANYCELL_CLUSTERS * MANYCELL_PER_CLUSTER
-    return f"""
-        WITH v AS (
+    return ", ".join(dist_cols), code_cols, " + ".join(adc_groups)
+
+
+_MANYCELL_CORPUS_SQL = f"""
             SELECT g.vec_id,
                    list_transform(generate_series(0, {MANYCELL_DIM - 1}), d ->
                      (g.vec_id // {MANYCELL_PER_CLUSTER} * 37 + d * 101)
@@ -1604,9 +1633,21 @@ def _pq_exact_oracle() -> str:
                      + {MANYCELL_SPREAD} *
                        ((g.vec_id * 7919 + d * 104729) % 1009 / 504.5 - 1.0)
                    ) AS e
-            FROM (SELECT unnest(generate_series(0, {n - 1})) AS vec_id) g
-        ),
-        dists AS (SELECT vec_id, e, {", ".join(dist_cols)} FROM v),
+            FROM (SELECT unnest(generate_series(0,
+                      {MANYCELL_CLUSTERS * MANYCELL_PER_CLUSTER - 1}))
+                      AS vec_id) g
+"""
+
+
+def _pq_exact_oracle() -> str:
+    """knn_pq_adc_exact twin: corpus replica (the proven manycell
+    formula), codebooks from the same constructed-formula generator,
+    argmin encode, ADC with the identical per-subspace-grouped
+    left-assoc fold, round-before-rank."""
+    dist_cols, code_cols, adc = _pq_sql_parts()
+    return f"""
+        WITH v AS ({_MANYCELL_CORPUS_SQL}),
+        dists AS (SELECT vec_id, e, {dist_cols} FROM v),
         enc AS (SELECT vec_id, {code_cols} FROM dists),
         q AS (SELECT vec_id AS query_id, e AS qv FROM v
               WHERE vec_id % {MANYCELL_QUERY_MOD} = 0),
@@ -1625,6 +1666,69 @@ def _pq_exact_oracle() -> str:
 
 
 ORACLE["knn_pq_adc_exact"] = _pq_exact_oracle()
+
+
+def _ivf_pq_exact_oracle() -> str:
+    """knn_ivf_pq_exact twin — the FULL production index path replayed
+    value-exact: constructed cluster centers as the coarse quantizer
+    (cell = first-min argmin; the 0.0-seeded list_reduce matches
+    probe_cells' aggregate fold), n_probe nearest cells per query
+    (ties toward the lower cell, the array_sort struct rule), PQ codes
+    and ADC from the shared fragments, candidates restricted to probed
+    cells, round-before-rank."""
+    cents = similarity.clustered_corpus_centers(
+        MANYCELL_CLUSTERS, MANYCELL_DIM
+    )
+    cent_sql = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(v) for v in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    cell_dist = (
+        f"list_transform({cent_sql}, c -> list_reduce("
+        f"[0.0] || list_transform(generate_series(1, {MANYCELL_DIM}),"
+        f" i -> (e[i] - c[i]) * (e[i] - c[i])),"
+        f" (acc, x) -> acc + x))"
+    )
+    dist_cols, code_cols, adc = _pq_sql_parts()
+    return f"""
+        WITH v AS ({_MANYCELL_CORPUS_SQL}),
+        cellv AS (SELECT vec_id, e, {cell_dist} AS dv FROM v),
+        assigned AS (SELECT vec_id, e,
+                            list_position(dv, list_min(dv)) - 1 AS cell
+                     FROM cellv),
+        dists AS (SELECT vec_id, cell, e, {dist_cols} FROM assigned),
+        enc AS (SELECT vec_id AS neighbor_id, cell, {code_cols}
+                FROM dists),
+        qd AS (SELECT query_id, qv, ci - 1 AS cell, dv[ci] AS d
+               FROM (SELECT vec_id AS query_id, e AS qv, dv,
+                            unnest(generate_series(1, {MANYCELL_CELLS}))
+                                AS ci
+                     FROM cellv
+                     WHERE vec_id % {MANYCELL_QUERY_MOD} = 0)),
+        probes AS (SELECT query_id, qv, cell FROM (
+                   SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY d ASC, cell ASC) AS pr
+                   FROM qd) WHERE pr <= {IVFPQ_PROBE}),
+        scored AS (
+            SELECT p.query_id, enc.neighbor_id,
+                   ROUND({adc}, 6) AS adc_dist
+            FROM probes p JOIN enc ON enc.cell = p.cell
+            WHERE enc.neighbor_id <> p.query_id
+        ),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+              FROM scored)
+        SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rn
+        FROM r WHERE rn <= {K}
+    """
+
+
+ORACLE["knn_ivf_pq_exact"] = _ivf_pq_exact_oracle()
 
 # Re-rank recall contract: n_truth from the SQL brute force, corpus
 # size and shortlist width restated from the same rule, floor TRUE

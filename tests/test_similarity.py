@@ -435,3 +435,38 @@ def test_pq_adc_zero_error_on_codeword_vectors(spark):
             for a, b in zip(vecs[r["query_id"]], vecs[r["neighbor_id"]])
         )
         assert math.isclose(r["adc_dist"], round(exact, 6), abs_tol=1e-9)
+
+
+def test_ivf_pq_all_probes_equals_full_scan(spark):
+    """IVF-PQ with n_probe == n_cells must return EXACTLY the
+    full-scan ADC result — cell pruning changes the candidate set,
+    never the arithmetic — and with a small n_probe the result is a
+    subset of each query's probed cells' population."""
+    corpus = similarity.clustered_corpus(
+        spark, n_clusters=8, per_cluster=16, dim=8, spread=0.3
+    ).localCheckpoint()
+    centers = similarity.clustered_corpus_centers(n_clusters=8, dim=8)
+    books = similarity.constructed_pq_codebooks(4, 8, 2)
+    queries = corpus.filter("vec_id % 32 = 0")
+    full = similarity.knn_pq_adc(
+        similarity.pq_encode(corpus, books), queries, books, k=5
+    )
+    via_ivf = similarity.knn_ivf_pq(
+        corpus, queries, centers, books, k=5, n_probe=8
+    )
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(via_ivf) == canon(full)
+    # pruned probe: every returned neighbor sits in one of its query's
+    # 2 nearest cells
+    pruned = similarity.knn_ivf_pq(
+        corpus, queries, centers, books, k=5, n_probe=2
+    )
+    assigned, _, cmat = similarity.ivf_assign(corpus, centroids=centers)
+    cell_of = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    qp = similarity.probe_cells(
+        queries.selectExpr("vec_id AS query_id", "embedding AS qv"),
+        "qv", cmat, [0, 1],
+    ).collect()
+    allowed = {r["query_id"]: {r["cell_p0"], r["cell_p1"]} for r in qp}
+    for r in pruned.collect():
+        assert cell_of[r["neighbor_id"]] in allowed[r["query_id"]]

@@ -50,6 +50,7 @@ CROSS_JOIN_OK = {
     "hard_negative_mining_ivf",  # brute ground truth + contract attaches
     "knn_pq_adc_exact",    # declared full-scan ADC baseline (codes-only scan)
     "knn_pq_rerank_recall",  # brute ground truth + broadcast query attaches
+    "knn_ivf_pq_exact",    # 1-row centroid-matrix broadcast attach
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
