@@ -45,6 +45,7 @@ CROSS_JOIN_OK = {
     "knn_ivf_persisted",   # 1-row codebook/centroid + contract attaches
     "knn_ivf_appended",    # same contract shape over the appended index
     "knn_ivf_streamed",    # same contract shape over the stream-built index
+    "knn_ivf_compacted",   # same contract shape over the compacted index
     "hard_negative_mining",  # declared exactness baseline (broadcast anchors)
     "knn_ivf_manycell_recall",  # brute ground truth + contract attaches
     "hard_negative_mining_ivf",  # brute ground truth + contract attaches
@@ -165,8 +166,11 @@ def audit(name: str, df, codegen_plan: str | None = None) -> dict:
         "wav_roundtrip", "bmp_roundtrip", "png_roundtrip",
         # large-vocab BPE: the pandas tier IS the declared dispatch
         # above the native chain's measured 384-merge analyzer ceiling
-        # (operators/bpe.py token_digests)
-        "bpe_large_vocab",
+        # (operators/bpe.py token_digests); the 768-merge LEARNED-table
+        # contract rides the same tier
+        "bpe_large_vocab", "bpe_learned_deep",
+        # streamed tokenization applies the same pandas tier per batch
+        "corpus_tokenize_stream",
     ):
         flags.append("PYTHON-IN-HOT-PATH")
     if props["sp_funnels"] and name not in SINGLE_PARTITION_OK:
