@@ -81,12 +81,13 @@ def _plan_modules():
 # Then every query with NO driver row yet jumps the queue: the four
 # r9 newborns the verdict named (log_hourly_windows,
 # log_hourly_windows_stream, corpus_tokenize_stream,
-# hard_negative_mining_ivf) plus this round's five new queries
+# hard_negative_mining_ivf) plus this round's eight new queries
 # (knn_ivf_compacted, log_sessions, log_sessions_stream,
-# bpe_learned_deep, quality_ablation_report). The two r6-stale
+# bpe_learned_deep, quality_ablation_report, and the three PQ /
+# IVF-PQ contracts born later in the round). The two r6-stale
 # exemptions return (knn_ivf_recall, wav_roundtrip — their documented
-# waivers are two rounds old). The remaining 27 slots take the
-# r7-stale cohort oldest-first; 11 of its 36 defer to r11's head, each
+# waivers are two rounds old). The remaining 24 slots take the
+# r7-stale cohort oldest-first; 12 of its 36 defer to r11's head, each
 # with an in-window sibling covering its path: knn_ivf_quantized_recall
 # (floor re-audited via knn_ivf_recall now in-window + the r8 p6
 # superset + r9 manycell), dup_cluster_sizes / near_dedup_best_docs

@@ -70,6 +70,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # with duplicate work. (sketch_accuracy IS benched: it replaced
 # approx_sketches as the sketch component's registry entry in r6, so
 # the sketch path keeps a headline number.)
+# Per-query retry-trigger floor: trigger = min(threshold, max(FLOOR,
+# 4 * warm)). One constant so the warm re-sample scope (FLOOR/4) can
+# never drift from the trigger formula.
+RETRY_FLOOR_SEC = 1.5
+
 EXCLUDE = (
     "knn_ivf_recall",
     "knn_ivf_quantized_recall",
@@ -212,23 +217,26 @@ def run_slice(
         except Exception:
             pass
         release_checkpoints(spark)
-    # Second warm sample ONLY where the first warm pushed the retry
-    # trigger to its cap: a query whose first sf0.001 pass includes a
+    # Second warm sample ONLY where the first warm can inflate the
+    # retry trigger: a query whose first sf0.001 pass includes a
     # ONE-TIME session-cache build (incremental_near_dups builds its
     # corpus index inline at the warm SF) reports a build-inflated
-    # warm time, which pushes its retry trigger to the 4.0s cap and
-    # lets genuine outliers escape re-timing (r8: 3.17s driver
-    # reading, trigger never fired). The min of two samples is the
-    # steady-state warm — the triviality signal the trigger formula
-    # assumes. Scope (r9 advisory): warms below threshold/4 cannot
-    # reach the cap (trigger = min(threshold, max(1.5, 4*warm))), so
-    # re-sampling them only re-drains streams and doubles warm cost;
-    # they keep their single sample.
+    # warm time, raising its retry trigger and letting genuine
+    # outliers escape re-timing (r8: 3.17s driver reading, trigger
+    # never fired). The min of two samples is the steady-state warm —
+    # the triviality signal the trigger formula assumes. Scope (r9
+    # advisory + r10 review): trigger = min(threshold, max(FLOOR,
+    # 4*warm)), so any warm above FLOOR/4 raises the trigger above its
+    # floor — not only warms reaching the threshold cap (the r10
+    # review caught that a [0.5s, threshold/4) warm still inflated the
+    # trigger un-resampled). Warms at or below FLOOR/4 keep their
+    # single sample: re-sampling them only re-drains streams and
+    # doubles warm cost.
     retry_threshold = float(
         os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "4.0")
     )
     for name in names:
-        if warm_times.get(name, 0.0) < retry_threshold / 4.0:
+        if warm_times.get(name, 0.0) <= RETRY_FLOOR_SEC / 4.0:
             continue
         try:
             t0 = time.perf_counter()
@@ -370,7 +378,7 @@ def run_slice(
         trigger = threshold
         warm = warm_times.get(name)
         if warm is not None:
-            trigger = min(threshold, max(1.5, 4.0 * warm))
+            trigger = min(threshold, max(RETRY_FLOOR_SEC, 4.0 * warm))
         if t <= trigger:
             continue
         samples = [t] + [s for s in (timed(name), timed(name)) if s is not None]

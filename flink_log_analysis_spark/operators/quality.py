@@ -56,30 +56,53 @@ BOILERPLATE_MIN_DF = 2
 MAX_BOILERPLATE_FRAC = 0.50
 
 
+def _signal_exprs(text: Column) -> dict[str, Column]:
+    """THE canonical quality-signal expressions (rounding included) —
+    the single site shared by :func:`keep_predicate`,
+    :func:`quality_signals`, and :func:`ablation_report`, so filter,
+    per-doc report, and ablation arithmetic can never drift (the
+    canonical-expression convention that keeps bit-reproducibility
+    contracts honest)."""
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    one = F.greatest(n_tokens, F.lit(1))
+    return {
+        "n_tokens": n_tokens,
+        "mean_word_len": F.round(
+            token_char_sum(toks).cast("double") / one, 4
+        ),
+        "dup_token_ratio": F.round(
+            (n_tokens - n_distinct).cast("double") / one, 4
+        ),
+        "stop_ratio": F.round(stopword_count(toks).cast("double") / one, 4),
+    }
+
+
+def _fail_exprs(text: Column) -> dict[str, Column]:
+    """Per-signal FAIL flags (the exact negations of the keep
+    conjuncts, over the canonical signal expressions), keyed by
+    ABLATION_SIGNALS order."""
+    s = _signal_exprs(text)
+    return {
+        "min_tokens": s["n_tokens"] < MIN_TOKENS,
+        "max_tokens": s["n_tokens"] > MAX_TOKENS,
+        "mean_word_len_low": s["mean_word_len"] < MIN_MEAN_WORD_LEN,
+        "mean_word_len_high": s["mean_word_len"] > MAX_MEAN_WORD_LEN,
+        "dup_token_ratio": s["dup_token_ratio"] > MAX_DUP_TOKEN_RATIO,
+        "stop_ratio": s["stop_ratio"] < MIN_STOPWORD_RATIO,
+    }
+
+
 def keep_predicate(text: Column) -> Column:
     """The C4/Gopher keep verdict as a single boolean Column — usable
     directly as a filter (the composition-pipeline hot path) without
     materializing the per-signal projection."""
-    toks = tokens(text)
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    mean_wl = F.round(
-        token_char_sum(toks).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
-    )
-    dup_ratio = F.round(
-        (n_tokens - n_distinct).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
-    )
-    stop_ratio = F.round(
-        stopword_count(toks).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
-    )
-    return (
-        (n_tokens >= MIN_TOKENS)
-        & (n_tokens <= MAX_TOKENS)
-        & (mean_wl >= MIN_MEAN_WORD_LEN)
-        & (mean_wl <= MAX_MEAN_WORD_LEN)
-        & (dup_ratio <= MAX_DUP_TOKEN_RATIO)
-        & (stop_ratio >= MIN_STOPWORD_RATIO)
-    )
+    verdict = None
+    for flag in _fail_exprs(text).values():
+        keep = ~flag
+        verdict = keep if verdict is None else verdict & keep
+    return verdict
 
 
 def quality_signals(
@@ -93,35 +116,18 @@ def quality_signals(
     and a stopword-ratio floor (gibberish/non-language detector).
     ``keep`` is the conjunction (:func:`keep_predicate` is the
     filter-only form); each signal is also returned so a pipeline can
-    re-threshold without rescanning 100 TB.
+    re-threshold without rescanning 100 TB. Signals and verdict come
+    from the shared :func:`_signal_exprs` / :func:`keep_predicate`
+    expressions — one canonical site.
     """
-    toks = tokens(F.col(text_col))
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    mean_wl = F.round(
-        token_char_sum(toks).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
-    )
-    dup_ratio = F.round(
-        (n_tokens - n_distinct).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
-    )
-    stop_ratio = F.round(
-        stopword_count(toks).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
-    )
-    keep = (
-        (n_tokens >= MIN_TOKENS)
-        & (n_tokens <= MAX_TOKENS)
-        & (mean_wl >= MIN_MEAN_WORD_LEN)
-        & (mean_wl <= MAX_MEAN_WORD_LEN)
-        & (dup_ratio <= MAX_DUP_TOKEN_RATIO)
-        & (stop_ratio >= MIN_STOPWORD_RATIO)
-    )
+    s = _signal_exprs(F.col(text_col))
     return df.select(
         id_col,
-        n_tokens.alias("n_tokens"),
-        mean_wl.alias("mean_word_len"),
-        dup_ratio.alias("dup_token_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        keep.alias("keep"),
+        s["n_tokens"].alias("n_tokens"),
+        s["mean_word_len"].alias("mean_word_len"),
+        s["dup_token_ratio"].alias("dup_token_ratio"),
+        s["stop_ratio"].alias("stop_ratio"),
+        keep_predicate(F.col(text_col)).alias("keep"),
     )
 
 
@@ -146,32 +152,14 @@ def ablation_report(
     many it UNIQUELY rejects (``n_fail_alone`` — docs that would be
     kept if only this signal were dropped), beside the corpus totals.
 
-    One projection computes the six fail flags (identical rounding to
-    :func:`quality_signals`, so the verdicts can never drift from the
-    filter), one global aggregate sums them, and the per-signal rows
-    come from exploding a 6-struct array over that single agg row —
-    the whole report is a linear scan plus a 1-row agg at any corpus
-    size."""
-    toks = tokens(F.col(text_col))
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    mean_wl = F.round(
-        token_char_sum(toks).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
-    )
-    dup_ratio = F.round(
-        (n_tokens - n_distinct).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
-    )
-    stop_ratio = F.round(
-        stopword_count(toks).cast("double") / F.greatest(n_tokens, F.lit(1)), 4
-    )
-    fails = {
-        "min_tokens": n_tokens < MIN_TOKENS,
-        "max_tokens": n_tokens > MAX_TOKENS,
-        "mean_word_len_low": mean_wl < MIN_MEAN_WORD_LEN,
-        "mean_word_len_high": mean_wl > MAX_MEAN_WORD_LEN,
-        "dup_token_ratio": dup_ratio > MAX_DUP_TOKEN_RATIO,
-        "stop_ratio": stop_ratio < MIN_STOPWORD_RATIO,
-    }
+    One projection computes the six fail flags (the exact negations of
+    :func:`keep_predicate`'s conjuncts via the shared
+    :func:`_fail_exprs` — ONE expression site, so the report can never
+    drift from the filter), one global aggregate sums them, and the
+    per-signal rows come from exploding a 6-struct array over that
+    single agg row — the whole report is a linear scan plus a 1-row
+    agg at any corpus size."""
+    fails = _fail_exprs(F.col(text_col))
     assert tuple(fails) == ABLATION_SIGNALS
     flagged = df.select(
         *[flag.cast("int").alias(f"_f_{name}") for name, flag in fails.items()]

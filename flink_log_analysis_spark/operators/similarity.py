@@ -1003,13 +1003,6 @@ def _pq_shape(codebooks) -> tuple[int, int, int]:
     return m, n_cw, d_sub
 
 
-def _cw_literal(book: list[list[float]]) -> Column:
-    """One subspace's codebook as an array<array<double>> literal."""
-    return F.array(
-        *[F.array(*[F.lit(float(v)) for v in cw]) for cw in book]
-    )
-
-
 def _sq_l2_chain(a_at, b_at, d_sub: int) -> Column:
     """Left-assoc squared-L2 over ``d_sub`` components: ``a_at(t)`` /
     ``b_at(t)`` supply the t-th component expressions. The explicit
@@ -1023,6 +1016,18 @@ def _sq_l2_chain(a_at, b_at, d_sub: int) -> Column:
     return total
 
 
+def _cb_frame(like: DataFrame, codebooks) -> DataFrame:
+    """The codebooks as a ONE-ROW broadcast frame
+    (array<array<array<double>>>) — the cmat convention from
+    :func:`ivf_assign`: a literal matrix costs ~one Column construction
+    per value in PLAN BUILD (measured ~1.2 s at 512 literals on the
+    centroid path), while the broadcast row is a single createDataFrame
+    and the per-subspace loops become element_at into one column."""
+    return like.sparkSession.createDataFrame(
+        [(codebooks,)], "cb array<array<array<double>>>"
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -1033,17 +1038,19 @@ def pq_encode(
     """(id, [keep_cols...,] pq_code array<int>): per subspace the
     argmin codeword by squared L2, ties to the LOWEST codeword index
     (array_position returns the first occurrence of the min — DuckDB's
-    list_position states the same rule). Pure projection: m x
-    n_codewords small expressions per row, no shuffle, no Python."""
+    list_position states the same rule). One projection over the
+    1-row broadcast codebook attach: m x n_codewords small
+    expressions per row, no shuffle, no Python."""
     m, _, d_sub = _pq_shape(codebooks)
     vec = as_double(F.col(vec_col))
+    j = df.crossJoin(F.broadcast(_cb_frame(df, codebooks)))
 
     # function factory, NOT default-arg capture: a 2-param lambda given
     # to F.transform receives (element, INDEX) — a `lambda cw, _s=s`
     # there would silently bind _s to the codeword index column
     def code_for(s: int) -> Column:
         dists = F.transform(
-            _cw_literal(codebooks[s]),
+            F.element_at(F.col("cb"), s + 1),
             lambda cw: _sq_l2_chain(
                 lambda t: F.element_at(vec, s * d_sub + t + 1),
                 lambda t: F.element_at(cw, t + 1),
@@ -1052,30 +1059,52 @@ def pq_encode(
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    return df.select(
+    return j.select(
         id_col,
         *keep_cols,
         F.array(*[code_for(s) for s in range(m)]).alias("pq_code"),
     )
 
 
-def pq_adc_distance(
-    q_vec: Column, code: Column, codebooks: list[list[list[float]]]
-) -> Column:
-    """ADC squared-L2 between a full-precision query vector and a
-    PQ-coded corpus vector: Σ_s ||q_sub(s) - codeword(s, code[s])||².
-    The codeword rides an array<array<double>> literal indexed by the
-    stored code — the expression form of the per-query lookup table."""
+def pq_query_tables(
+    q: DataFrame,
+    codebooks: list[list[list[float]]],
+    qv_col: str = "qv",
+) -> DataFrame:
+    """Append ``adc_tab`` (array<array<double>>): THE per-query ADC
+    lookup tables — tab[s][c] = ||q_sub(s) - codeword(s, c)||², the
+    asymmetric-distance formulation of Jégou et al. Computed ONCE per
+    query row from the 1-row broadcast codebooks, so candidate scoring
+    is m array lookups per candidate and the codebooks never ride on
+    (or bloat the plan of) the candidate stream."""
     m, _, d_sub = _pq_shape(codebooks)
+    qv = F.col(qv_col)
+    j = q.crossJoin(F.broadcast(_cb_frame(q, codebooks)))
+    # the OUTER 2-param transform lambda receives (element, index) —
+    # here that index IS the 0-based subspace, used deliberately
+    tab = F.transform(
+        F.col("cb"),
+        lambda cbs, s: F.transform(
+            cbs,
+            lambda cw: _sq_l2_chain(
+                lambda t: F.element_at(qv, s * d_sub + t + 1),
+                lambda t: F.element_at(cw, t + 1),
+                d_sub,
+            ),
+        ),
+    )
+    return j.select(*q.columns, tab.alias("adc_tab"))
+
+
+def pq_adc_distance(code: Column, adc_tab: Column, m: int) -> Column:
+    """ADC squared-L2 from the per-query lookup tables:
+    Σ_s adc_tab[s][code[s]] — a left-assoc chain of m lookups, the
+    same per-subspace grouping (and therefore bit-identical doubles)
+    as summing the squared sub-distances directly."""
     total = None
     for s in range(m):
-        cw_sel = F.element_at(
-            _cw_literal(codebooks[s]), F.element_at(code, s + 1) + 1
-        )
-        term = _sq_l2_chain(
-            lambda t, _s=s: F.element_at(q_vec, _s * d_sub + t + 1),
-            lambda t, _cw=cw_sel: F.element_at(_cw, t + 1),
-            d_sub,
+        term = F.element_at(
+            F.element_at(adc_tab, s + 1), F.element_at(code, s + 1) + 1
         )
         total = term if total is None else total + term
     return total
@@ -1094,23 +1123,25 @@ def knn_pq_adc(
     :func:`knn_bruteforce` (codes are m ints per row, so the scan
     moves ~no data compared to raw vectors); at production scale the
     same scoring drops onto an IVF candidate stream exactly like
-    :func:`knn_ivf_quantized` does for the scalar codec. Round-before-
-    rank with a total tie-break keeps the ordering cross-engine
-    deterministic."""
+    :func:`knn_ivf_pq` does. Scoring reads the broadcast per-query
+    ADC tables (:func:`pq_query_tables`); round-before-rank with a
+    total tie-break keeps the ordering cross-engine deterministic."""
+    m, _, _ = _pq_shape(codebooks)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
+    qt = pq_query_tables(q, codebooks).drop("qv")
     c = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"), F.col("pq_code")
     )
-    scored = c.crossJoin(F.broadcast(q)).filter(
+    scored = c.crossJoin(F.broadcast(qt)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = scored.select(
         "query_id",
         "neighbor_id",
         F.round(
-            pq_adc_distance(F.col("qv"), F.col("pq_code"), codebooks), 6
+            pq_adc_distance(F.col("pq_code"), F.col("adc_tab"), m), 6
         ).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1161,6 +1192,7 @@ def knn_ivf_pq(
     :func:`probe_cells` for routing (ties toward the lower cell),
     :func:`pq_encode` codes, :func:`pq_adc_distance` scoring,
     round-before-rank output (query_id, neighbor_id, adc_dist, rn)."""
+    m, _, _ = _pq_shape(codebooks)
     assigned, _, cmat = ivf_assign(
         corpus,
         centroids=centroids,
@@ -1174,10 +1206,11 @@ def knn_ivf_pq(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    probed = probe_cells(q, "qv", cmat, list(range(n_probe)))
+    qt = pq_query_tables(q, codebooks)
+    probed = probe_cells(qt, "qv", cmat, list(range(n_probe)))
     probes = probed.select(
         "query_id",
-        "qv",
+        "adc_tab",
         F.explode(
             F.array(*[F.col(f"cell_p{p}") for p in range(n_probe)])
         ).alias("cell"),
@@ -1189,7 +1222,7 @@ def knn_ivf_pq(
             "query_id",
             "neighbor_id",
             F.round(
-                pq_adc_distance(F.col("qv"), F.col("pq_code"), codebooks), 6
+                pq_adc_distance(F.col("pq_code"), F.col("adc_tab"), m), 6
             ).alias("adc_dist"),
         )
     )
@@ -1568,14 +1601,26 @@ def ivf_index_compact(
         consolidated = consolidated.unionByName(
             kept.select(*data_cols, "ingest", "cell")
         )
-    rows = consolidated.count()
     import os as _os
 
     tmp = f"{vectors}.compact-{_os.getpid()}"
     fsio.delete(tmp, spark=spark)
     consolidated.write.partitionBy("ingest", "cell").parquet(tmp)
+    # rows counted from the WRITTEN tmp parquet, not from the logical
+    # plan: consolidated.count() would re-execute the read+shuffle a
+    # second time for the stat alone, doubling the maintenance window.
+    rows = spark.read.parquet(tmp).count()
     old = f"{vectors}.pre-compact-{_os.getpid()}"
-    fsio.rename(vectors, old, spark)
+    if not fsio.rename(vectors, old, spark):
+        # a failed first swap must ABORT: with `vectors` still present,
+        # Hadoop rename(tmp, vectors) would move the compacted tree
+        # INSIDE the live directory (rename-into-existing-dir
+        # semantics) and corrupt the published index.
+        fsio.delete(tmp, spark=spark)
+        raise RuntimeError(
+            f"ivf_index_compact: staging rename failed for {path}; "
+            "index left untouched"
+        )
     if not fsio.rename(tmp, vectors, spark):
         # restore the original layout rather than leave no index
         fsio.rename(old, vectors, spark)

@@ -94,7 +94,13 @@ def delete(path: str, recursive: bool = True, spark: SparkSession | None = None)
     if spark is None:
         import shutil
 
-        shutil.rmtree(path, ignore_errors=True)
+        # plain files (markers ARE plain files) need os.remove —
+        # rmtree(ignore_errors=True) silently no-ops on them, leaving
+        # exists() True after a "successful" delete
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
         return
     fs, p = _jfs(spark, path)
     if fs.exists(p):
