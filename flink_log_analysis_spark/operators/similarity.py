@@ -1192,7 +1192,6 @@ def knn_ivf_pq(
     :func:`probe_cells` for routing (ties toward the lower cell),
     :func:`pq_encode` codes, :func:`pq_adc_distance` scoring,
     round-before-rank output (query_id, neighbor_id, adc_dist, rn)."""
-    m, _, _ = _pq_shape(codebooks)
     assigned, _, cmat = ivf_assign(
         corpus,
         centroids=centroids,
@@ -1203,6 +1202,28 @@ def knn_ivf_pq(
         assigned, codebooks, vec_col="arr", id_col=id_col,
         keep_cols=("cell",),
     ).select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
+    return _pq_probe_and_score(
+        codes, queries, cmat, codebooks, k, n_probe, id_col, vec_col
+    )
+
+
+def _pq_probe_and_score(
+    codes: DataFrame,
+    queries: DataFrame,
+    cmat: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """THE IVF-PQ search: per-query ADC tables, probe ``n_probe``
+    cells, join candidates on cell, score from the tables, round-
+    before-rank. One implementation shared by the in-memory
+    composition (:func:`knn_ivf_pq`) and the persisted index
+    (:func:`knn_pq_persisted`) — the two paths MUST rank identically
+    or the persisted contract's oracle reuse breaks."""
+    m, _, _ = _pq_shape(codebooks)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
@@ -1234,6 +1255,86 @@ def knn_ivf_pq(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rn")
     )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ index: ``{path}/vectors`` holds (id,
+    pq_code) parquet PARTITIONED BY cell — a search filtering on
+    probed cells reads only those cells' files, and each row is m
+    small ints (the 32x payload story) — and ``{path}/meta`` is ONE
+    row carrying centroids + codebooks (a searcher's bounded 1-row
+    read). Same build-once/search-many economics as
+    :func:`write_ivf_index`: the assignment scan and the partitioned
+    write are paid here, never per query."""
+    assigned, _, cmat = ivf_assign(
+        corpus, centroids=centroids, id_col=id_col, vec_col=vec_col
+    )
+    pq_encode(
+        assigned, codebooks, vec_col="arr", id_col=id_col,
+        keep_cols=("cell",),
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    corpus.sparkSession.createDataFrame(
+        [(centroids, codebooks)],
+        "centroids array<array<double>>, "
+        "codebooks array<array<array<double>>>",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_pq_meta(spark, path: str):
+    """(centroids, codebooks) from the 1-row meta — doubles round-trip
+    parquet exactly, so the searcher quantizes against the identical
+    constants the writer encoded with."""
+    r = spark.read.parquet(f"{path}/meta").collect()[0]
+    cents = [[float(v) for v in c] for c in r["centroids"]]
+    books = [
+        [[float(v) for v in cw] for cw in book] for book in r["codebooks"]
+    ]
+    return cents, books
+
+
+def knn_pq_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
+    """Search the persisted IVF-PQ index: meta read, per-query probe,
+    then a vectors scan FILTERED to the probed cells' union (partition
+    pruning — files outside those cells never enter the scan,
+    plan-asserted in tests) feeding the shared probe-and-score path.
+    Returns (results, scanned cells)."""
+    cents, books = read_pq_meta(spark, path)
+    cmat = spark.createDataFrame([(cents,)], "cmat array<array<double>>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    probed = probe_cells(q, "qv", cmat, list(range(n_probe)))
+    cells = sorted(
+        {
+            r[f"cell_p{p}"]
+            for r in probed.collect()
+            for p in range(n_probe)
+        }
+    )
+    codes = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin([int(c) for c in cells]))
+        .select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
+    )
+    res = _pq_probe_and_score(
+        codes, queries, cmat, books, k, n_probe, id_col, vec_col
+    )
+    return res, cells
 
 
 def _coded(assigned: DataFrame, ranges: DataFrame, id_col: str) -> DataFrame:

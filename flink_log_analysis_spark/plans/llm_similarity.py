@@ -1480,6 +1480,51 @@ def knn_ivf_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_pq_index(spark: SparkSession) -> str:
+    """Build the persisted IVF-PQ index over the formula corpus once
+    per container (the corpus, centers, and codebooks are all
+    formula-derived, so the path version string IS the fingerprint)."""
+    path = (
+        "/tmp/spark_graft_pq_manycell/"
+        f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
+        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v1"
+    )
+    return _build_index_once(
+        path,
+        "_BUILT",
+        lambda tmp: similarity.write_pq_index(
+            _manycell_corpora(spark)[0],
+            tmp,
+            similarity.clustered_corpus_centers(
+                MANYCELL_CLUSTERS, MANYCELL_DIM
+            ),
+            similarity.constructed_pq_codebooks(
+                PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
+            ),
+        ),
+    )
+
+
+def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ index, searched — and held to the SAME
+    value-exact oracle as the in-memory composition: meta (centroids +
+    codebooks) read back from the index, candidates scanned only from
+    the probed cells' partitions, ADC from per-query tables. Because
+    corpus, centers, and codebooks are all formula-derived and the
+    persisted search shares :func:`_pq_probe_and_score` with
+    ``knn_ivf_pq_exact``, the oracle string is REUSED verbatim — any
+    divergence introduced by the persist/read/prune cycle (a lossy
+    meta round-trip, a mis-pruned partition, a code mismatch) breaks
+    the hash."""
+    path = _ensure_pq_index(spark)
+    corpus, _ = _manycell_corpora(spark)
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    res, _cells = similarity.knn_pq_persisted(
+        spark, path, queries, k=K, n_probe=IVFPQ_PROBE
+    )
+    return res
+
+
 def knn_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production PQ composition, contracted: fitted codebooks
     (bounded-sample driver k-means per subspace), ADC shortlist of
@@ -1574,6 +1619,7 @@ QUERIES = {
     "jl_projection_contract": jl_projection_contract,
     "knn_pq_adc_exact": knn_pq_adc_exact,
     "knn_ivf_pq_exact": knn_ivf_pq_exact,
+    "knn_ivf_pq_persisted": knn_ivf_pq_persisted,
     "knn_pq_rerank_recall": knn_pq_rerank_recall,
 }
 
@@ -1729,6 +1775,11 @@ def _ivf_pq_exact_oracle() -> str:
 
 
 ORACLE["knn_ivf_pq_exact"] = _ivf_pq_exact_oracle()
+
+# Persisted IVF-PQ holds to the IDENTICAL expected rows: the persist/
+# read/prune cycle must be lossless, so the oracle string is reused
+# verbatim (the knn_ivf_quantized_recall convention).
+ORACLE["knn_ivf_pq_persisted"] = ORACLE["knn_ivf_pq_exact"]
 
 # Re-rank recall contract: n_truth from the SQL brute force, corpus
 # size and shortlist width restated from the same rule, floor TRUE

@@ -497,3 +497,46 @@ def test_two_streams_interleaved_ingest_one_index(spark, sf_dir, tmp_path):
     )
     assert res.exceptAll(mem).count() == 0
     assert mem.exceptAll(res).count() == 0
+
+
+def test_pq_persisted_pruned_and_matches_inmemory(spark, tmp_path):
+    """The persisted IVF-PQ index: (a) meta round-trips centroids and
+    codebooks exactly, (b) the search scan carries a PartitionFilters
+    entry on cell (negative control: the unfiltered read shows an
+    empty one), and (c) persisted results are byte-identical to the
+    in-memory knn_ivf_pq composition over the same formula artifacts."""
+    corpus = similarity.clustered_corpus(
+        spark, n_clusters=8, per_cluster=16, dim=8, spread=0.3
+    ).localCheckpoint()
+    centers = similarity.clustered_corpus_centers(n_clusters=8, dim=8)
+    books = similarity.constructed_pq_codebooks(4, 8, 2)
+    idx = str(tmp_path / "pqidx")
+    similarity.write_pq_index(corpus, idx, centers, books)
+    got_cents, got_books = similarity.read_pq_meta(spark, idx)
+    assert got_cents == centers and got_books == books
+
+    queries = corpus.filter("vec_id % 32 = 0")
+    res, cells = similarity.knn_pq_persisted(
+        spark, idx, queries, k=K, n_probe=2
+    )
+    assert 0 < len(cells) < 8
+    filtered = spark.read.parquet(f"{idx}/vectors").filter(
+        F.col("cell").isin(cells)
+    )
+    pf = next(
+        ln for ln in _plan(filtered).splitlines()
+        if "PartitionFilters" in ln
+    )
+    assert "cell" in pf and "[]" not in pf, pf
+    neg = next(
+        (ln for ln in _plan(
+            spark.read.parquet(f"{idx}/vectors")).splitlines()
+         if "PartitionFilters" in ln),
+        "PartitionFilters: []",
+    )
+    assert "[]" in neg, neg
+
+    mem = similarity.knn_ivf_pq(corpus, queries, centers, books,
+                                k=K, n_probe=2)
+    assert res.exceptAll(mem).count() == 0
+    assert mem.exceptAll(res).count() == 0

@@ -52,6 +52,7 @@ CROSS_JOIN_OK = {
     "knn_pq_adc_exact",    # declared full-scan ADC baseline (codes-only scan)
     "knn_pq_rerank_recall",  # brute ground truth + broadcast query attaches
     "knn_ivf_pq_exact",    # 1-row centroid-matrix broadcast attach
+    "knn_ivf_pq_persisted",  # same attaches over the persisted index
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
