@@ -81,13 +81,13 @@ def _plan_modules():
 # Then every query with NO driver row yet jumps the queue: the four
 # r9 newborns the verdict named (log_hourly_windows,
 # log_hourly_windows_stream, corpus_tokenize_stream,
-# hard_negative_mining_ivf) plus this round's eight new queries
+# hard_negative_mining_ivf) plus this round's nine new queries
 # (knn_ivf_compacted, log_sessions, log_sessions_stream,
-# bpe_learned_deep, quality_ablation_report, and the three PQ /
+# bpe_learned_deep, quality_ablation_report, and the four PQ /
 # IVF-PQ contracts born later in the round). The two r6-stale
 # exemptions return (knn_ivf_recall, wav_roundtrip — their documented
-# waivers are two rounds old). The remaining 24 slots take the
-# r7-stale cohort oldest-first; 12 of its 36 defer to r11's head, each
+# waivers are two rounds old). The remaining 23 slots take the
+# r7-stale cohort oldest-first; 13 of its 36 defer to r11's head, each
 # with an in-window sibling covering its path: knn_ivf_quantized_recall
 # (floor re-audited via knn_ivf_recall now in-window + the r8 p6
 # superset + r9 manycell), dup_cluster_sizes / near_dedup_best_docs
@@ -102,9 +102,11 @@ def _plan_modules():
 # embedding_quantize and the index contracts), weighted_doc_sample
 # (sampling family audited via training_order_shuffle +
 # lang_mixture_resample), jl_projection_contract (one-shot math
-# contract, untouched; quantization family keeps embedding_quantize)
-# — the last three ceded their slots to the new PQ / IVF-PQ
-# contracts. Rotating OUT: the entire r9-green non-core block.
+# contract, untouched; quantization family keeps embedding_quantize),
+# corpus_shards (the two-pass prefix-sum family stays audited via
+# pack_chunks + order_value_ntile) — the last four ceded their slots
+# to the new PQ / IVF-PQ contracts. Rotating OUT: the entire r9-green
+# non-core block.
 # Every rotated-out name still runs in the local gate
 # (tools/check_correctness.py, driver-identical canon) and in
 # tests/test_oracle_parity.
@@ -136,6 +138,7 @@ _DRIVER_WINDOW: list[str] = [
     "knn_pq_adc_exact",
     "knn_pq_rerank_recall",
     "knn_ivf_pq_exact",
+    "knn_ivf_pq_persisted",
     # r6-stale exemptions returning
     "knn_ivf_recall",
     "wav_roundtrip",
@@ -144,7 +147,6 @@ _DRIVER_WINDOW: list[str] = [
     "conversion_pairs_stream",
     "corpus_ingest_stream",
     "corpus_prep",
-    "corpus_shards",
     "doc_boilerplate_signals",
     "doc_repetition_signals",
     "documents_jsonl_roundtrip",
