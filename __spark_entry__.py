@@ -74,39 +74,36 @@ def _plan_modules():
 # Names pinned to the driver's 50-entry audit window, in order.
 # Anything not listed here follows afterwards in module order.
 #
-# Round-10 rotation (VERDICT r9 item 1): the 12-query reference-parity
-# core stays pinned (and doubles as the touched-path audit for this
-# round's manufactured-IP change — log_roundtrip/_literal and
-# client_ip_access_stream restate the changed formula on both sides).
-# Then every query with NO driver row yet jumps the queue: the four
-# r9 newborns the verdict named (log_hourly_windows,
-# log_hourly_windows_stream, corpus_tokenize_stream,
-# hard_negative_mining_ivf) plus this round's nine new queries
-# (knn_ivf_compacted, log_sessions, log_sessions_stream,
-# bpe_learned_deep, quality_ablation_report, and the four PQ /
-# IVF-PQ contracts born later in the round). The two r6-stale
-# exemptions return (knn_ivf_recall, wav_roundtrip — their documented
-# waivers are two rounds old). The remaining 23 slots take the
-# r7-stale cohort oldest-first; 13 of its 36 defer to r11's head, each
-# with an in-window sibling covering its path: knn_ivf_quantized_recall
-# (floor re-audited via knn_ivf_recall now in-window + the r8 p6
-# superset + r9 manycell), dup_cluster_sizes / near_dedup_best_docs
-# (oracles WRAP the in-window near_dup_clusters), bmp_roundtrip /
-# png_roundtrip (one-shot codec contracts, code untouched — the same
-# waiver class wav_roundtrip just aged out of, so they return next
-# round), doc_quality_signals / corpus_report (the new in-window
-# quality_ablation_report re-derives the same signal bank and keep
-# predicate), doc_chunks / token_budget_select (untouched packing
-# arithmetic; pack_chunks keeps the family audited), knn_quantized
-# (the scalar codec's exactness also rides the in-window
-# embedding_quantize and the index contracts), weighted_doc_sample
-# (sampling family audited via training_order_shuffle +
-# lang_mixture_resample), jl_projection_contract (one-shot math
-# contract, untouched; quantization family keeps embedding_quantize),
-# corpus_shards (the two-pass prefix-sum family stays audited via
-# pack_chunks + order_value_ntile) — the last four ceded their slots
-# to the new PQ / IVF-PQ contracts. Rotating OUT: the entire r9-green
-# non-core block.
+# Round-11 rotation (VERDICT r10 item 1 + touched-path rule): the
+# 12-query reference-parity core stays pinned. Next, every row whose
+# CODE or ORACLE changed this round must re-certify regardless of
+# freshness: log_sessions / log_sessions_stream (oracle tie-break fix,
+# r10 advisory), knn_ivf (redefined onto the value-exact closed-form
+# quantizer — VERDICT item 2, its first oracle-backed row), and the
+# five persisted-index rows whose read/publish path gained the
+# manifest-pointer seam and the PQ two-level layout
+# (knn_ivf_persisted, knn_ivf_appended, knn_ivf_streamed,
+# knn_ivf_compacted, knn_ivf_pq_persisted). Then the four r11
+# newborns (knn_pq_streamed, knn_pq_compacted — VERDICT item 3 — plus
+# the optional-depth knn_pq_fitted_exact and quality_ablation_web).
+# Then ALL 13 r7-stale rows the r10 verdict named. The remaining 13
+# slots take the r8-stale cohort, engine-extension machinery first
+# (dedup/ANN/BPE/sampling rows whose plan surface is deepest).
+# Deferred r8-stale (21, next round's head): the untouched pure-
+# relational TPC-H analytics family (customer_segments_setops,
+# distinct_parts_per_supplier, lineitem_global_stats,
+# nation_market_share, nation_trade_flows, order_priority_check,
+# order_scalar_features, orders_cube, orders_rollup,
+# parts_never_ordered, pricing_summary, regional_revenue,
+# salted_brand_revenue, small_quantity_revenue, top_customers_revenue,
+# top_orders_per_customer) — each a single-module DataFrame query
+# whose oracle is a near-identical SQL restatement, the lowest-drift
+# class in the registry, with the in-window sql_* core keeping the
+# relational surface audited — plus exact_dedup_groups (hash-groupBy,
+# untouched; dedup family audited via the in-window minhash/simhash
+# rows), orders_snapshot_diff (merge family untouched since r9),
+# bm25_scores / tfidf_top_terms / text_stats (relevance/textstats
+# untouched; rare_token_stats' r10 row is the family's fresh audit).
 # Every rotated-out name still runs in the local gate
 # (tools/check_correctness.py, driver-identical canon) and in
 # tests/test_oracle_parity.
@@ -124,48 +121,50 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # never-driver-audited (r9 newborns named by the verdict)
-    "log_hourly_windows",
-    "log_hourly_windows_stream",
-    "corpus_tokenize_stream",
-    "hard_negative_mining_ivf",
-    # never-driver-audited (new this round)
-    "knn_ivf_compacted",
+    # touched-path re-certification (oracle or read/publish changes)
     "log_sessions",
     "log_sessions_stream",
-    "bpe_learned_deep",
-    "quality_ablation_report",
-    "knn_pq_adc_exact",
-    "knn_pq_rerank_recall",
-    "knn_ivf_pq_exact",
+    "knn_ivf",
+    "knn_ivf_persisted",
+    "knn_ivf_appended",
+    "knn_ivf_streamed",
+    "knn_ivf_compacted",
     "knn_ivf_pq_persisted",
-    # r6-stale exemptions returning
-    "knn_ivf_recall",
-    "wav_roundtrip",
-    # r7-stale cohort (27 of 36; the 9 deferrals are justified above)
-    "benchmark_contamination",
-    "conversion_pairs_stream",
-    "corpus_ingest_stream",
-    "corpus_prep",
-    "doc_boilerplate_signals",
-    "doc_repetition_signals",
-    "documents_jsonl_roundtrip",
-    "domain_stats",
-    "embedding_quantize",
-    "events_csv_roundtrip",
-    "incremental_near_dups_stream",
-    "knn_lsh",
-    "lang_mixture_resample",
-    "lineitem_orc_roundtrip",
-    "near_dup_clusters",
-    "near_dup_pairs",
-    "order_value_ntile",
-    "pack_chunks",
-    "rare_token_stats",
-    "simhash_near_dups",
-    "table_profile",
-    "training_order_shuffle",
-    "url_curation",
+    # never-driver-audited (new this round; uncommented as each lands)
+    # "knn_pq_streamed",
+    # "knn_pq_compacted",
+    # "knn_pq_fitted_exact",
+    # "quality_ablation_web",
+    # r7-stale cohort (all 13 the r10 verdict named)
+    "bmp_roundtrip",
+    "corpus_report",
+    "corpus_shards",
+    "doc_chunks",
+    "doc_quality_signals",
+    "dup_cluster_sizes",
+    "jl_projection_contract",
+    "knn_ivf_quantized_recall",
+    "knn_quantized",
+    "near_dedup_best_docs",
+    "png_roundtrip",
+    "token_budget_select",
+    "weighted_doc_sample",
+    # r8-stale cohort (13 of 37; the 21 deferrals are justified above,
+    # and knn_ivf / knn_ivf_persisted / knn_ivf_appended cover the
+    # cohort's other 3 via the touched-path block)
+    "knn_bruteforce",
+    "knn_ivf_quantized_recall_p6",
+    "minhash_signatures",
+    "simhash",
+    "stateful_sessions",
+    "supplier_fuzzy_dups",
+    "hard_negative_mining",
+    "bpe_vocab_fit",
+    "bpe_token_ids",
+    "bpe_pack_chunks",
+    "domain_quota_sample",
+    "stratified_doc_sample",
+    "train_split_assign",
 ]
 
 

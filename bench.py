@@ -232,9 +232,6 @@ def run_slice(
     # trigger un-resampled). Warms at or below FLOOR/4 keep their
     # single sample: re-sampling them only re-drains streams and
     # doubles warm cost.
-    retry_threshold = float(
-        os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "4.0")
-    )
     for name in names:
         if warm_times.get(name, 0.0) <= RETRY_FLOOR_SEC / 4.0:
             continue

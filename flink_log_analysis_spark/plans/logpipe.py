@@ -249,8 +249,11 @@ ORACLE = {
 # Gap sessions, restated in SQL window form over events (never runs
 # the parser): lag -> strictly-greater split flag -> running sid ->
 # group. ms is second-truncated (the Apache time format carries no
-# sub-second part) and the lag tie-break on event_id is harmless —
-# equal timestamps can never split a session.
+# sub-second part); BOTH windows order by (ms, event_id) so the row
+# whose lag crosses a session boundary is deterministically first
+# among timestamp peers in the running sum too — mirroring Spark's
+# single shared sort, where every tie peer lands in the new session
+# regardless of physical peer order (r10 advisory fix).
 ORACLE["log_sessions"] = f"""
     WITH e AS (
         SELECT '10.0.' || CAST(user_id % 250 AS VARCHAR) AS client_net,
@@ -258,7 +261,7 @@ ORACLE["log_sessions"] = f"""
                event_id
         FROM events WHERE event_type <> 'error'
     ), seq AS (
-        SELECT client_net, ms,
+        SELECT client_net, ms, event_id,
                LAG(ms) OVER (PARTITION BY client_net
                              ORDER BY ms ASC, event_id ASC) AS prev_ms
         FROM e
@@ -268,7 +271,7 @@ ORACLE["log_sessions"] = f"""
                              OR ms - prev_ms > {SESSION_GAP_SECONDS * 1000}
                         THEN 1 ELSE 0 END) OVER (
                    PARTITION BY client_net
-                   ORDER BY ms ASC
+                   ORDER BY ms ASC, event_id ASC
                    ROWS UNBOUNDED PRECEDING) AS sid
         FROM seq
     )
