@@ -10,8 +10,11 @@ though they are approximate algorithms: the md5-derived hyperplanes
 are deterministic, so the oracle embeds the same plane constants and
 reproduces the bucket assignment; multiprobe candidacy (own bucket +
 all Hamming-1 flips) is exactly ``bit_count(xor(b1, b2)) <= 1``. The
-KMeans-based IVF variant depends on MLlib's fit -> rows-only driver
-check + a recall-vs-bruteforce unit test.
+IVF registry row is value-exact too: it runs the search operator over
+the clustered formula corpus with its closed-form centers as the
+quantizer, so the oracle replays routing and scoring verbatim; the
+FITTED (seeded numpy k-means) configuration of the same operator is
+covered by the four recall contracts.
 """
 
 from __future__ import annotations
@@ -111,10 +114,26 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    """The plain-IVF search path, certified VALUE-exact (VERDICT r10
+    item 2 — the registry's last rows-only entry, closed): the SAME
+    ``similarity.knn_ivf`` operator every fitted-quantizer contract
+    exercises, run over the clustered formula corpus with its
+    closed-form centers (``similarity.clustered_corpus_centers``) as
+    the coarse quantizer — so the DuckDB twin replays corpus, argmin
+    cell assignment, per-query probe ranking, and the cosine scoring
+    of the probed cells' candidates bit-for-bit, exactly as
+    ``knn_ivf_pq_exact`` does for the PQ composition. The fitted
+    (k-means over real embeddings) configuration of the same operator
+    stays covered by the four recall contracts
+    (``knn_ivf_recall`` / ``_quantized_recall`` / ``_p6`` /
+    ``_manycell``)."""
+    corpus, _ = _manycell_corpora(spark)
+    centers = similarity.clustered_corpus_centers(
+        MANYCELL_CLUSTERS, MANYCELL_DIM
+    )
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
     return similarity.knn_ivf(
-        emb, queries, k=K, centroids=_ivf_centroids(spark, sf_dir)
+        corpus, queries, k=K, n_probe=IVFPQ_PROBE, centroids=centers
     )
 
 
@@ -1194,9 +1213,11 @@ ORACLE = {
         WHERE ROUND(list_cosine_similarity(a.e, b.e), 6)
               >= {NEAR_DUP_THRESHOLD}
     """,
-    # knn_ivf: seeded numpy KMeans fit -> rows-only check; its checkable
-    # contract is knn_ivf_recall below (plus the recall unit test vs
-    # brute force in tests/test_similarity.py)
+    # The fitted-quantizer IVF (seeded numpy k-means over the real
+    # embeddings) is contracted by the recall rows below (plus the
+    # recall unit test vs brute force in tests/test_similarity.py);
+    # ORACLE["knn_ivf"] itself — the value-exact closed-form-quantizer
+    # row — is built after _manycell_routing_sql near the PQ oracles.
     "knn_ivf_recall": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id < {N_QUERIES}),
@@ -1714,14 +1735,16 @@ def _pq_exact_oracle() -> str:
 ORACLE["knn_pq_adc_exact"] = _pq_exact_oracle()
 
 
-def _ivf_pq_exact_oracle() -> str:
-    """knn_ivf_pq_exact twin — the FULL production index path replayed
-    value-exact: constructed cluster centers as the coarse quantizer
-    (cell = first-min argmin; the 0.0-seeded list_reduce matches
-    probe_cells' aggregate fold), n_probe nearest cells per query
-    (ties toward the lower cell, the array_sort struct rule), PQ codes
-    and ADC from the shared fragments, candidates restricted to probed
-    cells, round-before-rank."""
+def _manycell_routing_sql(n_probe: int) -> str:
+    """Shared WITH-clause body replaying the closed-form IVF ROUTING:
+    corpus formula, constructed cluster centers as the coarse
+    quantizer (cell = first-min argmin; the 0.0-seeded list_reduce
+    matches probe_cells' aggregate fold), and each query's n_probe
+    nearest cells (ties toward the lower cell, the array_sort struct
+    rule). ONE implementation consumed verbatim by the plain-IVF and
+    IVF-PQ exact oracles — the routing replica cannot drift between
+    them. Exposes CTEs: v (corpus), cellv (+dv distance vector),
+    assigned (vec_id, e, cell), probes (query_id, qv, cell)."""
     cents = similarity.clustered_corpus_centers(
         MANYCELL_CLUSTERS, MANYCELL_DIM
     )
@@ -1738,16 +1761,11 @@ def _ivf_pq_exact_oracle() -> str:
         f" i -> (e[i] - c[i]) * (e[i] - c[i])),"
         f" (acc, x) -> acc + x))"
     )
-    dist_cols, code_cols, adc = _pq_sql_parts()
-    return f"""
-        WITH v AS ({_MANYCELL_CORPUS_SQL}),
+    return f"""v AS ({_MANYCELL_CORPUS_SQL}),
         cellv AS (SELECT vec_id, e, {cell_dist} AS dv FROM v),
         assigned AS (SELECT vec_id, e,
                             list_position(dv, list_min(dv)) - 1 AS cell
                      FROM cellv),
-        dists AS (SELECT vec_id, cell, e, {dist_cols} FROM assigned),
-        enc AS (SELECT vec_id AS neighbor_id, cell, {code_cols}
-                FROM dists),
         qd AS (SELECT query_id, qv, ci - 1 AS cell, dv[ci] AS d
                FROM (SELECT vec_id AS query_id, e AS qv, dv,
                             unnest(generate_series(1, {MANYCELL_CELLS}))
@@ -1758,7 +1776,21 @@ def _ivf_pq_exact_oracle() -> str:
                    SELECT *, ROW_NUMBER() OVER (
                        PARTITION BY query_id
                        ORDER BY d ASC, cell ASC) AS pr
-                   FROM qd) WHERE pr <= {IVFPQ_PROBE}),
+                   FROM qd) WHERE pr <= {n_probe})"""
+
+
+def _ivf_pq_exact_oracle() -> str:
+    """knn_ivf_pq_exact twin — the FULL production index path replayed
+    value-exact: the shared routing replica (corpus, centers, argmin
+    assignment, probe ranking), PQ codes and ADC from the shared
+    fragments, candidates restricted to probed cells,
+    round-before-rank."""
+    dist_cols, code_cols, adc = _pq_sql_parts()
+    return f"""
+        WITH {_manycell_routing_sql(IVFPQ_PROBE)},
+        dists AS (SELECT vec_id, cell, e, {dist_cols} FROM assigned),
+        enc AS (SELECT vec_id AS neighbor_id, cell, {code_cols}
+                FROM dists),
         scored AS (
             SELECT p.query_id, enc.neighbor_id,
                    ROUND({adc}, 6) AS adc_dist
@@ -1775,6 +1807,28 @@ def _ivf_pq_exact_oracle() -> str:
 
 
 ORACLE["knn_ivf_pq_exact"] = _ivf_pq_exact_oracle()
+
+# knn_ivf's value-exact twin (VERDICT r10 item 2): the same routing
+# replica feeding cosine scoring over the probed cells' candidates —
+# list_cosine_similarity is bit-identical to the Spark dot/norm fold
+# on DOUBLE lists (the knn_bruteforce-proven pairing), rounded before
+# rank with the id tie-break. Every neighbor id, rounded cosine, and
+# rank must match the Spark search bit-for-bit.
+ORACLE["knn_ivf"] = f"""
+    WITH {_manycell_routing_sql(IVFPQ_PROBE)},
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(p.qv, a.e), 6) AS cos
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rn
+          FROM scored)
+    SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= {K}
+"""
 
 # Persisted IVF-PQ holds to the IDENTICAL expected rows: the persist/
 # read/prune cycle must be lossless, so the oracle string is reused
