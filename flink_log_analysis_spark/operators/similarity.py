@@ -26,10 +26,13 @@ deterministic, no RNG state, reproducible anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import token_hash
+from ..sources import fsio
 
 
 def as_double(arr: Column) -> Column:
@@ -1257,6 +1260,36 @@ def _pq_probe_and_score(
     )
 
 
+# --- manifest-pointer publish (object-store-safe index lifecycle) ---
+#
+# Every persisted index roots its live data under a GENERATION
+# directory named by a one-line pointer file ``{path}/_current``
+# (create-overwrite — a single atomic PUT on object stores, where
+# directory rename is a non-atomic copy). Writers build a complete new
+# generation aside, repoint, then delete the old one; readers resolve
+# the pointer first. Legacy indexes without a pointer resolve to the
+# original ``vectors`` directory, so the seam is backward-compatible.
+CURRENT_POINTER = "_current"
+
+
+def vectors_dir(spark, path: str) -> str:
+    """The index's LIVE vectors directory, resolved via the manifest
+    pointer (``{path}/_current``); legacy layouts without one resolve
+    to ``{path}/vectors``. One bounded tiny-file read."""
+    name = fsio.read_text(f"{path}/{CURRENT_POINTER}", spark)
+    return f"{path}/{(name or 'vectors').strip()}"
+
+
+def _next_generation(current_name: str) -> str:
+    """``vectors`` -> ``vectors-g1`` -> ``vectors-g2`` -> ... The
+    generation counter lives in the directory NAME so a new publish
+    never collides with the live tree it is about to replace."""
+    base, _, gen = current_name.rpartition("-g")
+    if base and gen.isdigit():
+        return f"{base}-g{int(gen) + 1}"
+    return f"{current_name}-g1"
+
+
 def write_pq_index(
     corpus: DataFrame,
     path: str,
@@ -1265,26 +1298,35 @@ def write_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Persist the IVF-PQ index: ``{path}/vectors`` holds (id,
-    pq_code) parquet PARTITIONED BY cell — a search filtering on
-    probed cells reads only those cells' files, and each row is m
-    small ints (the 32x payload story) — and ``{path}/meta`` is ONE
-    row carrying centroids + codebooks (a searcher's bounded 1-row
-    read). Same build-once/search-many economics as
-    :func:`write_ivf_index`: the assignment scan and the partitioned
-    write are paid here, never per query."""
+    """Persist the IVF-PQ index: the live vectors directory (published
+    via the ``_current`` manifest pointer) holds (id, pq_code) parquet
+    in the TWO-level ``ingest=/cell=`` layout of
+    :func:`write_ivf_index` — the base build lands in ``ingest=base``,
+    :func:`pq_index_append` gives each ingested batch its own
+    ``ingest=`` partition (idempotent replay), and a search filtering
+    on probed cells reads only those cells' files with each row m
+    small ints (the 32x payload story). ``{path}/meta`` is ONE row
+    carrying centroids + codebooks (a searcher's bounded 1-row read).
+    Same build-once/search-many economics as :func:`write_ivf_index`:
+    the assignment scan and the partitioned write are paid here,
+    never per query."""
     assigned, _, cmat = ivf_assign(
         corpus, centroids=centroids, id_col=id_col, vec_col=vec_col
     )
     pq_encode(
         assigned, codebooks, vec_col="arr", id_col=id_col,
         keep_cols=("cell",),
-    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    ).withColumn("ingest", F.lit("base")).write.mode(
+        "overwrite"
+    ).partitionBy("ingest", "cell").parquet(f"{path}/vectors")
     corpus.sparkSession.createDataFrame(
         [(centroids, codebooks)],
         "centroids array<array<double>>, "
         "codebooks array<array<array<double>>>",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    fsio.write_text(
+        f"{path}/{CURRENT_POINTER}", "vectors", corpus.sparkSession
+    )
 
 
 def read_pq_meta(spark, path: str):
@@ -1327,7 +1369,7 @@ def knn_pq_persisted(
         }
     )
     codes = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.parquet(vectors_dir(spark, path))
         .filter(F.col("cell").isin([int(c) for c in cells]))
         .select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
     )
@@ -1335,6 +1377,53 @@ def knn_pq_persisted(
         codes, queries, cmat, books, k, n_probe, id_col, vec_col
     )
     return res, cells
+
+
+def pq_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ingest_key: str | None = None,
+) -> None:
+    """PQ-index INGESTION without refit — :func:`ivf_index_append`'s
+    exact twin for the :func:`write_pq_index` layout: assign the
+    incoming batch to the index's EXISTING centroids, encode with its
+    EXISTING codebooks (both frozen fit-time artifacts; a refit is an
+    offline rebuild), and land the rows in their ``ingest=/cell=``
+    partitions. ``ingest_key=None`` appends into the shared
+    ``ingest=append`` partition (batch semantics); a streaming caller
+    passes a deterministic per-batch key and the write becomes a
+    dynamic-partition OVERWRITE of that batch's own partition —
+    idempotent under micro-batch replay, the exactly-once foreachBatch
+    sink pattern. Scale shape: one projection over the batch + a write
+    touching only the batch's own ingest partition."""
+    from ..session import scoped_conf
+
+    cents, books = read_pq_meta(spark, path)
+    cmat = spark.createDataFrame([(cents,)], "cmat array<array<double>>")
+    vecs = new_vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("arr")
+    )
+    assigned = probe_cells(vecs, "arr", cmat, [0]).withColumnRenamed(
+        "cell_p0", "cell"
+    )
+    coded = pq_encode(
+        assigned, books, vec_col="arr", id_col=id_col, keep_cols=("cell",)
+    ).withColumn("ingest", F.lit(ingest_key or "append"))
+    target = vectors_dir(spark, path)
+    if ingest_key is None:
+        coded.write.mode("append").partitionBy("ingest", "cell").parquet(
+            target
+        )
+        return
+    with scoped_conf(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        coded.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("ingest", "cell").parquet(target)
 
 
 def _coded(assigned: DataFrame, ranges: DataFrame, id_col: str) -> DataFrame:
@@ -1417,6 +1506,9 @@ def write_ivf_index(
         "mx_arr",
         F.lit(n_cells).alias("n_cells"),
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    fsio.write_text(
+        f"{path}/{CURRENT_POINTER}", "vectors", emb.sparkSession
+    )
 
 
 def read_ivf_meta(spark, path: str):
@@ -1478,9 +1570,10 @@ def ivf_index_append(
     coded = _coded(assigned, ranges, id_col).withColumn(
         "ingest", F.lit(ingest_key or "append")
     )
+    target = vectors_dir(spark, path)
     if ingest_key is None:
         coded.write.mode("append").partitionBy("ingest", "cell").parquet(
-            f"{path}/vectors"
+            target
         )
         return
     with scoped_conf(
@@ -1490,7 +1583,7 @@ def ivf_index_append(
         # conf and survives callers that run inside other scoped confs
         coded.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
-        ).partitionBy("ingest", "cell").parquet(f"{path}/vectors")
+        ).partitionBy("ingest", "cell").parquet(target)
 
 
 def knn_ivf_persisted(
@@ -1541,7 +1634,7 @@ def knn_ivf_persisted(
         int(r["cell"]) for r in q.select("cell").distinct().collect()
     )
     vecs = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.parquet(vectors_dir(spark, path))
         .filter(F.col("cell").isin(scanned_cells))
     )
     c = (
@@ -1637,6 +1730,16 @@ def jl_projection_contract(
     )
 
 
+def _index_n_cells(spark, path: str) -> int:
+    """The index's cell count from its 1-row meta — either layout:
+    the scalar-IVF meta carries ``n_cells`` explicitly, the PQ meta
+    implies it as the centroid count."""
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    if "n_cells" in row.__fields__:
+        return int(row["n_cells"])
+    return len(row["centroids"])
+
+
 def ivf_index_compact(
     spark,
     path: str,
@@ -1645,24 +1748,33 @@ def ivf_index_compact(
     """Fold accumulated ``ingest=`` partitions back into the base cell
     layout — the maintenance pass a STREAMED index needs (every
     micro-batch lands its own ``ingest=<id>-b<n>`` partition via
-    :func:`ivf_index_append`, so at production ingest rates the index
-    re-grows the small-file problem inside itself).
+    :func:`ivf_index_append` / :func:`pq_index_append`, so at
+    production ingest rates the index re-grows the small-file problem
+    inside itself). Works unchanged on BOTH persisted layouts — the
+    scalar-IVF index and the PQ index share the ``ingest=/cell=``
+    scheme and differ only in payload columns, which are copied
+    generically.
 
     The rewrite preserves search results EXACTLY: rows are copied
-    unmodified (id, code, cell), only the ``ingest`` partition value
-    collapses to ``base`` — and :func:`knn_ivf_persisted` filters on
-    ``cell`` alone, so partition pruning is unchanged. Cells are
-    re-clustered one-file-per-cell (`repartition(n_cells, "cell")` —
-    each task writes one file per cell it holds), so the file count
-    drops from O(ingests x cells) to O(cells).
+    unmodified, only the ``ingest`` partition value collapses to
+    ``base`` — and the searchers filter on ``cell`` alone, so
+    partition pruning is unchanged. Cells are re-clustered
+    one-file-per-cell (`repartition(n_cells, "cell")` — each task
+    writes one file per cell it holds), so the file count drops from
+    O(ingests x cells) to O(cells).
 
-    Swap protocol (reusing the build-aside pattern of the /tmp index
-    lifecycle, routed through the sources/fsio seam): write the
-    consolidated layout to ``vectors.compact-<pid>``, then rename the
-    old ``vectors`` aside and the new one into place, then delete the
-    old. The two renames are atomic individually on POSIX/HDFS but not
-    jointly; like :func:`~..operators.maintenance.compact_parquet`,
-    this is a single-maintainer operation. Run it on a QUIESCENT index
+    Publish protocol (manifest pointer — object-store safe): the
+    consolidated layout is written COMPLETE to the next GENERATION
+    directory (``vectors`` -> ``vectors-g1`` -> ``vectors-g2`` ...),
+    then one create-overwrite of the ``_current`` pointer file — a
+    single atomic PUT everywhere, including S3-style stores where
+    directory rename is a non-atomic copy — repoints readers, and the
+    old generation is deleted. A crash before the repoint leaves the
+    old generation live and the new one an unreferenced orphan (the
+    next compaction overwrites the pointer past it); readers that
+    resolved the pointer just before the delete are the deployment's
+    grace-period knob — a production vacuum would age old generations
+    out instead of deleting immediately. Run it on a QUIESCENT index
     (no stream mid-drain): commit markers under ``_ingest_commits``
     are retained, so a stream restarting from its checkpoint still
     skips every committed batch — after folding, the marker (not the
@@ -1672,9 +1784,7 @@ def ivf_index_compact(
     known to still be active). Returns a stats dict:
     ``{"ingests_folded", "files_before", "files_after", "rows"}``.
     """
-    from ..sources import fsio
-
-    vectors = f"{path}/vectors"
+    vectors = vectors_dir(spark, path)
     ingests = sorted(
         name.split("=", 1)[1]
         for name in fsio.list_names(vectors, spark)
@@ -1689,7 +1799,7 @@ def ivf_index_compact(
             "files_after": files_before,
             "rows": None,
         }
-    _, _, _, n_cells = read_ivf_meta(spark, path)
+    n_cells = _index_n_cells(spark, path)
     df = spark.read.parquet(vectors)
     folded = df.filter(F.col("ingest").isin(foldable)).drop("ingest")
     kept = df.filter(~F.col("ingest").isin(foldable))
@@ -1702,34 +1812,20 @@ def ivf_index_compact(
         consolidated = consolidated.unionByName(
             kept.select(*data_cols, "ingest", "cell")
         )
-    import os as _os
-
-    tmp = f"{vectors}.compact-{_os.getpid()}"
-    fsio.delete(tmp, spark=spark)
-    consolidated.write.partitionBy("ingest", "cell").parquet(tmp)
-    # rows counted from the WRITTEN tmp parquet, not from the logical
+    next_name = _next_generation(os.path.basename(vectors))
+    target = f"{path}/{next_name}"
+    fsio.delete(target, spark=spark)
+    consolidated.write.partitionBy("ingest", "cell").parquet(target)
+    # rows counted from the WRITTEN parquet, not from the logical
     # plan: consolidated.count() would re-execute the read+shuffle a
     # second time for the stat alone, doubling the maintenance window.
-    rows = spark.read.parquet(tmp).count()
-    old = f"{vectors}.pre-compact-{_os.getpid()}"
-    if not fsio.rename(vectors, old, spark):
-        # a failed first swap must ABORT: with `vectors` still present,
-        # Hadoop rename(tmp, vectors) would move the compacted tree
-        # INSIDE the live directory (rename-into-existing-dir
-        # semantics) and corrupt the published index.
-        fsio.delete(tmp, spark=spark)
-        raise RuntimeError(
-            f"ivf_index_compact: staging rename failed for {path}; "
-            "index left untouched"
-        )
-    if not fsio.rename(tmp, vectors, spark):
-        # restore the original layout rather than leave no index
-        fsio.rename(old, vectors, spark)
-        raise RuntimeError(f"ivf_index_compact: publish rename failed for {path}")
-    fsio.delete(old, spark=spark)
+    rows = spark.read.parquet(target).count()
+    # THE publish: one tiny create-overwrite PUT repoints every reader
+    fsio.write_text(f"{path}/{CURRENT_POINTER}", next_name, spark)
+    fsio.delete(vectors, spark=spark)
     return {
         "ingests_folded": len(foldable),
         "files_before": files_before,
-        "files_after": fsio.count_files(vectors, spark),
+        "files_after": fsio.count_files(target, spark),
         "rows": rows,
     }

@@ -312,11 +312,13 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     elif _os.path.exists(target):
         st = _os.stat(target)
         parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    # "L2" = on-disk layout version (ingest=/cell= two-level
-    # partitioning, round 9): bumping it retires every pre-change /tmp
+    # layout version prefix: bumping it retires every pre-change /tmp
     # index through the stale-sibling pruning, exactly like a testdata
-    # regeneration would
-    return "L2" + hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+    # regeneration would. L2 = ingest=/cell= two-level partitioning
+    # (round 9); L3 = manifest-pointer publish (_current resolves the
+    # live vectors generation, round 11) — pre-L3 artifacts lack the
+    # pointer and must not pass as exercising the new publish path
+    return "L3" + hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
 def _ivf_index_path(sf_dir: str) -> str:
@@ -347,10 +349,10 @@ def _build_index_once(path: str, marker_name: str, build_fn) -> str:
     Filesystem assumption, stated explicitly (r9 advisory): this
     lifecycle is the GATE's /tmp artifact cache and requires a
     rename-atomic local filesystem — deliberate, since the cache root
-    is hardcoded under /tmp. Production index bookkeeping (markers,
-    commit listings) goes through sources/fsio's Hadoop FS seam
-    instead; an object-store deployment replaces this rename-publish
-    with a manifest pointer swap (fsio module docstring)."""
+    is hardcoded under /tmp. Production index publishing does NOT use
+    rename at all: bookkeeping goes through sources/fsio's Hadoop FS
+    seam and builds/compactions publish via the ``_current`` manifest
+    pointer (similarity.vectors_dir), object-store safe (r10→r11)."""
     import os as _os
     import shutil as _shutil
 
@@ -500,7 +502,9 @@ def knn_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranges=ranges,
     )
     mism = res.exceptAll(mem).union(mem.exceptAll(res))
-    indexed = spark.read.parquet(f"{path}/vectors").agg(
+    indexed = spark.read.parquet(
+        similarity.vectors_dir(spark, path)
+    ).agg(
         F.count(F.lit(1)).alias("_indexed")
     )
     total = emb.agg(F.count(F.lit(1)).alias("_total"))
@@ -592,7 +596,9 @@ def knn_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranges=ranges,
     )
     mism = res.exceptAll(mem).union(mem.exceptAll(res))
-    indexed = spark.read.parquet(f"{path}/vectors").agg(
+    indexed = spark.read.parquet(
+        similarity.vectors_dir(spark, path)
+    ).agg(
         F.count(F.lit(1)).alias("_indexed")
     )
     total = emb.agg(F.count(F.lit(1)).alias("_total"))
@@ -672,7 +678,9 @@ def _ensure_ivf_compacted_index(spark: SparkSession, sf_dir: str) -> str:
         pre.coalesce(1).write.parquet(f"{tmp}/precompact_search")
         n_ingests = sum(
             1
-            for n in fsio.list_names(f"{tmp}/vectors", spark)
+            for n in fsio.list_names(
+                similarity.vectors_dir(spark, tmp), spark
+            )
             if n.startswith("ingest=")
         )
         stats = similarity.ivf_index_compact(spark, tmp)
@@ -724,13 +732,15 @@ def knn_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     mism_mem = res.exceptAll(mem).union(mem.exceptAll(res))
     mism_pre = res.exceptAll(pre).union(pre.exceptAll(res))
     stats = spark.read.parquet(f"{path}/compact_stats")
-    indexed = spark.read.parquet(f"{path}/vectors").agg(
+    indexed = spark.read.parquet(
+        similarity.vectors_dir(spark, path)
+    ).agg(
         F.count(F.lit(1)).alias("_indexed")
     )
     total = emb.agg(F.count(F.lit(1)).alias("_total"))
     ingests_now = [
         n
-        for n in fsio.list_names(f"{path}/vectors", spark)
+        for n in fsio.list_names(similarity.vectors_dir(spark, path), spark)
         if n.startswith("ingest=")
     ]
     markers = committed_batches(path)
@@ -813,7 +823,7 @@ def _ensure_manycell_index(spark: SparkSession) -> str:
     path = (
         "/tmp/spark_graft_ivf_manycell/"
         f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
-        f"s{int(MANYCELL_SPREAD * 100)}-cells{MANYCELL_CELLS}L2"
+        f"s{int(MANYCELL_SPREAD * 100)}-cells{MANYCELL_CELLS}L3"
     )
     return _build_index_once(
         path,
@@ -888,7 +898,7 @@ def knn_ivf_manycell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scan cost from the index's OWN cell occupancies (the rows a
     # searcher actually reads), as a fraction of the brute-force cross.
     occ = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.parquet(similarity.vectors_dir(spark, path))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -1508,7 +1518,8 @@ def _ensure_pq_index(spark: SparkSession) -> str:
     path = (
         "/tmp/spark_graft_pq_manycell/"
         f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
-        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v1"
+        # v2: two-level ingest=/cell= layout + manifest pointer (r11)
+        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v2"
     )
     return _build_index_once(
         path,
@@ -1538,6 +1549,113 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta round-trip, a mis-pruned partition, a code mismatch) breaks
     the hash."""
     path = _ensure_pq_index(spark)
+    corpus, _ = _manycell_corpora(spark)
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    res, _cells = similarity.knn_pq_persisted(
+        spark, path, queries, k=K, n_probe=IVFPQ_PROBE
+    )
+    return res
+
+
+def _pq_lifecycle_root(stage: str) -> str:
+    """/tmp cache path for the streamed/compacted PQ lifecycle
+    artifacts — formula corpus + constructed artifacts, so the
+    version string IS the fingerprint (no testdata dependence)."""
+    return (
+        f"/tmp/spark_graft_pq_{stage}/"
+        f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
+        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v1"
+    )
+
+
+def _build_pq_streamed(spark: SparkSession, tmp: str) -> None:
+    """Base-build the PQ index from 2/5 of the formula corpus, then
+    drain the remaining 3/5 through three genuine micro-batches of
+    ``pq_ingest_stream`` (maxFilesPerTrigger=1) — the PQ twin of the
+    scalar-IVF streamed build."""
+    from ..streaming.ann_ingest import pq_ingest_stream
+
+    corpus, _ = _manycell_corpora(spark)
+    base = corpus.filter(
+        (F.col("vec_id") % IVF_APPEND_MOD).isin(*IVF_COMPACT_BASE_REMS)
+    )
+    similarity.write_pq_index(
+        base,
+        tmp,
+        similarity.clustered_corpus_centers(MANYCELL_CLUSTERS, MANYCELL_DIM),
+        similarity.constructed_pq_codebooks(
+            PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
+        ),
+    )
+    for i, rem in enumerate(IVF_COMPACT_BATCH_REMS):
+        corpus.filter(F.col("vec_id") % IVF_APPEND_MOD == rem).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{tmp}/input/b{i}")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/input")
+    )
+    pq_ingest_stream(spark, tmp, stream, f"{tmp}/ckpt")
+
+
+def _ensure_pq_streamed_index(spark: SparkSession) -> str:
+    return _build_index_once(
+        _pq_lifecycle_root("streamed"),
+        "_STREAMED",
+        lambda tmp: _build_pq_streamed(spark, tmp),
+    )
+
+
+def _ensure_pq_compacted_index(spark: SparkSession) -> str:
+    """The streamed PQ build taken through its maintenance pass:
+    base + 3 streamed ingest partitions folded back to one file per
+    cell and published via the ``_current`` manifest pointer."""
+
+    def _build(tmp: str) -> None:
+        _build_pq_streamed(spark, tmp)
+        similarity.ivf_index_compact(spark, tmp)
+
+    return _build_index_once(
+        _pq_lifecycle_root("compacted"), "_COMPACTED", _build
+    )
+
+
+def knn_pq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest contract for the PQ index (VERDICT r10 item
+    3), and a VALUE-exact one: after 2/5 of the formula corpus is
+    base-built and the other 3/5 drains through three
+    ``pq_ingest_stream`` micro-batches (frozen centroids + codebooks,
+    marker/commit protocol, idempotent per-batch partitions), the
+    persisted pruned search must return EXACTLY what the in-memory
+    IVF-PQ composition computes over the FULL corpus — the oracle is
+    ``knn_ivf_pq_exact``'s string verbatim, so a lost row, a
+    double-applied replay, or an append-side encode drift breaks the
+    hash (stronger than the scalar index's boolean identity contract).
+    Batch mechanics (>= 3 genuine micro-batches, restart-replay,
+    marker skips) are pinned in tests/test_ivf_persist.py."""
+    path = _ensure_pq_streamed_index(spark)
+    corpus, _ = _manycell_corpora(spark)
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    res, _cells = similarity.knn_pq_persisted(
+        spark, path, queries, k=K, n_probe=IVFPQ_PROBE
+    )
+    return res
+
+
+def knn_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-index MAINTENANCE contract: the streamed build's ingest
+    partitions folded to one file per cell (``ivf_index_compact`` —
+    the same generic pass as the scalar index) and published via the
+    object-store-safe ``_current`` manifest pointer, then searched
+    through the repointed generation directory. Held to the SAME
+    value-exact oracle string as the streamed and in-memory rows:
+    compaction must change bytes on disk and NOTHING in any answer.
+    Layout assertions (file-count reduction, pointer generation, old
+    generation removed, markers retained) are pinned in
+    tests/test_ivf_persist.py."""
+    path = _ensure_pq_compacted_index(spark)
     corpus, _ = _manycell_corpora(spark)
     queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
     res, _cells = similarity.knn_pq_persisted(
@@ -1641,6 +1759,8 @@ QUERIES = {
     "knn_pq_adc_exact": knn_pq_adc_exact,
     "knn_ivf_pq_exact": knn_ivf_pq_exact,
     "knn_ivf_pq_persisted": knn_ivf_pq_persisted,
+    "knn_pq_streamed": knn_pq_streamed,
+    "knn_pq_compacted": knn_pq_compacted,
     "knn_pq_rerank_recall": knn_pq_rerank_recall,
 }
 
@@ -1834,6 +1954,13 @@ ORACLE["knn_ivf"] = f"""
 # read/prune cycle must be lossless, so the oracle string is reused
 # verbatim (the knn_ivf_quantized_recall convention).
 ORACLE["knn_ivf_pq_persisted"] = ORACLE["knn_ivf_pq_exact"]
+
+# The streamed and compacted PQ lifecycles hold to the SAME expected
+# rows again: base build + streaming ingest must reconstruct the full
+# corpus's codes exactly, and compaction must change only bytes on
+# disk — three layouts, one truth.
+ORACLE["knn_pq_streamed"] = ORACLE["knn_ivf_pq_exact"]
+ORACLE["knn_pq_compacted"] = ORACLE["knn_ivf_pq_exact"]
 
 # Re-rank recall contract: n_truth from the SQL brute force, corpus
 # size and shortlist width restated from the same rule, floor TRUE

@@ -20,11 +20,14 @@ Portability contract, stated honestly:
   is a skip OPTIMIZATION, never the correctness mechanism — see
   ``streaming/ann_ingest.py``).
 - ``rename`` maps onto ``FileSystem.rename``: atomic on POSIX/HDFS,
-  a COPY on S3-style stores. Callers that rely on rename atomicity
-  (the compaction swap, ``_build_index_once``'s publish) document
-  that they require a rename-atomic filesystem; on an object store
-  the equivalent pattern is a manifest pointer swap, which is out of
-  scope here and called out in README's scale notes.
+  a COPY on S3-style stores. No index lifecycle path relies on it any
+  more: compaction and index builds publish via the ``_current``
+  manifest pointer (``read_text``/``write_text`` — a create-overwrite
+  of one tiny file, a single atomic PUT on object stores), with
+  readers resolving the pointer first (``similarity.vectors_dir``).
+  The only remaining rename user is ``_build_index_once``, the
+  correctness GATE's /tmp artifact cache, which is local-only by
+  construction and documents its own rename-atomicity requirement.
 """
 
 from __future__ import annotations
@@ -87,6 +90,28 @@ def write_text(path: str, text: str, spark: SparkSession | None = None) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+
+
+def read_text(path: str, spark: SparkSession | None = None) -> str | None:
+    """Contents of a small text file (pointer/marker semantics), or
+    ``None`` if it does not exist. The read is a single bounded open —
+    callers use this for one-line manifest pointers, never data."""
+    spark = spark or _active()
+    if spark is None:
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return fh.read()
+    fs, p = _jfs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
 
 
 def delete(path: str, recursive: bool = True, spark: SparkSession | None = None) -> None:

@@ -1,12 +1,16 @@
-"""Streaming ANN index ingestion: foreachBatch -> ivf_index_append.
+"""Streaming ANN index ingestion: foreachBatch -> index append.
 
-Completes the persisted IVF index's lifecycle (``similarity.py``:
-build once -> append batches -> search many) with the STREAMING ingest
-path a production corpus actually has: embedding batches arrive on a
-stream, each micro-batch assigns to the index's frozen centroids,
-codes with its frozen codebook, and lands in its own
-``ingest=<stream>-b<batch>`` partition touching only the cells it
-contains — the index absorbs the stream without a rebuild.
+Completes the persisted index lifecycle (``similarity.py``: build once
+-> append batches -> search many) with the STREAMING ingest path a
+production corpus actually has, for BOTH persisted layouts — the
+scalar-IVF index (``ivf_ingest_stream``) and the PQ index
+(``pq_ingest_stream``): embedding batches arrive on a stream, each
+micro-batch assigns to the index's frozen centroids, codes with its
+frozen codebook(s), and lands in its own ``ingest=<stream>-b<batch>``
+partition touching only the cells it contains — the index absorbs the
+stream without a rebuild. The marker/commit protocol is ONE shared
+implementation (``_append_batch`` / ``_ingest_stream``); the layouts
+differ only in the append projection.
 
 Exactly-once at the sink comes from the WRITE, not from bookkeeping:
 each micro-batch's partition key is deterministic, and the append uses
@@ -71,24 +75,26 @@ def committed_batches(
     return sorted(out)
 
 
-def ivf_append_batch(
+def _append_batch(
     spark: SparkSession,
     index_path: str,
     batch_df: DataFrame,
     batch_id: int,
     ingest_id: str,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    append_fn,
+    id_col: str,
+    vec_col: str,
 ) -> bool:
-    """One ingest step. The marker skip is scoped to THIS ingest id (a
-    different stream's batch 0 is a different batch); a replay that
-    races past a missing marker is still safe because the write
-    overwrites its own deterministic partition. Returns whether a
-    write ran."""
+    """One ingest step — the marker protocol, shared by the scalar-IVF
+    and PQ ingest paths (``append_fn`` is the layout-specific append).
+    The marker skip is scoped to THIS ingest id (a different stream's
+    batch 0 is a different batch); a replay that races past a missing
+    marker is still safe because the write overwrites its own
+    deterministic partition. Returns whether a write ran."""
     marker = f"{index_path}/{COMMITS_DIR}/{ingest_id}-batch-{batch_id}"
     if fsio.exists(marker, spark):
         return False
-    similarity.ivf_index_append(
+    append_fn(
         spark,
         index_path,
         batch_df,
@@ -100,23 +106,54 @@ def ivf_append_batch(
     return True
 
 
-def ivf_ingest_stream(
+def ivf_append_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    ingest_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    return _append_batch(
+        spark, index_path, batch_df, batch_id, ingest_id,
+        similarity.ivf_index_append, id_col, vec_col,
+    )
+
+
+def pq_append_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    ingest_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    return _append_batch(
+        spark, index_path, batch_df, batch_id, ingest_id,
+        similarity.pq_index_append, id_col, vec_col,
+    )
+
+
+def _ingest_stream(
     spark: SparkSession,
     index_path: str,
     stream_df: DataFrame,
     checkpoint_dir: str,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    timeout_sec: int = 600,
+    append_batch_fn,
+    id_col: str,
+    vec_col: str,
+    timeout_sec: int,
 ) -> list[int]:
-    """Drain a stream of embedding rows into the persisted index with
+    """Drain a stream of embedding rows into a persisted index with
     ``availableNow`` (process everything currently available, then
     stop — the batch-twin convention of ``plans/streamed.py``).
     Returns this stream's committed batch ids after the drain."""
     ingest_id = stream_ingest_id(checkpoint_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_append_batch(
+        append_batch_fn(
             spark,
             index_path,
             batch_df,
@@ -135,7 +172,40 @@ def ivf_ingest_stream(
     if not q.awaitTermination(timeout=timeout_sec):
         q.stop()
         raise TimeoutError(
-            f"IVF ingest stream did not drain availableNow input in "
+            f"ANN ingest stream did not drain availableNow input in "
             f"{timeout_sec}s"
         )
     return committed_batches(index_path, ingest_id)
+
+
+def ivf_ingest_stream(
+    spark: SparkSession,
+    index_path: str,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_sec: int = 600,
+) -> list[int]:
+    return _ingest_stream(
+        spark, index_path, stream_df, checkpoint_dir,
+        ivf_append_batch, id_col, vec_col, timeout_sec,
+    )
+
+
+def pq_ingest_stream(
+    spark: SparkSession,
+    index_path: str,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_sec: int = 600,
+) -> list[int]:
+    """The PQ index's streaming ingest — identical marker/commit
+    protocol, layout-specific append (assign with the persisted
+    centroids, encode with the persisted codebooks)."""
+    return _ingest_stream(
+        spark, index_path, stream_df, checkpoint_dir,
+        pq_append_batch, id_col, vec_col, timeout_sec,
+    )

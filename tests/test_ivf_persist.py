@@ -322,11 +322,17 @@ def test_compact_folds_ingests_preserving_search(spark, sf_dir, tmp_path):
     assert stats["ingests_folded"] == 4
     assert stats["files_after"] < stats["files_before"]
     assert stats["rows"] == total
+    # manifest-pointer publish: the consolidated layout lives in the
+    # next GENERATION directory, _current repoints readers, and the
+    # old generation is deleted (no directory rename anywhere)
+    live = similarity.vectors_dir(spark, idx)
+    assert live == f"{idx}/vectors-g1"
+    assert not os.path.exists(f"{idx}/vectors")
     # layout folded to the base ingest only; cells unchanged
     assert {
-        d for d in os.listdir(f"{idx}/vectors") if d.startswith("ingest=")
+        d for d in os.listdir(live) if d.startswith("ingest=")
     } == {"ingest=base"}
-    assert spark.read.parquet(f"{idx}/vectors").count() == total
+    assert spark.read.parquet(live).count() == total
     # search identity + unchanged pruning
     post, post_cells = similarity.knn_ivf_persisted(
         spark, idx, queries, k=K, n_probe=2
@@ -362,10 +368,11 @@ def test_compact_keep_ingests_exempts_active_stream(spark, sf_dir, tmp_path):
         spark, idx, keep_ingests=("live-b0",)
     )
     assert stats["ingests_folded"] == 2
+    live = similarity.vectors_dir(spark, idx)
     assert {
-        d for d in os.listdir(f"{idx}/vectors") if d.startswith("ingest=")
+        d for d in os.listdir(live) if d.startswith("ingest=")
     } == {"ingest=base", "ingest=live-b0"}
-    assert spark.read.parquet(f"{idx}/vectors").count() == total
+    assert spark.read.parquet(live).count() == total
 
 
 def test_committed_batches_skips_stray_files(spark, tmp_path):
@@ -540,3 +547,175 @@ def test_pq_persisted_pruned_and_matches_inmemory(spark, tmp_path):
                                 k=K, n_probe=2)
     assert res.exceptAll(mem).count() == 0
     assert mem.exceptAll(res).count() == 0
+
+
+def _small_pq_fixture(spark, tmp_path):
+    """(corpus, centers, books, idx) — a small formula corpus with a
+    PQ index base-built from 2/5 of it (the lifecycle tests' shared
+    starting point)."""
+    corpus = similarity.clustered_corpus(
+        spark, n_clusters=8, per_cluster=16, dim=8, spread=0.3
+    ).localCheckpoint()
+    centers = similarity.clustered_corpus_centers(n_clusters=8, dim=8)
+    books = similarity.constructed_pq_codebooks(4, 8, 2)
+    idx = str(tmp_path / "pqidx")
+    similarity.write_pq_index(
+        corpus.filter(F.col("vec_id") % 5 < 2), idx, centers, books
+    )
+    return corpus, centers, books, idx
+
+
+def test_pq_append_ingests_without_refit(spark, tmp_path):
+    """pq_index_append: an incoming batch assigns to the persisted
+    centroids and encodes with the persisted codebooks; after the
+    remaining corpus is appended, the persisted search is
+    byte-identical to the in-memory composition over the FULL corpus."""
+    corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
+    similarity.pq_index_append(
+        spark, idx, corpus.filter(F.col("vec_id") % 5 >= 2)
+    )
+    live = similarity.vectors_dir(spark, idx)
+    assert spark.read.parquet(live).count() == corpus.count()
+    queries = corpus.filter("vec_id % 32 = 0")
+    res, cells = similarity.knn_pq_persisted(
+        spark, idx, queries, k=K, n_probe=2
+    )
+    assert 0 < len(cells) < 8
+    mem = similarity.knn_ivf_pq(
+        corpus, queries, centers, books, k=K, n_probe=2
+    )
+    assert res.exceptAll(mem).count() == 0
+    assert mem.exceptAll(res).count() == 0
+
+
+def test_pq_stream_ingest_restart_and_replay(spark, tmp_path):
+    """pq_ingest_stream: the PQ index absorbs a checkpointed stream
+    with the same exactly-once mechanics as the scalar index — a
+    restart processes only new files, a marker-present replay is
+    skipped, a marker-less replay overwrites its own partition."""
+    from flink_log_analysis_spark.streaming.ann_ingest import (
+        committed_batches,
+        pq_append_batch,
+        pq_ingest_stream,
+        stream_ingest_id,
+    )
+
+    corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
+    inputs, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+
+    def arrive(rem: int, name: str) -> None:
+        corpus.filter(F.col("vec_id") % 5 == rem).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{inputs}/{name}")
+
+    def drain() -> list[int]:
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(inputs)
+        )
+        return pq_ingest_stream(spark, idx, stream, ckpt)
+
+    arrive(2, "b0")
+    arrive(3, "b1")
+    assert drain() == [0, 1]
+    live = similarity.vectors_dir(spark, idx)
+    after_two = spark.read.parquet(live).count()
+    # restart on the same checkpoint: only the NEW file is processed
+    arrive(4, "b2")
+    assert drain() == [0, 1, 2]
+    total = spark.read.parquet(live).count()
+    assert total == corpus.count() > after_two
+    ingest = stream_ingest_id(ckpt)
+    # marker-present replay: skipped, unchanged
+    assert pq_append_batch(
+        spark, idx, corpus.filter(F.col("vec_id") % 5 == 2),
+        batch_id=0, ingest_id=ingest,
+    ) is False
+    # marker-less replay (crash-after-commit window): deterministic
+    # partition overwrite — no duplicates
+    os.remove(f"{idx}/_ingest_commits/{ingest}-batch-0")
+    assert pq_append_batch(
+        spark, idx, corpus.filter(F.col("vec_id") % 5 == 2),
+        batch_id=0, ingest_id=ingest,
+    ) is True
+    assert spark.read.parquet(live).count() == total
+    assert committed_batches(idx, ingest) == [0, 1, 2]
+    # stream-final identity with the in-memory full-corpus composition
+    queries = corpus.filter("vec_id % 32 = 0")
+    res, _ = similarity.knn_pq_persisted(
+        spark, idx, queries, k=K, n_probe=2
+    )
+    mem = similarity.knn_ivf_pq(
+        corpus, queries, centers, books, k=K, n_probe=2
+    )
+    assert res.exceptAll(mem).count() == 0
+    assert mem.exceptAll(res).count() == 0
+
+
+def test_pq_compact_folds_and_repoints(spark, tmp_path):
+    """Compaction on the PQ layout: ingest partitions fold to one
+    file per cell, the manifest pointer repoints to the next
+    generation, the old generation is gone, markers survive, and the
+    search is byte-identical. A post-compaction append lands in the
+    LIVE generation and a second compaction advances it again."""
+    from flink_log_analysis_spark.streaming.ann_ingest import (
+        committed_batches,
+        pq_append_batch,
+        stream_ingest_id,
+    )
+
+    corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
+    ingest = stream_ingest_id(str(tmp_path / "ck"))
+    for b, rem in enumerate((2, 3, 4)):
+        assert pq_append_batch(
+            spark, idx, corpus.filter(F.col("vec_id") % 5 == rem),
+            batch_id=b, ingest_id=ingest,
+        ) is True
+    total = spark.read.parquet(f"{idx}/vectors").count()
+    queries = corpus.filter("vec_id % 32 = 0")
+    pre, pre_cells = similarity.knn_pq_persisted(
+        spark, idx, queries, k=K, n_probe=2
+    )
+    pre_rows = sorted(map(tuple, pre.collect()))
+
+    stats = similarity.ivf_index_compact(spark, idx)
+    assert stats["ingests_folded"] == 4
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == total
+    live = similarity.vectors_dir(spark, idx)
+    assert live == f"{idx}/vectors-g1"
+    assert not os.path.exists(f"{idx}/vectors")
+    assert {
+        d for d in os.listdir(live) if d.startswith("ingest=")
+    } == {"ingest=base"}
+    post, post_cells = similarity.knn_pq_persisted(
+        spark, idx, queries, k=K, n_probe=2
+    )
+    assert sorted(map(tuple, post.collect())) == pre_rows
+    assert post_cells == pre_cells
+    assert committed_batches(idx, ingest) == [0, 1, 2]
+    # post-compaction ingest lands in the live generation...
+    assert pq_append_batch(
+        spark, idx, corpus.filter(F.col("vec_id") % 5 == 0),
+        batch_id=3, ingest_id=ingest,
+    ) is True
+    assert spark.read.parquet(live).count() > total
+    # ...and the next compaction advances the generation once more
+    stats2 = similarity.ivf_index_compact(spark, idx)
+    assert stats2["ingests_folded"] == 2
+    assert similarity.vectors_dir(spark, idx) == f"{idx}/vectors-g2"
+    assert not os.path.exists(f"{idx}/vectors-g1")
+
+
+def test_vectors_dir_legacy_fallback_and_generations(spark, tmp_path):
+    """A legacy index without a _current pointer resolves to its
+    original vectors directory; the generation sequence is
+    vectors -> vectors-g1 -> vectors-g2."""
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(f"{legacy}/vectors")
+    assert similarity.vectors_dir(spark, legacy) == f"{legacy}/vectors"
+    assert similarity._next_generation("vectors") == "vectors-g1"
+    assert similarity._next_generation("vectors-g1") == "vectors-g2"
+    assert similarity._next_generation("vectors-g9") == "vectors-g10"
