@@ -133,7 +133,7 @@ _DRIVER_WINDOW: list[str] = [
     # never-driver-audited (new this round; uncommented as each lands)
     "knn_pq_streamed",
     "knn_pq_compacted",
-    # "knn_pq_fitted_exact",
+    "knn_pq_fitted_exact",
     # "quality_ablation_web",
     # r7-stale cohort (all 13 the r10 verdict named)
     "bmp_roundtrip",

@@ -308,6 +308,53 @@ def run_slice(
             prestep("ivf_index_search_pruned", _pruned_search)
         finally:
             _shutil.rmtree(_econ_dir, ignore_errors=True)
+    # Same recorded economics for the PQ index (VERDICT r10 #6): a
+    # true cold build at the timed sf — coarse-quantizer fit + PQ
+    # codebook fit + the partitioned write, the full cost a production
+    # deployment pays once — plus one pruned search over the result.
+    if any(n.startswith(("knn_pq", "knn_ivf_pq")) for n in names):
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from pyspark.sql import functions as F
+
+        from flink_log_analysis_spark.operators import similarity as _sim
+        from flink_log_analysis_spark.plans.llm_similarity import (
+            IVF_INDEX_CELLS,
+            IVF_INDEX_PROBE,
+            IVF_INDEX_QUERIES,
+            K,
+            PQ_FIT_CW,
+            PQ_FIT_M,
+        )
+        from flink_log_analysis_spark.session import read_table
+
+        _econ_dir = _tempfile.mkdtemp(prefix="bench_pq_econ_")
+        _idx = f"{_econ_dir}/index"
+        try:
+            _emb = read_table(spark, sf_dir, "embeddings")
+
+            def _pq_build() -> None:
+                cents = _sim.ivf_fit(
+                    _emb, n_cells=IVF_INDEX_CELLS, seed=42
+                )
+                books = _sim.pq_fit(
+                    _emb, m=PQ_FIT_M, n_codewords=PQ_FIT_CW, seed=42
+                )
+                _sim.write_pq_index(_emb, _idx, cents, books)
+
+            prestep("pq_index_build", _pq_build)
+
+            def _pq_pruned_search() -> None:
+                q = _emb.filter(F.col("vec_id") < IVF_INDEX_QUERIES)
+                res, _ = _sim.knn_pq_persisted(
+                    spark, _idx, q, k=K, n_probe=IVF_INDEX_PROBE
+                )
+                res.write.format("noop").mode("overwrite").save()
+
+            prestep("pq_index_search_pruned", _pq_pruned_search)
+        finally:
+            _shutil.rmtree(_econ_dir, ignore_errors=True)
     # Manufactured JSONL/CSV inputs are shared corpus snapshots like
     # the stream inputs above — build them at the timed SF outside
     # the timed windows.

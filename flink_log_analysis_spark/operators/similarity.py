@@ -1157,6 +1157,66 @@ def knn_pq_adc(
     )
 
 
+def clustered_corpus_numpy(
+    n_clusters: int = 64,
+    per_cluster: int = 64,
+    dim: int = 8,
+    spread: float = 0.05,
+):
+    """:func:`clustered_corpus` replayed in numpy, row ``v`` = vec_id
+    ``v`` — BIT-identical to the Spark projection (exact int64 hash
+    arithmetic until one double division, then the same
+    ``center + spread * noise`` float expression; IEEE doubles make
+    the result engine-independent). Exists so import-time code (oracle
+    builders) can reproduce fit INPUTS without a SparkSession."""
+    import numpy as np
+
+    n = n_clusters * per_cluster
+    v = np.arange(n, dtype=np.int64)[:, None]
+    d = np.arange(dim, dtype=np.int64)[None, :]
+    c = v // per_cluster
+    center = ((c * 37 + d * 101) * 1000003 % 1997) / 998.5 - 1.0
+    noise = ((v * 7919 + d * 104729) % 1009) / 504.5 - 1.0
+    return center + spread * noise
+
+
+def pq_fit_replica(
+    m: int,
+    n_codewords: int,
+    seed: int = 42,
+    n_clusters: int = 64,
+    per_cluster: int = 64,
+    dim: int = 8,
+    spread: float = 0.05,
+) -> list[list[list[float]]]:
+    """:func:`pq_fit` over the formula corpus, replayed WITHOUT Spark:
+    the numpy corpus replica in vec_id order feeds the same
+    :func:`_kmeans_fit` per subspace with the same per-subspace seeds.
+    Given that a Spark-side ``pq_fit(corpus.orderBy(id))`` collects the
+    bit-identical sample in the same order, the two fits are equal
+    float-for-float — which is what lets an import-time oracle splice
+    FITTED codebooks as literals (``knn_pq_fitted_exact``). Honest
+    scope: the Lloyd iterations themselves are shared code, so the
+    contract certifies the distributed sample collection and the
+    encode/ADC arithmetic over a fitted table, not an independent
+    re-derivation of k-means."""
+    sample = clustered_corpus_numpy(n_clusters, per_cluster, dim, spread)
+    if dim % m:
+        raise ValueError(f"dim {dim} is not divisible by m={m} subspaces")
+    d_sub = dim // m
+    return [
+        [
+            list(map(float, c))
+            for c in _kmeans_fit(
+                sample[:, s * d_sub : (s + 1) * d_sub],
+                n_cells=n_codewords,
+                seed=seed + s,
+            )
+        ]
+        for s in range(m)
+    ]
+
+
 def clustered_corpus_centers(
     n_clusters: int = 64, dim: int = 8
 ) -> list[list[float]]:

@@ -1664,6 +1664,32 @@ def knn_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def knn_pq_fitted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FITTED PQ path made value-exact (r10 optional-depth item):
+    ``similarity.pq_fit`` — the real bounded-collect + driver-k-means
+    fit — runs over the formula corpus in vec_id order, and the oracle
+    splices the codebooks computed by ``similarity.pq_fit_replica``
+    (the numpy corpus replica feeding the same Lloyd code) as SQL
+    literals, then replays encode + ADC + rank bit-for-bit. What this
+    certifies end-to-end: the distributed sample collection is
+    faithful (one reordered/dropped/mangled row changes the fit and
+    breaks 160 hashes) and the encode/ADC arithmetic is exact over a
+    FITTED table, not only over constructed constants. Honest scope:
+    the Lloyd iterations are shared code between the two sides (an
+    import-time oracle cannot run Spark), so the fit algorithm itself
+    is certified by tests, not by this hash."""
+    corpus, _ = _manycell_corpora(spark)
+    books = similarity.pq_fit(
+        corpus.orderBy("vec_id"),
+        m=PQ_EXACT_M,
+        n_codewords=PQ_EXACT_CW,
+        seed=42,
+    )
+    codes = similarity.pq_encode(corpus, books)
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    return similarity.knn_pq_adc(codes, queries, books, k=K)
+
+
 def knn_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production PQ composition, contracted: fitted codebooks
     (bounded-sample driver k-means per subspace), ADC shortlist of
@@ -1761,6 +1787,7 @@ QUERIES = {
     "knn_ivf_pq_persisted": knn_ivf_pq_persisted,
     "knn_pq_streamed": knn_pq_streamed,
     "knn_pq_compacted": knn_pq_compacted,
+    "knn_pq_fitted_exact": knn_pq_fitted_exact,
     "knn_pq_rerank_recall": knn_pq_rerank_recall,
 }
 
@@ -1777,14 +1804,17 @@ def _pq_cb_sql(book: list[list[float]]) -> str:
     )
 
 
-def _pq_sql_parts() -> tuple[str, str, str]:
+def _pq_sql_parts(books=None) -> tuple[str, str, str]:
     """Shared SQL fragments for the PQ exact contracts: per-subspace
     codeword-distance columns (ds{s}), argmin code columns (c{s}), and
     the ADC expression over qv/c{s} — per-subspace-grouped left-assoc
-    folds matching the Spark expressions exactly."""
-    books = similarity.constructed_pq_codebooks(
-        PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
-    )
+    folds matching the Spark expressions exactly. ``books=None`` uses
+    the constructed-formula codebooks; the fitted contract passes the
+    numpy fit replica's table instead."""
+    if books is None:
+        books = similarity.constructed_pq_codebooks(
+            PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
+        )
     d = PQ_EXACT_DSUB
     dist_cols = []
     for s in range(PQ_EXACT_M):
@@ -1826,12 +1856,13 @@ _MANYCELL_CORPUS_SQL = f"""
 """
 
 
-def _pq_exact_oracle() -> str:
+def _pq_exact_oracle(books=None) -> str:
     """knn_pq_adc_exact twin: corpus replica (the proven manycell
-    formula), codebooks from the same constructed-formula generator,
-    argmin encode, ADC with the identical per-subspace-grouped
-    left-assoc fold, round-before-rank."""
-    dist_cols, code_cols, adc = _pq_sql_parts()
+    formula), codebooks spliced as literals (the constructed-formula
+    generator by default, the fitted replica's table for
+    knn_pq_fitted_exact), argmin encode, ADC with the identical
+    per-subspace-grouped left-assoc fold, round-before-rank."""
+    dist_cols, code_cols, adc = _pq_sql_parts(books)
     return f"""
         WITH v AS ({_MANYCELL_CORPUS_SQL}),
         dists AS (SELECT vec_id, e, {dist_cols} FROM v),
@@ -1853,6 +1884,23 @@ def _pq_exact_oracle() -> str:
 
 
 ORACLE["knn_pq_adc_exact"] = _pq_exact_oracle()
+
+# Fitted-path exactness bridge: the same oracle shape with the numpy
+# fit replica's codebooks spliced as literals (see
+# knn_pq_fitted_exact's docstring for what this does and does not
+# certify). The replica fit is milliseconds at import (4096 x 2 per
+# subspace, 8 Lloyd iterations in numpy).
+ORACLE["knn_pq_fitted_exact"] = _pq_exact_oracle(
+    similarity.pq_fit_replica(
+        PQ_EXACT_M,
+        PQ_EXACT_CW,
+        seed=42,
+        n_clusters=MANYCELL_CLUSTERS,
+        per_cluster=MANYCELL_PER_CLUSTER,
+        dim=MANYCELL_DIM,
+        spread=MANYCELL_SPREAD,
+    )
+)
 
 
 def _manycell_routing_sql(n_probe: int) -> str:

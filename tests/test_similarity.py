@@ -470,3 +470,31 @@ def test_ivf_pq_all_probes_equals_full_scan(spark):
     allowed = {r["query_id"]: {r["cell_p0"], r["cell_p1"]} for r in qp}
     for r in pruned.collect():
         assert cell_of[r["neighbor_id"]] in allowed[r["query_id"]]
+
+
+def test_pq_fit_replica_matches_spark_fit(spark):
+    """The import-time numpy fit replica (oracle side of
+    knn_pq_fitted_exact) equals the real Spark-side pq_fit over the
+    same corpus in vec_id order, float-for-float — the equality the
+    fitted exactness bridge rests on. Also pins the corpus replica's
+    bit-identity with the Spark projection."""
+    import numpy as np
+
+    corpus = similarity.clustered_corpus(
+        spark, n_clusters=8, per_cluster=16, dim=8, spread=0.3
+    )
+    rows = corpus.orderBy("vec_id").collect()
+    got = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    want = similarity.clustered_corpus_numpy(
+        n_clusters=8, per_cluster=16, dim=8, spread=0.3
+    )
+    assert got.shape == want.shape
+    assert (got == want).all()  # bit-identical, not approx
+
+    fitted = similarity.pq_fit(
+        corpus.orderBy("vec_id"), m=4, n_codewords=8, seed=7
+    )
+    replica = similarity.pq_fit_replica(
+        4, 8, seed=7, n_clusters=8, per_cluster=16, dim=8, spread=0.3
+    )
+    assert fitted == replica  # exact float equality, every codeword
