@@ -130,11 +130,11 @@ _DRIVER_WINDOW: list[str] = [
     "knn_ivf_streamed",
     "knn_ivf_compacted",
     "knn_ivf_pq_persisted",
-    # never-driver-audited (new this round; uncommented as each lands)
+    # never-driver-audited (new this round)
     "knn_pq_streamed",
     "knn_pq_compacted",
     "knn_pq_fitted_exact",
-    # "quality_ablation_web",
+    "quality_ablation_web",
     # r7-stale cohort (all 13 the r10 verdict named)
     "bmp_roundtrip",
     "corpus_report",

@@ -556,11 +556,15 @@ def _bpe_pack_sql() -> str:
 
 ORACLE["bpe_pack_chunks"] = _bpe_pack_sql()
 
-def _ablation_oracle() -> str:
+def _ablation_oracle(relation: str = "documents", prelude: str = "") -> str:
     """quality_ablation_report twin: the same six fail flags (same
     rounding as _KEEP_PRED's conjuncts, list_sum COALESCEd because an
     empty token list is NULL in DuckDB but 0 in Spark's aggregate),
-    one agg row, six UNION ALL signal rows."""
+    one agg row, six UNION ALL signal rows. ``relation``/``prelude``
+    are the composition hook (the span_dedup_sql convention): a caller
+    can prepend its own CTE chain and point the report at any relation
+    with a text column — pipeline_full wraps the web-funnel CTEs this
+    way for quality_ablation_web."""
     flags = {
         "min_tokens": f"n_tokens < {quality.MIN_TOKENS}",
         "max_tokens": f"n_tokens > {quality.MAX_TOKENS}",
@@ -587,7 +591,7 @@ def _ablation_oracle() -> str:
         for n in flags
     )
     return f"""
-        WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+        WITH {prelude}t AS (SELECT {_TOKS} AS toks FROM {relation}),
         s AS (SELECT
                len(toks) AS n_tokens,
                ROUND(COALESCE(list_sum(list_transform(toks, x -> length(x))),

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup, quality, urls
 from ..session import read_table
 from .llm_dedup import NEAR_DUP_THRESHOLD, _bands_cte, _sig_cte
-from .llm_quality import _TOKS, span_dedup_sql
+from .llm_quality import _TOKS, _ablation_oracle, span_dedup_sql
 
 
 def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,8 +189,12 @@ ORACLE = {
 from .pipeline_ops import DOMAIN_QUOTA_CAP as _QUOTA_CAP  # noqa: E402
 from .pipeline_ops import ORACLE as _OPS_ORACLE  # noqa: E402
 
-ORACLE["web_corpus_prep"] = f"""
-    WITH curated AS ({_OPS_ORACLE["url_curation"]}
+# The web-funnel CTE chain (URL curation -> canonical+unblocked ->
+# per-domain quota -> surviving pages joined back to documents),
+# factored once and consumed VERBATIM by both web-tier oracles
+# (web_corpus_prep, quality_ablation_web) so the funnel replica
+# cannot drift between them.
+_WEB_FUNNEL_CTES = f"""curated AS ({_OPS_ORACLE["url_curation"]}
     ), qpages AS (
         SELECT doc_id, domain,
                CAST(ROW_NUMBER() OVER (
@@ -203,7 +207,10 @@ ORACLE["web_corpus_prep"] = f"""
     ), webdocs AS (
         SELECT d.*, qk.domain FROM documents d
         JOIN quota_kept qk USING (doc_id)
-    ), wtoks AS (
+    )"""
+
+ORACLE["web_corpus_prep"] = f"""
+    WITH {_WEB_FUNNEL_CTES}, wtoks AS (
         SELECT doc_id, {_TOKS} AS toks FROM webdocs
     ), qkept AS (
         SELECT w.* FROM webdocs w JOIN wtoks USING (doc_id)
@@ -229,7 +236,36 @@ ORACLE["web_corpus_prep"] = f"""
     FROM pc JOIN quota_kept qk ON pc.doc_id = qk.doc_id
 """
 
+def quality_ablation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ablation report pointed at the WEB tier's quality-filter
+    input (r10 optional-depth item — the two newest quality tools
+    composed): URL curation + per-domain quota select the pages, and
+    the C4/Gopher filter bank's per-signal total/unique rejection
+    counts are computed over THAT survivor population instead of the
+    raw corpus — the report a web-curation team actually reads (signal
+    weight after the URL funnel, not before). Both stages are the
+    already-green operators; the oracle wraps the shared web-funnel
+    CTE chain and the parameterized ablation twin verbatim."""
+    from .pipeline_ops import DOMAIN_QUOTA_CAP, _synth_url
+
+    docs = read_table(spark, sf_dir, "documents")
+    curated = urls.url_curation(
+        docs.select("doc_id", _synth_url().alias("url"))
+    )
+    pages = (
+        urls.domain_quota(curated, cap=DOMAIN_QUOTA_CAP)
+        .filter(F.col("kept"))
+        .select("doc_id")
+    )
+    return quality.ablation_report(docs.join(pages, "doc_id"))
+
+
+ORACLE["quality_ablation_web"] = _ablation_oracle(
+    "webdocs", prelude=_WEB_FUNNEL_CTES + ", "
+)
+
 QUERIES = {
     "corpus_prep": corpus_prep,
     "web_corpus_prep": web_corpus_prep,
+    "quality_ablation_web": quality_ablation_web,
 }
