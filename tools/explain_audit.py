@@ -53,6 +53,9 @@ CROSS_JOIN_OK = {
     "knn_pq_rerank_recall",  # brute ground truth + broadcast query attaches
     "knn_ivf_pq_exact",    # 1-row centroid-matrix broadcast attach
     "knn_ivf_pq_persisted",  # same attaches over the persisted index
+    "knn_pq_streamed",     # same attaches over the stream-built index
+    "knn_pq_compacted",    # same attaches over the compacted index
+    "knn_pq_fitted_exact",  # full-scan ADC baseline, fitted codebooks
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
