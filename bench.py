@@ -272,7 +272,11 @@ def run_slice(
     # index fresh into a THROWAWAY dir at the timed sf (a true cold
     # build — never the /tmp gate cache, whose hit would record ~0) and
     # run one pruned search over it; both land in the prebuild map.
-    if "knn_ivf" in names:
+    # Shared scaffold for the recorded index economics: a true cold
+    # build into a throwaway dir at the timed sf (never the /tmp gate
+    # cache, whose hit would record ~0) + one pruned search over the
+    # result — the full cost a production deployment pays once.
+    def _index_economics(prefix, build_key, build_fn, search_key):
         import shutil as _shutil
         import tempfile as _tempfile
 
@@ -280,81 +284,70 @@ def run_slice(
 
         from flink_log_analysis_spark.operators import similarity as _sim
         from flink_log_analysis_spark.plans.llm_similarity import (
-            IVF_INDEX_CELLS,
             IVF_INDEX_PROBE,
             IVF_INDEX_QUERIES,
             K,
         )
         from flink_log_analysis_spark.session import read_table
 
-        _econ_dir = _tempfile.mkdtemp(prefix="bench_ivf_econ_")
+        _econ_dir = _tempfile.mkdtemp(prefix=prefix)
         _idx = f"{_econ_dir}/index"
         try:
             _emb = read_table(spark, sf_dir, "embeddings")
-            prestep(
-                "ivf_index_build",
-                lambda: _sim.write_ivf_index(
-                    _emb, _idx, n_cells=IVF_INDEX_CELLS, seed=42
-                ),
-            )
+            prestep(build_key, lambda: build_fn(_sim, _emb, _idx))
 
             def _pruned_search() -> None:
                 q = _emb.filter(F.col("vec_id") < IVF_INDEX_QUERIES)
-                res, _ = _sim.knn_ivf_persisted(
-                    spark, _idx, q, k=K, n_probe=IVF_INDEX_PROBE
-                )
+                if search_key.startswith("pq"):
+                    res, _ = _sim.knn_pq_persisted(
+                        spark, _idx, q, k=K, n_probe=IVF_INDEX_PROBE
+                    )
+                else:
+                    res, _ = _sim.knn_ivf_persisted(
+                        spark, _idx, q, k=K, n_probe=IVF_INDEX_PROBE
+                    )
                 res.write.format("noop").mode("overwrite").save()
 
-            prestep("ivf_index_search_pruned", _pruned_search)
+            prestep(search_key, _pruned_search)
         finally:
             _shutil.rmtree(_econ_dir, ignore_errors=True)
-    # Same recorded economics for the PQ index (VERDICT r10 #6): a
-    # true cold build at the timed sf — coarse-quantizer fit + PQ
-    # codebook fit + the partitioned write, the full cost a production
-    # deployment pays once — plus one pruned search over the result.
-    if any(n.startswith(("knn_pq", "knn_ivf_pq")) for n in names):
-        import shutil as _shutil
-        import tempfile as _tempfile
 
-        from pyspark.sql import functions as F
-
-        from flink_log_analysis_spark.operators import similarity as _sim
+    if "knn_ivf" in names:
         from flink_log_analysis_spark.plans.llm_similarity import (
             IVF_INDEX_CELLS,
-            IVF_INDEX_PROBE,
-            IVF_INDEX_QUERIES,
-            K,
+        )
+
+        _index_economics(
+            "bench_ivf_econ_",
+            "ivf_index_build",
+            lambda sim, emb, idx: sim.write_ivf_index(
+                emb, idx, n_cells=IVF_INDEX_CELLS, seed=42
+            ),
+            "ivf_index_search_pruned",
+        )
+    # Same recorded economics for the PQ index (VERDICT r10 #6): the
+    # build timing covers coarse-quantizer fit + PQ codebook fit + the
+    # partitioned write.
+    if any(n.startswith(("knn_pq", "knn_ivf_pq")) for n in names):
+        from flink_log_analysis_spark.plans.llm_similarity import (
+            IVF_INDEX_CELLS,
             PQ_FIT_CW,
             PQ_FIT_M,
         )
-        from flink_log_analysis_spark.session import read_table
 
-        _econ_dir = _tempfile.mkdtemp(prefix="bench_pq_econ_")
-        _idx = f"{_econ_dir}/index"
-        try:
-            _emb = read_table(spark, sf_dir, "embeddings")
+        def _pq_build(sim, emb, idx):
+            cents = sim.ivf_fit(emb, n_cells=IVF_INDEX_CELLS, seed=42)
+            books = sim.pq_fit(
+                emb, m=PQ_FIT_M, n_codewords=PQ_FIT_CW, seed=42
+            )
+            sim.write_pq_index(emb, idx, cents, books)
 
-            def _pq_build() -> None:
-                cents = _sim.ivf_fit(
-                    _emb, n_cells=IVF_INDEX_CELLS, seed=42
-                )
-                books = _sim.pq_fit(
-                    _emb, m=PQ_FIT_M, n_codewords=PQ_FIT_CW, seed=42
-                )
-                _sim.write_pq_index(_emb, _idx, cents, books)
-
-            prestep("pq_index_build", _pq_build)
-
-            def _pq_pruned_search() -> None:
-                q = _emb.filter(F.col("vec_id") < IVF_INDEX_QUERIES)
-                res, _ = _sim.knn_pq_persisted(
-                    spark, _idx, q, k=K, n_probe=IVF_INDEX_PROBE
-                )
-                res.write.format("noop").mode("overwrite").save()
-
-            prestep("pq_index_search_pruned", _pq_pruned_search)
-        finally:
-            _shutil.rmtree(_econ_dir, ignore_errors=True)
+        _index_economics(
+            "bench_pq_econ_",
+            "pq_index_build",
+            _pq_build,
+            "pq_index_search_pruned",
+        )
     # Manufactured JSONL/CSV inputs are shared corpus snapshots like
     # the stream inputs above — build them at the timed SF outside
     # the timed windows.

@@ -503,10 +503,21 @@ def ivf_assign(
     cmat = emb.sparkSession.createDataFrame(
         [(centroids,)], "cmat array<array<double>>"
     )
-    assigned = probe_cells(vecs, "arr", cmat, [0]).withColumnRenamed(
+    return assign_cells(vecs, cmat), centroids, cmat
+
+
+def assign_cells(
+    vecs: DataFrame, cmat: DataFrame, arr_col: str = "arr"
+) -> DataFrame:
+    """THE nearest-cell assignment projection (argmin by squared L2,
+    ties to the lower cell index): :func:`probe_cells` rank 0,
+    renamed. Single implementation shared by :func:`ivf_assign` and
+    both index-append paths — inline copies of this idiom are how a
+    persisted index's cell assignment silently desyncs from the
+    in-memory composition (r11 review)."""
+    return probe_cells(vecs, arr_col, cmat, [0]).withColumnRenamed(
         "cell_p0", "cell"
     )
-    return assigned, centroids, cmat
 
 
 def probe_cells(
@@ -1325,10 +1336,17 @@ def _pq_probe_and_score(
 # Every persisted index roots its live data under a GENERATION
 # directory named by a one-line pointer file ``{path}/_current``
 # (create-overwrite — a single atomic PUT on object stores, where
-# directory rename is a non-atomic copy). Writers build a complete new
-# generation aside, repoint, then delete the old one; readers resolve
-# the pointer first. Legacy indexes without a pointer resolve to the
-# original ``vectors`` directory, so the seam is backward-compatible.
+# directory rename is a non-atomic copy). A generation is
+# SELF-CONTAINED: the cell-partitioned codes plus the 1-row meta at
+# ``{gen}/_meta`` (an underscore name Spark's file index ignores, so
+# scans of the generation never see it) — one pointer swap therefore
+# publishes codes AND artifacts atomically together, and a reader
+# that resolves the pointer once can never mix one generation's codes
+# with another's centroids/codebooks (r11 review). Writers build the
+# complete new generation ASIDE under a pid-unique name, repoint,
+# then delete the superseded one; readers resolve the pointer first.
+# Legacy indexes (no pointer; meta beside vectors at ``{path}/meta``)
+# resolve via fallbacks, so the seam is backward-compatible.
 CURRENT_POINTER = "_current"
 
 
@@ -1340,14 +1358,63 @@ def vectors_dir(spark, path: str) -> str:
     return f"{path}/{(name or 'vectors').strip()}"
 
 
-def _next_generation(current_name: str) -> str:
+def _gen_and_meta(spark, path: str) -> tuple[str, str]:
+    """(live generation dir, its meta parquet path) from ONE pointer
+    read — callers that need meta and codes together resolve once, so
+    a concurrent repoint between the two reads cannot hand them mixed
+    generations. Self-contained generations carry ``{gen}/_meta``;
+    legacy layouts fall back to ``{path}/meta``."""
+    gen = vectors_dir(spark, path)
+    meta = f"{gen}/_meta"
+    if not fsio.exists(meta, spark):
+        meta = f"{path}/meta"
+    return gen, meta
+
+
+def _next_generation(current_name: str, unique: bool = False) -> str:
     """``vectors`` -> ``vectors-g1`` -> ``vectors-g2`` -> ... The
     generation counter lives in the directory NAME so a new publish
-    never collides with the live tree it is about to replace."""
+    never collides with the live tree it replaces; ``unique=True``
+    appends a ``p<pid>`` tail so two concurrent maintainers can never
+    stage into the SAME directory (the loser's finished copy becomes
+    an unreferenced orphan for the vacuum, not a corrupted publish —
+    r11 review)."""
     base, _, gen = current_name.rpartition("-g")
-    if base and gen.isdigit():
-        return f"{base}-g{int(gen) + 1}"
-    return f"{current_name}-g1"
+    num, stem = 0, current_name
+    if base and gen:
+        head = gen.split("p", 1)[0]
+        if head.isdigit():
+            num, stem = int(head), base
+    suffix = f"p{os.getpid()}" if unique else ""
+    return f"{stem}-g{num + 1}{suffix}"
+
+
+def _publish_generation(spark, path: str, codes_df, meta_df) -> None:
+    """Build-aside publish shared by BOTH index writers: stage codes +
+    meta into a self-contained generation, repoint, delete the
+    superseded generation. A fresh index lands in ``vectors``; a
+    REBUILD of a pointer-published index stages into the next
+    pid-unique generation, so the live tree and its artifacts are
+    untouched until the repoint — a crash mid-rebuild leaves the old
+    index fully intact, and concurrent readers always see a matched
+    codes+meta pair. (A pre-pointer LEGACY index rebuilds in place
+    with its original overwrite semantics — the protocol upgrade
+    applies from the first pointer-published build on.)"""
+    cur = fsio.read_text(f"{path}/{CURRENT_POINTER}", spark)
+    cur = cur.strip() if cur else None
+    name = "vectors" if cur is None else _next_generation(cur, unique=True)
+    target = f"{path}/{name}"
+    fsio.delete(target, spark=spark)  # clear a crashed attempt's orphan
+    codes_df.write.mode("overwrite").partitionBy("ingest", "cell").parquet(
+        target
+    )
+    meta_df.coalesce(1).write.mode("overwrite").parquet(f"{target}/_meta")
+    fsio.write_text(f"{path}/{CURRENT_POINTER}", name, spark)
+    if cur and cur != name:
+        fsio.delete(f"{path}/{cur}", spark=spark)
+    if fsio.exists(f"{path}/meta", spark):
+        # a superseded legacy meta must not shadow {gen}/_meta
+        fsio.delete(f"{path}/meta", spark=spark)
 
 
 def write_pq_index(
@@ -1365,35 +1432,35 @@ def write_pq_index(
     :func:`pq_index_append` gives each ingested batch its own
     ``ingest=`` partition (idempotent replay), and a search filtering
     on probed cells reads only those cells' files with each row m
-    small ints (the 32x payload story). ``{path}/meta`` is ONE row
-    carrying centroids + codebooks (a searcher's bounded 1-row read).
-    Same build-once/search-many economics as :func:`write_ivf_index`:
-    the assignment scan and the partitioned write are paid here,
-    never per query."""
+    small ints (the 32x payload story). The generation's ``_meta`` is
+    ONE row carrying centroids + codebooks (a searcher's bounded 1-row
+    read). Same build-once/search-many economics as
+    :func:`write_ivf_index`: the assignment scan and the partitioned
+    write are paid here, never per query; publish is the build-aside
+    pointer swap of :func:`_publish_generation`."""
     assigned, _, cmat = ivf_assign(
         corpus, centroids=centroids, id_col=id_col, vec_col=vec_col
     )
-    pq_encode(
+    codes = pq_encode(
         assigned, codebooks, vec_col="arr", id_col=id_col,
         keep_cols=("cell",),
-    ).withColumn("ingest", F.lit("base")).write.mode(
-        "overwrite"
-    ).partitionBy("ingest", "cell").parquet(f"{path}/vectors")
-    corpus.sparkSession.createDataFrame(
+    ).withColumn("ingest", F.lit("base"))
+    meta = corpus.sparkSession.createDataFrame(
         [(centroids, codebooks)],
         "centroids array<array<double>>, "
         "codebooks array<array<array<double>>>",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    fsio.write_text(
-        f"{path}/{CURRENT_POINTER}", "vectors", corpus.sparkSession
     )
+    _publish_generation(corpus.sparkSession, path, codes, meta)
 
 
-def read_pq_meta(spark, path: str):
+def read_pq_meta(spark, path: str, meta_path: str | None = None):
     """(centroids, codebooks) from the 1-row meta — doubles round-trip
     parquet exactly, so the searcher quantizes against the identical
-    constants the writer encoded with."""
-    r = spark.read.parquet(f"{path}/meta").collect()[0]
+    constants the writer encoded with. ``meta_path`` lets a caller
+    that already resolved the generation pass its meta location."""
+    if meta_path is None:
+        _, meta_path = _gen_and_meta(spark, path)
+    r = spark.read.parquet(meta_path).collect()[0]
     cents = [[float(v) for v in c] for c in r["centroids"]]
     books = [
         [[float(v) for v in cw] for cw in book] for book in r["codebooks"]
@@ -1414,8 +1481,11 @@ def knn_pq_persisted(
     then a vectors scan FILTERED to the probed cells' union (partition
     pruning — files outside those cells never enter the scan,
     plan-asserted in tests) feeding the shared probe-and-score path.
-    Returns (results, scanned cells)."""
-    cents, books = read_pq_meta(spark, path)
+    Returns (results, scanned cells). Generation and meta resolve from
+    ONE pointer read — a concurrent repoint cannot hand the search a
+    mixed codes/artifacts pair."""
+    gen, meta_path = _gen_and_meta(spark, path)
+    cents, books = read_pq_meta(spark, path, meta_path=meta_path)
     cmat = spark.createDataFrame([(cents,)], "cmat array<array<double>>")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -1429,7 +1499,7 @@ def knn_pq_persisted(
         }
     )
     codes = (
-        spark.read.parquet(vectors_dir(spark, path))
+        spark.read.parquet(gen)
         .filter(F.col("cell").isin([int(c) for c in cells]))
         .select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
     )
@@ -1461,18 +1531,16 @@ def pq_index_append(
     touching only the batch's own ingest partition."""
     from ..session import scoped_conf
 
-    cents, books = read_pq_meta(spark, path)
+    target, meta_path = _gen_and_meta(spark, path)
+    cents, books = read_pq_meta(spark, path, meta_path=meta_path)
     cmat = spark.createDataFrame([(cents,)], "cmat array<array<double>>")
     vecs = new_vectors.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("arr")
     )
-    assigned = probe_cells(vecs, "arr", cmat, [0]).withColumnRenamed(
-        "cell_p0", "cell"
-    )
     coded = pq_encode(
-        assigned, books, vec_col="arr", id_col=id_col, keep_cols=("cell",)
+        assign_cells(vecs, cmat), books, vec_col="arr", id_col=id_col,
+        keep_cols=("cell",),
     ).withColumn("ingest", F.lit(ingest_key or "append"))
-    target = vectors_dir(spark, path)
     if ingest_key is None:
         coded.write.mode("append").partitionBy("ingest", "cell").parquet(
             target
@@ -1527,9 +1595,11 @@ def write_ivf_index(
       cells' files (PartitionFilters; plan-asserted in
       ``tests/test_ivf_persist.py``), and the int codes are the 4x
       storage story.
-    - ``{path}/meta``: ONE row — centroid matrix + scalar codebook
-      (mn/mx per dimension). Everything a searcher needs besides the
-      codes; reading it is a bounded 1-row collect.
+    - the generation's ``_meta``: ONE row — centroid matrix + scalar
+      codebook (mn/mx per dimension). Everything a searcher needs
+      besides the codes; reading it is a bounded 1-row collect, and it
+      ships INSIDE the generation so the pointer swap publishes codes
+      and artifacts together (:func:`_publish_generation`).
 
     Build once, search many: at 100 TB the build is one assignment
     scan + one partitioned write (the shuffle is paid here, not per
@@ -1555,26 +1625,25 @@ def write_ivf_index(
         vec_col=vec_col,
         fit_sample_rows=fit_sample_rows,
     )
-    _coded(assigned, ranges, id_col).withColumn(
+    codes = _coded(assigned, ranges, id_col).withColumn(
         "ingest", F.lit("base")
-    ).write.mode("overwrite").partitionBy("ingest", "cell").parquet(
-        f"{path}/vectors"
     )
-    cmat.crossJoin(ranges).select(
+    meta = cmat.crossJoin(ranges).select(
         F.col("cmat").alias("centroids"),
         "mn_arr",
         "mx_arr",
         F.lit(n_cells).alias("n_cells"),
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    fsio.write_text(
-        f"{path}/{CURRENT_POINTER}", "vectors", emb.sparkSession
     )
+    _publish_generation(emb.sparkSession, path, codes, meta)
 
 
-def read_ivf_meta(spark, path: str):
+def read_ivf_meta(spark, path: str, meta_path: str | None = None):
     """Load the index metadata: (centroids, cmat 1-row DF, ranges
-    1-row DF, n_cells). One bounded 1-row collect."""
-    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    1-row DF, n_cells). One bounded 1-row collect; ``meta_path`` lets
+    a caller that already resolved the generation pass its location."""
+    if meta_path is None:
+        _, meta_path = _gen_and_meta(spark, path)
+    row = spark.read.parquet(meta_path).collect()[0]
     centroids = [list(map(float, c)) for c in row["centroids"]]
     cmat = spark.createDataFrame(
         [(centroids,)], "cmat array<array<double>>"
@@ -1620,17 +1689,14 @@ def ivf_index_append(
     """
     from ..session import scoped_conf
 
-    _, cmat, ranges, _ = read_ivf_meta(spark, path)
+    target, meta_path = _gen_and_meta(spark, path)
+    _, cmat, ranges, _ = read_ivf_meta(spark, path, meta_path=meta_path)
     vecs = new_vectors.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("arr")
     )
-    assigned = probe_cells(vecs, "arr", cmat, [0]).withColumnRenamed(
-        "cell_p0", "cell"
-    )
-    coded = _coded(assigned, ranges, id_col).withColumn(
+    coded = _coded(assign_cells(vecs, cmat), ranges, id_col).withColumn(
         "ingest", F.lit(ingest_key or "append")
     )
-    target = vectors_dir(spark, path)
     if ingest_key is None:
         coded.write.mode("append").partitionBy("ingest", "cell").parquet(
             target
@@ -1673,7 +1739,8 @@ def knn_ivf_persisted(
     """
     from ..session import ensure_min_partitions
 
-    _, cmat, ranges, _ = read_ivf_meta(spark, path)
+    gen, meta_path = _gen_and_meta(spark, path)
+    _, cmat, ranges, _ = read_ivf_meta(spark, path, meta_path=meta_path)
     dq = lambda v: _dequantized(v, F.col("mn_arr"), F.col("mx_arr"))  # noqa: E731
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1694,7 +1761,7 @@ def knn_ivf_persisted(
         int(r["cell"]) for r in q.select("cell").distinct().collect()
     )
     vecs = (
-        spark.read.parquet(vectors_dir(spark, path))
+        spark.read.parquet(gen)
         .filter(F.col("cell").isin(scanned_cells))
     )
     c = (
@@ -1790,11 +1857,13 @@ def jl_projection_contract(
     )
 
 
-def _index_n_cells(spark, path: str) -> int:
+def _index_n_cells(spark, path: str, meta_path: str | None = None) -> int:
     """The index's cell count from its 1-row meta — either layout:
     the scalar-IVF meta carries ``n_cells`` explicitly, the PQ meta
     implies it as the centroid count."""
-    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta_path is None:
+        _, meta_path = _gen_and_meta(spark, path)
+    row = spark.read.parquet(meta_path).collect()[0]
     if "n_cells" in row.__fields__:
         return int(row["n_cells"])
     return len(row["centroids"])
@@ -1824,27 +1893,33 @@ def ivf_index_compact(
     O(ingests x cells) to O(cells).
 
     Publish protocol (manifest pointer — object-store safe): the
-    consolidated layout is written COMPLETE to the next GENERATION
-    directory (``vectors`` -> ``vectors-g1`` -> ``vectors-g2`` ...),
-    then one create-overwrite of the ``_current`` pointer file — a
-    single atomic PUT everywhere, including S3-style stores where
-    directory rename is a non-atomic copy — repoints readers, and the
-    old generation is deleted. A crash before the repoint leaves the
-    old generation live and the new one an unreferenced orphan (the
-    next compaction overwrites the pointer past it); readers that
-    resolved the pointer just before the delete are the deployment's
-    grace-period knob — a production vacuum would age old generations
-    out instead of deleting immediately. Run it on a QUIESCENT index
-    (no stream mid-drain): commit markers under ``_ingest_commits``
-    are retained, so a stream restarting from its checkpoint still
-    skips every committed batch — after folding, the marker (not the
-    partition overwrite) is what makes a late replay idempotent.
+    consolidated layout — codes plus a copy of the 1-row meta at
+    ``_meta``, a SELF-CONTAINED generation — is written COMPLETE to
+    the next pid-unique generation directory, then one
+    create-overwrite of the ``_current`` pointer file — a single
+    atomic PUT everywhere, including S3-style stores where directory
+    rename is a non-atomic copy — repoints readers, and the old
+    generation is deleted. A crash before the repoint leaves the old
+    generation live and the new one an unreferenced orphan; readers
+    that resolved the pointer just before the delete are the
+    deployment's grace-period knob — a production vacuum would age old
+    generations (and orphans) out instead of deleting immediately.
+    Compaction remains a SINGLE-MAINTAINER operation like
+    ``maintenance.compact_parquet``; the pid-unique staging means a
+    violated assumption (two concurrent maintainers) costs an orphaned
+    extra copy, never a corrupted publish — both stage into different
+    directories and the last pointer PUT wins. Run it on a QUIESCENT
+    index (no stream mid-drain): commit markers under
+    ``_ingest_commits`` are retained, so a stream restarting from its
+    checkpoint still skips every committed batch — after folding, the
+    marker (not the partition overwrite) is what makes a late replay
+    idempotent.
 
     ``keep_ingests`` exempts partitions from folding (e.g. a stream
     known to still be active). Returns a stats dict:
     ``{"ingests_folded", "files_before", "files_after", "rows"}``.
     """
-    vectors = vectors_dir(spark, path)
+    vectors, meta_path = _gen_and_meta(spark, path)
     ingests = sorted(
         name.split("=", 1)[1]
         for name in fsio.list_names(vectors, spark)
@@ -1859,7 +1934,7 @@ def ivf_index_compact(
             "files_after": files_before,
             "rows": None,
         }
-    n_cells = _index_n_cells(spark, path)
+    n_cells = _index_n_cells(spark, path, meta_path=meta_path)
     df = spark.read.parquet(vectors)
     folded = df.filter(F.col("ingest").isin(foldable)).drop("ingest")
     kept = df.filter(~F.col("ingest").isin(foldable))
@@ -1872,10 +1947,15 @@ def ivf_index_compact(
         consolidated = consolidated.unionByName(
             kept.select(*data_cols, "ingest", "cell")
         )
-    next_name = _next_generation(os.path.basename(vectors))
+    next_name = _next_generation(os.path.basename(vectors), unique=True)
     target = f"{path}/{next_name}"
-    fsio.delete(target, spark=spark)
+    fsio.delete(target, spark=spark)  # clear a crashed attempt's orphan
     consolidated.write.partitionBy("ingest", "cell").parquet(target)
+    # the generation is self-contained: carry the (unchanged) meta
+    # along so the pointer swap publishes codes + artifacts together
+    spark.read.parquet(meta_path).coalesce(1).write.parquet(
+        f"{target}/_meta"
+    )
     # rows counted from the WRITTEN parquet, not from the logical
     # plan: consolidated.count() would re-execute the read+shuffle a
     # second time for the stat alone, doubling the maintenance window.
@@ -1883,6 +1963,10 @@ def ivf_index_compact(
     # THE publish: one tiny create-overwrite PUT repoints every reader
     fsio.write_text(f"{path}/{CURRENT_POINTER}", next_name, spark)
     fsio.delete(vectors, spark=spark)
+    if meta_path == f"{path}/meta":
+        # the legacy meta now lives inside the generation; remove the
+        # superseded copy so the two can never diverge
+        fsio.delete(meta_path, spark=spark)
     return {
         "ingests_folded": len(foldable),
         "files_before": files_before,

@@ -315,10 +315,10 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     # layout version prefix: bumping it retires every pre-change /tmp
     # index through the stale-sibling pruning, exactly like a testdata
     # regeneration would. L2 = ingest=/cell= two-level partitioning
-    # (round 9); L3 = manifest-pointer publish (_current resolves the
-    # live vectors generation, round 11) — pre-L3 artifacts lack the
-    # pointer and must not pass as exercising the new publish path
-    return "L3" + hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+    # (round 9); L3 = manifest-pointer publish; L4 = self-contained
+    # generations (meta rides INSIDE the generation dir, round 11) —
+    # pre-L4 artifacts would exercise only the legacy fallbacks
+    return "L4" + hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
 def _ivf_index_path(sf_dir: str) -> str:
@@ -823,7 +823,7 @@ def _ensure_manycell_index(spark: SparkSession) -> str:
     path = (
         "/tmp/spark_graft_ivf_manycell/"
         f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
-        f"s{int(MANYCELL_SPREAD * 100)}-cells{MANYCELL_CELLS}L3"
+        f"s{int(MANYCELL_SPREAD * 100)}-cells{MANYCELL_CELLS}L4"
     )
     return _build_index_once(
         path,
@@ -1518,8 +1518,8 @@ def _ensure_pq_index(spark: SparkSession) -> str:
     path = (
         "/tmp/spark_graft_pq_manycell/"
         f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
-        # v2: two-level ingest=/cell= layout + manifest pointer (r11)
-        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v2"
+        # v3: self-contained generations — meta inside the dir (r11)
+        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v3"
     )
     return _build_index_once(
         path,
@@ -1564,7 +1564,7 @@ def _pq_lifecycle_root(stage: str) -> str:
     return (
         f"/tmp/spark_graft_pq_{stage}/"
         f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
-        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v1"
+        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v2"
     )
 
 

@@ -326,11 +326,17 @@ def test_compact_folds_ingests_preserving_search(spark, sf_dir, tmp_path):
     # next GENERATION directory, _current repoints readers, and the
     # old generation is deleted (no directory rename anywhere)
     live = similarity.vectors_dir(spark, idx)
-    assert live == f"{idx}/vectors-g1"
+    # pid-unique staging: vectors-g1p<pid> (concurrent maintainers can
+    # never stage into the same directory)
+    assert live.startswith(f"{idx}/vectors-g1p")
     assert not os.path.exists(f"{idx}/vectors")
+    # the generation is self-contained: the meta rode along
+    assert os.path.isdir(f"{live}/_meta")
     # layout folded to the base ingest only; cells unchanged
     assert {
-        d for d in os.listdir(live) if d.startswith("ingest=")
+        d
+        for d in os.listdir(live)
+        if d.startswith("ingest=")
     } == {"ingest=base"}
     assert spark.read.parquet(live).count() == total
     # search identity + unchanged pruning
@@ -685,8 +691,9 @@ def test_pq_compact_folds_and_repoints(spark, tmp_path):
     assert stats["files_after"] < stats["files_before"]
     assert stats["rows"] == total
     live = similarity.vectors_dir(spark, idx)
-    assert live == f"{idx}/vectors-g1"
+    assert live.startswith(f"{idx}/vectors-g1p")
     assert not os.path.exists(f"{idx}/vectors")
+    assert os.path.isdir(f"{live}/_meta")
     assert {
         d for d in os.listdir(live) if d.startswith("ingest=")
     } == {"ingest=base"}
@@ -705,8 +712,9 @@ def test_pq_compact_folds_and_repoints(spark, tmp_path):
     # ...and the next compaction advances the generation once more
     stats2 = similarity.ivf_index_compact(spark, idx)
     assert stats2["ingests_folded"] == 2
-    assert similarity.vectors_dir(spark, idx) == f"{idx}/vectors-g2"
-    assert not os.path.exists(f"{idx}/vectors-g1")
+    live2 = similarity.vectors_dir(spark, idx)
+    assert live2.startswith(f"{idx}/vectors-g2p")
+    assert not os.path.exists(live)
 
 
 def test_vectors_dir_legacy_fallback_and_generations(spark, tmp_path):
@@ -719,3 +727,9 @@ def test_vectors_dir_legacy_fallback_and_generations(spark, tmp_path):
     assert similarity._next_generation("vectors") == "vectors-g1"
     assert similarity._next_generation("vectors-g1") == "vectors-g2"
     assert similarity._next_generation("vectors-g9") == "vectors-g10"
+    # pid-unique staging names parse back to their generation number
+    pid = os.getpid()
+    assert similarity._next_generation("vectors", unique=True) == (
+        f"vectors-g1p{pid}"
+    )
+    assert similarity._next_generation(f"vectors-g3p{pid}") == "vectors-g4"

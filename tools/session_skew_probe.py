@@ -37,12 +37,15 @@ QUERIES = ("log_sessions", "log_sessions_stream", "stateful_sessions")
 
 def build_events_replica(
     spark, base: str, out: str, reps: int, skew_frac: float
-) -> None:
-    """events x reps with unique event_ids; ``skew_frac`` of rows get
+) -> float:
+    """events x reps with unique event_ids; ~``skew_frac`` of rows get
     user_id pinned so their /24 client_net collapses to ONE hot key
     (10.0.42). skew_frac=0 is the uniform control. The deterministic
     event_id-modulus split keeps the two replicas row-identical except
-    for the key column under test."""
+    for the key column under test. The modulus can only realize
+    fractions of the form 1/n, so the REALIZED fraction is returned
+    and reported beside the request (a --skew-frac 0.4 run actually
+    measures 0.5 — r11 review)."""
     from pyspark.sql import functions as F
 
     from flink_log_analysis_spark.session import read_table
@@ -58,8 +61,10 @@ def build_events_replica(
         )
         .drop("_rep")
     )
+    realized = 0.0
     if skew_frac > 0:
         mod = max(1, round(1 / skew_frac))
+        realized = 1.0 / mod
         big = big.withColumn(
             "user_id",
             F.when(F.col("event_id") % mod == 0, F.lit(42)).otherwise(
@@ -71,6 +76,7 @@ def build_events_replica(
     big.repartition(par).write.mode("overwrite").parquet(
         f"{out}/events.parquet"
     )
+    return realized
 
 
 def main() -> None:
@@ -89,7 +95,7 @@ def main() -> None:
     uniform, skewed = f"{args.out}/uniform", f"{args.out}/skewed"
     try:
         build_events_replica(spark, args.base, uniform, args.reps, 0.0)
-        build_events_replica(
+        realized = build_events_replica(
             spark, args.base, skewed, args.reps, args.skew_frac
         )
         t_uni = time_queries(spark, uniform, QUERIES)
@@ -99,7 +105,8 @@ def main() -> None:
                 {
                     "metric": "session_family_skew_probe",
                     "reps": args.reps,
-                    "skew_frac": args.skew_frac,
+                    "skew_frac_requested": args.skew_frac,
+                    "skew_frac_realized": realized,
                     "uniform_sec": t_uni,
                     "skewed_sec": t_skew,
                     "skew_ratio": {
