@@ -1973,3 +1973,32 @@ def ivf_index_compact(
         "files_after": fsio.count_files(target, spark),
         "rows": rows,
     }
+
+
+def index_vacuum(spark, path: str) -> dict:
+    """Age out generation directories the ``_current`` pointer no
+    longer (or never) referenced — the maintenance knob the pointer
+    publish leaves open by design: a crash between staging and
+    repoint, or the loser of two concurrent maintainers, leaves a
+    complete-but-unreferenced ``vectors*`` tree that would otherwise
+    accumulate forever.
+
+    Deletes every ``vectors``-prefixed child of the index root except
+    the live generation; everything else at the root (``meta``,
+    ``_current``, ``_ingest_commits``, caller directories like stream
+    inputs/checkpoints) is untouched. Like compaction this assumes no
+    reader is mid-search on an orphan older than the vacuum — a
+    deployment wanting a time-based grace period would filter the
+    candidates on modification time before deleting; with the pointer
+    already repointed, every NEW search resolves to the live
+    generation, so the orphans are unreachable going forward.
+
+    Returns ``{"live": <name>, "removed": [names...]}``.
+    """
+    live = os.path.basename(vectors_dir(spark, path))
+    removed = []
+    for name in fsio.list_names(path, spark):
+        if name.startswith("vectors") and name != live:
+            fsio.delete(f"{path}/{name}", spark=spark)
+            removed.append(name)
+    return {"live": live, "removed": sorted(removed)}

@@ -733,3 +733,40 @@ def test_vectors_dir_legacy_fallback_and_generations(spark, tmp_path):
         f"vectors-g1p{pid}"
     )
     assert similarity._next_generation(f"vectors-g3p{pid}") == "vectors-g4"
+
+
+def test_index_vacuum_removes_orphan_generations(spark, tmp_path):
+    """index_vacuum: unreferenced vectors* trees (crashed publishes,
+    concurrent-maintainer losers) are deleted; the live generation,
+    markers, and meta fallbacks survive; search is unchanged."""
+    corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
+    similarity.pq_index_append(
+        spark, idx, corpus.filter(F.col("vec_id") % 5 >= 2)
+    )
+    queries = corpus.filter("vec_id % 32 = 0")
+    pre, _ = similarity.knn_pq_persisted(spark, idx, queries, k=K, n_probe=2)
+    pre_rows = sorted(map(tuple, pre.collect()))
+    # manufacture orphans: a crashed staging attempt + a lost copy
+    os.makedirs(f"{idx}/vectors-g1p999/ingest=zzz")
+    os.makedirs(f"{idx}/vectors-g1p1000")
+    os.makedirs(f"{idx}/_ingest_commits", exist_ok=True)
+    with open(f"{idx}/_ingest_commits/aaaa-batch-0", "w") as fh:
+        fh.write("ok")
+    stats = similarity.index_vacuum(spark, idx)
+    assert stats["live"] == "vectors"
+    assert stats["removed"] == ["vectors-g1p1000", "vectors-g1p999"]
+    assert not os.path.exists(f"{idx}/vectors-g1p999")
+    assert os.path.exists(f"{idx}/_ingest_commits/aaaa-batch-0")
+    post, _ = similarity.knn_pq_persisted(spark, idx, queries, k=K, n_probe=2)
+    assert sorted(map(tuple, post.collect())) == pre_rows
+    # after a compaction (live becomes a g-generation), vacuum keeps
+    # the LIVE generation and nothing else vectors-prefixed
+    similarity.ivf_index_compact(spark, idx)
+    os.makedirs(f"{idx}/vectors")  # a stale legacy shell reappears
+    stats2 = similarity.index_vacuum(spark, idx)
+    live = similarity.vectors_dir(spark, idx)
+    assert stats2["live"] == os.path.basename(live)
+    assert "vectors" in stats2["removed"]
+    assert os.path.isdir(live) and not os.path.exists(f"{idx}/vectors")
+    post2, _ = similarity.knn_pq_persisted(spark, idx, queries, k=K, n_probe=2)
+    assert sorted(map(tuple, post2.collect())) == pre_rows
