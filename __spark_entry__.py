@@ -83,13 +83,18 @@ def _plan_modules():
 # five persisted-index rows whose read/publish path gained the
 # manifest-pointer seam and the PQ two-level layout
 # (knn_ivf_persisted, knn_ivf_appended, knn_ivf_streamed,
-# knn_ivf_compacted, knn_ivf_pq_persisted). Then the four r11
-# newborns (knn_pq_streamed, knn_pq_compacted — VERDICT item 3 — plus
-# the optional-depth knn_pq_fitted_exact and quality_ablation_web).
-# Then ALL 13 r7-stale rows the r10 verdict named. The remaining 13
-# slots take the r8-stale cohort, engine-extension machinery first
-# (dedup/ANN/BPE/sampling rows whose plan surface is deepest).
-# Deferred r8-stale (21, next round's head): the untouched pure-
+# knn_ivf_compacted, knn_ivf_pq_persisted). Then the five r11
+# newborns (knn_pq_streamed, knn_pq_compacted — VERDICT item 3 — the
+# optional-depth knn_pq_fitted_exact and quality_ablation_web, and
+# the recall-targeted probe tuner knn_ivf_probe_tuned, which took the
+# slot train_split_assign ceded: the sampling family stays audited
+# via the in-window stratified_doc_sample plus r10-green
+# training_order_shuffle, and train_split_assign joins the deferred
+# r8 cohort below). Then ALL 13 r7-stale rows the r10 verdict named.
+# The remaining 12 slots take the r8-stale cohort, engine-extension
+# machinery first (dedup/ANN/BPE/sampling rows whose plan surface is
+# deepest).
+# Deferred r8-stale (22, next round's head): the untouched pure-
 # relational TPC-H analytics family (customer_segments_setops,
 # distinct_parts_per_supplier, lineitem_global_stats,
 # nation_market_share, nation_trade_flows, order_priority_check,
@@ -103,7 +108,9 @@ def _plan_modules():
 # untouched; dedup family audited via the in-window minhash/simhash
 # rows), orders_snapshot_diff (merge family untouched since r9),
 # bm25_scores / tfidf_top_terms / text_stats (relevance/textstats
-# untouched; rare_token_stats' r10 row is the family's fresh audit).
+# untouched; rare_token_stats' r10 row is the family's fresh audit),
+# plus train_split_assign (ceded its slot to the probe tuner; see
+# above).
 # Every rotated-out name still runs in the local gate
 # (tools/check_correctness.py, driver-identical canon) and in
 # tests/test_oracle_parity.
@@ -135,6 +142,7 @@ _DRIVER_WINDOW: list[str] = [
     "knn_pq_compacted",
     "knn_pq_fitted_exact",
     "quality_ablation_web",
+    "knn_ivf_probe_tuned",
     # r7-stale cohort (all 13 the r10 verdict named)
     "bmp_roundtrip",
     "corpus_report",
@@ -149,7 +157,7 @@ _DRIVER_WINDOW: list[str] = [
     "png_roundtrip",
     "token_budget_select",
     "weighted_doc_sample",
-    # r8-stale cohort (13 of 37; the 21 deferrals are justified above,
+    # r8-stale cohort (12 of 37; the 22 deferrals are justified above,
     # and knn_ivf / knn_ivf_persisted / knn_ivf_appended cover the
     # cohort's other 3 via the touched-path block)
     "knn_bruteforce",
@@ -164,7 +172,6 @@ _DRIVER_WINDOW: list[str] = [
     "bpe_pack_chunks",
     "domain_quota_sample",
     "stratified_doc_sample",
-    "train_split_assign",
 ]
 
 

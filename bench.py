@@ -105,6 +105,9 @@ EXCLUDE = (
     # PQ re-rank recall contract: embeds the exact brute-force truth
     # side (the PQ search path itself IS timed via knn_pq_adc_exact)
     "knn_pq_rerank_recall",
+    # probe tuner: embeds the exact brute-force truth as the curve's
+    # ground side (the tuned search path is timed via knn_ivf)
+    "knn_ivf_probe_tuned",
 )
 
 

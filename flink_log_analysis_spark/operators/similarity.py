@@ -520,6 +520,26 @@ def assign_cells(
     )
 
 
+def _cell_order(arr_col: str) -> Column:
+    """The per-row CELL ORDERING expression (squared-L2 distance to
+    each centroid of the broadcast ``cmat`` column, array_sort'ed with
+    ties toward the lower cell index) — THE routing comparator, stated
+    once and consumed by :func:`probe_cells` (top-p columns) and
+    :func:`rank_cells` (full exploded ranking) so the two can never
+    disagree about which cell is a row's p-th nearest."""
+    dists = F.transform(
+        F.col("cmat"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col(arr_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return F.array_sort(
+        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+    )
+
+
 def probe_cells(
     df: DataFrame, arr_col: str, cmat: DataFrame, probes
 ) -> DataFrame:
@@ -531,17 +551,7 @@ def probe_cells(
     sequential fold per centroid as a hand-rolled per-cell
     expression), and the matrix column is dropped on the way out."""
     j = df.crossJoin(F.broadcast(cmat))
-    dists = F.transform(
-        F.col("cmat"),
-        lambda c: F.aggregate(
-            F.zip_with(F.col(arr_col), c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    order = F.array_sort(
-        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
-    )
+    order = _cell_order(arr_col)
     return j.select(
         *df.columns,
         *[
@@ -549,6 +559,121 @@ def probe_cells(
             for p in probes
         ],
     )
+
+
+def rank_cells(
+    df: DataFrame, arr_col: str, cmat: DataFrame, keep_cols=("query_id",)
+) -> DataFrame:
+    """The FULL cell ranking per row, exploded: one output row per
+    (input row, cell) carrying ``pr`` (1-based probe rank) — the same
+    comparator as :func:`probe_cells` via the shared
+    :func:`_cell_order`. Feeds the recall-curve derivation, where
+    every cell's rank matters at once and n_cells element_at columns
+    would be the wrong shape."""
+    j = df.crossJoin(F.broadcast(cmat))
+    pos = F.posexplode(_cell_order(arr_col))
+    return j.select(*keep_cols, pos.alias("pr0", "s")).select(
+        *keep_cols,
+        (F.col("pr0") + 1).cast("int").alias("pr"),
+        F.col("s").getField("cell").alias("cell"),
+    )
+
+
+def ivf_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k as a function of ``n_probe`` — the ENTIRE curve from
+    ONE truth computation + ONE routing pass, no per-probe re-search.
+
+    Rests on the retention theorem of IVF top-k: a TRUE top-k
+    neighbor that enters the candidate set always survives to the
+    approximate top-k (every candidate scoring above it is itself a
+    true top-k member — there are at most k-1 of those — and the
+    rounded-cosine/neighbor-id comparator is shared by both
+    rankings). So a truth pair is recalled at probe depth p iff the
+    neighbor's cell sits within the query's p nearest cells, and
+    recall(p) is a pure function of the routing: join the truth
+    pairs to the corpus cell assignment and to the query's full cell
+    ranking, take each pair's probe rank, and count. The equivalence
+    with physically re-running the search per p is test-pinned
+    (tests/test_similarity.py).
+
+    Returns one row per probe depth 1..n_cells: (n_probe,
+    hits INT — truth pairs recalled at exactly this depth's
+    cumulative count). Scale shape: the truth is the usual broadcast
+    top-k; the curve itself is one narrow join + an n_cells-row
+    aggregate."""
+    exact = knn_bruteforce(corpus, queries, k=k, id_col=id_col,
+                           vec_col=vec_col).select("query_id", "neighbor_id")
+    assigned, _, cmat = ivf_assign(
+        corpus, centroids=centroids, id_col=id_col, vec_col=vec_col
+    )
+    cell_of = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cell").alias("ncell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    ranked = rank_cells(q, "qv", cmat).withColumnRenamed("query_id", "rq")
+    pair_rank = (
+        exact.join(cell_of, "neighbor_id")
+        .join(
+            ranked,
+            (F.col("query_id") == F.col("rq"))
+            & (F.col("ncell") == F.col("cell")),
+        )
+        .select("pr")
+    )
+    n_cells = len(centroids)
+    depths = corpus.sparkSession.range(1, n_cells + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    per_depth = pair_rank.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        depths.join(per_depth, depths["n_probe"] >= per_depth["pr"], "left")
+        .groupBy("n_probe")
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("int").alias("hits"))
+    )
+
+
+def tune_n_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    target_recall: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int, int]:
+    """Pick the SMALLEST ``n_probe`` whose recall@k meets
+    ``target_recall`` — the knob a production IVF deployment actually
+    tunes (scan cost is linear in probes; recall is the requirement).
+    One :func:`ivf_recall_curve` pass, then an n_cells-row driver
+    scan. Returns (tuned_n_probe, hits_at_tuned, n_truth); if no
+    depth meets the target (unreachable: p = n_cells scans everything
+    and recalls all), n_cells is returned."""
+    curve = {
+        r["n_probe"]: r["hits"]
+        for r in ivf_recall_curve(
+            corpus, queries, centroids, k=k, id_col=id_col, vec_col=vec_col
+        ).collect()
+    }
+    n_cells = len(centroids)
+    n_truth = curve and max(curve.values()) or 0
+    import math
+
+    need = math.ceil(target_recall * n_truth)
+    for p in range(1, n_cells + 1):
+        if curve.get(p, 0) >= need:
+            return p, curve[p], n_truth
+    return n_cells, curve.get(n_cells, 0), n_truth
 
 
 def knn_ivf(

@@ -1690,6 +1690,37 @@ def knn_pq_fitted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_pq_adc(codes, queries, books, k=K)
 
 
+PROBE_TUNE_TARGET = 0.95
+
+
+def knn_ivf_probe_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-targeted probe selection, VALUE-exact: pick the
+    smallest ``n_probe`` whose recall@k clears PROBE_TUNE_TARGET —
+    the knob a production IVF deployment tunes (scan cost is linear
+    in probes; recall is the requirement). The tuner derives the
+    ENTIRE recall curve from one truth computation + one routing pass
+    via the retention theorem (``similarity.ivf_recall_curve``; the
+    theorem itself — curve counts == physically re-run searches — is
+    test-pinned), and on the clustered formula corpus with its
+    closed-form centers the whole derivation is deterministic
+    arithmetic: the oracle replays truth, per-pair probe ranks, the
+    cumulative curve, and the argmin depth, so the tuned probe, its
+    hit count, and the truth size must all match bit-for-bit."""
+    corpus, _ = _manycell_corpora(spark)
+    centers = similarity.clustered_corpus_centers(
+        MANYCELL_CLUSTERS, MANYCELL_DIM
+    )
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    p, hits, n_truth = similarity.tune_n_probe(
+        corpus, queries, centers, k=K, target_recall=PROBE_TUNE_TARGET
+    )
+    return spark.createDataFrame(
+        [(int(PROBE_TUNE_TARGET * 1000), p, hits, n_truth, MANYCELL_CELLS)],
+        "target_permille int, tuned_n_probe int, hits_at_tuned int, "
+        "n_truth int, n_cells int",
+    )
+
+
 def knn_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production PQ composition, contracted: fitted codebooks
     (bounded-sample driver k-means per subspace), ADC shortlist of
@@ -1788,6 +1819,7 @@ QUERIES = {
     "knn_pq_streamed": knn_pq_streamed,
     "knn_pq_compacted": knn_pq_compacted,
     "knn_pq_fitted_exact": knn_pq_fitted_exact,
+    "knn_ivf_probe_tuned": knn_ivf_probe_tuned,
     "knn_pq_rerank_recall": knn_pq_rerank_recall,
 }
 
@@ -1940,7 +1972,7 @@ def _manycell_routing_sql(n_probe: int) -> str:
                                 AS ci
                      FROM cellv
                      WHERE vec_id % {MANYCELL_QUERY_MOD} = 0)),
-        probes AS (SELECT query_id, qv, cell FROM (
+        probes AS (SELECT query_id, qv, cell, pr FROM (
                    SELECT *, ROW_NUMBER() OVER (
                        PARTITION BY query_id
                        ORDER BY d ASC, cell ASC) AS pr
@@ -1997,6 +2029,53 @@ ORACLE["knn_ivf"] = f"""
     SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn
     FROM r WHERE rn <= {K}
 """
+
+# Probe-tuner twin: the same routing replica ranked over ALL cells,
+# the exact cosine truth, per-pair probe ranks, the cumulative
+# recall curve, and MIN depth meeting the target — every step
+# deterministic arithmetic. The ceil lands on the same IEEE double
+# both sides (python math.ceil in the tuner, CEIL here).
+ORACLE["knn_ivf_probe_tuned"] = f"""
+    WITH {_manycell_routing_sql(MANYCELL_CELLS)},
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(
+                           list_cosine_similarity(q.qv, a.e), 6) DESC,
+                                a.vec_id ASC) AS rn
+            FROM (SELECT vec_id AS query_id, e AS qv FROM v
+                  WHERE vec_id % {MANYCELL_QUERY_MOD} = 0) q
+            JOIN assigned a ON a.vec_id <> q.query_id
+        ) WHERE rn <= {K}
+    ),
+    pairrank AS (
+        SELECT p.pr
+        FROM truth t
+        JOIN assigned a ON a.vec_id = t.neighbor_id
+        JOIN probes p ON p.query_id = t.query_id AND p.cell = a.cell
+    ),
+    curve AS (
+        SELECT d.n_probe, COUNT(pr.pr) AS hits
+        FROM (SELECT unnest(generate_series(1, {MANYCELL_CELLS}))
+                  AS n_probe) d
+        LEFT JOIN pairrank pr ON pr.pr <= d.n_probe
+        GROUP BY d.n_probe
+    ),
+    stats AS (SELECT COUNT(*) AS n_truth FROM truth),
+    tuned AS (
+        SELECT MIN(n_probe) AS p FROM curve, stats
+        WHERE hits >= CEIL({PROBE_TUNE_TARGET} * n_truth)
+    )
+    SELECT {int(PROBE_TUNE_TARGET * 1000)} AS target_permille,
+           CAST(t.p AS INTEGER) AS tuned_n_probe,
+           CAST(c.hits AS INTEGER) AS hits_at_tuned,
+           CAST(s.n_truth AS INTEGER) AS n_truth,
+           {MANYCELL_CELLS} AS n_cells
+    FROM tuned t JOIN curve c ON c.n_probe = t.p CROSS JOIN stats s
+"""
+
 
 # Persisted IVF-PQ holds to the IDENTICAL expected rows: the persist/
 # read/prune cycle must be lossless, so the oracle string is reused

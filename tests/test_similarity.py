@@ -498,3 +498,47 @@ def test_pq_fit_replica_matches_spark_fit(spark):
         4, 8, seed=7, n_clusters=8, per_cluster=16, dim=8, spread=0.3
     )
     assert fitted == replica  # exact float equality, every codeword
+
+
+def test_recall_curve_matches_physical_research(spark):
+    """The retention theorem ivf_recall_curve rests on: a true top-k
+    neighbor entering the candidate set always survives to the
+    approximate top-k, so the curve's routing-only hit counts must
+    equal hits from PHYSICALLY re-running the search at each probe
+    depth. Pinned at several depths, plus the tuner's contract."""
+    corpus = similarity.clustered_corpus(
+        spark, n_clusters=8, per_cluster=16, dim=8, spread=0.3
+    ).localCheckpoint()
+    centers = similarity.clustered_corpus_centers(n_clusters=8, dim=8)
+    queries = corpus.filter("vec_id % 16 = 0")
+    exact = similarity.knn_bruteforce(corpus, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    curve = {
+        r["n_probe"]: r["hits"]
+        for r in similarity.ivf_recall_curve(
+            corpus, queries, centers, k=5
+        ).collect()
+    }
+    assert sorted(curve) == list(range(1, 9))
+    n_truth = exact.count()
+    assert curve[8] == n_truth  # full probe depth recalls everything
+    for p in (1, 2, 4):
+        measured = (
+            similarity.knn_ivf(
+                corpus, queries, k=5, n_probe=p, centroids=centers
+            )
+            .select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()
+        )
+        assert curve[p] == measured, (p, curve[p], measured)
+    tuned, hits, total = similarity.tune_n_probe(
+        corpus, queries, centers, k=5, target_recall=0.9
+    )
+    assert total == n_truth and hits == curve[tuned]
+    import math
+
+    need = math.ceil(0.9 * n_truth)
+    assert hits >= need
+    assert tuned == 1 or curve[tuned - 1] < need  # minimality

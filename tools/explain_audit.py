@@ -56,6 +56,7 @@ CROSS_JOIN_OK = {
     "knn_pq_streamed",     # same attaches over the stream-built index
     "knn_pq_compacted",    # same attaches over the compacted index
     "knn_pq_fitted_exact",  # full-scan ADC baseline, fitted codebooks
+    "knn_ivf_probe_tuned",  # brute ground truth + 1-row tuned attach
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
