@@ -279,7 +279,7 @@ def run_slice(
     # build into a throwaway dir at the timed sf (never the /tmp gate
     # cache, whose hit would record ~0) + one pruned search over the
     # result — the full cost a production deployment pays once.
-    def _index_economics(prefix, build_key, build_fn, search_key):
+    def _index_economics(prefix, build_key, build_fn, search_key, search):
         import shutil as _shutil
         import tempfile as _tempfile
 
@@ -301,14 +301,9 @@ def run_slice(
 
             def _pruned_search() -> None:
                 q = _emb.filter(F.col("vec_id") < IVF_INDEX_QUERIES)
-                if search_key.startswith("pq"):
-                    res, _ = _sim.knn_pq_persisted(
-                        spark, _idx, q, k=K, n_probe=IVF_INDEX_PROBE
-                    )
-                else:
-                    res, _ = _sim.knn_ivf_persisted(
-                        spark, _idx, q, k=K, n_probe=IVF_INDEX_PROBE
-                    )
+                res, _ = getattr(_sim, search)(
+                    spark, _idx, q, k=K, n_probe=IVF_INDEX_PROBE
+                )
                 res.write.format("noop").mode("overwrite").save()
 
             prestep(search_key, _pruned_search)
@@ -327,6 +322,7 @@ def run_slice(
                 emb, idx, n_cells=IVF_INDEX_CELLS, seed=42
             ),
             "ivf_index_search_pruned",
+            "knn_ivf_persisted",
         )
     # Same recorded economics for the PQ index (VERDICT r10 #6): the
     # build timing covers coarse-quantizer fit + PQ codebook fit + the
@@ -350,6 +346,7 @@ def run_slice(
             "pq_index_build",
             _pq_build,
             "pq_index_search_pruned",
+            "knn_pq_persisted",
         )
     # Manufactured JSONL/CSV inputs are shared corpus snapshots like
     # the stream inputs above — build them at the timed SF outside

@@ -1496,22 +1496,36 @@ def _gen_and_meta(spark, path: str) -> tuple[str, str]:
     return gen, meta
 
 
+def _gen_num(name: str) -> int:
+    """Generation number encoded in a vectors-directory name:
+    ``vectors`` -> 0, ``vectors-g<N>[p<token>]`` -> N. The ``p`` tail
+    is an opaque uniqueness token, ignored here."""
+    base, _, gen = name.rpartition("-g")
+    if base and gen:
+        head = gen.split("p", 1)[0]
+        if head.isdigit():
+            return int(head)
+    return 0
+
+
 def _next_generation(current_name: str, unique: bool = False) -> str:
     """``vectors`` -> ``vectors-g1`` -> ``vectors-g2`` -> ... The
     generation counter lives in the directory NAME so a new publish
     never collides with the live tree it replaces; ``unique=True``
-    appends a ``p<pid>`` tail so two concurrent maintainers can never
-    stage into the SAME directory (the loser's finished copy becomes
-    an unreferenced orphan for the vacuum, not a corrupted publish —
-    r11 review)."""
-    base, _, gen = current_name.rpartition("-g")
-    num, stem = 0, current_name
-    if base and gen:
-        head = gen.split("p", 1)[0]
-        if head.isdigit():
-            num, stem = int(head), base
-    suffix = f"p{os.getpid()}" if unique else ""
-    return f"{stem}-g{num + 1}{suffix}"
+    appends a ``p<random-token>`` tail so two concurrent maintainers
+    can never stage into the SAME directory (the loser's finished
+    copy becomes an unreferenced orphan for the vacuum, not a
+    corrupted publish). The token is uuid-derived, NOT a pid —
+    containerized drivers routinely share low pids across hosts, so a
+    pid tail would collide on exactly the shared object-store indexes
+    this protocol targets (r11 review)."""
+    num = _gen_num(current_name)
+    stem = current_name if num == 0 else current_name.rpartition("-g")[0]
+    if unique:
+        import uuid
+
+        return f"{stem}-g{num + 1}p{uuid.uuid4().hex[:8]}"
+    return f"{stem}-g{num + 1}"
 
 
 def _publish_generation(spark, path: str, codes_df, meta_df) -> None:
@@ -2102,28 +2116,38 @@ def ivf_index_compact(
 
 def index_vacuum(spark, path: str) -> dict:
     """Age out generation directories the ``_current`` pointer no
-    longer (or never) referenced — the maintenance knob the pointer
-    publish leaves open by design: a crash between staging and
-    repoint, or the loser of two concurrent maintainers, leaves a
+    longer references — the maintenance knob the pointer publish
+    leaves open by design: a crash between staging and repoint, or
+    the loser of two concurrent maintainers, leaves a
     complete-but-unreferenced ``vectors*`` tree that would otherwise
     accumulate forever.
 
-    Deletes every ``vectors``-prefixed child of the index root except
-    the live generation; everything else at the root (``meta``,
-    ``_current``, ``_ingest_commits``, caller directories like stream
-    inputs/checkpoints) is untouched. Like compaction this assumes no
-    reader is mid-search on an orphan older than the vacuum — a
-    deployment wanting a time-based grace period would filter the
-    candidates on modification time before deleting; with the pointer
-    already repointed, every NEW search resolves to the live
-    generation, so the orphans are unreachable going forward.
+    Deletes only ``vectors``-prefixed children whose generation
+    number is STRICTLY OLDER than the live one; same-or-newer trees
+    survive because they may be a concurrent maintainer's in-flight
+    staging or just-published generation — a vacuum racing a
+    compaction must never delete the tree the pointer is about to (or
+    did just) reference (r11 review: the earlier delete-everything-
+    but-live rule broke the "worst case is an orphan, never a
+    corrupted publish" guarantee). Such newer orphans become
+    vacuumable on a later pass, once the live generation has advanced
+    past them. The pointer is re-read immediately before the sweep to
+    shrink the stale-snapshot window; everything else at the root
+    (``meta``, ``_current``, ``_ingest_commits``, caller directories)
+    is untouched. Readers mid-search on a strictly-older orphan are
+    the deployment's grace-period knob, as with compaction's delete.
 
     Returns ``{"live": <name>, "removed": [names...]}``.
     """
     live = os.path.basename(vectors_dir(spark, path))
+    live_num = _gen_num(live)
     removed = []
     for name in fsio.list_names(path, spark):
-        if name.startswith("vectors") and name != live:
+        if (
+            name.startswith("vectors")
+            and name != live
+            and _gen_num(name) < live_num
+        ):
             fsio.delete(f"{path}/{name}", spark=spark)
             removed.append(name)
     return {"live": live, "removed": sorted(removed)}

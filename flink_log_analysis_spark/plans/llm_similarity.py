@@ -1608,6 +1608,54 @@ def _ensure_pq_streamed_index(spark: SparkSession) -> str:
     )
 
 
+def _ensure_pq_appended_index(spark: SparkSession) -> str:
+    """Batch-append lifecycle stage: base-build from 4/5 of the
+    formula corpus, then one ``pq_index_append`` of the remaining
+    fifth (ingest_key=None — the shared ``ingest=append`` partition,
+    batch semantics)."""
+
+    def _build(tmp: str) -> None:
+        corpus, _ = _manycell_corpora(spark)
+        similarity.write_pq_index(
+            corpus.filter(F.col("vec_id") % IVF_APPEND_MOD != IVF_APPEND_REM),
+            tmp,
+            similarity.clustered_corpus_centers(
+                MANYCELL_CLUSTERS, MANYCELL_DIM
+            ),
+            similarity.constructed_pq_codebooks(
+                PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
+            ),
+        )
+        similarity.pq_index_append(
+            spark,
+            tmp,
+            corpus.filter(F.col("vec_id") % IVF_APPEND_MOD == IVF_APPEND_REM),
+        )
+
+    return _build_index_once(
+        _pq_lifecycle_root("appended"), "_APPENDED", _build
+    )
+
+
+def knn_pq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ingest-without-refit for the PQ index, VALUE-exact —
+    completes the lifecycle matrix (persisted / appended / streamed /
+    compacted, all four now driver-contracted for BOTH index
+    layouts): 4/5 of the formula corpus is base-built, the last fifth
+    arrives as one ``pq_index_append`` batch (assigned with the
+    persisted centroids, encoded with the persisted codebooks), and
+    the pruned search over the result is held to the in-memory
+    composition's oracle string VERBATIM — an append-side assignment
+    or encode drift breaks 160 hashes."""
+    path = _ensure_pq_appended_index(spark)
+    corpus, _ = _manycell_corpora(spark)
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    res, _cells = similarity.knn_pq_persisted(
+        spark, path, queries, k=K, n_probe=IVFPQ_PROBE
+    )
+    return res
+
+
 def _ensure_pq_compacted_index(spark: SparkSession) -> str:
     """The streamed PQ build taken through its maintenance pass:
     base + 3 streamed ingest partitions folded back to one file per
@@ -1817,6 +1865,7 @@ QUERIES = {
     "knn_ivf_pq_exact": knn_ivf_pq_exact,
     "knn_ivf_pq_persisted": knn_ivf_pq_persisted,
     "knn_pq_streamed": knn_pq_streamed,
+    "knn_pq_appended": knn_pq_appended,
     "knn_pq_compacted": knn_pq_compacted,
     "knn_pq_fitted_exact": knn_pq_fitted_exact,
     "knn_ivf_probe_tuned": knn_ivf_probe_tuned,
@@ -2087,6 +2136,7 @@ ORACLE["knn_ivf_pq_persisted"] = ORACLE["knn_ivf_pq_exact"]
 # corpus's codes exactly, and compaction must change only bytes on
 # disk — three layouts, one truth.
 ORACLE["knn_pq_streamed"] = ORACLE["knn_ivf_pq_exact"]
+ORACLE["knn_pq_appended"] = ORACLE["knn_ivf_pq_exact"]
 ORACLE["knn_pq_compacted"] = ORACLE["knn_ivf_pq_exact"]
 
 # Re-rank recall contract: n_truth from the SQL brute force, corpus

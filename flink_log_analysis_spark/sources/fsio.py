@@ -145,23 +145,27 @@ def rename(src: str, dst: str, spark: SparkSession | None = None) -> bool:
 
 
 def count_files(path: str, spark: SparkSession | None = None) -> int:
-    """Recursive count of regular data files under ``path`` (hidden
-    ``_``/``.``-prefixed bookkeeping excluded) — the compaction
-    contract's before/after metric."""
+    """Recursive count of regular DATA files under ``path`` — hidden
+    ``_``/``.``-prefixed names are excluded at EVERY path level, file
+    or directory (Spark's own file-index rule), so bookkeeping like a
+    generation's ``_meta`` parquet never inflates the compaction
+    contract's before/after metric (r11 review)."""
     spark = spark or _active()
     if spark is None:
         n = 0
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             n += sum(1 for f in files if not f.startswith(("_", ".")))
         return n
     fs, p = _jfs(spark, path)
     if not fs.exists(p):
         return 0
+    root = p.toUri().getPath()
     n = 0
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if not name.startswith(("_", ".")):
+        rel = st.getPath().toUri().getPath()[len(root):].lstrip("/")
+        if not any(seg.startswith(("_", ".")) for seg in rel.split("/")):
             n += 1
     return n

@@ -727,18 +727,25 @@ def test_vectors_dir_legacy_fallback_and_generations(spark, tmp_path):
     assert similarity._next_generation("vectors") == "vectors-g1"
     assert similarity._next_generation("vectors-g1") == "vectors-g2"
     assert similarity._next_generation("vectors-g9") == "vectors-g10"
-    # pid-unique staging names parse back to their generation number
-    pid = os.getpid()
-    assert similarity._next_generation("vectors", unique=True) == (
-        f"vectors-g1p{pid}"
-    )
-    assert similarity._next_generation(f"vectors-g3p{pid}") == "vectors-g4"
+    # unique staging names carry a uuid token (NOT a pid — containers
+    # share low pids across hosts) and parse back to their generation
+    # number regardless of the token
+    uniq = similarity._next_generation("vectors", unique=True)
+    assert uniq.startswith("vectors-g1p") and len(uniq) > len("vectors-g1p")
+    assert uniq != similarity._next_generation("vectors", unique=True)
+    assert similarity._next_generation(uniq) == "vectors-g2"
+    assert similarity._next_generation("vectors-g3pabcdef12") == "vectors-g4"
+    assert similarity._gen_num("vectors") == 0
+    assert similarity._gen_num("vectors-g7p00ff00ff") == 7
 
 
-def test_index_vacuum_removes_orphan_generations(spark, tmp_path):
-    """index_vacuum: unreferenced vectors* trees (crashed publishes,
-    concurrent-maintainer losers) are deleted; the live generation,
-    markers, and meta fallbacks survive; search is unchanged."""
+def test_index_vacuum_removes_only_older_generations(spark, tmp_path):
+    """index_vacuum: only vectors* trees STRICTLY OLDER than the live
+    generation are deleted — same-or-newer trees may be a concurrent
+    maintainer's in-flight staging or just-published generation and
+    must survive (r11 review); they become vacuumable once the live
+    generation advances past them. Markers and the live tree always
+    survive; search is unchanged."""
     corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
     similarity.pq_index_append(
         spark, idx, corpus.filter(F.col("vec_id") % 5 >= 2)
@@ -746,27 +753,41 @@ def test_index_vacuum_removes_orphan_generations(spark, tmp_path):
     queries = corpus.filter("vec_id % 32 = 0")
     pre, _ = similarity.knn_pq_persisted(spark, idx, queries, k=K, n_probe=2)
     pre_rows = sorted(map(tuple, pre.collect()))
-    # manufacture orphans: a crashed staging attempt + a lost copy
-    os.makedirs(f"{idx}/vectors-g1p999/ingest=zzz")
-    os.makedirs(f"{idx}/vectors-g1p1000")
+    # manufacture NEWER orphans while live is still "vectors" (gen 0):
+    # a crashed staging attempt + a concurrent maintainer's copy
+    os.makedirs(f"{idx}/vectors-g1paaaaaaaa/ingest=zzz")
+    os.makedirs(f"{idx}/vectors-g1pbbbbbbbb")
     os.makedirs(f"{idx}/_ingest_commits", exist_ok=True)
     with open(f"{idx}/_ingest_commits/aaaa-batch-0", "w") as fh:
         fh.write("ok")
     stats = similarity.index_vacuum(spark, idx)
     assert stats["live"] == "vectors"
-    assert stats["removed"] == ["vectors-g1p1000", "vectors-g1p999"]
-    assert not os.path.exists(f"{idx}/vectors-g1p999")
-    assert os.path.exists(f"{idx}/_ingest_commits/aaaa-batch-0")
-    post, _ = similarity.knn_pq_persisted(spark, idx, queries, k=K, n_probe=2)
-    assert sorted(map(tuple, post.collect())) == pre_rows
-    # after a compaction (live becomes a g-generation), vacuum keeps
-    # the LIVE generation and nothing else vectors-prefixed
+    assert stats["removed"] == []  # newer-than-live: conservatively kept
+    assert os.path.exists(f"{idx}/vectors-g1paaaaaaaa")
+    # compaction advances live to a g1 generation; the stale legacy
+    # shell (gen 0 < 1) is now vacuumable, the g1 orphans are NOT yet
     similarity.ivf_index_compact(spark, idx)
     os.makedirs(f"{idx}/vectors")  # a stale legacy shell reappears
     stats2 = similarity.index_vacuum(spark, idx)
     live = similarity.vectors_dir(spark, idx)
     assert stats2["live"] == os.path.basename(live)
-    assert "vectors" in stats2["removed"]
+    assert stats2["removed"] == ["vectors"]
     assert os.path.isdir(live) and not os.path.exists(f"{idx}/vectors")
-    post2, _ = similarity.knn_pq_persisted(spark, idx, queries, k=K, n_probe=2)
-    assert sorted(map(tuple, post2.collect())) == pre_rows
+    assert os.path.exists(f"{idx}/vectors-g1paaaaaaaa")
+    post, _ = similarity.knn_pq_persisted(spark, idx, queries, k=K, n_probe=2)
+    assert sorted(map(tuple, post.collect())) == pre_rows
+    # a second compaction advances live to g2 -> the g1 orphans age out
+    similarity.pq_index_append(
+        spark, idx, corpus.filter(F.col("vec_id") % 5 == 0),
+        ingest_key="late-b0",
+    )
+    similarity.ivf_index_compact(spark, idx)
+    stats3 = similarity.index_vacuum(spark, idx)
+    assert sorted(stats3["removed"]) == [
+        "vectors-g1paaaaaaaa", "vectors-g1pbbbbbbbb"
+    ]
+    assert os.path.exists(f"{idx}/_ingest_commits/aaaa-batch-0")
+    # (no search-identity check here: the late append deliberately
+    # re-ingested rows to force a second foldable generation, which
+    # legitimately changes top-k; identity after vacuum is asserted
+    # above on the unchanged corpus)

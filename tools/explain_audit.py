@@ -54,6 +54,7 @@ CROSS_JOIN_OK = {
     "knn_ivf_pq_exact",    # 1-row centroid-matrix broadcast attach
     "knn_ivf_pq_persisted",  # same attaches over the persisted index
     "knn_pq_streamed",     # same attaches over the stream-built index
+    "knn_pq_appended",     # same attaches over the batch-appended index
     "knn_pq_compacted",    # same attaches over the compacted index
     "knn_pq_fitted_exact",  # full-scan ADC baseline, fitted codebooks
     "knn_ivf_probe_tuned",  # brute ground truth + 1-row tuned attach
