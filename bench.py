@@ -268,6 +268,10 @@ def run_slice(
         from flink_log_analysis_spark.plans.llm_similarity import _ivf_centroids
 
         prestep("ivf_centroids", lambda: _ivf_centroids(spark, sf_dir))
+    if "lm_perplexity_filter" in names:
+        from flink_log_analysis_spark.plans.llm_quality import _lm_model
+
+        prestep("lm_bigram_model", lambda: _lm_model(spark, sf_dir))
     # Recorded economics for the persisted IVF index (VERDICT r9 #6):
     # the identity contracts that exercise it are EXCLUDEd as
     # duplicate-work correctness artifacts, so without this the BUILD

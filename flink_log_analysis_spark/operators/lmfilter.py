@@ -1,0 +1,180 @@
+"""LM-perplexity quality filtering — the CCNet recipe.
+
+Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+from Web Crawl Data" (LREC 2020) filter web text by perplexity under
+a language model FIT ON A CLEAN REFERENCE corpus: documents that the
+reference LM finds predictable (low perplexity) read like the
+reference; high-perplexity documents are boilerplate, gibberish, or
+the wrong register. This module implements the recipe Spark-first
+with a Laplace-smoothed bigram model — deterministic, exactly
+replayable cross-engine, and carrying the same decision semantics as
+CCNet's KenLM scorer (threshold on per-token cross-entropy):
+
+- **Fit is bounded by design.** The model is fit on the REFERENCE
+  slice, never the corpus being filtered (CCNet fits on Wikipedia and
+  scores Common Crawl) — so collecting the fitted counts to one
+  broadcast row is a bounded-model property, not a scale leak: model
+  size tracks the reference vocabulary, not the 100 TB input.
+- **Scoring is one projection.** The model travels as a single
+  broadcast row of two maps (the ``cmat`` convention); each document
+  computes its transition log-probabilities INSIDE one row (a
+  ``transform`` over token pairs) and folds them left-associatively —
+  no shuffle, no Python, and the per-row fixed-order fold is what
+  makes the double arithmetic reproducible in the DuckDB oracle.
+- **Transcendental discipline.** ``ln`` is the one non-IEEE-exact
+  operation in the engine's oracle surface (libm implementations may
+  differ in the last ulp), so each per-transition log-probability is
+  rounded to 12 digits BEFORE the fold on BOTH sides, and the
+  per-document score to 4 — the same round-before-compare recipe the
+  cosine/quantization contracts use, with margin to spare.
+
+Smoothing: P(w2 | w1) = (bigram(w1 w2) + 1) / (unigram(w1) + V),
+V = reference vocabulary size (Laplace — chosen over Kneser-Ney
+because it is a closed formula an oracle can restate; the filter
+semantics are unchanged). Per-document score is the mean negative
+log-probability over transitions (= ln-perplexity); documents keep
+iff it does not exceed the threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+LOG_ROUND = 12  # per-transition ln rounding (see module docstring)
+PPL_ROUND = 4   # per-document score rounding
+
+
+def fit_bigram_counts(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed bigram-LM fit over the reference corpus: returns
+    (unigram counts (w, c), bigram counts (w1, w2, c)). Two
+    explode+hash-agg passes — partial aggregation map-side, standard
+    any-scale shape. The input is widened first: a single-file local
+    reference would otherwise serialize the explode onto one core
+    (the expression-heavy single-scan trap)."""
+    from ..session import ensure_min_partitions
+
+    ref = ensure_min_partitions(ref)
+    toks = ref.select(tokens(F.col(text_col)).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = toks.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    )
+    bi = (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return uni, bi
+
+
+def fit_bigram_model(
+    spark, ref: DataFrame, text_col: str = "text"
+) -> tuple[dict, dict, int]:
+    """Fit + collect: (uni map, bi map keyed 'w1 w2', vocabulary
+    size). The collect is bounded by the REFERENCE model size (see
+    module docstring), the same bounded-fit pattern as ivf_fit/pq_fit;
+    the vocabulary size falls out of the collected map — no extra
+    count job. Plain Python dicts, so callers can fit ONCE per
+    reference and reuse across every scoring pass (build once, score
+    many)."""
+    uni, bi = fit_bigram_counts(ref, text_col)
+    u = {r["w"]: r["c"] for r in uni.collect()}
+    b = {f"{r['w1']} {r['w2']}": r["c"] for r in bi.collect()}
+    return u, b, len(u)
+
+
+def model_row(spark, uni_map: dict, bi_map: dict) -> DataFrame:
+    """The fitted maps as ONE broadcast row (the cmat convention)."""
+    return spark.createDataFrame(
+        [(uni_map, bi_map)], "uni map<string,bigint>, bi map<string,bigint>"
+    )
+
+
+def _transition_logprob(w1: Column, w2: Column, vocab_size: int) -> Column:
+    """round(ln((bi + 1) / (uni_w1 + V)), 12) against the broadcast
+    model maps — THE smoothing expression, one site (restated verbatim
+    by the oracle)."""
+    cb = F.coalesce(
+        F.try_element_at("bi", F.concat_ws(" ", w1, w2)), F.lit(0)
+    )
+    cu = F.coalesce(F.try_element_at("uni", w1), F.lit(0))
+    return F.round(
+        F.log((cb + 1).cast("double") / (cu + F.lit(vocab_size))),
+        LOG_ROUND,
+    )
+
+
+def score_perplexity(
+    docs: DataFrame,
+    model: DataFrame,
+    vocab_size: int,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document ln-perplexity under the reference bigram model,
+    with the keep verdict: (id, n_trans, n_oov, ppl, kept), one row
+    per document with at least one transition (singleton/empty docs
+    carry no bigram evidence and are out of the filter's scope).
+    ``n_oov`` counts transitions unseen in the reference — the
+    model-coverage diagnostic a curation team reads next to the
+    score. One broadcast attach + one projection; no shuffle. The
+    scan is widened first: the per-row expression (a token-pair
+    transform with two map lookups per transition) is exactly the
+    expression-heavy shape that serializes on a single-file local
+    scan (measured 23.0 s -> 3.2 s at sf0.1 on local[32])."""
+    from ..session import ensure_min_partitions
+
+    toks = tokens(F.col(text_col))
+    d = ensure_min_partitions(docs).select(
+        F.col(id_col), toks.alias("toks")
+    ).filter(F.size("toks") >= 2)
+    j = d.crossJoin(F.broadcast(model))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + 1).alias("w2"),
+        ),
+    )
+    lps = F.transform(
+        pairs,
+        lambda p: _transition_logprob(
+            p.getField("w1"), p.getField("w2"), vocab_size
+        ),
+    )
+    oov = F.transform(
+        pairs,
+        lambda p: F.try_element_at(
+            "bi", F.concat_ws(" ", p.getField("w1"), p.getField("w2"))
+        ).isNull().cast("int"),
+    )
+    n_trans = (F.size("toks") - 1).cast("int")
+    s = F.aggregate(lps, F.lit(0.0), lambda a, x: a + x)
+    ppl = F.round(-s / n_trans, PPL_ROUND)
+    return j.select(
+        F.col(id_col),
+        n_trans.alias("n_trans"),
+        F.aggregate(oov, F.lit(0), lambda a, x: a + x)
+        .cast("int")
+        .alias("n_oov"),
+        ppl.alias("ppl"),
+        (ppl <= F.lit(threshold)).alias("kept"),
+    )

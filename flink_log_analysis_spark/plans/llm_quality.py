@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import quality
+from ..operators import lmfilter, quality
 from ..operators.textstats import EN_STOPWORDS
 from ..session import read_table
 
@@ -614,7 +614,111 @@ def _ablation_oracle(relation: str = "documents", prelude: str = "") -> str:
 
 ORACLE["quality_ablation_report"] = _ablation_oracle()
 
+# --- LM-perplexity quality filter (the CCNet recipe) ---------------
+#
+# Reference slice: every 10th document plays the "clean reference"
+# (CCNet fits on Wikipedia and scores Common Crawl; the slice is the
+# deterministic stand-in). Threshold 3.55 sits just above the sf0.01
+# median ln-perplexity (3.52, range 3.17-4.06) so the verdict splits
+# the corpus non-trivially. LOW perplexity = reference-like = keep.
+LM_REF_MOD = 10
+LM_PPL_THRESHOLD = 3.55
+
+# One LM fit per corpus per session (the _IVF_CENTROIDS convention):
+# a production filter fits its reference model once and scores many
+# batches; the cached maps are plain Python (session-cache-safe).
+_LM_MODELS: dict[str, tuple[dict, dict, int]] = {}
+
+
+def _lm_model(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, int]:
+    m = _LM_MODELS.get(sf_dir)
+    if m is None:
+        ref = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % LM_REF_MOD == 0
+        )
+        m = lmfilter.fit_bigram_model(spark, ref)
+        _LM_MODELS[sf_dir] = m
+    return m
+
+
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ln-perplexity under a Laplace-smoothed bigram LM
+    fit on the reference slice, with the CCNet keep verdict and the
+    OOV-transition diagnostic (operators/lmfilter.py). The oracle
+    refits the model from the same slice and replays the smoothing
+    formula, the 12-digit-rounded per-transition logs, the
+    position-ordered left-assoc fold, and the rounded threshold
+    verdict — fit and score both certified."""
+    uni, bi, vocab = _lm_model(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return lmfilter.score_perplexity(
+        docs,
+        lmfilter.model_row(spark, uni, bi),
+        vocab,
+        LM_PPL_THRESHOLD,
+    )
+
+
+# The twin refits the counts and restates the one smoothing
+# expression; list(lp ORDER BY i) + the 0.0-seeded list_reduce is the
+# position-ordered left-assoc fold matching F.aggregate exactly, and
+# both sides round each ln to 12 BEFORE the fold (ln is the one
+# non-IEEE-exact op in the oracle surface — see lmfilter.py).
+ORACLE["lm_perplexity_filter"] = """
+    WITH refdocs AS (
+        SELECT {toks} AS toks FROM documents WHERE doc_id % {mod} = 0
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM refdocs) GROUP BY w
+    ),
+    v AS (SELECT COUNT(*) AS vs FROM uni),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks,
+                         unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM refdocs WHERE len(toks) >= 2)
+        ) GROUP BY w1, w2
+    ),
+    d AS (SELECT doc_id, {toks} AS toks FROM documents),
+    trans AS (
+        SELECT doc_id, i, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM d WHERE len(toks) >= 2)
+    ),
+    scored AS (
+        SELECT t.doc_id, t.i,
+               ROUND(ln((COALESCE(b.c, 0) + 1) * 1.0
+                        / (COALESCE(u.c, 0) + v.vs)), {lr}) AS lp,
+               CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS oov
+        FROM trans t
+        LEFT JOIN bi b ON b.w1 = t.w1 AND b.w2 = t.w2
+        LEFT JOIN uni u ON u.w = t.w1
+        CROSS JOIN v
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_trans,
+               CAST(SUM(oov) AS INTEGER) AS n_oov,
+               list_reduce([0.0] || list(lp ORDER BY i),
+                           (a, x) -> a + x) AS s
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_trans AS INTEGER) AS n_trans, n_oov,
+           ROUND(-s / n_trans, {pr}) AS ppl,
+           ROUND(-s / n_trans, {pr}) <= {th} AS kept
+    FROM agg
+""".format(
+    toks=_TOKS,
+    mod=LM_REF_MOD,
+    lr=lmfilter.LOG_ROUND,
+    pr=lmfilter.PPL_ROUND,
+    th=LM_PPL_THRESHOLD,
+)
+
 QUERIES = {
+    "lm_perplexity_filter": lm_perplexity_filter,
     "quality_ablation_report": quality_ablation_report,
     "corpus_report": corpus_report,
     "bpe_pack_chunks": bpe_pack_chunks,
