@@ -47,19 +47,9 @@ LOG_ROUND = 12  # per-transition ln rounding (see module docstring)
 PPL_ROUND = 4   # per-document score rounding
 
 
-def fit_bigram_counts(
-    ref: DataFrame, text_col: str = "text"
-) -> tuple[DataFrame, DataFrame]:
-    """Distributed bigram-LM fit over the reference corpus: returns
-    (unigram counts (w, c), bigram counts (w1, w2, c)). Two
-    explode+hash-agg passes — partial aggregation map-side, standard
-    any-scale shape. The input is widened first: a single-file local
-    reference would otherwise serialize the explode onto one core
-    (the expression-heavy single-scan trap)."""
-    from ..session import ensure_min_partitions
-
-    ref = ensure_min_partitions(ref)
-    toks = ref.select(tokens(F.col(text_col)).alias("toks"))
+def _counts_from(toks: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(unigram counts, bigram counts) from a tokenized frame — two
+    explode+hash-agg passes, partial aggregation map-side."""
     uni = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
@@ -84,19 +74,47 @@ def fit_bigram_counts(
     return uni, bi
 
 
+def fit_bigram_counts(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed bigram-LM fit over the reference corpus: returns
+    (unigram counts (w, c), bigram counts (w1, w2, c)) as lazy
+    frames. The input is widened first: a single-file local reference
+    would otherwise serialize the explode onto one core (the
+    expression-heavy single-scan trap)."""
+    from ..session import ensure_min_partitions
+
+    toks = ensure_min_partitions(ref).select(
+        tokens(F.col(text_col)).alias("toks")
+    )
+    return _counts_from(toks)
+
+
 def fit_bigram_model(
-    spark, ref: DataFrame, text_col: str = "text"
+    ref: DataFrame, text_col: str = "text"
 ) -> tuple[dict, dict, int]:
     """Fit + collect: (uni map, bi map keyed 'w1 w2', vocabulary
     size). The collect is bounded by the REFERENCE model size (see
     module docstring), the same bounded-fit pattern as ivf_fit/pq_fit;
     the vocabulary size falls out of the collected map — no extra
-    count job. Plain Python dicts, so callers can fit ONCE per
-    reference and reuse across every scoring pass (build once, score
-    many)."""
-    uni, bi = fit_bigram_counts(ref, text_col)
-    u = {r["w"]: r["c"] for r in uni.collect()}
-    b = {f"{r['w1']} {r['w2']}": r["c"] for r in bi.collect()}
+    count job. The tokenized reference is persisted across the two
+    collect jobs (they would otherwise re-run the scan + widen +
+    tokenize twice — r11 review) and released before returning. Plain
+    Python dicts, so callers fit ONCE per reference and reuse across
+    every scoring pass (build once, score many)."""
+    from ..session import ensure_min_partitions
+
+    toks = (
+        ensure_min_partitions(ref)
+        .select(tokens(F.col(text_col)).alias("toks"))
+        .persist()
+    )
+    try:
+        uni, bi = _counts_from(toks)
+        u = {r["w"]: r["c"] for r in uni.collect()}
+        b = {f"{r['w1']} {r['w2']}": r["c"] for r in bi.collect()}
+    finally:
+        toks.unpersist()
     return u, b, len(u)
 
 
@@ -107,17 +125,24 @@ def model_row(spark, uni_map: dict, bi_map: dict) -> DataFrame:
     )
 
 
-def _transition_logprob(w1: Column, w2: Column, vocab_size: int) -> Column:
-    """round(ln((bi + 1) / (uni_w1 + V)), 12) against the broadcast
-    model maps — THE smoothing expression, one site (restated verbatim
-    by the oracle)."""
+def _transition_score(w1: Column, w2: Column, vocab_size: int) -> Column:
+    """struct(lp, oov) per transition: lp = round(ln((bi + 1) /
+    (uni_w1 + V)), 12) against the broadcast model maps — THE
+    smoothing expression, one site (restated verbatim by the oracle)
+    — and oov = the bigram lookup missing. One struct so the bi-map
+    lookup runs ONCE per transition: Catalyst does not eliminate
+    common subexpressions across separate lambda bodies (r11 review;
+    the dedup.py precedent)."""
     cb = F.coalesce(
         F.try_element_at("bi", F.concat_ws(" ", w1, w2)), F.lit(0)
     )
     cu = F.coalesce(F.try_element_at("uni", w1), F.lit(0))
-    return F.round(
+    lp = F.round(
         F.log((cb + 1).cast("double") / (cu + F.lit(vocab_size))),
         LOG_ROUND,
+    )
+    return F.struct(
+        lp.alias("lp"), (cb == 0).cast("int").alias("oov")
     )
 
 
@@ -147,32 +172,25 @@ def score_perplexity(
         F.col(id_col), toks.alias("toks")
     ).filter(F.size("toks") >= 2)
     j = d.crossJoin(F.broadcast(model))
-    pairs = F.transform(
+    scored = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
-        lambda i: F.struct(
-            F.element_at("toks", i).alias("w1"),
-            F.element_at("toks", i + 1).alias("w2"),
+        lambda i: _transition_score(
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            vocab_size,
         ),
-    )
-    lps = F.transform(
-        pairs,
-        lambda p: _transition_logprob(
-            p.getField("w1"), p.getField("w2"), vocab_size
-        ),
-    )
-    oov = F.transform(
-        pairs,
-        lambda p: F.try_element_at(
-            "bi", F.concat_ws(" ", p.getField("w1"), p.getField("w2"))
-        ).isNull().cast("int"),
     )
     n_trans = (F.size("toks") - 1).cast("int")
-    s = F.aggregate(lps, F.lit(0.0), lambda a, x: a + x)
+    s = F.aggregate(
+        scored, F.lit(0.0), lambda a, t: a + t.getField("lp")
+    )
     ppl = F.round(-s / n_trans, PPL_ROUND)
     return j.select(
         F.col(id_col),
         n_trans.alias("n_trans"),
-        F.aggregate(oov, F.lit(0), lambda a, x: a + x)
+        F.aggregate(
+            scored, F.lit(0), lambda a, t: a + t.getField("oov")
+        )
         .cast("int")
         .alias("n_oov"),
         ppl.alias("ppl"),

@@ -636,7 +636,7 @@ def _lm_model(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, int]:
         ref = read_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % LM_REF_MOD == 0
         )
-        m = lmfilter.fit_bigram_model(spark, ref)
+        m = lmfilter.fit_bigram_model(ref)
         _LM_MODELS[sf_dir] = m
     return m
 

@@ -160,12 +160,15 @@ def count_files(path: str, spark: SparkSession | None = None) -> int:
     fs, p = _jfs(spark, path)
     if not fs.exists(p):
         return 0
-    root = p.toUri().getPath()
+    # compare FULLY-QUALIFIED strings: listFiles returns qualified
+    # statuses, so slicing against an unqualified/relative input path
+    # would produce garbage segments (r11 review)
+    qroot = fs.makeQualified(p).toString()
     n = 0
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
-        rel = st.getPath().toUri().getPath()[len(root):].lstrip("/")
+        rel = st.getPath().toString()[len(qroot):].lstrip("/")
         if not any(seg.startswith(("_", ".")) for seg in rel.split("/")):
             n += 1
     return n

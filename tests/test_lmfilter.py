@@ -11,7 +11,7 @@ def test_bigram_fit_and_score_hand_computed(spark):
     ref = spark.createDataFrame(
         [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
     )
-    u, b, vocab = lmfilter.fit_bigram_model(spark, ref)
+    u, b, vocab = lmfilter.fit_bigram_model(ref)
     assert vocab == 3  # {a, b, c}
     assert u == {"a": 3, "b": 2, "c": 1}
     assert b == {"a b": 2, "b a": 1, "a c": 1}
