@@ -27,6 +27,7 @@ deterministic, no RNG state, reproducible anywhere.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -674,6 +675,71 @@ def tune_n_probe(
         if curve.get(p, 0) >= need:
             return p, curve[p], n_truth
     return n_cells, curve.get(n_cells, 0), n_truth
+
+
+# --- probe tuning persisted WITH the index (the ops seam) -----------
+#
+# tune_n_probe answers "how deep must searches probe"; production
+# reads that answer next to the index it tuned, not in a notebook. The
+# tuning record lives at ``{path}/_tuning`` — INDEX level, not inside
+# a generation: the tuned depth is a property of the corpus geometry
+# + centroids, which compaction preserves (it copies rows unchanged),
+# so the record survives repoints; a REBUILD with new centroids
+# invalidates it, which is why write-side publishes do not copy it
+# and a deployment re-tunes after refits.
+TUNING_FILE = "_tuning"
+
+
+def tune_index_n_probe(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    target_recall: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int, int]:
+    """Tune ``n_probe`` AGAINST A PERSISTED INDEX and record the
+    result as index metadata: centroids resolve from the live
+    generation's meta (the same 1-row read every search does — the
+    tuner can never tune against constants the index doesn't hold),
+    the recall curve derives from one truth pass + one routing pass
+    (:func:`tune_n_probe` / the retention theorem), and the tuned
+    depth is written to ``{path}/_tuning`` where
+    :func:`knn_ivf_persisted` (``n_probe=None``) defaults to it.
+    Returns (tuned_n_probe, hits_at_tuned, n_truth)."""
+    centroids, _, _, _ = read_ivf_meta(spark, path)
+    p, hits, n_truth = tune_n_probe(
+        corpus,
+        queries,
+        centroids,
+        k=k,
+        target_recall=target_recall,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    fsio.write_text(
+        f"{path}/{TUNING_FILE}",
+        f"n_probe={p}\nk={k}\n"
+        f"target_permille={int(target_recall * 1000)}\n"
+        f"hits={hits}\nn_truth={n_truth}",
+        spark,
+    )
+    return p, hits, n_truth
+
+
+def index_tuned_n_probe(spark, path: str) -> int | None:
+    """The tuned probe depth recorded by :func:`tune_index_n_probe`,
+    or None if the index has never been tuned. One tiny-file read."""
+    text = fsio.read_text(f"{path}/{TUNING_FILE}", spark)
+    if not text:
+        return None
+    for line in text.splitlines():
+        key, _, val = line.partition("=")
+        if key.strip() == "n_probe" and val.strip().isdigit():
+            return int(val.strip())
+    return None
 
 
 def knn_ivf(
@@ -1496,6 +1562,16 @@ def _gen_and_meta(spark, path: str) -> tuple[str, str]:
     return gen, meta
 
 
+# THE generation-name grammar: ``vectors`` (legacy gen 0) or
+# ``vectors-g<N>[p<hex-token>]``. Lifecycle deleters (publish trim,
+# vacuum) match against this EXACTLY — a merely-'vectors'-prefixed
+# sibling (an operator's ``vectors_backup``, a pre-pointer
+# ``vectors.compact-<pid>`` orphan) is NOT a generation and must never
+# be swept (r11 advisory: such names used to parse as generation 0 and
+# were deleted once the live generation advanced).
+_GEN_NAME_RE = re.compile(r"vectors(?:-g\d+(?:p[0-9a-f]{1,32})?)?")
+
+
 def _gen_num(name: str) -> int:
     """Generation number encoded in a vectors-directory name:
     ``vectors`` -> 0, ``vectors-g<N>[p<token>]`` -> N. The ``p`` tail
@@ -1506,6 +1582,39 @@ def _gen_num(name: str) -> int:
         if head.isdigit():
             return int(head)
     return 0
+
+
+def _trim_generations(
+    spark, path: str, live_name: str, keep: int
+) -> list[str]:
+    """Delete generation directories STRICTLY OLDER than ``live_name``,
+    RETAINING the ``keep`` newest of them — the reader-grace window.
+    Shared by the publishers (``grace_keep``) and :func:`index_vacuum`:
+    a reader that resolved the pointer just before a repoint is still
+    scanning the superseded generation, and on a real cluster that scan
+    outlives the publish — so the publisher keeps the last ``keep``
+    superseded generations and the vacuum (whose schedule the
+    deployment controls) is the deleter of record. Only names matching
+    the exact generation grammar are candidates; same-or-newer trees
+    survive unconditionally (they may be a concurrent maintainer's
+    staging — r11 review). Returns the deleted names."""
+    live_num = _gen_num(live_name)
+    older = sorted(
+        (
+            n
+            for n in fsio.list_names(path, spark)
+            if _GEN_NAME_RE.fullmatch(n)
+            and n != live_name
+            and _gen_num(n) < live_num
+        ),
+        key=lambda n: (_gen_num(n), n),
+        reverse=True,
+    )
+    removed = []
+    for name in older[max(keep, 0):]:
+        fsio.delete(f"{path}/{name}", spark=spark)
+        removed.append(name)
+    return removed
 
 
 def _next_generation(current_name: str, unique: bool = False) -> str:
@@ -1528,32 +1637,67 @@ def _next_generation(current_name: str, unique: bool = False) -> str:
     return f"{stem}-g{num + 1}"
 
 
-def _publish_generation(spark, path: str, codes_df, meta_df) -> None:
+def _publish_generation(
+    spark, path: str, codes_df, meta_df, grace_keep: int = 1
+) -> None:
     """Build-aside publish shared by BOTH index writers: stage codes +
-    meta into a self-contained generation, repoint, delete the
-    superseded generation. A fresh index lands in ``vectors``; a
-    REBUILD of a pointer-published index stages into the next
-    pid-unique generation, so the live tree and its artifacts are
-    untouched until the repoint — a crash mid-rebuild leaves the old
-    index fully intact, and concurrent readers always see a matched
-    codes+meta pair. (A pre-pointer LEGACY index rebuilds in place
-    with its original overwrite semantics — the protocol upgrade
-    applies from the first pointer-published build on.)"""
+    meta into the next uuid-unique generation, repoint, then TRIM
+    superseded generations down to the ``grace_keep`` newest. EVERY
+    build stages aside — including the very first (it lands in
+    ``vectors-g1p<token>``, never in ``vectors``): two concurrent
+    builds of a fresh or legacy index therefore stage into different
+    directories and the loser's copy is an orphan for the vacuum,
+    never a delete of the winner's live tree (r11 advisory — the old
+    fresh-build path reused the shared name ``vectors`` and cleared it
+    first). A legacy pre-pointer index is upgraded by its first
+    rebuild: its ``vectors`` tree becomes the superseded generation.
+
+    ``grace_keep`` is the reader-grace knob: a reader that resolved
+    the pointer just before the repoint is still scanning the old
+    generation, and on a real cluster that scan outlives this call —
+    so the newest ``grace_keep`` superseded generations survive the
+    publish and :func:`index_vacuum` (grace_keep=0 by default there)
+    is the deleter of record, on the deployment's own schedule.
+    ``grace_keep=0`` restores the immediate delete for single-process
+    callers that create throwaway indexes."""
     cur = fsio.read_text(f"{path}/{CURRENT_POINTER}", spark)
-    cur = cur.strip() if cur else None
-    name = "vectors" if cur is None else _next_generation(cur, unique=True)
+    cur = cur.strip() if cur else "vectors"
+    name = _next_generation(cur, unique=True)
     target = f"{path}/{name}"
-    fsio.delete(target, spark=spark)  # clear a crashed attempt's orphan
     codes_df.write.mode("overwrite").partitionBy("ingest", "cell").parquet(
         target
     )
     meta_df.coalesce(1).write.mode("overwrite").parquet(f"{target}/_meta")
     fsio.write_text(f"{path}/{CURRENT_POINTER}", name, spark)
-    if cur and cur != name:
-        fsio.delete(f"{path}/{cur}", spark=spark)
+    _trim_generations(spark, path, name, keep=grace_keep)
     if fsio.exists(f"{path}/meta", spark):
         # a superseded legacy meta must not shadow {gen}/_meta
         fsio.delete(f"{path}/meta", spark=spark)
+
+
+def _assert_batch_visible(spark, path: str, target: str) -> None:
+    """Post-write liveness re-check for the batch-append APIs: the
+    append resolved the live generation ONCE before writing, so a
+    compaction that repoints (and eventually vacuums) that generation
+    mid-append would otherwise silently strand the batch's rows in a
+    superseded tree (r11 advisory). Re-reading the pointer AFTER the
+    write closes the race honestly: if the generation is no longer
+    live, raise — the caller re-runs the append, which re-resolves to
+    the new generation (idempotent for keyed ingests: the batch's own
+    ``ingest=`` partition is overwritten; a streaming caller's commit
+    marker is only written after a successful return, so the retry is
+    the normal exactly-once path). Streams avoid the race entirely by
+    quiescing before compaction — this guard is for the batch API,
+    where no such convention exists."""
+    live = vectors_dir(spark, path)
+    if live != target:
+        raise RuntimeError(
+            f"append raced a compaction on {path}: batch written to "
+            f"{os.path.basename(target)} but the live generation is now "
+            f"{os.path.basename(live)}; re-run the append (it will "
+            "resolve the new generation, and keyed ingests replay "
+            "idempotently)"
+        )
 
 
 def write_pq_index(
@@ -1563,6 +1707,7 @@ def write_pq_index(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grace_keep: int = 1,
 ) -> None:
     """Persist the IVF-PQ index: the live vectors directory (published
     via the ``_current`` manifest pointer) holds (id, pq_code) parquet
@@ -1589,7 +1734,9 @@ def write_pq_index(
         "centroids array<array<double>>, "
         "codebooks array<array<array<double>>>",
     )
-    _publish_generation(corpus.sparkSession, path, codes, meta)
+    _publish_generation(
+        corpus.sparkSession, path, codes, meta, grace_keep=grace_keep
+    )
 
 
 def read_pq_meta(spark, path: str, meta_path: str | None = None):
@@ -1684,13 +1831,14 @@ def pq_index_append(
         coded.write.mode("append").partitionBy("ingest", "cell").parquet(
             target
         )
-        return
-    with scoped_conf(
-        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
-    ):
-        coded.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("ingest", "cell").parquet(target)
+    else:
+        with scoped_conf(
+            spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+        ):
+            coded.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("ingest", "cell").parquet(target)
+    _assert_batch_visible(spark, path, target)
 
 
 def _coded(assigned: DataFrame, ranges: DataFrame, id_col: str) -> DataFrame:
@@ -1723,6 +1871,8 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_sample_rows: int = 100_000,
+    centroids: list[list[float]] | None = None,
+    grace_keep: int = 1,
 ) -> None:
     """Persist the IVF-quantized index as a CELL-PARTITIONED layout —
     the durable form of :func:`knn_ivf_quantized`'s in-memory build,
@@ -1763,6 +1913,7 @@ def write_ivf_index(
         id_col=id_col,
         vec_col=vec_col,
         fit_sample_rows=fit_sample_rows,
+        centroids=centroids,
     )
     codes = _coded(assigned, ranges, id_col).withColumn(
         "ingest", F.lit("base")
@@ -1771,9 +1922,11 @@ def write_ivf_index(
         F.col("cmat").alias("centroids"),
         "mn_arr",
         "mx_arr",
-        F.lit(n_cells).alias("n_cells"),
+        F.lit(len(centroids)).alias("n_cells"),
     )
-    _publish_generation(emb.sparkSession, path, codes, meta)
+    _publish_generation(
+        emb.sparkSession, path, codes, meta, grace_keep=grace_keep
+    )
 
 
 def read_ivf_meta(spark, path: str, meta_path: str | None = None):
@@ -1840,15 +1993,16 @@ def ivf_index_append(
         coded.write.mode("append").partitionBy("ingest", "cell").parquet(
             target
         )
-        return
-    with scoped_conf(
-        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
-    ):
-        # writer-level option too: it takes precedence over session
-        # conf and survives callers that run inside other scoped confs
-        coded.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("ingest", "cell").parquet(target)
+    else:
+        with scoped_conf(
+            spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+        ):
+            # writer-level option too: it takes precedence over session
+            # conf and survives callers inside other scoped confs
+            coded.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("ingest", "cell").parquet(target)
+    _assert_batch_visible(spark, path, target)
 
 
 def knn_ivf_persisted(
@@ -1856,7 +2010,7 @@ def knn_ivf_persisted(
     path: str,
     queries: DataFrame,
     k: int = 5,
-    n_probe: int = 2,
+    n_probe: int | None = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
@@ -1873,11 +2027,18 @@ def knn_ivf_persisted(
     tie-break), so results are identical to the in-memory composition
     over the same fit.
 
+    ``n_probe=None`` defaults to the depth recorded by
+    :func:`tune_index_n_probe` (the recall-targeted ops knob, read
+    from the index's own ``_tuning`` record), falling back to 2 on a
+    never-tuned index.
+
     Returns ``(result_df, scanned_cells)`` — callers assert
     ``len(scanned_cells) < n_cells`` / plan PartitionFilters.
     """
     from ..session import ensure_min_partitions
 
+    if n_probe is None:
+        n_probe = index_tuned_n_probe(spark, path) or 2
     gen, meta_path = _gen_and_meta(spark, path)
     _, cmat, ranges, _ = read_ivf_meta(spark, path, meta_path=meta_path)
     dq = lambda v: _dequantized(v, F.col("mn_arr"), F.col("mx_arr"))  # noqa: E731
@@ -2012,6 +2173,7 @@ def ivf_index_compact(
     spark,
     path: str,
     keep_ingests: tuple[str, ...] = (),
+    grace_keep: int = 1,
 ) -> dict:
     """Fold accumulated ``ingest=`` partitions back into the base cell
     layout — the maintenance pass a STREAMED index needs (every
@@ -2037,12 +2199,14 @@ def ivf_index_compact(
     the next pid-unique generation directory, then one
     create-overwrite of the ``_current`` pointer file — a single
     atomic PUT everywhere, including S3-style stores where directory
-    rename is a non-atomic copy — repoints readers, and the old
-    generation is deleted. A crash before the repoint leaves the old
-    generation live and the new one an unreferenced orphan; readers
-    that resolved the pointer just before the delete are the
-    deployment's grace-period knob — a production vacuum would age old
-    generations (and orphans) out instead of deleting immediately.
+    rename is a non-atomic copy — repoints readers, and superseded
+    generations are trimmed down to the ``grace_keep`` newest (the
+    reader-grace window: a reader that resolved the pointer just
+    before the repoint is still scanning the old generation, and that
+    scan outlives the publish on a real cluster — :func:`index_vacuum`
+    is the deleter of record for the kept generation, on the
+    deployment's own schedule). A crash before the repoint leaves the
+    old generation live and the new one an unreferenced orphan.
     Compaction remains a SINGLE-MAINTAINER operation like
     ``maintenance.compact_parquet``; the pid-unique staging means a
     violated assumption (two concurrent maintainers) costs an orphaned
@@ -2101,7 +2265,10 @@ def ivf_index_compact(
     rows = spark.read.parquet(target).count()
     # THE publish: one tiny create-overwrite PUT repoints every reader
     fsio.write_text(f"{path}/{CURRENT_POINTER}", next_name, spark)
-    fsio.delete(vectors, spark=spark)
+    # reader grace: keep the newest grace_keep superseded generations
+    # (a reader that resolved the old pointer mid-scan still finishes);
+    # index_vacuum ages them out on the deployment's schedule
+    _trim_generations(spark, path, next_name, keep=grace_keep)
     if meta_path == f"{path}/meta":
         # the legacy meta now lives inside the generation; remove the
         # superseded copy so the two can never diverge
@@ -2114,40 +2281,36 @@ def ivf_index_compact(
     }
 
 
-def index_vacuum(spark, path: str) -> dict:
+def index_vacuum(spark, path: str, grace_keep: int = 0) -> dict:
     """Age out generation directories the ``_current`` pointer no
-    longer references — the maintenance knob the pointer publish
-    leaves open by design: a crash between staging and repoint, or
-    the loser of two concurrent maintainers, leaves a
-    complete-but-unreferenced ``vectors*`` tree that would otherwise
-    accumulate forever.
+    longer references — the deleter of record for the pointer
+    lifecycle: the publishers (:func:`_publish_generation`,
+    :func:`ivf_index_compact`) leave the newest superseded
+    generation(s) in place as the reader-grace window, and a crash
+    between staging and repoint, or the loser of two concurrent
+    maintainers, leaves a complete-but-unreferenced ``vectors*`` tree
+    — all of which would otherwise accumulate forever. Run the vacuum
+    when the deployment knows in-flight reads of the prior generation
+    have drained (the scan-duration SLA is the schedule).
 
-    Deletes only ``vectors``-prefixed children whose generation
-    number is STRICTLY OLDER than the live one; same-or-newer trees
-    survive because they may be a concurrent maintainer's in-flight
-    staging or just-published generation — a vacuum racing a
-    compaction must never delete the tree the pointer is about to (or
-    did just) reference (r11 review: the earlier delete-everything-
-    but-live rule broke the "worst case is an orphan, never a
-    corrupted publish" guarantee). Such newer orphans become
-    vacuumable on a later pass, once the live generation has advanced
-    past them. The pointer is re-read immediately before the sweep to
-    shrink the stale-snapshot window; everything else at the root
-    (``meta``, ``_current``, ``_ingest_commits``, caller directories)
-    is untouched. Readers mid-search on a strictly-older orphan are
-    the deployment's grace-period knob, as with compaction's delete.
+    Deletes only children matching the EXACT generation grammar
+    (``vectors`` / ``vectors-g<N>[p<hex>]`` — a merely-prefixed
+    sibling like ``vectors_backup`` is never a candidate, r11
+    advisory) whose generation number is STRICTLY OLDER than the live
+    one, retaining the ``grace_keep`` newest of those (0 by default —
+    the vacuum IS the grace deadline). Same-or-newer trees survive
+    because they may be a concurrent maintainer's in-flight staging
+    or just-published generation — a vacuum racing a compaction must
+    never delete the tree the pointer is about to (or did just)
+    reference (r11 review). Such newer orphans become vacuumable on a
+    later pass, once the live generation has advanced past them. The
+    pointer is re-read immediately before the sweep to shrink the
+    stale-snapshot window; everything else at the root (``meta``,
+    ``_current``, ``_ingest_commits``, caller directories) is
+    untouched.
 
     Returns ``{"live": <name>, "removed": [names...]}``.
     """
     live = os.path.basename(vectors_dir(spark, path))
-    live_num = _gen_num(live)
-    removed = []
-    for name in fsio.list_names(path, spark):
-        if (
-            name.startswith("vectors")
-            and name != live
-            and _gen_num(name) < live_num
-        ):
-            fsio.delete(f"{path}/{name}", spark=spark)
-            removed.append(name)
+    removed = _trim_generations(spark, path, live, keep=grace_keep)
     return {"live": live, "removed": sorted(removed)}

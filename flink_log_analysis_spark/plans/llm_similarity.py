@@ -316,9 +316,10 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     # index through the stale-sibling pruning, exactly like a testdata
     # regeneration would. L2 = ingest=/cell= two-level partitioning
     # (round 9); L3 = manifest-pointer publish; L4 = self-contained
-    # generations (meta rides INSIDE the generation dir, round 11) —
-    # pre-L4 artifacts would exercise only the legacy fallbacks
-    return "L4" + hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+    # generations (meta rides INSIDE the generation dir, round 11);
+    # L5 = uuid-unique first-build staging + reader-grace trim (r12) —
+    # older artifacts would exercise only the legacy fallbacks
+    return "L5" + hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
 def _ivf_index_path(sf_dir: str) -> str:
@@ -823,7 +824,7 @@ def _ensure_manycell_index(spark: SparkSession) -> str:
     path = (
         "/tmp/spark_graft_ivf_manycell/"
         f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
-        f"s{int(MANYCELL_SPREAD * 100)}-cells{MANYCELL_CELLS}L4"
+        f"s{int(MANYCELL_SPREAD * 100)}-cells{MANYCELL_CELLS}L5"
     )
     return _build_index_once(
         path,
@@ -1518,8 +1519,8 @@ def _ensure_pq_index(spark: SparkSession) -> str:
     path = (
         "/tmp/spark_graft_pq_manycell/"
         f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
-        # v3: self-contained generations — meta inside the dir (r11)
-        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v3"
+        # v4: uuid-unique first-build staging + grace trim (r12)
+        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v4"
     )
     return _build_index_once(
         path,
@@ -1564,7 +1565,7 @@ def _pq_lifecycle_root(stage: str) -> str:
     return (
         f"/tmp/spark_graft_pq_{stage}/"
         f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
-        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v2"
+        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-v3"
     )
 
 

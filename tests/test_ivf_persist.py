@@ -26,6 +26,17 @@ def _plan(df) -> str:
     )
 
 
+def _live(spark, path: str) -> str:
+    """The index's live generation directory (pointer-resolved —
+    every build stages into a uuid-unique generation since r12, so
+    tests never hardcode ``{path}/vectors``)."""
+    return similarity.vectors_dir(spark, path)
+
+
+def _vecs(spark, path: str):
+    return spark.read.parquet(_live(spark, path))
+
+
 @pytest.fixture(scope="module")
 def index_path(spark, sf_dir, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("ivf") / "index")
@@ -34,10 +45,16 @@ def index_path(spark, sf_dir, tmp_path_factory):
     return path
 
 
-def test_layout_cell_partitioned(index_path):
-    # two-level layout: base build under ingest=base, cells below it
+def test_layout_cell_partitioned(spark, index_path):
+    # two-level layout: base build under ingest=base, cells below it;
+    # the fresh build staged into a uuid-unique generation (never the
+    # shared name 'vectors' — two concurrent builds can't collide) and
+    # published it via the pointer
+    live = _live(spark, index_path)
+    assert os.path.basename(live).startswith("vectors-g1p")
+    assert not os.path.exists(f"{index_path}/vectors")
     cells = [
-        d for d in os.listdir(f"{index_path}/vectors/ingest=base")
+        d for d in os.listdir(f"{live}/ingest=base")
         if d.startswith("cell=")
     ]
     assert len(cells) == N_CELLS
@@ -63,7 +80,7 @@ def test_search_scan_is_partition_pruned(spark, sf_dir, index_path):
     assert 0 < len(cells) < N_CELLS
     # the pruned scan is visible in the plan: the parquet scan node
     # carries a PartitionFilters entry over the cell column...
-    filtered = spark.read.parquet(f"{index_path}/vectors").filter(
+    filtered = _vecs(spark, index_path).filter(
         F.col("cell").isin(cells)
     )
     plan = _plan(filtered)
@@ -75,7 +92,7 @@ def test_search_scan_is_partition_pruned(spark, sf_dir, index_path):
     # ...and the negative control (no cell predicate) shows an EMPTY
     # PartitionFilters — the pruning comes from the predicate, not
     # from the layout alone.
-    unfiltered_plan = _plan(spark.read.parquet(f"{index_path}/vectors"))
+    unfiltered_plan = _plan(_vecs(spark, index_path))
     neg = next(
         (ln for ln in unfiltered_plan.splitlines()
          if "PartitionFilters" in ln),
@@ -113,12 +130,16 @@ def test_append_ingests_without_refit(spark, sf_dir, tmp_path):
     similarity.write_ivf_index(base, path, n_cells=N_CELLS, seed=42)
     similarity.ivf_index_append(spark, path, incoming)
 
-    vecs = spark.read.parquet(f"{path}/vectors")
+    vecs = _vecs(spark, path)
     assert vecs.count() == emb.count()
-    # no new cell directories appeared: append assigns to EXISTING cells
+    # no new cell directories appeared: append assigns to EXISTING
+    # cells (checked across every ingest= partition of the live gen)
+    live = _live(spark, path)
     cells = {
         int(d.split("=")[1])
-        for d in os.listdir(f"{path}/vectors")
+        for ing in os.listdir(live)
+        if ing.startswith("ingest=")
+        for d in os.listdir(f"{live}/{ing}")
         if d.startswith("cell=")
     }
     assert cells <= set(range(N_CELLS))
@@ -203,7 +224,7 @@ def test_stream_ingest_with_checkpoint_restart(spark, sf_dir, tmp_path):
     similarity.write_ivf_index(
         emb.filter(F.col("vec_id") % 5 < 3), idx, n_cells=4, seed=42
     )
-    base_count = spark.read.parquet(f"{idx}/vectors").count()
+    base_count = _vecs(spark, idx).count()
     inputs, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
 
     def arrive(rem: int, name: str) -> None:
@@ -222,16 +243,16 @@ def test_stream_ingest_with_checkpoint_restart(spark, sf_dir, tmp_path):
 
     arrive(3, "b0")
     assert drain() == [0]
-    count_after_b0 = spark.read.parquet(f"{idx}/vectors").count()
+    count_after_b0 = _vecs(spark, idx).count()
     assert count_after_b0 > base_count
     # restart on the same checkpoint: only the NEW file is processed
     arrive(4, "b1")
     assert drain() == [0, 1]
-    total = spark.read.parquet(f"{idx}/vectors").count()
+    total = _vecs(spark, idx).count()
     assert total == emb.count()
     # idle restart: nothing new, nothing re-appended
     assert drain() == [0, 1]
-    assert spark.read.parquet(f"{idx}/vectors").count() == total
+    assert _vecs(spark, idx).count() == total
     ingest = stream_ingest_id(ckpt)
     # forced replay of a committed batch id: marker-skipped, unchanged
     replayed = ivf_append_batch(
@@ -239,7 +260,7 @@ def test_stream_ingest_with_checkpoint_restart(spark, sf_dir, tmp_path):
         batch_id=0, ingest_id=ingest,
     )
     assert replayed is False
-    assert spark.read.parquet(f"{idx}/vectors").count() == total
+    assert _vecs(spark, idx).count() == total
     # replay WITHOUT the marker (crash-after-commit window): the
     # deterministic partition overwrite replaces the batch's own rows
     # — no duplicates, same total
@@ -248,7 +269,7 @@ def test_stream_ingest_with_checkpoint_restart(spark, sf_dir, tmp_path):
         spark, idx, emb.filter(F.col("vec_id") % 5 == 3),
         batch_id=0, ingest_id=ingest,
     ) is True
-    assert spark.read.parquet(f"{idx}/vectors").count() == total
+    assert _vecs(spark, idx).count() == total
     assert committed_batches(idx, ingest) == [0, 1]
     # stream-final identity with the in-memory composition
     queries = emb.filter(F.col("vec_id") < 3)
@@ -272,7 +293,7 @@ def test_stream_ingest_with_checkpoint_restart(spark, sf_dir, tmp_path):
         spark, idx, batch2, batch_id=0, ingest_id=other
     ) is True
     assert (
-        spark.read.parquet(f"{idx}/vectors").count()
+        _vecs(spark, idx).count()
         == total + batch2.count()
     )
     assert committed_batches(idx, other) == [0]
@@ -307,14 +328,15 @@ def test_compact_folds_ingests_preserving_search(spark, sf_dir, tmp_path):
         .parquet(inputs)
     )
     assert ivf_ingest_stream(spark, idx, stream, ckpt) == [0, 1, 2]
-    total = spark.read.parquet(f"{idx}/vectors").count()
+    total = _vecs(spark, idx).count()
     queries = emb.filter(F.col("vec_id") < 4)
     pre, pre_cells = similarity.knn_ivf_persisted(
         spark, idx, queries, k=K, n_probe=2
     )
     pre_rows = sorted(map(tuple, pre.collect()))
+    pre_gen = _live(spark, idx)
     ingests_before = {
-        d for d in os.listdir(f"{idx}/vectors") if d.startswith("ingest=")
+        d for d in os.listdir(pre_gen) if d.startswith("ingest=")
     }
     assert len(ingests_before) == 4  # base + 3 micro-batches
 
@@ -323,13 +345,16 @@ def test_compact_folds_ingests_preserving_search(spark, sf_dir, tmp_path):
     assert stats["files_after"] < stats["files_before"]
     assert stats["rows"] == total
     # manifest-pointer publish: the consolidated layout lives in the
-    # next GENERATION directory, _current repoints readers, and the
-    # old generation is deleted (no directory rename anywhere)
+    # next GENERATION directory and _current repoints readers (no
+    # directory rename anywhere)
     live = similarity.vectors_dir(spark, idx)
-    # pid-unique staging: vectors-g1p<pid> (concurrent maintainers can
-    # never stage into the same directory)
-    assert live.startswith(f"{idx}/vectors-g1p")
-    assert not os.path.exists(f"{idx}/vectors")
+    # uuid-unique staging, one generation past the base build's g1
+    assert live.startswith(f"{idx}/vectors-g2p")
+    # reader grace: the superseded generation SURVIVES the repoint (a
+    # reader that resolved the old pointer mid-scan still completes —
+    # see test_compaction_reader_grace_and_vacuum); the vacuum is the
+    # deleter of record
+    assert os.path.isdir(pre_gen)
     # the generation is self-contained: the meta rode along
     assert os.path.isdir(f"{live}/_meta")
     # layout folded to the base ingest only; cells unchanged
@@ -369,7 +394,7 @@ def test_compact_keep_ingests_exempts_active_stream(spark, sf_dir, tmp_path):
         spark, idx, emb.filter(F.col("vec_id") % 5 == 4),
         ingest_key="live-b0",
     )
-    total = spark.read.parquet(f"{idx}/vectors").count()
+    total = _vecs(spark, idx).count()
     stats = similarity.ivf_index_compact(
         spark, idx, keep_ingests=("live-b0",)
     )
@@ -472,23 +497,23 @@ def test_two_streams_interleaved_ingest_one_index(spark, sf_dir, tmp_path):
 
     in_a, ck_a = str(tmp_path / "in_a"), str(tmp_path / "ck_a")
     in_b, ck_b = str(tmp_path / "in_b"), str(tmp_path / "ck_b")
-    counts = [spark.read.parquet(f"{idx}/vectors").count()]
+    counts = [_vecs(spark, idx).count()]
 
     # interleaved drains: A b0, B b0, A b1, B b1 — each drain must
     # ingest its own new file (no cross-skip from the other stream's
     # markers, whose batch numbering is identical)
     arrive(in_a, 2, "b0")
     assert drain(in_a, ck_a) == [0]
-    counts.append(spark.read.parquet(f"{idx}/vectors").count())
+    counts.append(_vecs(spark, idx).count())
     arrive(in_b, 4, "b0")
     assert drain(in_b, ck_b) == [0]
-    counts.append(spark.read.parquet(f"{idx}/vectors").count())
+    counts.append(_vecs(spark, idx).count())
     arrive(in_a, 3, "b1")
     assert drain(in_a, ck_a) == [0, 1]
-    counts.append(spark.read.parquet(f"{idx}/vectors").count())
+    counts.append(_vecs(spark, idx).count())
     arrive(in_b, 5, "b1")
     assert drain(in_b, ck_b) == [0, 1]
-    counts.append(spark.read.parquet(f"{idx}/vectors").count())
+    counts.append(_vecs(spark, idx).count())
     assert counts == sorted(set(counts)), "every drain must append rows"
     assert counts[-1] == emb.count()
 
@@ -533,7 +558,7 @@ def test_pq_persisted_pruned_and_matches_inmemory(spark, tmp_path):
         spark, idx, queries, k=K, n_probe=2
     )
     assert 0 < len(cells) < 8
-    filtered = spark.read.parquet(f"{idx}/vectors").filter(
+    filtered = _vecs(spark, idx).filter(
         F.col("cell").isin(cells)
     )
     pf = next(
@@ -543,7 +568,7 @@ def test_pq_persisted_pruned_and_matches_inmemory(spark, tmp_path):
     assert "cell" in pf and "[]" not in pf, pf
     neg = next(
         (ln for ln in _plan(
-            spark.read.parquet(f"{idx}/vectors")).splitlines()
+            _vecs(spark, idx)).splitlines()
          if "PartitionFilters" in ln),
         "PartitionFilters: []",
     )
@@ -679,20 +704,21 @@ def test_pq_compact_folds_and_repoints(spark, tmp_path):
             spark, idx, corpus.filter(F.col("vec_id") % 5 == rem),
             batch_id=b, ingest_id=ingest,
         ) is True
-    total = spark.read.parquet(f"{idx}/vectors").count()
+    total = _vecs(spark, idx).count()
     queries = corpus.filter("vec_id % 32 = 0")
     pre, pre_cells = similarity.knn_pq_persisted(
         spark, idx, queries, k=K, n_probe=2
     )
     pre_rows = sorted(map(tuple, pre.collect()))
 
+    base_gen = _live(spark, idx)
     stats = similarity.ivf_index_compact(spark, idx)
     assert stats["ingests_folded"] == 4
     assert stats["files_after"] < stats["files_before"]
     assert stats["rows"] == total
     live = similarity.vectors_dir(spark, idx)
-    assert live.startswith(f"{idx}/vectors-g1p")
-    assert not os.path.exists(f"{idx}/vectors")
+    assert live.startswith(f"{idx}/vectors-g2p")
+    assert os.path.isdir(base_gen)  # reader grace keeps g1
     assert os.path.isdir(f"{live}/_meta")
     assert {
         d for d in os.listdir(live) if d.startswith("ingest=")
@@ -709,12 +735,13 @@ def test_pq_compact_folds_and_repoints(spark, tmp_path):
         batch_id=3, ingest_id=ingest,
     ) is True
     assert spark.read.parquet(live).count() > total
-    # ...and the next compaction advances the generation once more
+    # ...and the next compaction advances the generation once more;
+    # the grace window (newest 1 superseded) keeps g2 and trims g1
     stats2 = similarity.ivf_index_compact(spark, idx)
     assert stats2["ingests_folded"] == 2
     live2 = similarity.vectors_dir(spark, idx)
-    assert live2.startswith(f"{idx}/vectors-g2p")
-    assert not os.path.exists(live)
+    assert live2.startswith(f"{idx}/vectors-g3p")
+    assert os.path.isdir(live) and not os.path.exists(base_gen)
 
 
 def test_vectors_dir_legacy_fallback_and_generations(spark, tmp_path):
@@ -740,12 +767,14 @@ def test_vectors_dir_legacy_fallback_and_generations(spark, tmp_path):
 
 
 def test_index_vacuum_removes_only_older_generations(spark, tmp_path):
-    """index_vacuum: only vectors* trees STRICTLY OLDER than the live
-    generation are deleted — same-or-newer trees may be a concurrent
-    maintainer's in-flight staging or just-published generation and
-    must survive (r11 review); they become vacuumable once the live
-    generation advances past them. Markers and the live tree always
-    survive; search is unchanged."""
+    """index_vacuum: only EXACT-grammar vectors trees STRICTLY OLDER
+    than the live generation are deleted — same-or-newer trees may be
+    a concurrent maintainer's in-flight staging or just-published
+    generation and must survive (r11 review); merely-prefixed siblings
+    (vectors_backup, vectors.compact-<pid>) are never candidates (r11
+    advisory — they used to parse as generation 0 and be swept); and
+    grace_keep retains the newest N older generations. Markers and
+    the live tree always survive; search is unchanged."""
     corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
     similarity.pq_index_append(
         spark, idx, corpus.filter(F.col("vec_id") % 5 >= 2)
@@ -753,41 +782,129 @@ def test_index_vacuum_removes_only_older_generations(spark, tmp_path):
     queries = corpus.filter("vec_id % 32 = 0")
     pre, _ = similarity.knn_pq_persisted(spark, idx, queries, k=K, n_probe=2)
     pre_rows = sorted(map(tuple, pre.collect()))
-    # manufacture NEWER orphans while live is still "vectors" (gen 0):
-    # a crashed staging attempt + a concurrent maintainer's copy
-    os.makedirs(f"{idx}/vectors-g1paaaaaaaa/ingest=zzz")
-    os.makedirs(f"{idx}/vectors-g1pbbbbbbbb")
+    g1 = _live(spark, idx)  # the base build's generation (g1p<token>)
+    # manufacture: a stale legacy shell (gen 0), NEWER orphans (g2 —
+    # a crashed staging attempt + a concurrent maintainer's copy), and
+    # non-generation siblings that merely share the name prefix
+    os.makedirs(f"{idx}/vectors")
+    os.makedirs(f"{idx}/vectors-g2paaaaaaaa/ingest=zzz")
+    os.makedirs(f"{idx}/vectors-g2pbbbbbbbb")
+    os.makedirs(f"{idx}/vectors_backup")
+    os.makedirs(f"{idx}/vectors.compact-1234")
     os.makedirs(f"{idx}/_ingest_commits", exist_ok=True)
     with open(f"{idx}/_ingest_commits/aaaa-batch-0", "w") as fh:
         fh.write("ok")
     stats = similarity.index_vacuum(spark, idx)
-    assert stats["live"] == "vectors"
-    assert stats["removed"] == []  # newer-than-live: conservatively kept
-    assert os.path.exists(f"{idx}/vectors-g1paaaaaaaa")
-    # compaction advances live to a g1 generation; the stale legacy
-    # shell (gen 0 < 1) is now vacuumable, the g1 orphans are NOT yet
-    similarity.ivf_index_compact(spark, idx)
-    os.makedirs(f"{idx}/vectors")  # a stale legacy shell reappears
-    stats2 = similarity.index_vacuum(spark, idx)
-    live = similarity.vectors_dir(spark, idx)
-    assert stats2["live"] == os.path.basename(live)
-    assert stats2["removed"] == ["vectors"]
-    assert os.path.isdir(live) and not os.path.exists(f"{idx}/vectors")
-    assert os.path.exists(f"{idx}/vectors-g1paaaaaaaa")
+    assert stats["live"] == os.path.basename(g1)
+    # only the strictly-older EXACT-grammar tree goes
+    assert stats["removed"] == ["vectors"]
+    assert os.path.exists(f"{idx}/vectors-g2paaaaaaaa")  # newer: kept
+    assert os.path.exists(f"{idx}/vectors_backup")       # not a generation
+    assert os.path.exists(f"{idx}/vectors.compact-1234")
+    # grace_keep at vacuum time retains the newest older generation
+    os.makedirs(f"{idx}/vectors")  # the legacy shell reappears
+    assert similarity.index_vacuum(spark, idx, grace_keep=1)[
+        "removed"
+    ] == []
+    assert os.path.exists(f"{idx}/vectors")
+    assert similarity.index_vacuum(spark, idx)["removed"] == ["vectors"]
     post, _ = similarity.knn_pq_persisted(spark, idx, queries, k=K, n_probe=2)
     assert sorted(map(tuple, post.collect())) == pre_rows
-    # a second compaction advances live to g2 -> the g1 orphans age out
+    # two compactions advance live to g3: the g2 orphans become
+    # strictly older and age out (the publish's own grace trim only
+    # ever keeps the newest one)
     similarity.pq_index_append(
         spark, idx, corpus.filter(F.col("vec_id") % 5 == 0),
         ingest_key="late-b0",
     )
-    similarity.ivf_index_compact(spark, idx)
+    similarity.ivf_index_compact(spark, idx)   # live -> g2p<token>
+    similarity.pq_index_append(
+        spark, idx, corpus.filter(F.col("vec_id") % 5 == 1),
+        ingest_key="late2-b0",
+    )
+    similarity.ivf_index_compact(spark, idx)   # live -> g3p<token>
+    live = os.path.basename(_live(spark, idx))
+    assert live.startswith("vectors-g3p")
+    # the second compaction's grace trim (keep the newest 1 older
+    # generation) already aged the manufactured g2 orphans out; the
+    # vacuum removes the one superseded generation the grace kept
+    assert not os.path.exists(f"{idx}/vectors-g2paaaaaaaa")
+    assert not os.path.exists(f"{idx}/vectors-g2pbbbbbbbb")
     stats3 = similarity.index_vacuum(spark, idx)
-    assert sorted(stats3["removed"]) == [
-        "vectors-g1paaaaaaaa", "vectors-g1pbbbbbbbb"
-    ]
+    assert len(stats3["removed"]) == 1
+    assert stats3["removed"][0].startswith("vectors-g2p")
+    gens_left = {
+        n for n in os.listdir(idx)
+        if similarity._GEN_NAME_RE.fullmatch(n)
+    }
+    assert gens_left == {live}
     assert os.path.exists(f"{idx}/_ingest_commits/aaaa-batch-0")
-    # (no search-identity check here: the late append deliberately
-    # re-ingested rows to force a second foldable generation, which
-    # legitimately changes top-k; identity after vacuum is asserted
-    # above on the unchanged corpus)
+    assert os.path.exists(f"{idx}/vectors_backup")
+    # (no search-identity check here: the late appends deliberately
+    # re-ingested rows, which legitimately changes top-k; identity
+    # after vacuum is asserted above on the unchanged corpus)
+
+
+def test_compaction_reader_grace_and_vacuum(spark, tmp_path):
+    """Reader grace (r11 verdict item 3): a reader that resolved the
+    generation BEFORE a compaction repoints can still complete its
+    scan afterwards — the publish keeps the superseded generation
+    (grace_keep=1 default) and only index_vacuum deletes it, on the
+    deployment's schedule. grace_keep=0 restores the immediate
+    delete for throwaway single-process indexes."""
+    corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
+    similarity.pq_index_append(
+        spark, idx, corpus.filter(F.col("vec_id") % 5 >= 2)
+    )
+    # a reader resolves the live generation... (the one pointer read
+    # every search does)
+    resolved_gen, resolved_meta = similarity._gen_and_meta(spark, idx)
+    rows_at_resolve = spark.read.parquet(resolved_gen).count()
+    # ...then a compaction repoints mid-scan
+    stats = similarity.ivf_index_compact(spark, idx)
+    assert stats["ingests_folded"] == 2
+    assert similarity.vectors_dir(spark, idx) != resolved_gen
+    # the pre-repoint read STILL completes: generation + meta intact
+    assert spark.read.parquet(resolved_gen).count() == rows_at_resolve
+    assert spark.read.parquet(resolved_meta).count() == 1
+    # the vacuum is the deleter of record
+    vac = similarity.index_vacuum(spark, idx)
+    assert vac["removed"] == [os.path.basename(resolved_gen)]
+    assert not os.path.exists(resolved_gen)
+    # grace_keep=0: a rebuild-publish deletes the superseded
+    # generation immediately (the pre-r12 behavior, opt-in)
+    live_before = _live(spark, idx)
+    similarity.write_pq_index(
+        corpus, idx, centers, books, grace_keep=0
+    )
+    assert not os.path.exists(live_before)
+    assert _live(spark, idx) != live_before
+
+
+def test_append_raises_when_compaction_repoints_midflight(
+    spark, tmp_path, monkeypatch
+):
+    """r11 advisory: a batch append resolves the live generation once
+    and then writes — a compaction that repoints mid-append would
+    silently strand the batch in a superseded tree. The post-write
+    pointer re-check must raise instead, and the normal retry path
+    (re-running the append) lands the batch in the NEW generation."""
+    corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
+    similarity.pq_index_append(
+        spark, idx, corpus.filter(F.col("vec_id") % 5 == 2)
+    )
+    stale = similarity._gen_and_meta(spark, idx)
+    similarity.ivf_index_compact(spark, idx)  # repoints; grace keeps old
+    # simulate the race: the append resolved the OLD generation
+    monkeypatch.setattr(
+        similarity, "_gen_and_meta", lambda s, p: stale
+    )
+    batch = corpus.filter(F.col("vec_id") % 5 == 3)
+    with pytest.raises(RuntimeError, match="raced a compaction"):
+        similarity.pq_index_append(spark, idx, batch, ingest_key="s-b0")
+    monkeypatch.undo()
+    # the retry (normal exactly-once path) resolves the new generation
+    live = _live(spark, idx)
+    before = spark.read.parquet(live).count()
+    similarity.pq_index_append(spark, idx, batch, ingest_key="s-b0")
+    assert spark.read.parquet(live).count() == before + batch.count()
