@@ -108,6 +108,9 @@ EXCLUDE = (
     # probe tuner: embeds the exact brute-force truth as the curve's
     # ground side (the tuned search path is timed via knn_ivf)
     "knn_ivf_probe_tuned",
+    # its persisted-index composition: the same brute-force truth plus
+    # THREE searches and four set-diffs, purely to assert identity
+    "knn_ivf_persisted_tuned",
 )
 
 

@@ -1770,6 +1770,87 @@ def knn_ivf_probe_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_manycell_tuned_index(spark: SparkSession) -> str:
+    """Persisted scalar-IVF index over the RAW formula corpus with the
+    CLOSED-FORM centers (write_ivf_index's centroids= seam) — the
+    index whose tuning derivation the oracle can replay end-to-end,
+    because its meta holds exactly the constants the SQL replica
+    states (doubles round-trip parquet bit-for-bit)."""
+    path = (
+        "/tmp/spark_graft_ivf_tuned/"
+        f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
+        f"s{int(MANYCELL_SPREAD * 100)}-cells{MANYCELL_CELLS}L5"
+    )
+    return _build_index_once(
+        path,
+        "_BUILT",
+        lambda tmp: similarity.write_ivf_index(
+            _manycell_corpora(spark)[0],
+            tmp,
+            centroids=similarity.clustered_corpus_centers(
+                MANYCELL_CLUSTERS, MANYCELL_DIM
+            ),
+            seed=42,
+        ),
+    )
+
+
+def knn_ivf_persisted_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe tuning composed WITH the persisted index (r11 verdict
+    item 5): ``similarity.tune_index_n_probe`` resolves the centroids
+    from the live generation's meta — never from constants the index
+    doesn't hold — derives the recall curve (one truth pass + one
+    routing pass, the retention theorem), and records the tuned depth
+    at the index's ``_tuning`` file, where production searches read
+    it: ``knn_ivf_persisted(n_probe=None)`` then searches at that
+    recorded default. The row pins (a) the tuned depth / hits / truth
+    size — VALUE-exact, the oracle replays the whole derivation from
+    the replicated corpus formula and closed-form centers
+    (``ORACLE['knn_ivf_probe_tuned']`` wrapped verbatim) because the
+    persisted meta round-trips those centers bit-for-bit — plus (b)
+    ``used_tuned_default``: the metadata-defaulted search equals the
+    explicit-depth search, and (c) ``persisted_eq_memory``: the
+    persisted search at the tuned depth equals the in-memory
+    composition over the same fit artifacts."""
+    raw, _ = _manycell_corpora(spark)
+    path = _ensure_manycell_tuned_index(spark)
+    queries = raw.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    p, hits, n_truth = similarity.tune_index_n_probe(
+        spark, path, raw, queries, k=K, target_recall=PROBE_TUNE_TARGET
+    )
+    res_tuned, _cells = similarity.knn_ivf_persisted(
+        spark, path, queries, k=K, n_probe=None
+    )
+    res_explicit, _ = similarity.knn_ivf_persisted(
+        spark, path, queries, k=K, n_probe=p
+    )
+    cents, _, ranges, n_cells = similarity.read_ivf_meta(spark, path)
+    mem = similarity.knn_ivf_quantized(
+        raw, queries, k=K, n_cells=n_cells, n_probe=p,
+        centroids=cents, ranges=ranges,
+    )
+    used_default = (
+        res_tuned.exceptAll(res_explicit)
+        .union(res_explicit.exceptAll(res_tuned))
+        .agg((F.count(F.lit(1)) == 0).alias("used_tuned_default"))
+    )
+    eq_mem = (
+        res_tuned.exceptAll(mem)
+        .union(mem.exceptAll(res_tuned))
+        .agg((F.count(F.lit(1)) == 0).alias("persisted_eq_memory"))
+    )
+    return (
+        spark.createDataFrame(
+            [(int(PROBE_TUNE_TARGET * 1000), p, hits, n_truth,
+              MANYCELL_CELLS)],
+            "target_permille int, tuned_n_probe int, hits_at_tuned int, "
+            "n_truth int, n_cells int",
+        )
+        .crossJoin(used_default)
+        .crossJoin(eq_mem)
+    )
+
+
 def knn_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production PQ composition, contracted: fitted codebooks
     (bounded-sample driver k-means per subspace), ADC shortlist of
@@ -1870,6 +1951,7 @@ QUERIES = {
     "knn_pq_compacted": knn_pq_compacted,
     "knn_pq_fitted_exact": knn_pq_fitted_exact,
     "knn_ivf_probe_tuned": knn_ivf_probe_tuned,
+    "knn_ivf_persisted_tuned": knn_ivf_persisted_tuned,
     "knn_pq_rerank_recall": knn_pq_rerank_recall,
 }
 
@@ -2126,6 +2208,17 @@ ORACLE["knn_ivf_probe_tuned"] = f"""
     FROM tuned t JOIN curve c ON c.n_probe = t.p CROSS JOIN stats s
 """
 
+
+# The persisted-index tuning composition holds to the SAME tuned
+# values (the meta round-trips the closed-form centers bit-for-bit,
+# so the curve derivation is identical arithmetic), plus the two
+# composition booleans the Spark side must genuinely earn: the
+# metadata-defaulted search == explicit-depth search, and the
+# persisted search == in-memory composition.
+ORACLE["knn_ivf_persisted_tuned"] = f"""
+    SELECT t.*, TRUE AS used_tuned_default, TRUE AS persisted_eq_memory
+    FROM ({ORACLE["knn_ivf_probe_tuned"]}) t
+"""
 
 # Persisted IVF-PQ holds to the IDENTICAL expected rows: the persist/
 # read/prune cycle must be lossless, so the oracle string is reused

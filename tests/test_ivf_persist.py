@@ -908,3 +908,51 @@ def test_append_raises_when_compaction_repoints_midflight(
     before = spark.read.parquet(live).count()
     similarity.pq_index_append(spark, idx, batch, ingest_key="s-b0")
     assert spark.read.parquet(live).count() == before + batch.count()
+
+
+def test_index_tuning_record_roundtrip_and_default(spark, sf_dir, tmp_path):
+    """tune_index_n_probe records the tuned depth at {path}/_tuning;
+    knn_ivf_persisted(n_probe=None) searches at that default and a
+    never-tuned index falls back to 2. The tuner resolves centroids
+    from the index's own meta, so its answer equals the in-memory
+    tuner given the same constants."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(emb, idx, n_cells=4, seed=42)
+    queries = emb.filter(F.col("vec_id") < 4)
+    # untuned: None falls back to n_probe=2
+    assert similarity.index_tuned_n_probe(spark, idx) is None
+    r_none, _ = similarity.knn_ivf_persisted(
+        spark, idx, queries, k=K, n_probe=None
+    )
+    r_two, _ = similarity.knn_ivf_persisted(
+        spark, idx, queries, k=K, n_probe=2
+    )
+    assert sorted(map(tuple, r_none.collect())) == sorted(
+        map(tuple, r_two.collect())
+    )
+    # tune against the persisted index == in-memory tuner on its meta
+    p, hits, n_truth = similarity.tune_index_n_probe(
+        spark, idx, emb, queries, k=K, target_recall=0.9
+    )
+    cents, _, _, _ = similarity.read_ivf_meta(spark, idx)
+    assert (p, hits, n_truth) == similarity.tune_n_probe(
+        emb, queries, cents, k=K, target_recall=0.9
+    )
+    assert similarity.index_tuned_n_probe(spark, idx) == p
+    assert 1 <= p <= 4 and hits <= n_truth == len(queries.collect()) * K
+    # the default-depth search now probes at the tuned depth
+    r_tuned, _ = similarity.knn_ivf_persisted(
+        spark, idx, queries, k=K, n_probe=None
+    )
+    r_explicit, _ = similarity.knn_ivf_persisted(
+        spark, idx, queries, k=K, n_probe=p
+    )
+    assert sorted(map(tuple, r_tuned.collect())) == sorted(
+        map(tuple, r_explicit.collect())
+    )
+    # the record survives compaction (index-level, not generational)
+    similarity.ivf_index_append(
+        spark, idx, emb.limit(0), ingest_key="noop-b0"
+    )
+    assert similarity.index_tuned_n_probe(spark, idx) == p

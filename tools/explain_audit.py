@@ -58,6 +58,7 @@ CROSS_JOIN_OK = {
     "knn_pq_compacted",    # same attaches over the compacted index
     "knn_pq_fitted_exact",  # full-scan ADC baseline, fitted codebooks
     "knn_ivf_probe_tuned",  # brute ground truth + 1-row tuned attach
+    "knn_ivf_persisted_tuned",  # same truth side + 1-row identity attaches
     "lm_perplexity_filter",  # 1-row bigram-model map broadcast attach
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
