@@ -5,8 +5,10 @@ from Web Crawl Data" (LREC 2020) filter web text by perplexity under
 a language model FIT ON A CLEAN REFERENCE corpus: documents that the
 reference LM finds predictable (low perplexity) read like the
 reference; high-perplexity documents are boilerplate, gibberish, or
-the wrong register. This module implements the recipe Spark-first
-with a Laplace-smoothed bigram model — deterministic, exactly
+the wrong register. This module implements the recipe Spark-first at
+two depths — a Laplace-smoothed bigram model and an interpolated
+3-gram backoff model (the KenLM shape CCNet actually runs, reduced
+to fixed Jelinek-Mercer weights) — both deterministic, exactly
 replayable cross-engine, and carrying the same decision semantics as
 CCNet's KenLM scorer (threshold on per-token cross-entropy):
 
@@ -45,6 +47,17 @@ from .textstats import tokens
 
 LOG_ROUND = 12  # per-transition ln rounding (see module docstring)
 PPL_ROUND = 4   # per-document score rounding
+
+# Jelinek-Mercer interpolation weights for the 3-gram model — FIXED
+# closed-formula constants (not EM-fit): cross-engine replay needs
+# every constant stateable in SQL, and CCNet's decision semantics
+# (threshold on per-token cross-entropy under a reference-fit model)
+# are insensitive to the exact mixture as long as it is monotone in
+# n-gram order. Highest-order evidence dominates; the unigram floor
+# is Laplace-smoothed so P > 0 always (ln stays defined).
+JM_L3 = 0.5
+JM_L2 = 0.3
+JM_L1 = 0.2
 
 
 def _counts_from(toks: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -125,6 +138,68 @@ def model_row(spark, uni_map: dict, bi_map: dict) -> DataFrame:
     )
 
 
+def _trigram_counts(toks: DataFrame) -> DataFrame:
+    """Trigram counts (w1, w2, w3, c) — one explode + hash-agg pass,
+    partial aggregation map-side, same shape as :func:`_counts_from`."""
+    triples = toks.filter(F.size("toks") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                    F.element_at("toks", i + 2).alias("w3"),
+                ),
+            )
+        ).alias("t")
+    )
+    return (
+        triples.select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def fit_trigram_model(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[dict, dict, dict, int, int]:
+    """Fit + collect the interpolated-3-gram model's counts: (uni map,
+    bi map keyed 'w1 w2', tri map keyed 'w1 w2 w3', vocabulary size,
+    total reference token count). Bounded exactly like
+    :func:`fit_bigram_model` — every map tracks the REFERENCE
+    vocabulary, never the scored corpus — and the tokenized reference
+    is persisted across the three collect jobs."""
+    from ..session import ensure_min_partitions
+
+    toks = (
+        ensure_min_partitions(ref)
+        .select(tokens(F.col(text_col)).alias("toks"))
+        .persist()
+    )
+    try:
+        uni, bi = _counts_from(toks)
+        tri = _trigram_counts(toks)
+        u = {r["w"]: r["c"] for r in uni.collect()}
+        b = {f"{r['w1']} {r['w2']}": r["c"] for r in bi.collect()}
+        t = {
+            f"{r['w1']} {r['w2']} {r['w3']}": r["c"] for r in tri.collect()
+        }
+    finally:
+        toks.unpersist()
+    return u, b, t, len(u), sum(u.values())
+
+
+def trigram_model_row(
+    spark, uni_map: dict, bi_map: dict, tri_map: dict
+) -> DataFrame:
+    """The three fitted maps as ONE broadcast row."""
+    return spark.createDataFrame(
+        [(uni_map, bi_map, tri_map)],
+        "uni map<string,bigint>, bi map<string,bigint>, "
+        "tri map<string,bigint>",
+    )
+
+
 def _transition_score(w1: Column, w2: Column, vocab_size: int) -> Column:
     """struct(lp, oov) per transition: lp = round(ln((bi + 1) /
     (uni_w1 + V)), 12) against the broadcast model maps — THE
@@ -143,6 +218,92 @@ def _transition_score(w1: Column, w2: Column, vocab_size: int) -> Column:
     )
     return F.struct(
         lp.alias("lp"), (cb == 0).cast("int").alias("oov")
+    )
+
+
+def _transition3_score(
+    w1: Column, w2: Column, w3: Column, vocab_size: int, n_tokens: int
+) -> Column:
+    """struct(lp, oov) per 3-gram transition under the interpolated
+    backoff model — THE smoothing expression, one site (restated
+    verbatim by the oracle):
+
+        P(w3 | w1 w2) = L3 * c(w1w2w3)/c(w1w2)   [0 if c(w1w2) = 0]
+                      + L2 * c(w2w3)/c(w2)        [0 if c(w2)   = 0]
+                      + L1 * (c(w3)+1)/(N+V)      [Laplace floor > 0]
+
+    Operation order is pinned left-associatively on BOTH sides
+    ((L*num)/den per term; (t3+t2)+t1 for the mixture) so the one
+    transcendental — ln, rounded to 12 digits — is the only place
+    cross-engine variance can enter. ``oov`` = the TRIGRAM lookup
+    missing (the model-coverage diagnostic at the model's full
+    order)."""
+    ct = F.coalesce(
+        F.try_element_at("tri", F.concat_ws(" ", w1, w2, w3)), F.lit(0)
+    )
+    cb12 = F.coalesce(
+        F.try_element_at("bi", F.concat_ws(" ", w1, w2)), F.lit(0)
+    )
+    cb23 = F.coalesce(
+        F.try_element_at("bi", F.concat_ws(" ", w2, w3)), F.lit(0)
+    )
+    cu2 = F.coalesce(F.try_element_at("uni", w2), F.lit(0))
+    cu3 = F.coalesce(F.try_element_at("uni", w3), F.lit(0))
+    t3 = F.when(cb12 > 0, (F.lit(JM_L3) * ct) / cb12).otherwise(F.lit(0.0))
+    t2 = F.when(cu2 > 0, (F.lit(JM_L2) * cb23) / cu2).otherwise(F.lit(0.0))
+    t1 = (F.lit(JM_L1) * (cu3 + 1)) / F.lit(n_tokens + vocab_size)
+    lp = F.round(F.log((t3 + t2) + t1), LOG_ROUND)
+    return F.struct(lp.alias("lp"), (ct == 0).cast("int").alias("oov"))
+
+
+def score_perplexity_3gram(
+    docs: DataFrame,
+    model: DataFrame,
+    vocab_size: int,
+    n_tokens: int,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document ln-perplexity under the interpolated 3-gram
+    reference model (the KenLM-shaped depth CCNet actually runs,
+    reduced to a closed formula an oracle can restate), with the keep
+    verdict: (id, n_trans, n_oov, ppl, kept), one row per document
+    with at least one trigram transition. Same execution shape as
+    :func:`score_perplexity` — one broadcast attach + one widened
+    projection, the fold inside the row, no shuffle."""
+    from ..session import ensure_min_partitions
+
+    toks = tokens(F.col(text_col))
+    d = ensure_min_partitions(docs).select(
+        F.col(id_col), toks.alias("toks")
+    ).filter(F.size("toks") >= 3)
+    j = d.crossJoin(F.broadcast(model))
+    scored = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: _transition3_score(
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            vocab_size,
+            n_tokens,
+        ),
+    )
+    n_trans = (F.size("toks") - 2).cast("int")
+    s = F.aggregate(
+        scored, F.lit(0.0), lambda a, t: a + t.getField("lp")
+    )
+    ppl = F.round(-s / n_trans, PPL_ROUND)
+    return j.select(
+        F.col(id_col),
+        n_trans.alias("n_trans"),
+        F.aggregate(
+            scored, F.lit(0), lambda a, t: a + t.getField("oov")
+        )
+        .cast("int")
+        .alias("n_oov"),
+        ppl.alias("ppl"),
+        (ppl <= F.lit(threshold)).alias("kept"),
     )
 
 

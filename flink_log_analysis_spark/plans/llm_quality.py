@@ -717,8 +717,137 @@ ORACLE["lm_perplexity_filter"] = """
     th=LM_PPL_THRESHOLD,
 )
 
+# --- interpolated 3-gram depth (the KenLM shape; r11 verdict #4) ---
+#
+# Threshold 3.96 sits just above the sf0.01 median ln-perplexity
+# (3.9564; quartiles 3.83 / 3.96 / 4.05) so the verdict splits the
+# corpus non-trivially at every scale factor.
+LM3_PPL_THRESHOLD = 3.96
+
+_LM3_MODELS: dict[str, tuple[dict, dict, dict, int, int]] = {}
+
+
+def _lm3_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict, dict, dict, int, int]:
+    m = _LM3_MODELS.get(sf_dir)
+    if m is None:
+        ref = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % LM_REF_MOD == 0
+        )
+        m = lmfilter.fit_trigram_model(ref)
+        _LM3_MODELS[sf_dir] = m
+    return m
+
+
+def lm_perplexity_filter_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM filter at the depth curation teams actually run (the
+    KenLM-shaped CCNet scorer): per-document ln-perplexity under an
+    interpolated 3-gram backoff model fit on the reference slice, with
+    fixed Jelinek-Mercer weights and a Laplace unigram floor
+    (operators/lmfilter.py:_transition3_score — the one smoothing
+    site, restated verbatim by the oracle). The oracle refits all
+    three count tables from the same slice and replays the
+    interpolation arithmetic in the pinned operation order, the
+    12-digit-rounded per-transition logs, the position-ordered
+    left-assoc fold, and the rounded threshold verdict — fit and
+    score both certified, same as the bigram row."""
+    uni, bi, tri, vocab, n_tokens = _lm3_model(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return lmfilter.score_perplexity_3gram(
+        docs,
+        lmfilter.trigram_model_row(spark, uni, bi, tri),
+        vocab,
+        n_tokens,
+        LM3_PPL_THRESHOLD,
+    )
+
+
+# The 3-gram twin: refits uni/bi/tri counts, restates the one
+# interpolation expression with the SAME left-assoc parenthesization
+# ((L*num)/den per term; (t3+t2)+t1), rounds each ln to 12 BEFORE the
+# position-ordered fold, and replays the verdict. N (total reference
+# tokens) and V (vocabulary) both derive from the refit uni table.
+ORACLE["lm_perplexity_filter_3gram"] = """
+    WITH refdocs AS (
+        SELECT {toks} AS toks FROM documents WHERE doc_id % {mod} = 0
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM refdocs) GROUP BY w
+    ),
+    v AS (SELECT COUNT(*) AS vs FROM uni),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM uni),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks,
+                         unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM refdocs WHERE len(toks) >= 2)
+        ) GROUP BY w1, w2
+    ),
+    tri AS (
+        SELECT w1, w2, w3, COUNT(*) AS c FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+            FROM (SELECT toks,
+                         unnest(generate_series(1, len(toks) - 2)) AS i
+                  FROM refdocs WHERE len(toks) >= 3)
+        ) GROUP BY w1, w2, w3
+    ),
+    d AS (SELECT doc_id, {toks} AS toks FROM documents),
+    trans AS (
+        SELECT doc_id, i, toks[i] AS w1, toks[i + 1] AS w2,
+               toks[i + 2] AS w3
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS i
+              FROM d WHERE len(toks) >= 3)
+    ),
+    scored AS (
+        SELECT t.doc_id, t.i,
+               ROUND(ln(
+                   (CASE WHEN COALESCE(b12.c, 0) > 0
+                         THEN ({l3} * COALESCE(tr.c, 0)) / b12.c
+                         ELSE 0.0 END
+                    + CASE WHEN COALESCE(u2.c, 0) > 0
+                           THEN ({l2} * COALESCE(b23.c, 0)) / u2.c
+                           ELSE 0.0 END)
+                   + ({l1} * (COALESCE(u3.c, 0) + 1)) / (n.nt + v.vs)
+               ), {lr}) AS lp,
+               CASE WHEN tr.c IS NULL THEN 1 ELSE 0 END AS oov
+        FROM trans t
+        LEFT JOIN tri tr
+               ON tr.w1 = t.w1 AND tr.w2 = t.w2 AND tr.w3 = t.w3
+        LEFT JOIN bi b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+        LEFT JOIN bi b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+        LEFT JOIN uni u2 ON u2.w = t.w2
+        LEFT JOIN uni u3 ON u3.w = t.w3
+        CROSS JOIN v CROSS JOIN n
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_trans,
+               CAST(SUM(oov) AS INTEGER) AS n_oov,
+               list_reduce([0.0] || list(lp ORDER BY i),
+                           (a, x) -> a + x) AS s
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_trans AS INTEGER) AS n_trans, n_oov,
+           ROUND(-s / n_trans, {pr}) AS ppl,
+           ROUND(-s / n_trans, {pr}) <= {th} AS kept
+    FROM agg
+""".format(
+    toks=_TOKS,
+    mod=LM_REF_MOD,
+    lr=lmfilter.LOG_ROUND,
+    pr=lmfilter.PPL_ROUND,
+    th=LM3_PPL_THRESHOLD,
+    l3=lmfilter.JM_L3,
+    l2=lmfilter.JM_L2,
+    l1=lmfilter.JM_L1,
+)
+
 QUERIES = {
     "lm_perplexity_filter": lm_perplexity_filter,
+    "lm_perplexity_filter_3gram": lm_perplexity_filter_3gram,
     "quality_ablation_report": quality_ablation_report,
     "corpus_report": corpus_report,
     "bpe_pack_chunks": bpe_pack_chunks,

@@ -578,6 +578,50 @@ def corpus_tokenize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def lm_perplexity_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LM-perplexity filtering: documents arrive on a JSONL
+    file stream and each micro-batch is scored against the FROZEN
+    reference bigram model (fit once in batch on the reference slice —
+    production fits its reference model offline and ships it to the
+    scoring tier as a broadcast artifact; the fit never runs inside
+    the stream). Scoring is a stateless per-row projection
+    (operators/lmfilter.py score_perplexity — one broadcast attach,
+    the fold inside the row), so append mode needs no watermark and
+    the stream-final sink equals the batch filter — certified by the
+    SAME refit-and-replay oracle as lm_perplexity_filter (the oracle
+    never sees JSON, the stream, or the broadcast). At 100 TB this is
+    the filter tier's deployment shape: per-file map tasks, no state
+    store, the model a few MB riding each executor once."""
+    from ..operators import lmfilter
+    from .formats import DOC_SCHEMA, jsonl_dir
+    from .llm_quality import LM_PPL_THRESHOLD, _lm_model
+
+    work = shared_tmp_dir("loganalysis_stream_")
+    try:
+        uni, bi, vocab = _lm_model(spark, sf_dir)
+        docs = spark.readStream.schema(DOC_SCHEMA).json(
+            f"{jsonl_dir(spark, sf_dir)}/docs"
+        )
+        out = lmfilter.score_perplexity(
+            docs,
+            lmfilter.model_row(spark, uni, bi),
+            vocab,
+            LM_PPL_THRESHOLD,
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return spark.read.parquet(f"{work}/out").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming JSONL corpus ingestion with hygiene: a file stream of
     JSON-lines documents (the interchange format an LLM pipeline
@@ -752,6 +796,7 @@ QUERIES = {
     "incremental_near_dups_stream": incremental_near_dups_stream,
     "corpus_ingest_stream": corpus_ingest_stream,
     "corpus_tokenize_stream": corpus_tokenize_stream,
+    "lm_perplexity_filter_stream": lm_perplexity_filter_stream,
 }
 
 # The streamed incremental dedup must converge to the batch query's
@@ -775,3 +820,13 @@ ORACLE["corpus_ingest_stream"] = f"""
     )
     {_pii_oracle_sql("k")}
 """
+
+# The streamed LM filter must converge to the batch filter's exact
+# result — the model is frozen before the stream starts and scoring is
+# stateless, so the oracle string is reused verbatim (refit + replay;
+# it never sees JSON, the stream, or the broadcast model).
+from .llm_quality import ORACLE as _QUALITY_ORACLE  # noqa: E402
+
+ORACLE["lm_perplexity_filter_stream"] = _QUALITY_ORACLE[
+    "lm_perplexity_filter"
+]

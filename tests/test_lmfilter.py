@@ -50,3 +50,62 @@ def test_bigram_fit_and_score_hand_computed(spark):
     assert rows[12]["n_trans"] == 2 and rows[12]["n_oov"] == 2
     two = lp(0, 0) + lp(0, 0)
     assert rows[12]["ppl"] == round(-two / 2, lmfilter.PPL_ROUND)
+
+
+def test_trigram_fit_and_score_hand_computed(spark):
+    """Interpolated 3-gram backoff: fit counts, the fixed-weight
+    mixture with zero-denominator terms dropping out, the Laplace
+    unigram floor, trigram-level OOV accounting, and the >= 3-token
+    scope rule — pinned on a hand-computable corpus."""
+    ref = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    u, b, t, vocab, n_tokens = lmfilter.fit_trigram_model(ref)
+    assert (vocab, n_tokens) == (4, 9)  # {a,b,c,d}, 6 + 3 tokens
+    assert u == {"a": 3, "b": 3, "c": 2, "d": 1}
+    assert b == {"a b": 3, "b c": 2, "c a": 1, "b d": 1}
+    assert t == {"a b c": 2, "b c a": 1, "c a b": 1, "a b d": 1}
+
+    model = lmfilter.trigram_model_row(spark, u, b, t)
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c"),      # seen trigram
+            (11, "a b z"),      # unseen trigram, seen context
+            (12, "z z z z"),    # fully OOV: only the Laplace floor
+            (13, "a b"),        # no trigram transitions: out of scope
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in lmfilter.score_perplexity_3gram(
+            docs, model, vocab, n_tokens, threshold=1.0
+        ).collect()
+    }
+    assert sorted(rows) == [10, 11, 12]
+
+    L3, L2, L1 = lmfilter.JM_L3, lmfilter.JM_L2, lmfilter.JM_L1
+
+    def lp(ct, cb12, cb23, cu2, cu3):
+        t3 = (L3 * ct) / cb12 if cb12 > 0 else 0.0
+        t2 = (L2 * cb23) / cu2 if cu2 > 0 else 0.0
+        t1 = (L1 * (cu3 + 1)) / (n_tokens + vocab)
+        return round(math.log((t3 + t2) + t1), lmfilter.LOG_ROUND)
+
+    # doc 10: P(c | a b) — trigram 2/3, bigram b c 2/3, unigram c
+    assert rows[10]["n_trans"] == 1 and rows[10]["n_oov"] == 0
+    assert rows[10]["ppl"] == round(
+        -lp(2, 3, 2, 3, 2), lmfilter.PPL_ROUND
+    )
+    # doc 11: unseen trigram a b z; context a b seen (t3 = 0 numerator
+    # still divides), b z unseen, z unseen
+    assert rows[11]["n_trans"] == 1 and rows[11]["n_oov"] == 1
+    assert rows[11]["ppl"] == round(
+        -lp(0, 3, 0, 3, 0), lmfilter.PPL_ROUND
+    )
+    # doc 12: two transitions, all counts zero -> only the floor term
+    assert rows[12]["n_trans"] == 2 and rows[12]["n_oov"] == 2
+    floor = lp(0, 0, 0, 0, 0)
+    assert rows[12]["ppl"] == round(-(floor + floor) / 2,
+                                    lmfilter.PPL_ROUND)
+    assert bool(rows[12]["kept"]) is False  # -ln(0.2/13) ~ 4.17 > 1.0
