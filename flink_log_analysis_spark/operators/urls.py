@@ -132,6 +132,15 @@ def domain_quota(
     key — the same scale shape as the URL-dedup window feeding it: no
     global funnel, text never moves, only (id, url, domain) rows
     shuffle.
+
+    Hostile-key bound, measured (tools/dedup_skew_probe.py, 1.5M rows,
+    one domain holding 50% of all canonical pages): 1.45x the uniform
+    control — the per-domain rank is semantically order-dependent
+    (every candidate's rank is emitted), so the hot domain's rows sort
+    in one task and salting cannot compose. A deployment needing only
+    the SURVIVORS under such skew can pre-trim with an associative
+    min_by-style top-(cap) per domain per partition before this audit
+    window; the audit view itself carries the measured bound.
     """
     pages = curated.filter(F.col("is_canonical") & ~F.col("blocked"))
     w = Window.partitionBy("domain").orderBy(F.col(id_col).asc())
