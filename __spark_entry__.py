@@ -74,43 +74,43 @@ def _plan_modules():
 # Names pinned to the driver's 50-entry audit window, in order.
 # Anything not listed here follows afterwards in module order.
 #
-# Round-11 rotation (VERDICT r10 item 1 + touched-path rule): the
-# 12-query reference-parity core stays pinned. Next, every row whose
-# CODE or ORACLE changed this round must re-certify regardless of
-# freshness: log_sessions / log_sessions_stream (oracle tie-break fix,
-# r10 advisory), knn_ivf (redefined onto the value-exact closed-form
-# quantizer — VERDICT item 2, its first oracle-backed row), and the
-# five persisted-index rows whose read/publish path gained the
-# manifest-pointer seam and the PQ two-level layout
-# (knn_ivf_persisted, knn_ivf_appended, knn_ivf_streamed,
-# knn_ivf_compacted, knn_ivf_pq_persisted). Then the five r11
-# newborns (knn_pq_streamed, knn_pq_compacted — VERDICT item 3 — the
-# optional-depth knn_pq_fitted_exact and quality_ablation_web, and
-# the recall-targeted probe tuner knn_ivf_probe_tuned, which took the
-# slot train_split_assign ceded: the sampling family stays audited
-# via the in-window stratified_doc_sample plus r10-green
-# training_order_shuffle, and train_split_assign joins the deferred
-# r8 cohort below). Then ALL 13 r7-stale rows the r10 verdict named.
-# The remaining 12 slots take the r8-stale cohort, engine-extension
-# machinery first (dedup/ANN/BPE/sampling rows whose plan surface is
-# deepest).
-# Deferred r8-stale (22, next round's head): the untouched pure-
-# relational TPC-H analytics family (customer_segments_setops,
-# distinct_parts_per_supplier, lineitem_global_stats,
-# nation_market_share, nation_trade_flows, order_priority_check,
-# order_scalar_features, orders_cube, orders_rollup,
-# parts_never_ordered, pricing_summary, regional_revenue,
-# salted_brand_revenue, small_quantity_revenue, top_customers_revenue,
-# top_orders_per_customer) — each a single-module DataFrame query
-# whose oracle is a near-identical SQL restatement, the lowest-drift
-# class in the registry, with the in-window sql_* core keeping the
-# relational surface audited — plus exact_dedup_groups (hash-groupBy,
-# untouched; dedup family audited via the in-window minhash/simhash
-# rows), orders_snapshot_diff (merge family untouched since r9),
-# bm25_scores / tfidf_top_terms / text_stats (relevance/textstats
-# untouched; rare_token_stats' r10 row is the family's fresh audit),
-# plus train_split_assign (ceded its slot to the probe tuner; see
-# above).
+# Round-12 rotation (VERDICT r11 items 1+2 + touched-path rule): the
+# 12-query reference-parity core stays pinned. Next, the touched-path
+# block — every row whose CODE changed this round re-certifies
+# regardless of freshness: the seven persisted-index rows whose
+# publish/vacuum/append path gained uuid-unique first-build staging,
+# reader-grace trim, the vacuum grammar filter, and the append
+# pointer re-check (knn_ivf_persisted, knn_ivf_appended,
+# knn_ivf_streamed, knn_ivf_compacted, knn_ivf_pq_persisted,
+# knn_pq_streamed, knn_pq_compacted), plus span_dedup (first-
+# occurrence selection rewritten from a window to the skew-immune
+# min_by aggregation) and corpus_prep (the deepest pipeline composing
+# it; web_corpus_prep shares the same span stage and stays
+# gate-covered). Then the never-driver-audited block: the two r11
+# newborns the verdict ordered slots for (knn_pq_appended — the 4th
+# PQ lifecycle stage — and lm_perplexity_filter) and the three r12
+# newborns (knn_ivf_persisted_tuned — probe tuning composed with the
+# persisted index, VERDICT item 5 — lm_perplexity_filter_3gram —
+# VERDICT item 4 — and lm_perplexity_filter_stream, the optional-
+# depth streaming twin). Then ALL 22 deferred r8-stale rows the r11
+# verdict named as this round's head (the 16 TPC-H relational rows +
+# exact_dedup_groups, orders_snapshot_diff, bm25_scores,
+# tfidf_top_terms, text_stats, train_split_assign). The remaining 2
+# slots start the r9-stale cohort with the two single-row families
+# whose freshest driver audit is r9: last_purchase_asof (as-of join)
+# and customer_balance_merge (MERGE/CDC upsert).
+# Deferred (next round's head): the rest of the r9-stale cohort (~36
+# — near_dedup_docs, binary_meta, customer_order_cadence,
+# deduped_events_stream, embedding_near_dups, embedding_norms,
+# media_frames, media_resize, monthly_revenue_moving_avg,
+# ngram_jaccard_pairs, promo_window_orders, salted_event_counts,
+# source_token_stats, user_event_pivot, windowed_event_counts_stream,
+# lang_id_ngram, text_quality, hourly_event_stats,
+# monthly engagement/relational rows, and the r6-return block) —
+# every family in it has an r10-or-fresher sibling in this window or
+# in CORRECTNESS_r10/r11 (dedup via minhash/simhash/near_dedup r11
+# rows, embeddings via the knn family here, streams via the core +
+# lm stream rows), and all of them run in the local gate and pytest.
 # Every rotated-out name still runs in the local gate
 # (tools/check_correctness.py, driver-identical canon) and in
 # tests/test_oracle_parity.
@@ -128,50 +128,49 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # touched-path re-certification (oracle or read/publish changes)
-    "log_sessions",
-    "log_sessions_stream",
-    "knn_ivf",
+    # touched-path re-certification (publish/vacuum/append hardening;
+    # span_dedup min_by rewrite)
     "knn_ivf_persisted",
     "knn_ivf_appended",
     "knn_ivf_streamed",
     "knn_ivf_compacted",
     "knn_ivf_pq_persisted",
-    # never-driver-audited (new this round)
     "knn_pq_streamed",
     "knn_pq_compacted",
-    "knn_pq_fitted_exact",
-    "quality_ablation_web",
-    "knn_ivf_probe_tuned",
-    # r7-stale cohort (all 13 the r10 verdict named)
-    "bmp_roundtrip",
-    "corpus_report",
-    "corpus_shards",
-    "doc_chunks",
-    "doc_quality_signals",
-    "dup_cluster_sizes",
-    "jl_projection_contract",
-    "knn_ivf_quantized_recall",
-    "knn_quantized",
-    "near_dedup_best_docs",
-    "png_roundtrip",
-    "token_budget_select",
-    "weighted_doc_sample",
-    # r8-stale cohort (12 of 37; the 22 deferrals are justified above,
-    # and knn_ivf / knn_ivf_persisted / knn_ivf_appended cover the
-    # cohort's other 3 via the touched-path block)
-    "knn_bruteforce",
-    "knn_ivf_quantized_recall_p6",
-    "minhash_signatures",
-    "simhash",
-    "stateful_sessions",
-    "supplier_fuzzy_dups",
-    "hard_negative_mining",
-    "bpe_vocab_fit",
-    "bpe_token_ids",
-    "bpe_pack_chunks",
-    "domain_quota_sample",
-    "stratified_doc_sample",
+    "span_dedup",
+    "corpus_prep",
+    # never-driver-audited (r11 newborns ordered in + r12 newborns)
+    "knn_pq_appended",
+    "lm_perplexity_filter",
+    "knn_ivf_persisted_tuned",
+    "lm_perplexity_filter_3gram",
+    "lm_perplexity_filter_stream",
+    # r8-stale cohort — all 22 deferred rows (VERDICT r11 item 1)
+    "customer_segments_setops",
+    "distinct_parts_per_supplier",
+    "lineitem_global_stats",
+    "nation_market_share",
+    "nation_trade_flows",
+    "order_priority_check",
+    "order_scalar_features",
+    "orders_cube",
+    "orders_rollup",
+    "parts_never_ordered",
+    "pricing_summary",
+    "regional_revenue",
+    "salted_brand_revenue",
+    "small_quantity_revenue",
+    "top_customers_revenue",
+    "top_orders_per_customer",
+    "exact_dedup_groups",
+    "orders_snapshot_diff",
+    "bm25_scores",
+    "tfidf_top_terms",
+    "text_stats",
+    "train_split_assign",
+    # r9-stale cohort, oldest-audited single-row families first
+    "last_purchase_asof",
+    "customer_balance_merge",
 ]
 
 
