@@ -659,7 +659,16 @@ def tune_n_probe(
     One :func:`ivf_recall_curve` pass, then an n_cells-row driver
     scan. Returns (tuned_n_probe, hits_at_tuned, n_truth); if no
     depth meets the target (unreachable: p = n_cells scans everything
-    and recalls all), n_cells is returned."""
+    and recalls all), n_cells is returned.
+
+    Scope (measured, test-pinned in tests/test_similarity.py): the
+    derivation transfers to the IVF-PQ composition exactly when
+    searches EXACT-RE-RANK a shortlist covering the candidate set —
+    the production shape — because re-ranking restores the retention
+    theorem's survival step; for ADC-only ranking the curve is only
+    an upper bound (codec distortion caps recall FLAT in p), so an
+    ADC-only deployment must tune against physical measurements, not
+    this curve."""
     curve = {
         r["n_probe"]: r["hits"]
         for r in ivf_recall_curve(
