@@ -271,10 +271,16 @@ def run_slice(
         from flink_log_analysis_spark.plans.llm_similarity import _ivf_centroids
 
         prestep("ivf_centroids", lambda: _ivf_centroids(spark, sf_dir))
-    if "lm_perplexity_filter" in names:
+    if any(n.startswith("lm_perplexity_filter") for n in names):
+        # the batch row AND the streaming twin score against the same
+        # frozen bigram model (production fits it offline)
         from flink_log_analysis_spark.plans.llm_quality import _lm_model
 
         prestep("lm_bigram_model", lambda: _lm_model(spark, sf_dir))
+    if "lm_perplexity_filter_3gram" in names:
+        from flink_log_analysis_spark.plans.llm_quality import _lm3_model
+
+        prestep("lm_trigram_model", lambda: _lm3_model(spark, sf_dir))
     # Recorded economics for the persisted IVF index (VERDICT r9 #6):
     # the identity contracts that exercise it are EXCLUDEd as
     # duplicate-work correctness artifacts, so without this the BUILD
@@ -360,7 +366,7 @@ def run_slice(
     # the timed windows.
     if any(
         n in ("documents_jsonl_roundtrip", "corpus_ingest_stream",
-              "corpus_tokenize_stream")
+              "corpus_tokenize_stream", "lm_perplexity_filter_stream")
         for n in names
     ):
         from flink_log_analysis_spark.plans.formats import jsonl_dir

@@ -18,7 +18,7 @@ per-partition offsets) — never as a single-partition global window.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import ngram_token_sets
@@ -581,6 +581,10 @@ SHARD_DOCS = 64
 # keeps exactly its first occurrence (lexicographic (doc_id, pos)),
 # corpus-wide.
 SPAN_TOKENS = 8
+# (id, pos) packed into one bigint for the first-occurrence min: low
+# SPAN_POS_BITS bits carry the span position (2^24 spans/doc bound),
+# the rest the doc id (non-negative, < 2^39) — see span_dedup.
+SPAN_POS_BITS = 24
 
 
 def span_dedup(
@@ -603,22 +607,25 @@ def span_dedup(
     the corpus keep zero spans and still appear (n_kept = 0).
 
     Scale shape: explode multiplies rows by ~n/span (narrow rows: id,
-    pos, span hash); first-occurrence selection is one ``min_by`` HASH
-    AGGREGATION over the span key — NOT a window: first-occurrence =
-    the (id, pos)-minimal row per key, which is associative, so the
-    map-side partial aggregate collapses even a pathological hot span
-    (one span in half the corpus) to one row per input partition
-    BEFORE the shuffle, where a window must materialize every
-    occurrence in a single task's sort. Measured
-    (tools/dedup_skew_probe.py, 1.5M docs, 50%-hot-span): this shape's
-    skewed arm runs FASTER than its uniform control (0.86x — the
-    shuffle shrinks), while the window shape stays single-task-bound
-    on the hot group — flat at probe scale (0.97x; a 750k-row narrow
-    sort is not yet critical-path) but growing with the hot group
-    where the min_by shape provably cannot. Rebuild is one hash
-    aggregation with
-    an in-group sort bounded by the doc's own span count. No driver
-    state, no low-cardinality window anywhere.
+    pos, span text); first-occurrence selection is a skew-immune HASH
+    AGGREGATION over the span key — NOT a window: first occurrence =
+    the (id, pos)-minimal row per key, and packing (id, pos) into ONE
+    bigint (id << 24 | pos) makes that a plain ``min``, which plans as
+    a true HashAggregate with a map-side partial. (A ``min_by`` over a
+    struct plans as SortAggregate, and a window funnels the hot key
+    through one task's sort — both measured slower on BOTH arms.) The
+    partial aggregate collapses even a pathological hot span (one span
+    in half the corpus) to one row per input partition BEFORE the
+    shuffle. Measured (tools/dedup_skew_probe.py, 1.5M docs,
+    50%-hot-span, median-of-3): this shape 3.5s uniform / 3.2s skewed
+    (ratio 0.92 — the shuffle SHRINKS under skew) vs the window's
+    4.1s / 4.0s — slower on BOTH arms, and its hot group's
+    single-task sort grows with the group where this shape provably
+    cannot. Packing bounds, stated:
+    non-negative ids below 2^39 (~550 B documents) and at most 2^24
+    spans per document (~134 M tokens at span=8). Rebuild is one hash
+    aggregation with an in-group sort bounded by the doc's own span
+    count. No driver state, no low-cardinality window anywhere.
     """
     toks = tokens(F.col(text_col))
     base = df.select(
@@ -638,14 +645,20 @@ def span_dedup(
         ).alias("pos", "span_text"),
     )
     kept = (
-        spans.groupBy(F.md5("span_text").alias("_k"))
+        spans.groupBy("span_text")
         .agg(
-            F.min_by(
-                F.struct(id_col, "pos", "span_text"),
-                F.struct(id_col, "pos"),
-            ).alias("_first")
+            F.min(
+                F.shiftleft(F.col(id_col), SPAN_POS_BITS) + F.col("pos")
+            ).alias("_packed")
         )
-        .select("_first.*")
+        .select(
+            F.shiftright("_packed", SPAN_POS_BITS).alias(id_col),
+            F.col("_packed")
+            .bitwiseAND(F.lit((1 << SPAN_POS_BITS) - 1))
+            .cast("int")
+            .alias("pos"),
+            "span_text",
+        )
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_kept_spans"),

@@ -693,9 +693,11 @@ def tune_n_probe(
 # tuning record lives at ``{path}/_tuning`` — INDEX level, not inside
 # a generation: the tuned depth is a property of the corpus geometry
 # + centroids, which compaction preserves (it copies rows unchanged),
-# so the record survives repoints; a REBUILD with new centroids
-# invalidates it, which is why write-side publishes do not copy it
-# and a deployment re-tunes after refits.
+# so the record survives repoints; a REBUILD fits new centroids, so
+# :func:`_publish_generation` DELETES the record (a stale depth tuned
+# for the old geometry must never default a search on the new one)
+# and a deployment re-tunes after refits. The record also carries the
+# k it was tuned for, and the default-depth read refuses a k mismatch.
 TUNING_FILE = "_tuning"
 
 
@@ -731,24 +733,30 @@ def tune_index_n_probe(
     fsio.write_text(
         f"{path}/{TUNING_FILE}",
         f"n_probe={p}\nk={k}\n"
-        f"target_permille={int(target_recall * 1000)}\n"
+        f"target_permille={int(round(target_recall * 1000))}\n"
         f"hits={hits}\nn_truth={n_truth}",
         spark,
     )
     return p, hits, n_truth
 
 
-def index_tuned_n_probe(spark, path: str) -> int | None:
+def index_tuned_n_probe(spark, path: str, k: int | None = None) -> int | None:
     """The tuned probe depth recorded by :func:`tune_index_n_probe`,
-    or None if the index has never been tuned. One tiny-file read."""
+    or None if the index has never been tuned — or was tuned for a
+    DIFFERENT ``k`` than the caller's (recall@k curves differ by k, so
+    a depth tuned for k=5 must not silently default a k=20 search;
+    pass ``k=None`` to skip the guard). One tiny-file read."""
     text = fsio.read_text(f"{path}/{TUNING_FILE}", spark)
     if not text:
         return None
+    rec = {}
     for line in text.splitlines():
         key, _, val = line.partition("=")
-        if key.strip() == "n_probe" and val.strip().isdigit():
-            return int(val.strip())
-    return None
+        if val.strip().lstrip("-").isdigit():
+            rec[key.strip()] = int(val.strip())
+    if k is not None and rec.get("k") != k:
+        return None
+    return rec.get("n_probe")
 
 
 def knn_ivf(
@@ -1682,6 +1690,11 @@ def _publish_generation(
     if fsio.exists(f"{path}/meta", spark):
         # a superseded legacy meta must not shadow {gen}/_meta
         fsio.delete(f"{path}/meta", spark=spark)
+    if fsio.exists(f"{path}/{TUNING_FILE}", spark):
+        # a rebuild fits NEW centroids: a probe depth tuned for the
+        # old geometry must not default searches on the new one
+        # (compaction keeps the record — it preserves the fit)
+        fsio.delete(f"{path}/{TUNING_FILE}", spark=spark)
 
 
 def _assert_batch_visible(spark, path: str, target: str) -> None:
@@ -1690,22 +1703,32 @@ def _assert_batch_visible(spark, path: str, target: str) -> None:
     compaction that repoints (and eventually vacuums) that generation
     mid-append would otherwise silently strand the batch's rows in a
     superseded tree (r11 advisory). Re-reading the pointer AFTER the
-    write closes the race honestly: if the generation is no longer
-    live, raise — the caller re-runs the append, which re-resolves to
-    the new generation (idempotent for keyed ingests: the batch's own
-    ``ingest=`` partition is overwritten; a streaming caller's commit
-    marker is only written after a successful return, so the retry is
-    the normal exactly-once path). Streams avoid the race entirely by
-    quiescing before compaction — this guard is for the batch API,
-    where no such convention exists."""
+    write surfaces the race instead of losing the batch.
+
+    Recovery is deliberately NOT automatic, because the race has two
+    distinct outcomes the caller must distinguish: (a) the compaction
+    read the old generation BEFORE this write — the batch is absent
+    from the new generation and a plain re-run of the append lands it
+    there correctly; (b) the compaction read AFTER this write — the
+    batch's rows were folded into the new generation's ``base``, and
+    a blind re-run would DUPLICATE them (the keyed ``ingest=``
+    overwrite cannot reclaim rows already folded out of the batch's
+    partition). Verify presence in the live generation before
+    retrying. Both outcomes mean a deployment violated compaction's
+    stated single-maintainer/quiescent-index contract — this guard is
+    defense-in-depth that turns that violation from silent data loss
+    or duplication into an explicit error."""
     live = vectors_dir(spark, path)
     if live != target:
         raise RuntimeError(
             f"append raced a compaction on {path}: batch written to "
             f"{os.path.basename(target)} but the live generation is now "
-            f"{os.path.basename(live)}; re-run the append (it will "
-            "resolve the new generation, and keyed ingests replay "
-            "idempotently)"
+            f"{os.path.basename(live)}. If the compaction folded this "
+            "batch's rows (it read the tree after this write) they are "
+            "already in the new generation's base — verify presence "
+            "before re-running the append, or a retry will duplicate "
+            "them. Compaction requires a quiescent index; this error "
+            "means that contract was violated."
         )
 
 
@@ -2047,7 +2070,7 @@ def knn_ivf_persisted(
     from ..session import ensure_min_partitions
 
     if n_probe is None:
-        n_probe = index_tuned_n_probe(spark, path) or 2
+        n_probe = index_tuned_n_probe(spark, path, k=k) or 2
     gen, meta_path = _gen_and_meta(spark, path)
     _, cmat, ranges, _ = read_ivf_meta(spark, path, meta_path=meta_path)
     dq = lambda v: _dequantized(v, F.col("mn_arr"), F.col("mx_arr"))  # noqa: E731

@@ -134,8 +134,9 @@ def domain_quota(
     shuffle.
 
     Hostile-key bound, measured (tools/dedup_skew_probe.py, 1.5M rows,
-    one domain holding 50% of all canonical pages): 1.45x the uniform
-    control — the per-domain rank is semantically order-dependent
+    one domain holding 50% of all canonical pages, volume-matched
+    control, median-of-3): 1.59x the uniform control — the per-domain
+    rank is semantically order-dependent
     (every candidate's rank is emitted), so the hot domain's rows sort
     in one task and salting cannot compose. A deployment needing only
     the SURVIVORS under such skew can pre-trim with an associative

@@ -903,7 +903,9 @@ def test_append_raises_when_compaction_repoints_midflight(
     with pytest.raises(RuntimeError, match="raced a compaction"):
         similarity.pq_index_append(spark, idx, batch, ingest_key="s-b0")
     monkeypatch.undo()
-    # the retry (normal exactly-once path) resolves the new generation
+    # here the compaction ran BEFORE the racing write (it never saw
+    # the batch — recovery case (a) in _assert_batch_visible), so a
+    # re-run is the correct recovery and must not duplicate rows
     live = _live(spark, idx)
     before = spark.read.parquet(live).count()
     similarity.pq_index_append(spark, idx, batch, ingest_key="s-b0")
@@ -956,3 +958,12 @@ def test_index_tuning_record_roundtrip_and_default(spark, sf_dir, tmp_path):
         spark, idx, emb.limit(0), ingest_key="noop-b0"
     )
     assert similarity.index_tuned_n_probe(spark, idx) == p
+    # k-guard: a depth tuned for k=K must not default a different-k
+    # search (recall@k curves differ by k) — the guarded read returns
+    # None and the search falls back to 2
+    assert similarity.index_tuned_n_probe(spark, idx, k=K) == p
+    assert similarity.index_tuned_n_probe(spark, idx, k=K + 7) is None
+    # rebuild invalidation: a refit publishes new centroids, so the
+    # stale record is deleted with the superseded generation
+    similarity.write_ivf_index(emb, idx, n_cells=4, seed=99)
+    assert similarity.index_tuned_n_probe(spark, idx) is None

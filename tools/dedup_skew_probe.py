@@ -5,15 +5,17 @@ span-dedup / URL-dedup / domain-quota key spaces).
 
 Three hostile distributions, each against a same-size uniform control:
 
-- **span**: one span's text in 50% of all documents — the hot
-  ``md5(span_text)`` key of span_dedup's first-occurrence selection.
-  Measured BOTH ways: the shipped ``min_by`` hash-aggregation shape
-  (first occurrence = the (id, pos)-minimal row per key — associative,
-  so the map-side partial aggregate collapses the hot key per input
-  partition before the shuffle) and the pre-r12 window shape
-  (row_number over the key, which funnels every occurrence of the hot
-  span through ONE task's sort). The pair is the justification for the
-  min_by rewrite, not just a bound.
+- **span**: one span's text in 50% of all documents — the hot span
+  key of span_dedup's first-occurrence selection. Measured BOTH ways:
+  the shipped packed-key min shape (first occurrence = the
+  (id, pos)-minimal row per key; packing (id, pos) into one bigint
+  makes it a plain ``min``, a true HashAggregate whose map-side
+  partial collapses the hot key per input partition before the
+  shuffle — a struct ``min_by`` would plan as SortAggregate and lose
+  exactly that) and the pre-r12 window shape (row_number over the
+  key, which funnels every occurrence of the hot span through ONE
+  task's sort). The pair is the justification for the rewrite, not
+  just a bound.
 - **url**: one exact URL on 50% of rows — the hot ``url_norm``
   partition of url_curation's min/count window. The per-row verdict
   (is_canonical, n_same_url on EVERY input row) genuinely needs the
@@ -89,11 +91,16 @@ def build_docs_replica(spark, base: str, out: str, skew: bool, reps: int):
 
 
 def build_url_frame(spark, n: int, out: str, mode: str):
-    """(doc_id, url) parquet: 'uniform' spreads rows over ~n/10
-    domains with a 3-ids-per-page dedup arm; 'hot_url' pins ONE exact
-    URL on 50% of rows; 'hot_domain' pins one domain on 50% of rows
-    with DISTINCT canonical pages (so the hot key survives into the
-    domain-quota window)."""
+    """(doc_id, url) parquet. The url_curation pair: 'uniform' spreads
+    rows over ~n/10 domains with a 3-ids-per-page dedup arm vs
+    'hot_url' pinning ONE exact URL on 50% of rows (same row volume
+    into the per-row-verdict window; group sizes are the variable).
+    The domain_quota pair: 'uniform_pages' vs 'hot_domain' — BOTH are
+    all-distinct canonical pages (one page per row, so the exact same
+    n rows survive curation into the quota window in both arms — the
+    equal-work discipline; an earlier shape let the hot arm carry ~2x
+    the canonical pages and measured volume, not skew), differing only
+    in whether pages spread over ~n/10 domains or 50% pile into one."""
     from pyspark.sql import functions as F
 
     base = spark.range(n).select(F.col("id").alias("doc_id"))
@@ -103,20 +110,27 @@ def build_url_frame(spark, n: int, out: str, mode: str):
         F.lit(".com/a/"),
         (F.col("doc_id") / 3).cast("long").cast("string"),
     )
+    spread_page = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % (n // 10)).cast("string"),
+        F.lit(".com/a/"),
+        F.col("doc_id").cast("string"),
+    )
+    hot_page = F.concat(
+        F.lit("https://hot.com/a/"), F.col("doc_id").cast("string")
+    )
     if mode == "uniform":
         url = uniform
     elif mode == "hot_url":
         url = F.when(
             F.col("doc_id") % 2 == 0, F.lit("https://hot.com/a/1")
         ).otherwise(uniform)
-    else:  # hot_domain: one host, every page distinct and canonical
+    elif mode == "uniform_pages":
+        url = spread_page
+    else:  # hot_domain
         url = F.when(
-            F.col("doc_id") % 2 == 0,
-            F.concat(
-                F.lit("https://hot.com/a/"),
-                F.col("doc_id").cast("string"),
-            ),
-        ).otherwise(uniform)
+            F.col("doc_id") % 2 == 0, hot_page
+        ).otherwise(spread_page)
     par = spark.sparkContext.defaultParallelism
     base.select("doc_id", url.alias("url")).repartition(par).write.mode(
         "overwrite"
@@ -124,14 +138,20 @@ def build_url_frame(spark, n: int, out: str, mode: str):
     return spark.read.parquet(out)
 
 
-def timed(df) -> float:
-    """Warm pass (JIT/codegen), then the timed pass — the scale-probe
-    convention."""
-    for is_timed in (False, True):
+def timed(df, samples: int = 3) -> float:
+    """Warm pass (JIT/codegen), then median of ``samples`` timed
+    passes — host-contention spikes ride single passes hard enough to
+    flip a ratio (observed 3x run-to-run on an unchanged arm), and
+    the median is the bench retry discipline's estimator."""
+    import statistics
+
+    df.write.format("noop").mode("overwrite").save()  # warm
+    times = []
+    for _ in range(samples):
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        if is_timed:
-            return round(time.perf_counter() - t0, 3)
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
 
 
 def _span_rows(df, span: int):
@@ -157,22 +177,31 @@ def _span_rows(df, span: int):
     )
 
 
-def span_first_minby(df, span: int):
-    """First-occurrence selection exactly as shipped (min_by hash
-    aggregation — operators/quality.span_dedup), isolated from the
+def span_first_hashagg(df, span: int):
+    """First-occurrence selection exactly as shipped (packed-key min
+    HashAggregate — operators/quality.span_dedup), isolated from the
     rebuild stages so the two arms time the SAME surrounding work."""
     from pyspark.sql import functions as F
 
+    from flink_log_analysis_spark.operators.quality import SPAN_POS_BITS
+
     return (
         _span_rows(df, span)
-        .groupBy(F.md5("span_text").alias("_k"))
+        .groupBy("span_text")
         .agg(
-            F.min_by(
-                F.struct("doc_id", "pos", "span_text"),
-                F.struct("doc_id", "pos"),
-            ).alias("_first")
+            F.min(
+                F.shiftleft(F.col("doc_id"), SPAN_POS_BITS)
+                + F.col("pos")
+            ).alias("_packed")
         )
-        .select("_first.*")
+        .select(
+            F.shiftright("_packed", SPAN_POS_BITS).alias("doc_id"),
+            F.col("_packed")
+            .bitwiseAND(F.lit((1 << SPAN_POS_BITS) - 1))
+            .cast("int")
+            .alias("pos"),
+            "span_text",
+        )
     )
 
 
@@ -215,7 +244,7 @@ def main() -> None:
         )
         n_rows = uni.count()
         for name, fn in (
-            ("span_first_minby", lambda d: span_first_minby(
+            ("span_first_hashagg", lambda d: span_first_hashagg(
                 d, quality.SPAN_TOKENS)),
             ("span_first_window", lambda d: span_first_window(
                 d, quality.SPAN_TOKENS)),
@@ -232,6 +261,8 @@ def main() -> None:
                                 "uniform")
         u_hot = build_url_frame(spark, n_rows, f"{args.out}/u_hot",
                                 "hot_url")
+        p_uni = build_url_frame(spark, n_rows, f"{args.out}/p_uni",
+                                "uniform_pages")
         d_hot = build_url_frame(spark, n_rows, f"{args.out}/d_hot",
                                 "hot_domain")
         t_u = timed(urls.url_curation(u_uni))
@@ -241,7 +272,7 @@ def main() -> None:
             "skewed_sec": t_s,
             "skew_ratio": round(t_s / t_u, 2) if t_u > 0 else None,
         }
-        t_u = timed(urls.domain_quota(urls.url_curation(u_uni)))
+        t_u = timed(urls.domain_quota(urls.url_curation(p_uni)))
         t_s = timed(urls.domain_quota(urls.url_curation(d_hot)))
         results["domain_quota_window"] = {
             "uniform_sec": t_u,

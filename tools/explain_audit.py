@@ -60,6 +60,7 @@ CROSS_JOIN_OK = {
     "knn_ivf_probe_tuned",  # brute ground truth + 1-row tuned attach
     "knn_ivf_persisted_tuned",  # same truth side + 1-row identity attaches
     "lm_perplexity_filter",  # 1-row bigram-model map broadcast attach
+    "lm_perplexity_filter_3gram",  # same attach, three-map model row
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
