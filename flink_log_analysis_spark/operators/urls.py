@@ -135,13 +135,13 @@ def domain_quota(
 
     Hostile-key bound, measured (tools/dedup_skew_probe.py, 1.5M rows,
     one domain holding 50% of all canonical pages, volume-matched
-    control, median-of-3): 1.59x the uniform control — the per-domain
-    rank is semantically order-dependent
-    (every candidate's rank is emitted), so the hot domain's rows sort
-    in one task and salting cannot compose. A deployment needing only
-    the SURVIVORS under such skew can pre-trim with an associative
-    min_by-style top-(cap) per domain per partition before this audit
-    window; the audit view itself carries the measured bound.
+    control, median-of-3): 1.4-1.7x the uniform control across runs —
+    the per-domain rank is semantically order-dependent (every
+    candidate's rank is emitted), so the hot domain's rows sort in one
+    task and salting cannot compose WITH THE AUDIT VIEW. A deployment
+    needing only the kept pages uses :func:`domain_quota_survivors`
+    (the salted two-pass top-cap — measured FLAT, 0.9-1.0x, under the
+    same skew); the audit view itself carries the measured bound.
     """
     pages = curated.filter(F.col("is_canonical") & ~F.col("blocked"))
     w = Window.partitionBy("domain").orderBy(F.col(id_col).asc())
@@ -151,3 +151,51 @@ def domain_quota(
         "url_norm",
         F.row_number().over(w).cast("int").alias("domain_rank"),
     ).withColumn("kept", F.col("domain_rank") <= cap)
+
+
+def domain_quota_survivors(
+    curated: DataFrame,
+    cap: int = 8,
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """The SURVIVORS-ONLY domain quota — :func:`domain_quota`'s
+    skew-robust sibling for deployments that need the kept pages, not
+    the audit view (the mitigation its measured 1.4-1.7x hostile-key
+    bound points at). Salted two-pass top-cap:
+
+    1. rank within (domain, id % n_salts) and keep rank <= cap — each
+       window group is at most 1/n_salts of even a pathological hot
+       domain, so no single task ever sorts the whole key;
+    2. re-rank the <= cap * n_salts survivors per domain and keep the
+       global top cap.
+
+    EXACT same kept set as ``domain_quota(...).filter(kept)``: a
+    page outside its salt's top cap is outside the domain's top cap a
+    fortiori (ids are compared identically in both passes), so pass 1
+    never discards a global survivor. Pass 2's groups are bounded at
+    cap * n_salts rows BY CONSTRUCTION, independent of the key
+    distribution — the salting tier composes here precisely because
+    only the survivors (an associative top-k, order-independent
+    across salts) are needed, where the audit view's every-candidate
+    rank is semantically order-dependent and cannot salt. Probed
+    beside the window shape in tools/dedup_skew_probe.py."""
+    pages = curated.filter(F.col("is_canonical") & ~F.col("blocked"))
+    w1 = Window.partitionBy(
+        "domain", F.col(id_col) % n_salts
+    ).orderBy(F.col(id_col).asc())
+    trimmed = (
+        pages.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy("domain").orderBy(F.col(id_col).asc())
+    return (
+        trimmed.select(
+            id_col,
+            "domain",
+            "url_norm",
+            F.row_number().over(w2).cast("int").alias("domain_rank"),
+        )
+        .filter(F.col("domain_rank") <= cap)
+    )

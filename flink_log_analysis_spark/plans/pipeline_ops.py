@@ -173,6 +173,19 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.domain_quota(_curated(spark, sf_dir), cap=DOMAIN_QUOTA_CAP)
 
 
+def domain_quota_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors-only per-domain quota via the salted two-pass top-cap
+    (operators/urls.domain_quota_survivors) — the skew-robust
+    mitigation the audit-view quota's measured hostile-key bound
+    points at. Must keep EXACTLY the rows domain_quota marks kept:
+    the oracle wraps the same url_curation derivation, windows it the
+    same way, and filters to rank <= cap — any salting error (a salt
+    discarding a global survivor, a rank drifting) breaks the hash."""
+    return urls.domain_quota_survivors(
+        _curated(spark, sf_dir), cap=DOMAIN_QUOTA_CAP
+    )
+
+
 def supplier_fuzzy_dups_lev2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lev <= 2 entity-resolution tier: 2-deletion-neighborhood
     blocking (~len^2/2 variants per key, complete — an optimal
@@ -447,6 +460,23 @@ ORACLE["domain_quota_sample"] = f"""
     FROM r
 """
 
+# The survivors-only variant must keep exactly the kept rows of the
+# audit view — same wrapped derivation, filtered to the cap.
+ORACLE["domain_quota_survivors"] = f"""
+    WITH curated AS ({ORACLE["url_curation"]}
+    ), pages AS (
+        SELECT * FROM curated WHERE is_canonical AND NOT blocked
+    ), r AS (
+        SELECT doc_id, domain, url_norm,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY doc_id) AS INTEGER)
+                   AS domain_rank
+        FROM pages
+    )
+    SELECT doc_id, domain, url_norm, domain_rank
+    FROM r WHERE domain_rank <= {DOMAIN_QUOTA_CAP}
+"""
+
 QUERIES = {
     "salted_event_counts": salted_event_counts,
     "salted_brand_revenue": salted_brand_revenue,
@@ -462,5 +492,6 @@ QUERIES = {
     "supplier_fuzzy_dups": supplier_fuzzy_dups,
     "supplier_fuzzy_dups_lev2": supplier_fuzzy_dups_lev2,
     "domain_quota_sample": domain_quota_sample,
+    "domain_quota_survivors": domain_quota_survivors,
     "promo_window_orders": promo_window_orders,
 }

@@ -86,3 +86,38 @@ def test_domain_quota_cap_and_determinism(spark):
         assert ids == sorted(ids)
         kept = [r for r in rs if r["kept"]]
         assert len(kept) == min(3, len(rs))
+
+
+def test_domain_quota_survivors_equals_kept_under_skew(spark):
+    """The salted two-pass survivors variant keeps EXACTLY the rows
+    the audit-view quota marks kept — including under a hostile key
+    (one domain holding most pages) and across salt boundaries (ids
+    deliberately not aligned with the salt modulus)."""
+    from pyspark.sql import functions as F
+
+    n = 500
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit("https://hot.com/a/"), F.col("id")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"),
+                (F.col("id") % 7).cast("string"),
+                F.lit(".com/a/"),
+                F.col("id"),
+            )
+        )
+        .alias("url"),
+    )
+    curated = urls.url_curation(df)
+    audit = urls.domain_quota(curated, cap=8)
+    survivors = urls.domain_quota_survivors(curated, cap=8, n_salts=4)
+    kept = audit.filter("kept").select(
+        "doc_id", "domain", "url_norm", "domain_rank"
+    )
+    assert survivors.exceptAll(kept).count() == 0
+    assert kept.exceptAll(survivors).count() == 0
+    assert survivors.count() == 8 * 8  # hot.com + site0..6 at cap

@@ -279,6 +279,15 @@ def main() -> None:
             "skewed_sec": t_s,
             "skew_ratio": round(t_s / t_u, 2) if t_u > 0 else None,
         }
+        # the survivors-only mitigation: salted two-pass top-cap —
+        # every window group bounded regardless of key distribution
+        t_u = timed(urls.domain_quota_survivors(urls.url_curation(p_uni)))
+        t_s = timed(urls.domain_quota_survivors(urls.url_curation(d_hot)))
+        results["domain_quota_survivors_salted"] = {
+            "uniform_sec": t_u,
+            "skewed_sec": t_s,
+            "skew_ratio": round(t_s / t_u, 2) if t_u > 0 else None,
+        }
         print(
             json.dumps(
                 {
