@@ -96,9 +96,12 @@ def _plan_modules():
 # verdict named as this round's head (the 16 TPC-H relational rows +
 # exact_dedup_groups, orders_snapshot_diff, bm25_scores,
 # tfidf_top_terms, text_stats, train_split_assign). The remaining 2
-# slots start the r9-stale cohort with the two single-row families
-# whose freshest driver audit is r9: last_purchase_asof (as-of join)
-# and customer_balance_merge (MERGE/CDC upsert).
+# slots take the fourth r12 newborn (domain_quota_survivors — the
+# skew-robust salted two-pass quota, never driver-audited; its
+# sibling domain_quota_sample holds an r11-green row) and the oldest
+# single-row r9 family, customer_balance_merge (MERGE/CDC upsert).
+# last_purchase_asof (as-of join, r9-green, code untouched) ceded its
+# tentative slot to the newborn and heads the r13 rotation.
 # Deferred (next round's head): the rest of the r9-stale cohort (~36
 # — near_dedup_docs, binary_meta, customer_order_cadence,
 # deduped_events_stream, embedding_near_dups, embedding_norms,
@@ -168,8 +171,8 @@ _DRIVER_WINDOW: list[str] = [
     "tfidf_top_terms",
     "text_stats",
     "train_split_assign",
-    # r9-stale cohort, oldest-audited single-row families first
-    "last_purchase_asof",
+    # fourth r12 newborn + the oldest-audited single-row r9 family
+    "domain_quota_survivors",
     "customer_balance_merge",
 ]
 
