@@ -96,12 +96,14 @@ def _plan_modules():
 # verdict named as this round's head (the 16 TPC-H relational rows +
 # exact_dedup_groups, orders_snapshot_diff, bm25_scores,
 # tfidf_top_terms, text_stats, train_split_assign). The remaining 2
-# slots take the fourth r12 newborn (domain_quota_survivors — the
-# skew-robust salted two-pass quota, never driver-audited; its
-# sibling domain_quota_sample holds an r11-green row) and the oldest
-# single-row r9 family, customer_balance_merge (MERGE/CDC upsert).
-# last_purchase_asof (as-of join, r9-green, code untouched) ceded its
-# tentative slot to the newborn and heads the r13 rotation.
+# slots take the remaining two r12 newborns: domain_quota_survivors
+# (the skew-robust salted two-pass quota; its sibling
+# domain_quota_sample holds an r11-green row) and
+# knn_pq_persisted_rerank (the production ADC-shortlist +
+# exact-re-rank composition, held to knn_ivf's value-exact oracle
+# verbatim). last_purchase_asof and customer_balance_merge (both
+# r9-green, code untouched, sole-row families) ceded their tentative
+# slots to the newborns and head the r13 rotation.
 # Deferred (next round's head): the rest of the r9-stale cohort (~36
 # — near_dedup_docs, binary_meta, customer_order_cadence,
 # deduped_events_stream, embedding_near_dups, embedding_norms,
@@ -171,9 +173,9 @@ _DRIVER_WINDOW: list[str] = [
     "tfidf_top_terms",
     "text_stats",
     "train_split_assign",
-    # fourth r12 newborn + the oldest-audited single-row r9 family
+    # the remaining two r12 newborns
     "domain_quota_survivors",
-    "customer_balance_merge",
+    "knn_pq_persisted_rerank",
 ]
 
 

@@ -1827,6 +1827,66 @@ def knn_pq_persisted(
     return res, cells
 
 
+def knn_pq_persisted_rerank(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
+    """The PRODUCTION IVF-PQ search shape over the persisted index:
+    ADC shortlist from the pruned cell scan (:func:`knn_pq_persisted`
+    at k=shortlist — codes only, the 32x-compressed payload), then an
+    exact re-rank of the shortlist against the raw vectors (the
+    corpus a deployment keeps in primary storage) to the final top-k.
+    Re-ranking is what restores the retention theorem for PQ (see
+    :func:`tune_n_probe`'s scope note): with a candidate-covering
+    shortlist the result EQUALS the full-precision IVF search over
+    the probed cells — the contract row holds this composition to
+    knn_ivf's value-exact oracle verbatim. Scale shape: the shortlist
+    is k' rows per query (never the cells' full contents in the
+    re-rank join), the raw-vector join touches only shortlist rows,
+    and the query side rides one broadcast. Returns (results,
+    scanned cells) like the ADC-only searcher."""
+    short, cells = knn_pq_persisted(
+        spark,
+        path,
+        queries,
+        k=shortlist,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    res = (
+        short.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+    return res, cells
+
+
 def pq_index_append(
     spark,
     path: str,

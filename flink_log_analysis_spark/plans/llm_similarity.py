@@ -1558,6 +1558,32 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def knn_pq_persisted_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ composition over the PERSISTED index —
+    ADC shortlist from the pruned cell scan, exact re-rank against the
+    raw corpus — held to ``knn_ivf``'s VALUE-exact oracle VERBATIM:
+    with a candidate-covering shortlist (per-cell population x probes)
+    the re-rank must recover the full-precision IVF answer bit-for-bit
+    (re-ranking restores the retention theorem the ADC ranking breaks
+    — measured and pinned in tests/test_similarity.py). Any loss
+    anywhere in the chain — a mis-pruned partition, a code mismatch,
+    an ADC shortlist dropping a candidate, a re-rank arithmetic drift
+    — breaks 160 hashes."""
+    path = _ensure_pq_index(spark)
+    corpus, _ = _manycell_corpora(spark)
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    res, _cells = similarity.knn_pq_persisted_rerank(
+        spark,
+        path,
+        corpus,
+        queries,
+        k=K,
+        n_probe=IVFPQ_PROBE,
+        shortlist=MANYCELL_PER_CLUSTER * IVFPQ_PROBE,
+    )
+    return res
+
+
 def _pq_lifecycle_root(stage: str) -> str:
     """/tmp cache path for the streamed/compacted PQ lifecycle
     artifacts — formula corpus + constructed artifacts, so the
@@ -1946,6 +1972,7 @@ QUERIES = {
     "knn_pq_adc_exact": knn_pq_adc_exact,
     "knn_ivf_pq_exact": knn_ivf_pq_exact,
     "knn_ivf_pq_persisted": knn_ivf_pq_persisted,
+    "knn_pq_persisted_rerank": knn_pq_persisted_rerank,
     "knn_pq_streamed": knn_pq_streamed,
     "knn_pq_appended": knn_pq_appended,
     "knn_pq_compacted": knn_pq_compacted,
@@ -2224,6 +2251,12 @@ ORACLE["knn_ivf_persisted_tuned"] = f"""
 # read/prune cycle must be lossless, so the oracle string is reused
 # verbatim (the knn_ivf_quantized_recall convention).
 ORACLE["knn_ivf_pq_persisted"] = ORACLE["knn_ivf_pq_exact"]
+
+# The persisted ADC-shortlist + exact-re-rank composition must recover
+# the FULL-PRECISION IVF answer (candidate-covering shortlist restores
+# the retention theorem), so it reuses knn_ivf's value-exact oracle
+# string verbatim.
+ORACLE["knn_pq_persisted_rerank"] = ORACLE["knn_ivf"]
 
 # The streamed and compacted PQ lifecycles hold to the SAME expected
 # rows again: base build + streaming ingest must reconstruct the full
