@@ -745,8 +745,11 @@ def lm_perplexity_filter_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     KenLM-shaped CCNet scorer): per-document ln-perplexity under an
     interpolated 3-gram backoff model fit on the reference slice, with
     fixed Jelinek-Mercer weights and a Laplace unigram floor
-    (operators/lmfilter.py:_transition3_score — the one smoothing
-    site, restated verbatim by the oracle). The oracle refits all
+    (operators/lmfilter.py:_interpolated3 — the one smoothing site,
+    restated verbatim by the oracle; counts attach via broadcast HASH
+    joins over exploded transitions, never a map column — a trigram
+    table is big enough that Spark's linear-scan map lookup becomes
+    the query, measured 25 s vs 3 s at sf0.1). The oracle refits all
     three count tables from the same slice and replays the
     interpolation arithmetic in the pinned operation order, the
     12-digit-rounded per-transition logs, the position-ordered
@@ -754,12 +757,9 @@ def lm_perplexity_filter_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     score both certified, same as the bigram row."""
     uni, bi, tri, vocab, n_tokens = _lm3_model(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
+    u_df, b_df, t_df = lmfilter.trigram_model_frames(spark, uni, bi, tri)
     return lmfilter.score_perplexity_3gram(
-        docs,
-        lmfilter.trigram_model_row(spark, uni, bi, tri),
-        vocab,
-        n_tokens,
-        LM3_PPL_THRESHOLD,
+        docs, u_df, b_df, t_df, vocab, n_tokens, LM3_PPL_THRESHOLD
     )
 
 

@@ -602,6 +602,14 @@ def lm_perplexity_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.readStream.schema(DOC_SCHEMA).json(
             f"{jsonl_dir(spark, sf_dir)}/docs"
         )
+        # widen each micro-batch BEFORE the expression-heavy scoring:
+        # a file-stream batch carries one partition per input file, so
+        # a single-file JSONL drop would serialize the per-transition
+        # scoring onto one core (measured 25 s -> 2 s at sf0.1 — the
+        # single-file-scan trap, streaming edition; ensure_min_
+        # partitions deliberately no-ops on streams, so the widen is
+        # explicit here). The per-batch shuffle moves only the batch.
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
         out = lmfilter.score_perplexity(
             docs,
             lmfilter.model_row(spark, uni, bi),

@@ -66,7 +66,7 @@ def test_trigram_fit_and_score_hand_computed(spark):
     assert b == {"a b": 3, "b c": 2, "c a": 1, "b d": 1}
     assert t == {"a b c": 2, "b c a": 1, "c a b": 1, "a b d": 1}
 
-    model = lmfilter.trigram_model_row(spark, u, b, t)
+    u_df, b_df, t_df = lmfilter.trigram_model_frames(spark, u, b, t)
     docs = spark.createDataFrame(
         [
             (10, "a b c"),      # seen trigram
@@ -79,7 +79,7 @@ def test_trigram_fit_and_score_hand_computed(spark):
     rows = {
         r["doc_id"]: r
         for r in lmfilter.score_perplexity_3gram(
-            docs, model, vocab, n_tokens, threshold=1.0
+            docs, u_df, b_df, t_df, vocab, n_tokens, threshold=1.0
         ).collect()
     }
     assert sorted(rows) == [10, 11, 12]
