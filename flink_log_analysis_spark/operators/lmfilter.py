@@ -189,19 +189,57 @@ def fit_trigram_model(
     return u, b, t, len(u), sum(u.values())
 
 
+def fit_trigram_frames(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """The PRODUCTION 3-gram fit: (uni frame, bi frame, tri frame,
+    vocab size, total tokens) with the count frames staying
+    DISTRIBUTED — the model never round-trips through the driver, so
+    this path scales to reference corpora whose trigram table would
+    not fit (or belong) in driver memory. Only two scalars collect
+    (vocab size + token total, one tiny agg). The dict-based
+    :func:`fit_trigram_model` + :func:`trigram_model_frames` pair
+    remains for session-cached contract runs, where plain-Python maps
+    are what survives safely across queries; this is the path a
+    deployment wires."""
+    from ..session import ensure_min_partitions
+
+    toks = (
+        ensure_min_partitions(ref)
+        .select(tokens(F.col(text_col)).alias("toks"))
+        .persist()
+    )
+    try:
+        uni, bi = _counts_from(toks)
+        tri = _trigram_counts(toks)
+        uni = uni.localCheckpoint(eager=True)
+        bi = bi.localCheckpoint(eager=True)
+        tri = tri.localCheckpoint(eager=True)
+        stats = uni.agg(
+            F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")
+        ).first()
+    finally:
+        toks.unpersist()
+    return uni, bi, tri, int(stats["v"]), int(stats["n"])
+
+
 def trigram_model_frames(
     spark, uni_map: dict, bi_map: dict, tri_map: dict
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The fitted counts as three JOIN-side frames — (w, c),
-    (w1, w2, c), (w1, w2, w3, c). The 3-gram model does NOT ride a
-    broadcast map row like the bigram's: Spark evaluates map
-    ``element_at`` by LINEARLY SCANNING the map's backing array, so a
-    reference-scale trigram table (tens of thousands of entries at
-    sf0.1, millions for a real reference corpus) costs O(|model|) per
-    lookup inside the row — measured 25 s vs the bigram's 1.6 s at
-    sf0.1, entirely the scan. Broadcast HASH joins over exploded
-    transitions are the engine's O(1)-lookup shape, and they scale to
-    a model that outgrows any single row."""
+    """The session-cached dicts of :func:`fit_trigram_model` as three
+    JOIN-side frames — (w, c), (w1, w2, c), (w1, w2, w3, c). The
+    3-gram model does NOT ride a broadcast map row like the bigram's:
+    Spark evaluates map ``element_at`` by LINEARLY SCANNING the map's
+    backing array, so a reference-scale trigram table (tens of
+    thousands of entries at sf0.1, millions for a real reference
+    corpus) costs O(|model|) per lookup inside the row — measured
+    25 s vs the bigram's 1.6 s at sf0.1, entirely the scan. Broadcast
+    HASH joins over exploded transitions are the engine's
+    O(1)-lookup shape. Note the dict round-trip through the driver is
+    the SESSION-CACHE convenience (bounded by the reference
+    vocabulary, same argument as the bigram maps); a deployment whose
+    model outgrows that uses :func:`fit_trigram_frames`, which keeps
+    the frames distributed end-to-end."""
     uni = spark.createDataFrame(
         list(uni_map.items()), "w string, c bigint"
     )

@@ -1558,17 +1558,31 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+# Candidate-covering shortlist for the rerank contract: nearest-center
+# assignment of the raw corpus does NOT reproduce the construction's
+# 64-per-cluster occupancy (measured cells range 55-80, so a 2-probe
+# candidate set can reach ~145 > 128 = per_cluster x probes — r12
+# review); 4x the nominal width makes truncation impossible on this
+# geometry with margin, which is what lets the row hold the
+# full-precision oracle VERBATIM. The pin lives in
+# tests/test_ivf_persist.py::test_pq_persisted_rerank_recovers_full_precision.
+PQ_RERANK_COVERING = 4 * MANYCELL_PER_CLUSTER * IVFPQ_PROBE
+
+
 def knn_pq_persisted_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production IVF-PQ composition over the PERSISTED index —
     ADC shortlist from the pruned cell scan, exact re-rank against the
     raw corpus — held to ``knn_ivf``'s VALUE-exact oracle VERBATIM:
-    with a candidate-covering shortlist (per-cell population x probes)
-    the re-rank must recover the full-precision IVF answer bit-for-bit
-    (re-ranking restores the retention theorem the ADC ranking breaks
-    — measured and pinned in tests/test_similarity.py). Any loss
-    anywhere in the chain — a mis-pruned partition, a code mismatch,
-    an ADC shortlist dropping a candidate, a re-rank arithmetic drift
-    — breaks 160 hashes."""
+    with a CANDIDATE-COVERING shortlist (PQ_RERANK_COVERING — sized
+    above the measured max probed-cell population, see the constant's
+    note) the re-rank must recover the full-precision IVF answer
+    bit-for-bit, because re-ranking the whole candidate set IS the
+    full-precision search (the retention-theorem restoration measured
+    in tests/test_similarity.py; the equality at THIS configuration is
+    pinned locally in tests/test_ivf_persist.py). Any loss anywhere in
+    the chain — a mis-pruned partition, a code mismatch, an ADC
+    shortlist dropping a candidate, a re-rank arithmetic drift —
+    breaks 160 hashes."""
     path = _ensure_pq_index(spark)
     corpus, _ = _manycell_corpora(spark)
     queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
@@ -1579,7 +1593,7 @@ def knn_pq_persisted_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         k=K,
         n_probe=IVFPQ_PROBE,
-        shortlist=MANYCELL_PER_CLUSTER * IVFPQ_PROBE,
+        shortlist=PQ_RERANK_COVERING,
     )
     return res
 

@@ -30,6 +30,7 @@ from ..session import (
     read_table,
     scoped_conf,
     shared_tmp_dir,
+    widen_stream,
 )
 from ..streaming.runner import (
     client_ip_access_agg,
@@ -561,8 +562,11 @@ def corpus_tokenize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.readStream.schema(DOC_SCHEMA).json(
             f"{jsonl_dir(spark, sf_dir)}/docs"
         )
+        # widen each micro-batch before the Arrow-batched encode: a
+        # file-stream batch is one partition per input file, and
+        # mapInPandas inherits it (session.widen_stream)
         out = bpe_ops.token_digests(
-            docs, bpe_ops.digit_merges(BPE_LARGE_MERGES_N)
+            widen_stream(docs), bpe_ops.digit_merges(BPE_LARGE_MERGES_N)
         )
         q = (
             out.writeStream.outputMode("append")
@@ -590,7 +594,8 @@ def lm_perplexity_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream-final sink equals the batch filter — certified by the
     SAME refit-and-replay oracle as lm_perplexity_filter (the oracle
     never sees JSON, the stream, or the broadcast). At 100 TB this is
-    the filter tier's deployment shape: per-file map tasks, no state
+    the filter tier's deployment shape: a per-batch widen then map
+    tasks, no state
     store, the model a few MB riding each executor once."""
     from ..operators import lmfilter
     from .formats import DOC_SCHEMA, jsonl_dir
@@ -602,14 +607,10 @@ def lm_perplexity_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.readStream.schema(DOC_SCHEMA).json(
             f"{jsonl_dir(spark, sf_dir)}/docs"
         )
-        # widen each micro-batch BEFORE the expression-heavy scoring:
-        # a file-stream batch carries one partition per input file, so
-        # a single-file JSONL drop would serialize the per-transition
-        # scoring onto one core (measured 25 s -> 2 s at sf0.1 — the
-        # single-file-scan trap, streaming edition; ensure_min_
-        # partitions deliberately no-ops on streams, so the widen is
-        # explicit here). The per-batch shuffle moves only the batch.
-        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        # widen each micro-batch BEFORE the expression-heavy scoring
+        # (session.widen_stream — measured 25 s -> 2 s at sf0.1; the
+        # single-file-scan trap, streaming edition)
+        docs = widen_stream(docs)
         out = lmfilter.score_perplexity(
             docs,
             lmfilter.model_row(spark, uni, bi),
@@ -641,7 +642,8 @@ def corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch hygiene pass the oracle derives straight from the
     parquet ``documents`` table (the oracle never sees JSON, the
     stream, or the scrubber). At 100 TB this is the shape of the
-    ingest tier: per-file map tasks, no state store, sink-partitioned
+    ingest tier: a per-batch widen (session.widen_stream) then map
+    tasks, no state store, sink-partitioned
     output ready for the dedup/packing stages.
     """
     from ..operators import quality
@@ -653,6 +655,9 @@ def corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.readStream.schema(DOC_SCHEMA).json(
             f"{jsonl_dir(spark, sf_dir)}/docs"
         )
+        # widen before the regex-heavy keep/scrub chain (same
+        # single-file-batch trap as the LM-filter stream)
+        docs = widen_stream(docs)
         kept = _augmented(docs.filter(quality.keep_predicate(F.col("text"))))
         out = quality.pii_scrub(kept, text_col="aug")
         q = (

@@ -249,6 +249,7 @@ def ensure_min_partitions(df, target: int | None = None):
         # streaming plans have no rdd to inspect; micro-batch sources
         # already split per file/offset range, and callers that need a
         # specific stream parallelism set shuffle partitions instead
+        # (or widen_stream, for expression-heavy stateless stages)
         return df
     sc = df.sparkSession.sparkContext
     if target is None:
@@ -256,6 +257,23 @@ def ensure_min_partitions(df, target: int | None = None):
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def widen_stream(df, target: int | None = None):
+    """The streaming counterpart of :func:`ensure_min_partitions` for
+    EXPRESSION-HEAVY stateless stages: a file-stream micro-batch
+    carries one partition per input file, so a single-file drop
+    serializes the whole batch's per-row work onto one core (the
+    single-file-scan trap, streaming edition — measured 25 s -> 2 s on
+    the LM-filter stream at sf0.1). The repartition shuffles only the
+    micro-batch; stages whose per-batch work already shuffles (joins,
+    aggregations) regain parallelism there and don't need this. On a
+    production stream whose batches arrive as many files/offset
+    ranges, the shuffle moves already-parallel data — cheap relative
+    to the per-row work this exists to parallelize."""
+    if target is None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
 
 
 def udf_partition_target(df, cap: int = 8) -> int:

@@ -972,3 +972,49 @@ def test_index_tuning_record_roundtrip_and_default(spark, sf_dir, tmp_path):
     # stale record is deleted with the superseded generation
     similarity.write_ivf_index(emb, idx, n_cells=4, seed=99)
     assert similarity.index_tuned_n_probe(spark, idx) is None
+
+
+def test_pq_persisted_rerank_recovers_full_precision(spark, tmp_path):
+    """The persisted ADC-shortlist + exact-re-rank composition at a
+    CANDIDATE-COVERING shortlist equals the full-precision IVF search
+    over the same corpus/centers/probe — the local pin behind
+    knn_pq_persisted_rerank's verbatim reuse of knn_ivf's value-exact
+    oracle. Also pins that an UNDERSIZED shortlist is what breaks the
+    equality guarantee's premise (its result is a subset-quality
+    approximation, not necessarily equal)."""
+    corpus = similarity.clustered_corpus(
+        spark, n_clusters=8, per_cluster=16, dim=8, spread=0.3
+    ).localCheckpoint()
+    centers = similarity.clustered_corpus_centers(n_clusters=8, dim=8)
+    books = similarity.constructed_pq_codebooks(4, 8, 2)
+    idx = str(tmp_path / "pqidx")
+    similarity.write_pq_index(corpus, idx, centers, books)
+    queries = corpus.filter("vec_id % 32 = 0")
+    full = similarity.knn_ivf(
+        corpus, queries, k=K, n_probe=2, centroids=centers
+    )
+    # covering shortlist: nearest-center occupancy can exceed the
+    # construction's per-cluster width, so size with margin and
+    # verify the coverage premise against the index's own occupancy
+    occ = (
+        spark.read.parquet(similarity.vectors_dir(spark, idx))
+        .groupBy("cell").count().agg(F.max("count")).first()[0]
+    )
+    covering = 4 * 16 * 2
+    assert covering >= 2 * occ  # 2 probes of the fullest cell fit
+    res, cells = similarity.knn_pq_persisted_rerank(
+        spark, idx, corpus, queries, k=K, n_probe=2, shortlist=covering
+    )
+    assert 0 < len(cells) < 8
+    assert res.exceptAll(full).count() == 0
+    assert full.exceptAll(res).count() == 0
+    # undersized shortlist: still k rows per query, but equality with
+    # the full-precision search is no longer guaranteed (and with
+    # shortlist=k the re-rank can only reorder the ADC top-k, which
+    # measurably diverges on this geometry)
+    tiny, _ = similarity.knn_pq_persisted_rerank(
+        spark, idx, corpus, queries, k=K, n_probe=2, shortlist=K
+    )
+    assert tiny.groupBy("query_id").count().agg(
+        F.max("count")
+    ).first()[0] == K

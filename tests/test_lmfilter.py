@@ -109,3 +109,35 @@ def test_trigram_fit_and_score_hand_computed(spark):
     assert rows[12]["ppl"] == round(-(floor + floor) / 2,
                                     lmfilter.PPL_ROUND)
     assert bool(rows[12]["kept"]) is False  # -ln(0.2/13) ~ 4.17 > 1.0
+
+
+def test_fit_trigram_frames_matches_dict_fit(spark):
+    """The distributed production fit (frames never round-tripping
+    the driver) yields exactly the dict fit's counts and scalars, and
+    scoring through either model source is identical."""
+    ref = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    u, b, t, vocab, n_tokens = lmfilter.fit_trigram_model(ref)
+    uf, bf, tf, v2, n2 = lmfilter.fit_trigram_frames(ref)
+    assert (v2, n2) == (vocab, n_tokens)
+    assert {(r["w"], r["c"]) for r in uf.collect()} == set(u.items())
+    assert {
+        (f"{r['w1']} {r['w2']}", r["c"]) for r in bf.collect()
+    } == set(b.items())
+    assert {
+        (f"{r['w1']} {r['w2']} {r['w3']}", r["c"]) for r in tf.collect()
+    } == set(t.items())
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "a b z")], "doc_id long, text string"
+    )
+    via_dicts = lmfilter.score_perplexity_3gram(
+        docs, *lmfilter.trigram_model_frames(spark, u, b, t),
+        vocab, n_tokens, threshold=1.0,
+    )
+    via_frames = lmfilter.score_perplexity_3gram(
+        docs, uf, bf, tf, vocab, n_tokens, threshold=1.0
+    )
+    assert sorted(map(tuple, via_dicts.collect())) == sorted(
+        map(tuple, via_frames.collect())
+    )
