@@ -306,6 +306,7 @@ def score_perplexity_3gram(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document ln-perplexity under the interpolated 3-gram
     reference model (the KenLM-shaped depth CCNet actually runs,
@@ -326,8 +327,21 @@ def score_perplexity_3gram(
     (position, lp) pairs — bounded by the doc's own length, the same
     in-group-sort shape as span_dedup's rebuild. Costs one shuffle
     (the regroup) that the bigram path avoids; at reference-model
-    scale the hash lookups repay it thousands of times over."""
+    scale the hash lookups repay it thousands of times over.
+
+    ``broadcast_model`` (r12 advisory): True pins the five model
+    joins as broadcast hash joins — right for any model that fits an
+    executor (it collects each count frame to the driver and ships it
+    whole). When the reference model outgrows driver memory — the
+    very case :func:`fit_trigram_frames` keeps the fit distributed
+    for — pass False: no hint is planted, the joins stay plain
+    equi-joins, and the planner (AQE included) picks broadcast only
+    when the runtime sizes actually allow it, shuffle-hash/sort-merge
+    otherwise. Scoring semantics are identical either way; only the
+    physical join strategy moves."""
     from ..session import ensure_min_partitions
+
+    hint = F.broadcast if broadcast_model else (lambda d: d)
 
     toks = tokens(F.col(text_col))
     d = ensure_min_partitions(docs).select(
@@ -348,12 +362,12 @@ def score_perplexity_3gram(
     )
     j = (
         trans.join(
-            F.broadcast(tri.withColumnRenamed("c", "_ct")),
+            hint(tri.withColumnRenamed("c", "_ct")),
             ["w1", "w2", "w3"],
             "left",
         )
         .join(
-            F.broadcast(
+            hint(
                 bi.select(
                     F.col("w1"), F.col("w2"), F.col("c").alias("_cb12")
                 )
@@ -362,7 +376,7 @@ def score_perplexity_3gram(
             "left",
         )
         .join(
-            F.broadcast(
+            hint(
                 bi.select(
                     F.col("w1").alias("w2"),
                     F.col("w2").alias("w3"),
@@ -373,14 +387,14 @@ def score_perplexity_3gram(
             "left",
         )
         .join(
-            F.broadcast(
+            hint(
                 uni.select(F.col("w").alias("w2"), F.col("c").alias("_cu2"))
             ),
             "w2",
             "left",
         )
         .join(
-            F.broadcast(
+            hint(
                 uni.select(F.col("w").alias("w3"), F.col("c").alias("_cu3"))
             ),
             "w3",

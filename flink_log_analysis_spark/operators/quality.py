@@ -621,9 +621,11 @@ def span_dedup(
     (ratio 0.92 — the shuffle SHRINKS under skew) vs the window's
     4.1s / 4.0s — slower on BOTH arms, and its hot group's
     single-task sort grows with the group where this shape provably
-    cannot. Packing bounds, stated:
+    cannot. Packing bounds, stated AND enforced (r12 advisory):
     non-negative ids below 2^39 (~550 B documents) and at most 2^24
-    spans per document (~134 M tokens at span=8). Rebuild is one hash
+    spans per document (~134 M tokens at span=8) — an out-of-range
+    (id, pos) raises from inside the packing expression rather than
+    silently corrupting which span survives. Rebuild is one hash
     aggregation with an in-group sort bounded by the doc's own span
     count. No driver state, no low-cardinality window anywhere.
     """
@@ -644,13 +646,31 @@ def span_dedup(
             )
         ).alias("pos", "span_text"),
     )
+    # packing-bounds guard (r12 advisory): the (id << 24) + pos pack
+    # is only injective for 0 <= id < 2^39 and pos < 2^24 — a negative
+    # or oversized id would silently corrupt first-occurrence
+    # selection (sign-bit wrap / cross-document bit bleed), so
+    # violations raise instead. One cheap branch per exploded row.
+    packed = F.when(
+        (F.col(id_col) < 0)
+        | (F.col(id_col) >= F.lit(1 << (63 - SPAN_POS_BITS)))
+        | (F.col("pos") >= F.lit(1 << SPAN_POS_BITS)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "span_dedup: (doc_id, pos) outside the packing "
+                    f"bounds (0 <= id < 2^{63 - SPAN_POS_BITS}, "
+                    f"pos < 2^{SPAN_POS_BITS}): id="
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" pos="),
+                F.col("pos").cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.shiftleft(F.col(id_col), SPAN_POS_BITS) + F.col("pos"))
     kept = (
         spans.groupBy("span_text")
-        .agg(
-            F.min(
-                F.shiftleft(F.col(id_col), SPAN_POS_BITS) + F.col("pos")
-            ).alias("_packed")
-        )
+        .agg(F.min(packed).alias("_packed"))
         .select(
             F.shiftright("_packed", SPAN_POS_BITS).alias(id_col),
             F.col("_packed")

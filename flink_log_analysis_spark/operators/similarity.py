@@ -1614,7 +1614,12 @@ def _trim_generations(
     deployment controls) is the deleter of record. Only names matching
     the exact generation grammar are candidates; same-or-newer trees
     survive unconditionally (they may be a concurrent maintainer's
-    staging — r11 review). Returns the deleted names."""
+    staging — r11 review). The legacy root ``{path}/meta`` belongs to
+    the legacy ``vectors`` generation's read surface (pre-pointer
+    layouts keep meta BESIDE the codes, and ``_gen_and_meta`` resolves
+    it there), so it is deleted exactly when that tree is — a legacy
+    reader's grace window covers its meta too (r12 advisory). Returns
+    the deleted names."""
     live_num = _gen_num(live_name)
     older = sorted(
         (
@@ -1631,6 +1636,9 @@ def _trim_generations(
     for name in older[max(keep, 0):]:
         fsio.delete(f"{path}/{name}", spark=spark)
         removed.append(name)
+    if "vectors" in removed and fsio.exists(f"{path}/meta", spark):
+        # the legacy generation is gone; its root meta goes with it
+        fsio.delete(f"{path}/meta", spark=spark)
     return removed
 
 
@@ -1676,7 +1684,20 @@ def _publish_generation(
     publish and :func:`index_vacuum` (grace_keep=0 by default there)
     is the deleter of record, on the deployment's own schedule.
     ``grace_keep=0`` restores the immediate delete for single-process
-    callers that create throwaway indexes."""
+    callers that create throwaway indexes.
+
+    Root-artifact lifecycle (r12 advisory, both items): a legacy
+    ``{path}/meta`` is NOT deleted here — it is part of the legacy
+    generation's read surface (a reader that resolved ``_gen_and_meta``
+    just before the repoint reads it AFTER this call returns), so it
+    follows the ``vectors`` tree's own grace lifetime and
+    :func:`_trim_generations` deletes it together with that tree
+    (shadowing is impossible: ``_gen_and_meta`` prefers ``{gen}/_meta``,
+    which every pointer generation carries). The ``_tuning`` record is
+    deleted BEFORE the pointer swap: a rebuild fits NEW centroids, and
+    deleting after would leave a crash window in which the new pointer
+    pairs with a depth tuned for the old geometry (compaction keeps
+    the record — it preserves the fit)."""
     cur = fsio.read_text(f"{path}/{CURRENT_POINTER}", spark)
     cur = cur.strip() if cur else "vectors"
     name = _next_generation(cur, unique=True)
@@ -1685,16 +1706,14 @@ def _publish_generation(
         target
     )
     meta_df.coalesce(1).write.mode("overwrite").parquet(f"{target}/_meta")
+    if fsio.exists(f"{path}/{TUNING_FILE}", spark):
+        # BEFORE the repoint: no pointer state may pair the new
+        # centroids with a depth tuned for the old geometry. A crash
+        # right here costs only a re-tune (knn_ivf_persisted falls
+        # back to its explicit/default n_probe when no record exists).
+        fsio.delete(f"{path}/{TUNING_FILE}", spark=spark)
     fsio.write_text(f"{path}/{CURRENT_POINTER}", name, spark)
     _trim_generations(spark, path, name, keep=grace_keep)
-    if fsio.exists(f"{path}/meta", spark):
-        # a superseded legacy meta must not shadow {gen}/_meta
-        fsio.delete(f"{path}/meta", spark=spark)
-    if fsio.exists(f"{path}/{TUNING_FILE}", spark):
-        # a rebuild fits NEW centroids: a probe depth tuned for the
-        # old geometry must not default searches on the new one
-        # (compaction keeps the record — it preserves the fit)
-        fsio.delete(f"{path}/{TUNING_FILE}", spark=spark)
 
 
 def _assert_batch_visible(spark, path: str, target: str) -> None:
@@ -1851,7 +1870,14 @@ def knn_pq_persisted_rerank(
     is k' rows per query (never the cells' full contents in the
     re-rank join), the raw-vector join touches only shortlist rows,
     and the query side rides one broadcast. Returns (results,
-    scanned cells) like the ADC-only searcher."""
+    scanned cells) like the ADC-only searcher.
+
+    CONTRACT: ``corpus`` must cover every vector id in the persisted
+    index — the index's appends included (the append APIs make a
+    stale corpus argument easy). The re-rank join is a LEFT join with
+    a raise_error guard on the vector side, so a shortlisted neighbor
+    the corpus cannot supply fails the query loudly instead of being
+    silently dropped from the final top-k (r12 advisory)."""
     short, cells = knn_pq_persisted(
         spark,
         path,
@@ -1871,14 +1897,32 @@ def knn_pq_persisted_rerank(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
+    # coverage guard (see CONTRACT above): a shortlist id the corpus
+    # cannot supply raises instead of silently shrinking the top-k
+    covered = F.when(
+        F.col("cv").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "knn_pq_persisted_rerank: shortlisted neighbor_id "
+                ),
+                F.col("neighbor_id").cast("string"),
+                F.lit(
+                    " is absent from the supplied corpus — the corpus "
+                    "must cover every vector in the persisted index "
+                    "(appended batches included)"
+                ),
+            )
+        ),
+    ).otherwise(F.col("cv"))
     res = (
         short.select("query_id", "neighbor_id")
-        .join(c, "neighbor_id")
+        .join(c, "neighbor_id", "left")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(cosine(F.col("qv"), covered), 6).alias("cos"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -2361,10 +2405,10 @@ def ivf_index_compact(
     # (a reader that resolved the old pointer mid-scan still finishes);
     # index_vacuum ages them out on the deployment's schedule
     _trim_generations(spark, path, next_name, keep=grace_keep)
-    if meta_path == f"{path}/meta":
-        # the legacy meta now lives inside the generation; remove the
-        # superseded copy so the two can never diverge
-        fsio.delete(meta_path, spark=spark)
+    # a legacy root meta (pre-pointer layout) is NOT deleted here: it
+    # is the grace-window read surface of the superseded ``vectors``
+    # tree and _trim_generations sweeps both together (r12 advisory);
+    # it cannot shadow — _gen_and_meta prefers {gen}/_meta.
     return {
         "ingests_folded": len(foldable),
         "files_before": files_before,
@@ -2397,12 +2441,26 @@ def index_vacuum(spark, path: str, grace_keep: int = 0) -> dict:
     reference (r11 review). Such newer orphans become vacuumable on a
     later pass, once the live generation has advanced past them. The
     pointer is re-read immediately before the sweep to shrink the
-    stale-snapshot window; everything else at the root (``meta``,
-    ``_current``, ``_ingest_commits``, caller directories) is
+    stale-snapshot window. A legacy root ``meta`` is swept exactly
+    when the legacy ``vectors`` generation is (it is that
+    generation's read surface — see :func:`_trim_generations`; r12
+    advisory), including the pathological orphan case where the tree
+    is already gone but the meta lingers; everything else at the root
+    (``_current``, ``_ingest_commits``, caller directories) is
     untouched.
 
     Returns ``{"live": <name>, "removed": [names...]}``.
     """
     live = os.path.basename(vectors_dir(spark, path))
     removed = _trim_generations(spark, path, live, keep=grace_keep)
+    if (
+        live != "vectors"
+        and grace_keep == 0
+        and "vectors" not in fsio.list_names(path, spark)
+        and fsio.exists(f"{path}/meta", spark)
+    ):
+        # orphaned legacy meta (its tree already swept by an earlier
+        # pass or an older publisher): past the grace deadline, gone
+        fsio.delete(f"{path}/meta", spark=spark)
+        removed.append("meta")
     return {"live": live, "removed": sorted(removed)}

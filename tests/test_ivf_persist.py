@@ -1018,3 +1018,124 @@ def test_pq_persisted_rerank_recovers_full_precision(spark, tmp_path):
     assert tiny.groupBy("query_id").count().agg(
         F.max("count")
     ).first()[0] == K
+
+
+def test_rerank_raises_on_noncovering_corpus(spark, tmp_path):
+    """knn_pq_persisted_rerank's corpus-coverage contract (r12
+    advisory): a shortlisted neighbor the caller's corpus cannot
+    supply raises loudly instead of being silently dropped from the
+    final top-k (an inner join used to shrink the result quietly —
+    easy to hit when the index has appended batches the caller's
+    corpus snapshot predates)."""
+    corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
+    # the index holds vec_id % 5 < 2; hand the re-rank a corpus
+    # missing most of those ids
+    stale = corpus.filter(F.col("vec_id") % 5 == 0)
+    queries = corpus.filter("vec_id % 32 = 0")
+    res, _ = similarity.knn_pq_persisted_rerank(
+        spark, idx, stale, queries, k=K, n_probe=2, shortlist=40
+    )
+    with pytest.raises(Exception, match="absent from the supplied corpus"):
+        res.collect()
+    # the covering corpus still succeeds through the guarded path
+    ok, _ = similarity.knn_pq_persisted_rerank(
+        spark, idx, corpus, queries, k=K, n_probe=2, shortlist=40
+    )
+    assert ok.count() > 0
+
+
+def test_legacy_meta_survives_upgrade_grace(spark, tmp_path):
+    """Upgrading a legacy (pre-pointer) index keeps its root meta for
+    the reader-grace window (r12 advisory): a legacy reader that
+    resolved _gen_and_meta just before the repoint reads BOTH its
+    codes tree and {path}/meta after the publish returns; the vacuum
+    sweeps the pair together."""
+    corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
+    import shutil
+
+    legacy = str(tmp_path / "legacy_idx")
+    os.makedirs(legacy)
+    live = _live(spark, idx)
+    shutil.copytree(live, f"{legacy}/vectors")
+    shutil.move(f"{legacy}/vectors/_meta", f"{legacy}/meta")
+    # a legacy reader resolves the fallback pair
+    gen, meta = similarity._gen_and_meta(spark, legacy)
+    assert gen == f"{legacy}/vectors" and meta == f"{legacy}/meta"
+    queries = corpus.filter("vec_id % 32 = 0")
+    pre, _ = similarity.knn_pq_persisted(spark, legacy, queries, k=K)
+    pre_n = pre.count()  # materialize NOW — the legacy files go away
+    assert pre_n > 0
+    # the upgrade rebuild (default grace_keep=1) supersedes the
+    # legacy generation but keeps tree AND root meta for grace
+    similarity.write_pq_index(corpus, legacy, centers, books)
+    assert os.path.basename(_live(spark, legacy)).startswith("vectors-g1p")
+    assert os.path.exists(f"{legacy}/vectors")
+    assert os.path.exists(f"{legacy}/meta")
+    # the grace reader's pair still reads end-to-end
+    c2, b2 = similarity.read_pq_meta(spark, legacy, meta_path=meta)
+    assert c2 == centers and b2 == books
+    assert spark.read.parquet(gen).count() > 0
+    # the vacuum is the deleter of record for BOTH
+    stats = similarity.index_vacuum(spark, legacy)
+    assert "vectors" in stats["removed"]
+    assert not os.path.exists(f"{legacy}/vectors")
+    assert not os.path.exists(f"{legacy}/meta")
+    # new readers are unaffected throughout
+    post, _ = similarity.knn_pq_persisted(spark, legacy, queries, k=K)
+    assert post.count() == pre_n
+
+
+def test_vacuum_sweeps_orphaned_legacy_meta(spark, tmp_path):
+    """A root meta whose legacy tree is already gone (an older
+    publisher's half-upgrade) is swept by the vacuum once past the
+    grace deadline — and only then (grace_keep>0 leaves it)."""
+    corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
+    from flink_log_analysis_spark.sources import fsio
+
+    fsio.write_text(f"{idx}/meta_probe", "x", spark)  # sibling control
+    with open(f"{idx}/meta", "w") as fh:
+        fh.write("orphan")
+    kept = similarity.index_vacuum(spark, idx, grace_keep=1)
+    assert os.path.exists(f"{idx}/meta")
+    assert "meta" not in kept["removed"]
+    swept = similarity.index_vacuum(spark, idx, grace_keep=0)
+    assert "meta" in swept["removed"]
+    assert not os.path.exists(f"{idx}/meta")
+    assert os.path.exists(f"{idx}/meta_probe")
+
+
+def test_tuning_deleted_before_repoint(spark, tmp_path, monkeypatch):
+    """The _tuning record is deleted BEFORE the pointer swap (r12
+    advisory): a publish that crashes at the repoint leaves NO state
+    in which a new pointer could pair with a depth tuned for the old
+    geometry. Simulated by failing the pointer PUT itself — after the
+    failure the old generation is still live and the tuning record is
+    already gone (the crash costs a re-tune, never silent recall
+    degradation)."""
+    corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
+    from flink_log_analysis_spark.sources import fsio
+
+    fsio.write_text(
+        f"{idx}/{similarity.TUNING_FILE}",
+        "n_probe=3\nk=5\ntarget_permille=950\nhits=1\nn_truth=1",
+        spark,
+    )
+    old_live = _live(spark, idx)
+    real_write = fsio.write_text
+
+    def failing_write(path, text, spark=None):
+        if path.endswith(similarity.CURRENT_POINTER):
+            raise RuntimeError("simulated crash at the pointer PUT")
+        return real_write(path, text, spark)
+
+    monkeypatch.setattr(
+        "flink_log_analysis_spark.operators.similarity.fsio.write_text",
+        failing_write,
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        similarity.write_pq_index(corpus, idx, centers, books)
+    monkeypatch.undo()
+    # old generation still live; stale tuning record already deleted
+    assert _live(spark, idx) == old_live
+    assert not os.path.exists(f"{idx}/{similarity.TUNING_FILE}")
+    assert similarity.index_tuned_n_probe(spark, idx) is None

@@ -440,3 +440,29 @@ def test_ablation_report_consistency(spark, sf_dir):
         quality.quality_signals(docs).filter("keep").count()
     )
     assert n_kept == kept_direct
+
+
+def test_span_dedup_packing_bounds_enforced(spark):
+    """The (id << 24) + pos pack's bounds are ENFORCED (r12 advisory):
+    a negative or >= 2^39 doc_id raises from inside the packing
+    expression instead of silently corrupting which span survives.
+    In-range ids are untouched by the guard."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [Row(doc_id=-1, text="a b c"), Row(doc_id=2, text="a b c")]
+    )
+    with pytest.raises(Exception, match="packing"):
+        quality.span_dedup(bad, span=2).collect()
+    huge = spark.createDataFrame(
+        [Row(doc_id=1 << 39, text="x y"), Row(doc_id=3, text="x y")]
+    )
+    with pytest.raises(Exception, match="packing"):
+        quality.span_dedup(huge, span=2).collect()
+    ok = spark.createDataFrame(
+        [Row(doc_id=(1 << 39) - 1, text="x y"), Row(doc_id=3, text="x y")]
+    )
+    rows = {r["doc_id"]: r["n_kept_spans"] for r in
+            quality.span_dedup(ok, span=2).collect()}
+    # first occurrence = the lexicographically smaller (id, pos)
+    assert rows[3] == 1 and rows[(1 << 39) - 1] == 0
