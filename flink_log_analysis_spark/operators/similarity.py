@@ -1539,6 +1539,148 @@ def _pq_probe_and_score(
     )
 
 
+def residual_vec(arr: Column, cmat_col: Column, cell: Column) -> Column:
+    """``x − centroid[cell]`` component-wise — THE residual projection
+    (one site, shared by residual encode and residual search, the
+    assign_cells discipline: an inline copy is how the two sides'
+    residuals silently desync). Residual encoding is what the faiss
+    ``IVFx,PQy`` codec actually quantizes (Jégou, Douze, Schmid, "
+    Product Quantization for Nearest Neighbor Search", TPAMI 2011,
+    §IV.A): subtracting the cell centroid removes the coarse
+    quantizer's share of the vector's energy, so the PQ codebooks
+    spend their whole budget on the small within-cell ball instead of
+    the corpus-wide range — higher recall at the same m×n_codewords.
+    Exact IEEE subtraction per component, so residual contracts stay
+    value-exact cross-engine."""
+    cent = F.element_at(cmat_col, cell + 1)
+    return F.zip_with(arr, cent, lambda x, c: x - c)
+
+
+def pq_encode_residual(
+    assigned: DataFrame,
+    cmat: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    arr_col: str = "arr",
+) -> DataFrame:
+    """(id, cell, pq_code) with the codes taken over each vector's
+    CELL RESIDUAL (see :func:`residual_vec`) — the encode half of the
+    residual IVF-PQ codec. One projection over the 1-row broadcast
+    centroid attach feeding the shared :func:`pq_encode` argmin; the
+    input must already carry its ``cell`` (from :func:`assign_cells` /
+    :func:`ivf_assign`)."""
+    j = assigned.crossJoin(F.broadcast(cmat))
+    resid = j.select(
+        id_col,
+        "cell",
+        residual_vec(F.col(arr_col), F.col("cmat"), F.col("cell")).alias(
+            "rv"
+        ),
+    )
+    return pq_encode(
+        resid, codebooks, vec_col="rv", id_col=id_col, keep_cols=("cell",)
+    )
+
+
+def knn_ivf_pq_residual(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-encoded IVF-PQ — the faiss ``IVFx,PQy`` codec proper:
+    corpus vectors are coarse-quantized into cells, their RESIDUALS
+    (``x − centroid[cell]``) are PQ-coded, and search scores each
+    probed cell's candidates by ADC against that cell's residual of
+    the query (``q − centroid[cell]``). Same routing, probing, and
+    rank discipline as :func:`knn_ivf_pq`; only what the codes mean
+    changes. The ADC tables become per-(query, probed cell) instead
+    of per-query — n_probe small table builds per query, each m×n_cw
+    doubles, still O(1) lookups per candidate and bounded by the
+    probe depth, never the corpus.
+
+    Why it exists next to :func:`knn_ivf_pq` (raw codes): residuals
+    shrink the dynamic range the codebooks must cover from the corpus
+    spread to the within-cell spread — measured on the fitted path at
+    the same m=4×n_cw=16 budget on the 64×64 clustered geometry, ADC
+    recall@5 against the full-precision IVF search is 0.117 raw vs
+    0.848 residual at spread 0.05 and 0.359 vs 0.759 at spread 0.3
+    (tests/test_similarity.py pins the ordering; SURVEY records the
+    numbers). Residual books are fit on the residual frame (what the
+    codec quantizes), the same bounded-sample :func:`pq_fit`."""
+    assigned, _, cmat = ivf_assign(
+        corpus, centroids=centroids, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode_residual(
+        assigned, cmat, codebooks, id_col=id_col
+    ).select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
+    return _pq_residual_probe_and_score(
+        codes, queries, cmat, codebooks, k, n_probe, id_col, vec_col
+    )
+
+
+def _pq_residual_probe_and_score(
+    codes: DataFrame,
+    queries: DataFrame,
+    cmat: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """THE residual IVF-PQ search: probe ``n_probe`` cells, project
+    the query's residual AGAINST EACH PROBED CELL's centroid, build
+    that (query, cell)'s ADC tables from the residual, join the
+    cell's candidates, score, round-before-rank. The residual and the
+    tables ride the exploded probe rows (n_probe per query), so the
+    per-cell geometry is exact and nothing grows with the corpus."""
+    m, _, _ = _pq_shape(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    probed = probe_cells(q, "qv", cmat, list(range(n_probe)))
+    probes = probed.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(*[F.col(f"cell_p{p}") for p in range(n_probe)])
+        ).alias("cell"),
+    )
+    jc = probes.crossJoin(F.broadcast(cmat))
+    rq = jc.select(
+        "query_id",
+        "cell",
+        residual_vec(F.col("qv"), F.col("cmat"), F.col("cell")).alias(
+            "rqv"
+        ),
+    )
+    qt = pq_query_tables(rq, codebooks, qv_col="rqv")
+    scored = (
+        qt.join(codes, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                pq_adc_distance(F.col("pq_code"), F.col("adc_tab"), m), 6
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rn")
+    )
+
+
 # --- manifest-pointer publish (object-store-safe index lifecycle) ---
 #
 # Every persisted index roots its live data under a GENERATION

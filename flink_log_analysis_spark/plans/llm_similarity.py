@@ -1512,6 +1512,34 @@ def knn_ivf_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ (the faiss ``IVFx,PQy`` codec proper —
+    Jégou/Douze/Schmid §IV.A: PQ quantizes ``x − centroid[cell]``,
+    not the raw vector), certified VALUE-exact end to end exactly
+    like knn_ivf_pq_exact: constructed centers, constructed
+    codebooks, and now a residual projection on BOTH the encode side
+    and the per-(query, probed-cell) ADC-table side. The DuckDB twin
+    re-derives corpus, centers, books, assignment, probe ranking,
+    the residual subtractions, codes, ADC, and the final rank —
+    bit-for-bit. Residuals are why this codec beats raw codes at the
+    same m×n_codewords: the books cover the within-cell ball, not
+    the corpus range (measured on the fitted path at m=4, n_cw=16 on
+    the 64×64 clustered geometry: ADC recall@5 vs the full-precision
+    IVF search 0.117 raw vs 0.848 residual at spread 0.05, 0.359 vs
+    0.759 at spread 0.3 — pinned in tests/test_similarity.py)."""
+    corpus, _ = _manycell_corpora(spark)
+    centers = similarity.clustered_corpus_centers(
+        MANYCELL_CLUSTERS, MANYCELL_DIM
+    )
+    books = similarity.constructed_pq_codebooks(
+        PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
+    )
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    return similarity.knn_ivf_pq_residual(
+        corpus, queries, centers, books, k=K, n_probe=IVFPQ_PROBE
+    )
+
+
 def _ensure_pq_index(spark: SparkSession) -> str:
     """Build the persisted IVF-PQ index over the formula corpus once
     per container (the corpus, centers, and codebooks are all
@@ -1985,6 +2013,7 @@ QUERIES = {
     "jl_projection_contract": jl_projection_contract,
     "knn_pq_adc_exact": knn_pq_adc_exact,
     "knn_ivf_pq_exact": knn_ivf_pq_exact,
+    "knn_ivf_pq_residual": knn_ivf_pq_residual,
     "knn_ivf_pq_persisted": knn_ivf_pq_persisted,
     "knn_pq_persisted_rerank": knn_pq_persisted_rerank,
     "knn_pq_streamed": knn_pq_streamed,
@@ -2009,13 +2038,15 @@ def _pq_cb_sql(book: list[list[float]]) -> str:
     )
 
 
-def _pq_sql_parts(books=None) -> tuple[str, str, str]:
+def _pq_sql_parts(books=None, vec: str = "e", qv: str = "qv") -> tuple[str, str, str]:
     """Shared SQL fragments for the PQ exact contracts: per-subspace
     codeword-distance columns (ds{s}), argmin code columns (c{s}), and
-    the ADC expression over qv/c{s} — per-subspace-grouped left-assoc
+    the ADC expression over {qv}/c{s} — per-subspace-grouped left-assoc
     folds matching the Spark expressions exactly. ``books=None`` uses
     the constructed-formula codebooks; the fitted contract passes the
-    numpy fit replica's table instead."""
+    numpy fit replica's table instead. ``vec``/``qv`` name the encoded
+    and query vector columns — the residual contract points them at
+    the residual projections (re/rq) instead of the raw vectors."""
     if books is None:
         books = similarity.constructed_pq_codebooks(
             PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
@@ -2024,8 +2055,8 @@ def _pq_sql_parts(books=None) -> tuple[str, str, str]:
     dist_cols = []
     for s in range(PQ_EXACT_M):
         terms = " + ".join(
-            f"(e[{s * d + t + 1}] - cw[{t + 1}])"
-            f" * (e[{s * d + t + 1}] - cw[{t + 1}])"
+            f"({vec}[{s * d + t + 1}] - cw[{t + 1}])"
+            f" * ({vec}[{s * d + t + 1}] - cw[{t + 1}])"
             for t in range(d)
         )
         dist_cols.append(
@@ -2039,8 +2070,8 @@ def _pq_sql_parts(books=None) -> tuple[str, str, str]:
     for s in range(PQ_EXACT_M):
         sel = f"({_pq_cb_sql(books[s])})[c{s} + 1]"
         group = " + ".join(
-            f"(qv[{s * d + t + 1}] - {sel}[{t + 1}])"
-            f" * (qv[{s * d + t + 1}] - {sel}[{t + 1}])"
+            f"({qv}[{s * d + t + 1}] - {sel}[{t + 1}])"
+            f" * ({qv}[{s * d + t + 1}] - {sel}[{t + 1}])"
             for t in range(d)
         )
         adc_groups.append(f"({group})")
@@ -2180,6 +2211,58 @@ def _ivf_pq_exact_oracle() -> str:
 
 
 ORACLE["knn_ivf_pq_exact"] = _ivf_pq_exact_oracle()
+
+
+def _ivf_pq_residual_oracle() -> str:
+    """knn_ivf_pq_residual twin — the residual codec replayed
+    value-exact: the shared routing replica, then a residual CTE on
+    each side (``re`` = e − center[cell], ``rq`` = qv − center[cell]
+    for each PROBED cell — the same exact IEEE subtraction order as
+    residual_vec's zip_with), the shared PQ fragments pointed at the
+    residual columns, candidates restricted to probed cells,
+    round-before-rank."""
+    cents = similarity.clustered_corpus_centers(
+        MANYCELL_CLUSTERS, MANYCELL_DIM
+    )
+    cent_sql = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(v) for v in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    dist_cols, code_cols, adc = _pq_sql_parts(vec="re", qv="rq")
+    residual = (
+        f"list_transform(generate_series(1, {MANYCELL_DIM}), "
+        f"i -> {{v}}[i] - ({cent_sql})[cell + 1][i])"
+    )
+    return f"""
+        WITH {_manycell_routing_sql(IVFPQ_PROBE)},
+        res AS (SELECT vec_id, cell,
+                       {residual.format(v="e")} AS re
+                FROM assigned),
+        dists AS (SELECT vec_id, cell, re, {dist_cols} FROM res),
+        enc AS (SELECT vec_id AS neighbor_id, cell, {code_cols}
+                FROM dists),
+        pres AS (SELECT query_id, cell,
+                        {residual.format(v="qv")} AS rq
+                 FROM probes),
+        scored AS (
+            SELECT p.query_id, enc.neighbor_id,
+                   ROUND({adc}, 6) AS adc_dist
+            FROM pres p JOIN enc ON enc.cell = p.cell
+            WHERE enc.neighbor_id <> p.query_id
+        ),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+              FROM scored)
+        SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rn
+        FROM r WHERE rn <= {K}
+    """
+
+
+ORACLE["knn_ivf_pq_residual"] = _ivf_pq_residual_oracle()
 
 # knn_ivf's value-exact twin (VERDICT r10 item 2): the same routing
 # replica feeding cosine scoring over the probed cells' candidates —

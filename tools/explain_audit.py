@@ -52,6 +52,7 @@ CROSS_JOIN_OK = {
     "knn_pq_adc_exact",    # declared full-scan ADC baseline (codes-only scan)
     "knn_pq_rerank_recall",  # brute ground truth + broadcast query attaches
     "knn_ivf_pq_exact",    # 1-row centroid-matrix broadcast attach
+    "knn_ivf_pq_residual",  # same attaches (residual codec variant)
     "knn_ivf_pq_persisted",  # same attaches over the persisted index
     "knn_pq_persisted_rerank",  # same attaches + broadcast query re-rank
     "knn_pq_streamed",     # same attaches over the stream-built index
