@@ -138,16 +138,31 @@ class MemoryUpsertSink:
         # produced zero batches (e.g. an empty source directory).
         self._schema = schema
 
+    @staticmethod
+    def _collect_dicts(batch_df: DataFrame) -> list[dict]:
+        """Batch rows as plain-Python dicts, Arrow-batched: at the
+        per-key sink volumes the wide-state streams produce (27k keys
+        for the per-IP counter at sf0.1), collect()'s per-Row pickling
+        is the micro-batch's single largest cost (measured 0.70 s of a
+        1.35 s drain — the r13 outlier diagnosis), while the Arrow
+        transfer + ``to_pylist`` is a few tens of ms and yields the
+        SAME value types as ``Row.asDict`` (datetime/Decimal/list —
+        pyarrow's pylist conversion, not pandas' NaN-ing one). Falls
+        back to collect for any type Arrow can't carry."""
+        try:
+            return batch_df.toArrow().to_pylist()
+        except Exception:  # noqa: BLE001 — exotic type: take the slow path
+            return [row.asDict() for row in batch_df.collect()]
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.collect()
+        dicts = self._collect_dicts(batch_df)
         with self._lock:
             if batch_id in self.applied_batches:
                 return  # replayed batch after restart: idempotent skip
             self._schema = batch_df.schema
             if self.complete:
                 self.state.clear()
-            for row in rows:
-                d = row.asDict()
+            for d in dicts:
                 key = tuple(d[k] for k in self.key_columns)
                 self.state[key] = d
             self.applied_batches.add(batch_id)
@@ -158,7 +173,26 @@ class MemoryUpsertSink:
                 "sink received no batches and no schema was declared; "
                 "pass schema= at construction to support empty streams"
             )
-        return spark.createDataFrame(list(self.state.values()), self._schema)
+        values = list(self.state.values())
+        try:
+            # Arrow table ingestion: 5x faster than the list-of-dicts
+            # path at the wide-state sinks' volumes (measured 0.75 s
+            # vs 3.8 s at 27k rows) and value-identical — naive
+            # datetimes read in the pinned UTC session zone, None
+            # round-trips as null. Fallback covers types the arrow
+            # schema conversion can't express.
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            if values:
+                return spark.createDataFrame(
+                    pa.Table.from_pylist(
+                        values, schema=to_arrow_schema(self._schema)
+                    )
+                )
+        except Exception:  # noqa: BLE001 — exotic type: take the slow path
+            pass
+        return spark.createDataFrame(values, self._schema)
 
 
 class ParquetUpsertSink:
