@@ -329,6 +329,23 @@ def score_perplexity_3gram(
     (the regroup) that the bigram path avoids; at reference-model
     scale the hash lookups repay it thousands of times over.
 
+    Skew posture (tools/lm_skew_probe.py, VERDICT r12 #6): a dominant
+    TRIGRAM concentrates nothing — the count joins are broadcast,
+    map-side. The keyed stage is the per-document regroup, whose
+    group size is the document's own transition count, so the hostile
+    shape is one DOCUMENT holding half the corpus: its transitions
+    serialize into one task's group build. Measured with the
+    equal-work probe (identical global token stream, only doc
+    boundaries move; median-of-3): skewed/uniform wall-clock
+    2.6-8.3x across runs at 2M tokens (hot arm 3.1-9.4 s vs uniform
+    1.1-1.2 s — the lone hot task is hypersensitive to host
+    contention while 31 cores idle), 3.6x at 6M. The bound is
+    SEMANTIC — the per-document fold needs the whole document in one
+    group, in position order — and the production mitigation is
+    upstream: cap document length before scoring (doc_chunks;
+    CCNet itself scores paragraph-level units, Wenzek et al. §3.3),
+    after which group size is the chunk bound, not the document.
+
     ``broadcast_model`` (r12 advisory): True pins the five model
     joins as broadcast hash joins — right for any model that fits an
     executor (it collects each count frame to the driver and ships it
