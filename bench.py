@@ -281,6 +281,13 @@ def run_slice(
         from flink_log_analysis_spark.plans.llm_quality import _lm3_model
 
         prestep("lm_trigram_model", lambda: _lm3_model(spark, sf_dir))
+    # (lm_perplexity_filter_3gram_dist deliberately has NO prebuild:
+    # its contract IS the inline distributed fit — checkpointed count
+    # frames can't outlive a harness's release_checkpoints anyway.)
+    if "lm_perplexity_filter_kn" in names:
+        from flink_log_analysis_spark.plans.llm_quality import _lm_kn_model
+
+        prestep("lm_kn_model", lambda: _lm_kn_model(spark, sf_dir))
     # Recorded economics for the persisted IVF index (VERDICT r9 #6):
     # the identity contracts that exercise it are EXCLUDEd as
     # duplicate-work correctness artifacts, so without this the BUILD

@@ -254,6 +254,144 @@ def trigram_model_frames(
     return uni, bi, tri
 
 
+# Absolute discount for the interpolated Kneser-Ney bigram model — a
+# FIXED closed-formula constant (KenLM estimates D from the count-of-
+# counts; a fixed 0.75 is the textbook default and keeps every model
+# constant stateable in SQL — the JM-weights argument, restated).
+KN_DISCOUNT = 0.75
+
+
+def fit_kn_bigram_model(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[dict, dict, dict, dict, int, int]:
+    """Fit the interpolated Kneser-Ney bigram model's count tables:
+    (uni map, bi map keyed 'w1 w2', follower map N1+(w1 ·) — distinct
+    continuations per history, predecessor map N1+(· w2) — distinct
+    histories per word, B = N1+(· ·) total distinct bigrams,
+    V = vocabulary size). Chen & Goodman (1998) §2.7: KN replaces the
+    lower-order raw frequency with the CONTINUATION count — how many
+    distinct contexts a word follows — which is the smoothing KenLM
+    ships. Every table derives from the same two explode+hash-agg
+    passes as :func:`fit_bigram_model` (the follower/predecessor maps
+    are one more hash-agg over the DISTINCT bigram frame, map-side
+    partials intact), bounded by the REFERENCE corpus exactly like
+    the other fits."""
+    from ..session import ensure_min_partitions
+
+    toks = (
+        ensure_min_partitions(ref)
+        .select(tokens(F.col(text_col)).alias("toks"))
+        .persist()
+    )
+    try:
+        uni, bi = _counts_from(toks)
+        u = {r["w"]: r["c"] for r in uni.collect()}
+        bi_rows = bi.collect()
+    finally:
+        toks.unpersist()
+    b = {f"{r['w1']} {r['w2']}": r["c"] for r in bi_rows}
+    foll: dict = {}
+    pred: dict = {}
+    for r in bi_rows:  # distinct (w1, w2) rows: each contributes 1
+        foll[r["w1"]] = foll.get(r["w1"], 0) + 1
+        pred[r["w2"]] = pred.get(r["w2"], 0) + 1
+    return u, b, foll, pred, len(bi_rows), len(u)
+
+
+def kn_model_row(
+    spark, uni_map: dict, bi_map: dict, foll_map: dict, pred_map: dict
+) -> DataFrame:
+    """The KN count tables as ONE broadcast row of four maps (the
+    bigram model_row convention — at bigram-model scale the map
+    lookups stay cheap; a trigram-scale KN model would take the
+    exploded-join path like score_perplexity_3gram)."""
+    return spark.createDataFrame(
+        [(uni_map, bi_map, foll_map, pred_map)],
+        "uni map<string,bigint>, bi map<string,bigint>, "
+        "foll map<string,bigint>, pred map<string,bigint>",
+    )
+
+
+def _kn_transition_score(
+    w1: Column, w2: Column, n_bigrams: int, vocab_size: int
+) -> Column:
+    """struct(lp, oov) per transition under interpolated Kneser-Ney —
+    THE smoothing expression, one site (restated verbatim by the
+    oracle), operation order pinned left-associatively:
+
+        Pc(w2)    = (N1+(· w2) + 1) / (B + V)      [Laplace-floored
+                     continuation: P > 0 even for OOV w2, ln defined]
+        P(w2|w1)  = max(c(w1 w2) − D, 0)/c(w1)
+                  + ((D · N1+(w1 ·))/c(w1)) · Pc(w2)   if c(w1) > 0
+                  = Pc(w2)                              otherwise
+
+    ``oov`` counts transitions whose BIGRAM is unseen, matching the
+    other scorers' diagnostic."""
+    key = F.concat_ws(" ", w1, w2)
+    cb = F.coalesce(F.try_element_at("bi", key), F.lit(0)).cast("double")
+    cu = F.coalesce(F.try_element_at("uni", w1), F.lit(0)).cast("double")
+    f1 = F.coalesce(F.try_element_at("foll", w1), F.lit(0)).cast("double")
+    p2 = F.coalesce(F.try_element_at("pred", w2), F.lit(0)).cast("double")
+    pc = (p2 + 1) / F.lit(float(n_bigrams + vocab_size))
+    d = F.lit(KN_DISCOUNT)
+    interp = (
+        F.greatest(cb - d, F.lit(0.0)) / cu + ((d * f1) / cu) * pc
+    )
+    p = F.when(cu > 0, interp).otherwise(pc)
+    lp = F.round(F.log(p), LOG_ROUND)
+    return F.struct(lp.alias("lp"), (cb == 0).cast("int").alias("oov"))
+
+
+def score_perplexity_kn(
+    docs: DataFrame,
+    model: DataFrame,
+    n_bigrams: int,
+    vocab_size: int,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document ln-perplexity under the interpolated Kneser-Ney
+    bigram reference model, with the keep verdict: (id, n_trans,
+    n_oov, ppl, kept) — the same output contract, execution shape
+    (one broadcast attach + one widened projection, no shuffle), and
+    round-before-fold discipline as :func:`score_perplexity`; only
+    the smoothing expression differs (see
+    :func:`_kn_transition_score`)."""
+    from ..session import ensure_min_partitions
+
+    toks = tokens(F.col(text_col))
+    d = ensure_min_partitions(docs).select(
+        F.col(id_col), toks.alias("toks")
+    ).filter(F.size("toks") >= 2)
+    j = d.crossJoin(F.broadcast(model))
+    scored = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: _kn_transition_score(
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            n_bigrams,
+            vocab_size,
+        ),
+    )
+    n_trans = (F.size("toks") - 1).cast("int")
+    s = F.aggregate(
+        scored, F.lit(0.0), lambda a, t: a + t.getField("lp")
+    )
+    ppl = F.round(-s / n_trans, PPL_ROUND)
+    return j.select(
+        F.col(id_col),
+        n_trans.alias("n_trans"),
+        F.aggregate(
+            scored, F.lit(0), lambda a, t: a + t.getField("oov")
+        )
+        .cast("int")
+        .alias("n_oov"),
+        ppl.alias("ppl"),
+        (ppl <= F.lit(threshold)).alias("kept"),
+    )
+
+
 def _transition_score(w1: Column, w2: Column, vocab_size: int) -> Column:
     """struct(lp, oov) per transition: lp = round(ln((bi + 1) /
     (uni_w1 + V)), 12) against the broadcast model maps — THE

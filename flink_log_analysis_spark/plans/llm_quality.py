@@ -889,10 +889,134 @@ ORACLE["lm_perplexity_filter_3gram_dist"] = ORACLE[
     "lm_perplexity_filter_3gram"
 ]
 
+# --- Kneser-Ney depth (the smoothing KenLM actually ships) ---------
+#
+# Threshold sits just above the sf0.01 median KN ln-perplexity
+# (3.5884; quartiles 3.51 / 3.59 / 3.66) so the verdict splits the
+# corpus non-trivially at every scale factor.
+LM_KN_PPL_THRESHOLD = 3.59
+
+_LM_KN_MODELS: dict[str, tuple[dict, dict, dict, dict, int, int]] = {}
+
+
+def _lm_kn_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict, dict, dict, dict, int, int]:
+    m = _LM_KN_MODELS.get(sf_dir)
+    if m is None:
+        ref = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % LM_REF_MOD == 0
+        )
+        m = lmfilter.fit_kn_bigram_model(ref)
+        _LM_KN_MODELS[sf_dir] = m
+    return m
+
+
+def lm_perplexity_filter_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM filter under interpolated KNESER-NEY smoothing — the
+    family KenLM ships (Chen & Goodman 1998 §2.7; absolute discount
+    D=0.75, and the lower-order model is the CONTINUATION distribution
+    N1+(·w2)/N1+(··), not raw frequency — 'how many contexts does this
+    word follow', the fix for Laplace/JM's overestimate of words that
+    are frequent only inside one collocation). Laplace-floored
+    continuation keeps ln defined for OOV. Same bounded reference-fit,
+    broadcast-row scoring, and round-before-fold discipline as the
+    bigram row; the oracle refits ALL the count tables — including the
+    distinct-continuation and distinct-history counts — and replays
+    the discount/interpolation arithmetic in the pinned operation
+    order (operators/lmfilter.py _kn_transition_score, the one
+    smoothing site)."""
+    uni, bi, foll, pred, n_bigrams, vocab = _lm_kn_model(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return lmfilter.score_perplexity_kn(
+        docs,
+        lmfilter.kn_model_row(spark, uni, bi, foll, pred),
+        n_bigrams,
+        vocab,
+        LM_KN_PPL_THRESHOLD,
+    )
+
+
+# The KN twin: refits uni/bi AND the continuation tables (follower
+# counts per history, predecessor counts per word, total distinct
+# bigrams) from the same slice, restates the one smoothing expression
+# with the SAME left-assoc parenthesization
+# (GREATEST(cb-D,0)/cu + ((D*f1)/cu) * pc, pc = (p2+1)/(B+V)), rounds
+# each ln to 12 BEFORE the position-ordered fold, and replays the
+# verdict.
+ORACLE["lm_perplexity_filter_kn"] = """
+    WITH refdocs AS (
+        SELECT {toks} AS toks FROM documents WHERE doc_id % {mod} = 0
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM refdocs) GROUP BY w
+    ),
+    v AS (SELECT COUNT(*) AS vs FROM uni),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks,
+                         unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM refdocs WHERE len(toks) >= 2)
+        ) GROUP BY w1, w2
+    ),
+    foll AS (SELECT w1, COUNT(*) AS f FROM bi GROUP BY w1),
+    pred AS (SELECT w2, COUNT(*) AS p FROM bi GROUP BY w2),
+    nb AS (SELECT COUNT(*) AS b FROM bi),
+    d AS (SELECT doc_id, {toks} AS toks FROM documents),
+    trans AS (
+        SELECT doc_id, i, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM d WHERE len(toks) >= 2)
+    ),
+    scored AS (
+        SELECT t.doc_id, t.i,
+               ROUND(ln(
+                   CASE WHEN COALESCE(u.c, 0) > 0
+                        THEN GREATEST(COALESCE(b.c, 0) - {D}, 0.0)
+                               / COALESCE(u.c, 0)
+                             + (({D} * COALESCE(f.f, 0))
+                                  / COALESCE(u.c, 0))
+                               * ((COALESCE(p.p, 0) + 1)
+                                    / (nb.b + v.vs))
+                        ELSE (COALESCE(p.p, 0) + 1) / (nb.b + v.vs)
+                   END
+               ), {lr}) AS lp,
+               CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS oov
+        FROM trans t
+        LEFT JOIN bi b ON b.w1 = t.w1 AND b.w2 = t.w2
+        LEFT JOIN uni u ON u.w = t.w1
+        LEFT JOIN foll f ON f.w1 = t.w1
+        LEFT JOIN pred p ON p.w2 = t.w2
+        CROSS JOIN nb CROSS JOIN v
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_trans,
+               CAST(SUM(oov) AS INTEGER) AS n_oov,
+               list_reduce([0.0] || list(lp ORDER BY i),
+                           (a, x) -> a + x) AS s
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_trans AS INTEGER) AS n_trans, n_oov,
+           ROUND(-s / n_trans, {pr}) AS ppl,
+           ROUND(-s / n_trans, {pr}) <= {th} AS kept
+    FROM agg
+""".format(
+    toks=_TOKS,
+    mod=LM_REF_MOD,
+    D=repr(lmfilter.KN_DISCOUNT),
+    lr=lmfilter.LOG_ROUND,
+    pr=lmfilter.PPL_ROUND,
+    th=LM_KN_PPL_THRESHOLD,
+)
+
 QUERIES = {
     "lm_perplexity_filter": lm_perplexity_filter,
     "lm_perplexity_filter_3gram": lm_perplexity_filter_3gram,
     "lm_perplexity_filter_3gram_dist": lm_perplexity_filter_3gram_dist,
+    "lm_perplexity_filter_kn": lm_perplexity_filter_kn,
     "quality_ablation_report": quality_ablation_report,
     "corpus_report": corpus_report,
     "bpe_pack_chunks": bpe_pack_chunks,

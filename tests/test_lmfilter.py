@@ -141,3 +141,61 @@ def test_fit_trigram_frames_matches_dict_fit(spark):
     assert sorted(map(tuple, via_dicts.collect())) == sorted(
         map(tuple, via_frames.collect())
     )
+
+
+def test_kn_fit_and_score_hand_computed(spark):
+    """Interpolated Kneser-Ney: continuation/follower counts, the
+    absolute-discount interpolation, the unseen-history backoff to
+    the floored continuation distribution, and OOV accounting —
+    pinned on a hand-computable corpus."""
+    ref = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
+    )
+    u, b, foll, pred, n_big, vocab = lmfilter.fit_kn_bigram_model(ref)
+    assert u == {"a": 3, "b": 2, "c": 1}
+    assert b == {"a b": 2, "b a": 1, "a c": 1}
+    # distinct continuations per history / distinct histories per word
+    assert foll == {"a": 2, "b": 1}      # a -> {b, c}; b -> {a}
+    assert pred == {"b": 1, "a": 1, "c": 1}
+    assert n_big == 3 and vocab == 3
+
+    D = lmfilter.KN_DISCOUNT
+    BV = float(n_big + vocab)  # 6.0
+
+    def pc(p2):
+        return (p2 + 1) / BV
+
+    def lp(p):
+        return round(math.log(p), lmfilter.LOG_ROUND)
+
+    model = lmfilter.kn_model_row(spark, u, b, foll, pred)
+    docs = spark.createDataFrame(
+        [
+            (10, "a b"),   # seen bigram, seen history
+            (11, "b c"),   # unseen bigram, seen history
+            (12, "z a"),   # unseen history -> continuation backoff
+            (13, "z z"),   # fully OOV -> floored continuation
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in lmfilter.score_perplexity_kn(
+            docs, model, n_big, vocab, threshold=1.0
+        ).collect()
+    }
+    # doc 10: max(2-D,0)/3 + ((D*2)/3)*pc(1)
+    p10 = max(2 - D, 0.0) / 3 + ((D * 2) / 3) * pc(1)
+    assert rows[10]["n_oov"] == 0
+    assert rows[10]["ppl"] == round(-lp(p10), lmfilter.PPL_ROUND)
+    assert bool(rows[10]["kept"]) is True
+    # doc 11: c(b c)=0 -> discount clamps to 0; lambda(b)=D*1/2
+    p11 = 0.0 / 2 + ((D * 1) / 2) * pc(1)
+    assert rows[11]["n_oov"] == 1
+    assert rows[11]["ppl"] == round(-lp(p11), lmfilter.PPL_ROUND)
+    # doc 12: history z unseen -> P = pc(pred[a]) = pc(1)
+    assert rows[12]["ppl"] == round(-lp(pc(1)), lmfilter.PPL_ROUND)
+    # doc 13: fully OOV -> P = pc(0) = 1/6 (the Laplace floor; ln defined)
+    assert rows[13]["n_oov"] == 1
+    assert rows[13]["ppl"] == round(-lp(pc(0)), lmfilter.PPL_ROUND)
+    assert bool(rows[13]["kept"]) is False
