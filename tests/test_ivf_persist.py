@@ -1139,3 +1139,93 @@ def test_tuning_deleted_before_repoint(spark, tmp_path, monkeypatch):
     assert _live(spark, idx) == old_live
     assert not os.path.exists(f"{idx}/{similarity.TUNING_FILE}")
     assert similarity.index_tuned_n_probe(spark, idx) is None
+
+
+def test_lifecycle_torture_three_maintainers_one_pointer(
+    spark, tmp_path, monkeypatch
+):
+    """Composes ALL the lifecycle guards on ONE pointer (r12 optional
+    depth — the per-pair guards exercised together): a checkpointed
+    stream ingest interrupted by a compaction (the restart must skip
+    the folded batch via its marker and deliver the next batch into
+    the NEW generation), a batch append racing that compaction into
+    the post-write liveness guard and recovering via case (a), a
+    grace reader that resolved pre-compaction completing AFTER the
+    publish, a concurrent maintainer's newer orphan staging surviving
+    every sweep, and the vacuum as the grace deadline — with the
+    search byte-identical to the in-memory composition at the end."""
+    from flink_log_analysis_spark.streaming.ann_ingest import (
+        committed_batches,
+        pq_ingest_stream,
+        stream_ingest_id,
+    )
+
+    corpus, centers, books, idx = _small_pq_fixture(spark, tmp_path)
+    inputs, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+
+    def arrive(rem: int, name: str) -> None:
+        corpus.filter(F.col("vec_id") % 5 == rem).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{inputs}/{name}")
+
+    def drain() -> list[int]:
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(inputs)
+        )
+        return pq_ingest_stream(spark, idx, stream, ckpt)
+
+    # stream delivers its first micro-batch, then pauses (checkpoint)
+    arrive(2, "b0")
+    assert drain() == [0]
+    # a reader and a doomed append both resolve the pre-compaction pair
+    grace_gen, grace_meta = similarity._gen_and_meta(spark, idx)
+    stale = (grace_gen, grace_meta)
+    # maintainer 1: compaction folds base + stream batch, repoints
+    stats = similarity.ivf_index_compact(spark, idx)  # grace_keep=1
+    assert stats["ingests_folded"] == 2
+    live = _live(spark, idx)
+    assert live != grace_gen
+    # the grace reader completes AFTER the publish: codes AND meta
+    assert spark.read.parquet(grace_gen).count() > 0
+    c_g, b_g = similarity.read_pq_meta(spark, idx, meta_path=grace_meta)
+    assert c_g == centers and b_g == books
+    # maintainer 2: an append that resolved the OLD generation races
+    # the compaction — the post-write liveness guard must raise
+    monkeypatch.setattr(similarity, "_gen_and_meta", lambda s, p: stale)
+    batch3 = corpus.filter(F.col("vec_id") % 5 == 3)
+    with pytest.raises(RuntimeError, match="raced a compaction"):
+        similarity.pq_index_append(spark, idx, batch3, ingest_key="r-b0")
+    monkeypatch.undo()
+    # recovery case (a): the compaction never saw the raced batch, so
+    # a plain re-run lands it in the LIVE generation, no duplicates
+    before = spark.read.parquet(live).count()
+    similarity.pq_index_append(spark, idx, batch3, ingest_key="r-b0")
+    assert spark.read.parquet(live).count() == before + batch3.count()
+    # a concurrent maintainer's NEWER staging must survive every sweep
+    os.makedirs(f"{idx}/vectors-g9pdeadbeef")
+    # maintainer 3: the vacuum is the grace deadline — the superseded
+    # generation (and only it) goes; live + newer orphan survive
+    swept = similarity.index_vacuum(spark, idx)
+    assert swept["removed"] == [os.path.basename(grace_gen)]
+    assert not os.path.exists(grace_gen)
+    assert os.path.exists(f"{idx}/vectors-g9pdeadbeef")
+    assert _live(spark, idx) == live
+    # the stream restarts across the fold: batch 0's marker makes the
+    # folded batch a skip, batch 1 lands in the live generation
+    arrive(4, "b1")
+    assert drain() == [0, 1]
+    ingest = stream_ingest_id(ckpt)
+    assert committed_batches(idx, ingest) == [0, 1]
+    assert spark.read.parquet(_live(spark, idx)).count() == corpus.count()
+    # end-state identity: the persisted search over the tortured index
+    # equals the in-memory composition over the full corpus, bit-equal
+    queries = corpus.filter("vec_id % 32 = 0")
+    res, _ = similarity.knn_pq_persisted(spark, idx, queries, k=K, n_probe=2)
+    mem = similarity.knn_ivf_pq(
+        corpus, queries, centers, books, k=K, n_probe=2
+    )
+    assert res.exceptAll(mem).count() == 0
+    assert mem.exceptAll(res).count() == 0
