@@ -1901,6 +1901,7 @@ def write_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     grace_keep: int = 1,
+    residual: bool = False,
 ) -> None:
     """Persist the IVF-PQ index: the live vectors directory (published
     via the ``_current`` manifest pointer) holds (id, pq_code) parquet
@@ -1910,33 +1911,50 @@ def write_pq_index(
     ``ingest=`` partition (idempotent replay), and a search filtering
     on probed cells reads only those cells' files with each row m
     small ints (the 32x payload story). The generation's ``_meta`` is
-    ONE row carrying centroids + codebooks (a searcher's bounded 1-row
-    read). Same build-once/search-many economics as
-    :func:`write_ivf_index`: the assignment scan and the partitioned
-    write are paid here, never per query; publish is the build-aside
-    pointer swap of :func:`_publish_generation`."""
+    ONE row carrying centroids + codebooks + the codec flag (a
+    searcher's bounded 1-row read). Same build-once/search-many
+    economics as :func:`write_ivf_index`: the assignment scan and the
+    partitioned write are paid here, never per query; publish is the
+    build-aside pointer swap of :func:`_publish_generation`.
+
+    ``residual=True`` writes the faiss codec proper: codes are taken
+    over CELL RESIDUALS (:func:`pq_encode_residual`) and the flag is
+    stored in the meta, so search (:func:`knn_pq_persisted`), batch
+    append, and stream ingest all dispatch to the residual scoring /
+    encode automatically — the codec is an index property, never a
+    caller argument that could drift from what's on disk."""
     assigned, _, cmat = ivf_assign(
         corpus, centroids=centroids, id_col=id_col, vec_col=vec_col
     )
-    codes = pq_encode(
-        assigned, codebooks, vec_col="arr", id_col=id_col,
-        keep_cols=("cell",),
-    ).withColumn("ingest", F.lit("base"))
+    if residual:
+        codes = pq_encode_residual(
+            assigned, cmat, codebooks, id_col=id_col
+        ).withColumn("ingest", F.lit("base"))
+    else:
+        codes = pq_encode(
+            assigned, codebooks, vec_col="arr", id_col=id_col,
+            keep_cols=("cell",),
+        ).withColumn("ingest", F.lit("base"))
     meta = corpus.sparkSession.createDataFrame(
-        [(centroids, codebooks)],
+        [(centroids, codebooks, residual)],
         "centroids array<array<double>>, "
-        "codebooks array<array<array<double>>>",
+        "codebooks array<array<array<double>>>, residual boolean",
     )
     _publish_generation(
         corpus.sparkSession, path, codes, meta, grace_keep=grace_keep
     )
 
 
-def read_pq_meta(spark, path: str, meta_path: str | None = None):
-    """(centroids, codebooks) from the 1-row meta — doubles round-trip
-    parquet exactly, so the searcher quantizes against the identical
-    constants the writer encoded with. ``meta_path`` lets a caller
-    that already resolved the generation pass its meta location."""
+def read_pq_codec(spark, path: str, meta_path: str | None = None):
+    """(centroids, codebooks, residual) — the FULL codec spec from the
+    1-row meta: doubles round-trip parquet exactly, and ``residual``
+    says what the codes MEAN (raw vectors or cell residuals — see
+    :func:`residual_vec`). The flag travels inside the generation's
+    meta so a pointer swap can never pair one codec's codes with the
+    other's scoring, and every consumer (search, append, stream
+    ingest) dispatches on it — a reader can't silently ADC-score
+    residual codes against raw-vector tables. Indexes written before
+    the flag existed read as raw (``residual=False``)."""
     if meta_path is None:
         _, meta_path = _gen_and_meta(spark, path)
     r = spark.read.parquet(meta_path).collect()[0]
@@ -1944,6 +1962,14 @@ def read_pq_meta(spark, path: str, meta_path: str | None = None):
     books = [
         [[float(v) for v in cw] for cw in book] for book in r["codebooks"]
     ]
+    d = r.asDict()
+    return cents, books, bool(d.get("residual", False))
+
+
+def read_pq_meta(spark, path: str, meta_path: str | None = None):
+    """(centroids, codebooks) — the fit artifacts alone; see
+    :func:`read_pq_codec` for the codec-complete read."""
+    cents, books, _ = read_pq_codec(spark, path, meta_path=meta_path)
     return cents, books
 
 
@@ -1959,12 +1985,15 @@ def knn_pq_persisted(
     """Search the persisted IVF-PQ index: meta read, per-query probe,
     then a vectors scan FILTERED to the probed cells' union (partition
     pruning — files outside those cells never enter the scan,
-    plan-asserted in tests) feeding the shared probe-and-score path.
-    Returns (results, scanned cells). Generation and meta resolve from
-    ONE pointer read — a concurrent repoint cannot hand the search a
-    mixed codes/artifacts pair."""
+    plan-asserted in tests) feeding the shared probe-and-score path —
+    the RAW or RESIDUAL one, dispatched on the codec flag the index's
+    own meta carries (:func:`read_pq_codec`; the caller never states
+    the codec, so it can't state it wrongly). Returns (results,
+    scanned cells). Generation and meta resolve from ONE pointer
+    read — a concurrent repoint cannot hand the search a mixed
+    codes/artifacts pair."""
     gen, meta_path = _gen_and_meta(spark, path)
-    cents, books = read_pq_meta(spark, path, meta_path=meta_path)
+    cents, books, residual = read_pq_codec(spark, path, meta_path=meta_path)
     cmat = spark.createDataFrame([(cents,)], "cmat array<array<double>>")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -1982,9 +2011,8 @@ def knn_pq_persisted(
         .filter(F.col("cell").isin([int(c) for c in cells]))
         .select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
     )
-    res = _pq_probe_and_score(
-        codes, queries, cmat, books, k, n_probe, id_col, vec_col
-    )
+    score = _pq_residual_probe_and_score if residual else _pq_probe_and_score
+    res = score(codes, queries, cmat, books, k, n_probe, id_col, vec_col)
     return res, cells
 
 
@@ -2091,20 +2119,28 @@ def pq_index_append(
     passes a deterministic per-batch key and the write becomes a
     dynamic-partition OVERWRITE of that batch's own partition —
     idempotent under micro-batch replay, the exactly-once foreachBatch
-    sink pattern. Scale shape: one projection over the batch + a write
-    touching only the batch's own ingest partition."""
+    sink pattern. Encodes with the index's OWN codec (raw or residual
+    — the meta flag, :func:`read_pq_codec`), so an appended batch can
+    never carry codes the index's searcher would mis-score. Scale
+    shape: one projection over the batch + a write touching only the
+    batch's own ingest partition."""
     from ..session import scoped_conf
 
     target, meta_path = _gen_and_meta(spark, path)
-    cents, books = read_pq_meta(spark, path, meta_path=meta_path)
+    cents, books, residual = read_pq_codec(spark, path, meta_path=meta_path)
     cmat = spark.createDataFrame([(cents,)], "cmat array<array<double>>")
     vecs = new_vectors.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("arr")
     )
-    coded = pq_encode(
-        assign_cells(vecs, cmat), books, vec_col="arr", id_col=id_col,
-        keep_cols=("cell",),
-    ).withColumn("ingest", F.lit(ingest_key or "append"))
+    assigned = assign_cells(vecs, cmat)
+    if residual:
+        coded = pq_encode_residual(assigned, cmat, books, id_col=id_col)
+    else:
+        coded = pq_encode(
+            assigned, books, vec_col="arr", id_col=id_col,
+            keep_cols=("cell",),
+        )
+    coded = coded.withColumn("ingest", F.lit(ingest_key or "append"))
     if ingest_key is None:
         coded.write.mode("append").partitionBy("ingest", "cell").parquet(
             target

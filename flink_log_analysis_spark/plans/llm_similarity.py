@@ -1566,6 +1566,52 @@ def _ensure_pq_index(spark: SparkSession) -> str:
     )
 
 
+def _ensure_pq_residual_index(spark: SparkSession) -> str:
+    """The persisted RESIDUAL-codec IVF-PQ index over the formula
+    corpus, built once per container (formula corpus + constructed
+    centers/books, so the path version string is the fingerprint; the
+    ``-res`` leaf keeps it disjoint from the raw-codec cache)."""
+    path = (
+        "/tmp/spark_graft_pq_manycell/"
+        f"c{MANYCELL_CLUSTERS}x{MANYCELL_PER_CLUSTER}d{MANYCELL_DIM}"
+        f"s{int(MANYCELL_SPREAD * 100)}-m{PQ_EXACT_M}cw{PQ_EXACT_CW}-res-v4"
+    )
+    return _build_index_once(
+        path,
+        "_BUILT",
+        lambda tmp: similarity.write_pq_index(
+            _manycell_corpora(spark)[0],
+            tmp,
+            similarity.clustered_corpus_centers(
+                MANYCELL_CLUSTERS, MANYCELL_DIM
+            ),
+            similarity.constructed_pq_codebooks(
+                PQ_EXACT_M, PQ_EXACT_CW, PQ_EXACT_DSUB
+            ),
+            residual=True,
+        ),
+    )
+
+
+def knn_pq_residual_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual codec PERSISTED — the complete faiss ``IVFx,PQy``
+    production artifact: residual codes in the cell-partitioned
+    layout, the codec flag riding the generation's 1-row meta, and
+    the search dispatching to residual scoring off that flag alone
+    (the caller never states the codec — knn_pq_persisted reads it).
+    Held to the in-memory residual composition's value-exact oracle
+    VERBATIM: a lossy meta round-trip, a mis-dispatched scorer (raw
+    ADC over residual codes), or a mis-pruned partition breaks the
+    hash."""
+    path = _ensure_pq_residual_index(spark)
+    corpus, _ = _manycell_corpora(spark)
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    res, _cells = similarity.knn_pq_persisted(
+        spark, path, queries, k=K, n_probe=IVFPQ_PROBE
+    )
+    return res
+
+
 def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted IVF-PQ index, searched — and held to the SAME
     value-exact oracle as the in-memory composition: meta (centroids +
@@ -2014,6 +2060,7 @@ QUERIES = {
     "knn_pq_adc_exact": knn_pq_adc_exact,
     "knn_ivf_pq_exact": knn_ivf_pq_exact,
     "knn_ivf_pq_residual": knn_ivf_pq_residual,
+    "knn_pq_residual_persisted": knn_pq_residual_persisted,
     "knn_ivf_pq_persisted": knn_ivf_pq_persisted,
     "knn_pq_persisted_rerank": knn_pq_persisted_rerank,
     "knn_pq_streamed": knn_pq_streamed,
@@ -2348,6 +2395,9 @@ ORACLE["knn_ivf_persisted_tuned"] = f"""
 # read/prune cycle must be lossless, so the oracle string is reused
 # verbatim (the knn_ivf_quantized_recall convention).
 ORACLE["knn_ivf_pq_persisted"] = ORACLE["knn_ivf_pq_exact"]
+# the persisted residual index must be lossless vs the in-memory
+# residual composition — oracle string reused VERBATIM
+ORACLE["knn_pq_residual_persisted"] = ORACLE["knn_ivf_pq_residual"]
 
 # The persisted ADC-shortlist + exact-re-rank composition must recover
 # the FULL-PRECISION IVF answer (candidate-covering shortlist restores

@@ -1229,3 +1229,70 @@ def test_lifecycle_torture_three_maintainers_one_pointer(
     )
     assert res.exceptAll(mem).count() == 0
     assert mem.exceptAll(res).count() == 0
+
+
+def test_residual_pq_index_full_lifecycle(spark, tmp_path):
+    """The residual codec as a PERSISTED index property: the flag
+    rides the generation meta (read_pq_codec; pre-flag indexes read as
+    raw), search dispatches to residual scoring off it, appends encode
+    with the index's own codec, compaction carries the flag forward,
+    and the rerank composition recovers the full-precision IVF answer
+    over a residual index — at every stage byte-identical to the
+    in-memory residual composition."""
+    corpus = similarity.clustered_corpus(
+        spark, n_clusters=8, per_cluster=16, dim=8, spread=0.3
+    ).localCheckpoint()
+    centers = similarity.clustered_corpus_centers(n_clusters=8, dim=8)
+    books = similarity.constructed_pq_codebooks(4, 8, 2)
+    idx = str(tmp_path / "respq")
+    similarity.write_pq_index(
+        corpus.filter(F.col("vec_id") % 5 < 2), idx, centers, books,
+        residual=True,
+    )
+    c_r, b_r, flag = similarity.read_pq_codec(spark, idx)
+    assert flag is True and c_r == centers and b_r == books
+    # append encodes with the index's codec (no caller argument)
+    similarity.pq_index_append(
+        spark, idx, corpus.filter(F.col("vec_id") % 5 >= 2)
+    )
+    queries = corpus.filter("vec_id % 32 = 0")
+    mem = similarity.knn_ivf_pq_residual(
+        corpus, queries, centers, books, k=K, n_probe=2
+    )
+    res, cells = similarity.knn_pq_persisted(
+        spark, idx, queries, k=K, n_probe=2
+    )
+    assert 0 < len(cells) < 8
+    assert res.exceptAll(mem).count() == 0
+    assert mem.exceptAll(res).count() == 0
+    # the residual codes genuinely differ from raw codes at the same
+    # fit artifacts — the dispatch is load-bearing, not cosmetic
+    raw_idx = str(tmp_path / "rawpq")
+    similarity.write_pq_index(corpus, raw_idx, centers, books)
+    assert similarity.read_pq_codec(spark, raw_idx)[2] is False
+    raw_codes = spark.read.parquet(_live(spark, raw_idx)).select(
+        "vec_id", "pq_code"
+    )
+    res_codes = spark.read.parquet(_live(spark, idx)).select(
+        "vec_id", "pq_code"
+    )
+    assert raw_codes.exceptAll(res_codes).count() > 0
+    # compaction folds ingests and carries the codec flag forward
+    stats = similarity.ivf_index_compact(spark, idx)
+    assert stats["ingests_folded"] == 2
+    assert similarity.read_pq_codec(spark, idx)[2] is True
+    res2, _ = similarity.knn_pq_persisted(spark, idx, queries, k=K,
+                                          n_probe=2)
+    assert res2.exceptAll(mem).count() == 0
+    assert mem.exceptAll(res2).count() == 0
+    # the rerank composition over a RESIDUAL index still recovers the
+    # full-precision IVF search (the retention argument is codec-
+    # independent once the shortlist covers the probed candidates)
+    full = similarity.knn_ivf(
+        corpus, queries, k=K, n_probe=2, centroids=centers
+    )
+    rr, _ = similarity.knn_pq_persisted_rerank(
+        spark, idx, corpus, queries, k=K, n_probe=2, shortlist=64
+    )
+    assert rr.exceptAll(full).count() == 0
+    assert full.exceptAll(rr).count() == 0

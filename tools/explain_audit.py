@@ -53,6 +53,7 @@ CROSS_JOIN_OK = {
     "knn_pq_rerank_recall",  # brute ground truth + broadcast query attaches
     "knn_ivf_pq_exact",    # 1-row centroid-matrix broadcast attach
     "knn_ivf_pq_residual",  # same attaches (residual codec variant)
+    "knn_pq_residual_persisted",  # same attaches over the persisted index
     "knn_ivf_pq_persisted",  # same attaches over the persisted index
     "knn_pq_persisted_rerank",  # same attaches + broadcast query re-rank
     "knn_pq_streamed",     # same attaches over the stream-built index
@@ -63,6 +64,7 @@ CROSS_JOIN_OK = {
     "knn_ivf_persisted_tuned",  # same truth side + 1-row identity attaches
     "lm_perplexity_filter",  # 1-row bigram-model map broadcast attach
     "lm_perplexity_filter_3gram",  # same attach, three-map model row
+    "lm_perplexity_filter_kn",  # same attach, four-map KN model row
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
