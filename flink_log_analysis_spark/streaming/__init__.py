@@ -8,6 +8,7 @@ micro-batch file/Kafka source -> the same batch-declared plans ->
 """
 
 from .upsert import (  # noqa: F401
+    BucketedParquetUpsertSink,
     MemoryUpsertSink,
     ParquetUpsertSink,
     jdbc_upsert_statement,

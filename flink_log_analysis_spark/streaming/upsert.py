@@ -26,9 +26,12 @@ Scale notes: the streamed batches that reach these sinks are
 *post-aggregation* (one row per group key), so sink volume is bounded
 by key cardinality, not input rate. ParquetUpsertSink rewrites the
 whole keyed state per batch — correct for the reference's small sink
-tables (10-row toplists, per-IP counts); a 100 TB deployment with
-billions of keys swaps in Delta/Iceberg MERGE via the same
-foreachBatch contract.
+tables (10-row toplists, per-IP counts); past that,
+:class:`BucketedParquetUpsertSink` hash-buckets the state and
+rewrites only the buckets a batch touches (per-batch IO O(affected
+buckets + batch), never O(state) — the Delta/Iceberg MERGE cost
+shape on plain parquet), and a deployment with a lakehouse table
+swaps in the real MERGE via the same foreachBatch contract.
 """
 
 from __future__ import annotations
@@ -116,6 +119,100 @@ def jdbc_upsert_writer(connection_factory, table: str, key_columns: list[str],
         batch_df.foreachPartition(write_partition)
 
     return apply
+
+
+class BucketedParquetUpsertSink:
+    """Keyed-overwrite parquet sink with BUCKET-granular rewrites —
+    the billions-of-keys shape :class:`ParquetUpsertSink` honestly
+    says it is not (it rewrites the WHOLE keyed state per batch;
+    right for the reference's 10-row toplists, ruinous at scale).
+
+    State lives hash-bucketed on disk (``_bucket = pmod(xxhash64(
+    keys), n_buckets)`` as a partition column), and a batch rewrites
+    ONLY the buckets that hold its updated keys: the prior-state read
+    is partition-pruned to those buckets, the merge (anti-join +
+    union — the same MERGE semantics) touches only their rows, and
+    the write is a dynamic-partition overwrite of exactly those
+    directories. Untouched buckets' files are never opened, read, or
+    rewritten — per-batch IO is O(state/n_buckets × affected buckets
+    + batch), not O(state). This is the cost shape a Delta/Iceberg
+    MERGE gives, on plain parquet; a deployment sizes ``n_buckets``
+    so one bucket ≈ a comfortable task (the shuffle-partition-sizing
+    discipline applied to sink state).
+
+    Idempotent under batch replay like its siblings: re-applying a
+    batch anti-joins away the same keys and rewrites the same buckets
+    to the same contents (xxhash64 is seed-fixed, so bucket routing
+    is deterministic across restarts). Crash posture: the overwrite
+    stages under Spark's job-commit protocol, so a crash mid-batch
+    leaves the prior buckets intact and checkpoint replay of the
+    batch completes the rewrite; on an object store without atomic
+    rename the same caveat applies as any dynamic-partition
+    overwrite there.
+    """
+
+    BUCKET_COL = "_bucket"
+
+    def __init__(self, path: str, key_columns: list[str],
+                 n_buckets: int = 64):
+        self.path = path
+        self.key_columns = list(key_columns)
+        self.n_buckets = int(n_buckets)
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            self.BUCKET_COL,
+            F.pmod(
+                F.xxhash64(*self.key_columns), F.lit(self.n_buckets)
+            ).cast("int"),
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        batch = self._with_bucket(batch_df)
+        affected = sorted(
+            r[0]
+            for r in batch.select(self.BUCKET_COL).distinct().collect()
+        )
+        if not affected:
+            return
+        merged = batch
+        if os.path.exists(self.path):
+            keep = (
+                spark.read.parquet(self.path)
+                # partition-pruned: only the affected buckets' files
+                # enter the scan
+                .filter(F.col(self.BUCKET_COL).isin(affected))
+                .join(
+                    batch.select(*self.key_columns).distinct(),
+                    on=self.key_columns,
+                    how="left_anti",
+                )
+            )
+            merged = keep.unionByName(batch)
+        # materialize BEFORE the overwrite: `merged` lazily reads the
+        # same bucket directories the write replaces (bounded rows —
+        # the affected buckets' state + the post-aggregation batch)
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.repartition(len(affected), self.BUCKET_COL)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(self.path)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        try:
+            return spark.read.parquet(self.path).drop(self.BUCKET_COL)
+        except Exception:
+            return None
 
 
 class MemoryUpsertSink:

@@ -917,3 +917,97 @@ def test_checkpoint_recovery_sqlite_sink_no_double_count(spark, tmp_path):
     )
     sink(replay, batch_id=999)
     assert table_state() == exp
+
+
+def test_bucketed_parquet_upsert_sink_rewrites_only_affected_buckets(
+    spark, tmp_path
+):
+    """BucketedParquetUpsertSink: MERGE semantics identical to the
+    whole-state sink, but a batch rewrites ONLY the hash buckets
+    holding its updated keys — an unaffected bucket's files are
+    byte-untouched across the batch (names AND mtimes), which is the
+    whole point at billions of keys. Also pins replay idempotence and
+    end-to-end use as a real foreachBatch sink."""
+    import glob
+    import os
+
+    from flink_log_analysis_spark.streaming.upsert import (
+        BucketedParquetUpsertSink,
+    )
+
+    path = str(tmp_path / "state")
+    sink = BucketedParquetUpsertSink(path, ["k"], n_buckets=8)
+    keys = [f"key{i}" for i in range(64)]
+    b0 = spark.createDataFrame(
+        [(k, 1) for k in keys], "k string, v int"
+    )
+    sink(b0, 0)
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got == {k: 1 for k in keys}
+    buckets = sorted(
+        d for d in os.listdir(path) if d.startswith("_bucket=")
+    )
+    assert 1 < len(buckets) <= 8
+    # batch 1 updates ONE key: find its bucket, snapshot another's files
+    from pyspark.sql import functions as F
+
+    target = "key7"
+    tb = spark.createDataFrame([(target,)], "k string").select(
+        F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("b")
+    ).first()["b"]
+    untouched = next(
+        d for d in buckets if d != f"_bucket={tb}"
+    )
+    def snap(d):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/{d}/*.parquet")
+        }
+    before = snap(untouched)
+    assert before
+    sink(spark.createDataFrame([(target, 99)], "k string, v int"), 1)
+    assert snap(untouched) == before  # never opened for write
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got[target] == 99 and got["key0"] == 1 and len(got) == 64
+    # replay of batch 1: same buckets, same contents (idempotent)
+    sink(spark.createDataFrame([(target, 99)], "k string, v int"), 1)
+    got2 = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got2 == got
+    # end-to-end as a real foreachBatch sink: stream-final state
+    # equals the MemoryUpsertSink's over the same input
+    import shutil as _sh
+
+    from flink_log_analysis_spark.session import shared_tmp_dir
+    from flink_log_analysis_spark.streaming.runner import (
+        start_upsert_stream,
+    )
+
+    work = shared_tmp_dir("bucketed_sink_")
+    try:
+        ev = spark.createDataFrame(
+            [(f"u{i % 37}", i) for i in range(500)], "user string, n long"
+        )
+        ev.write.mode("overwrite").parquet(f"{work}/in")
+        stream = (
+            spark.readStream.schema("user string, n long")
+            .parquet(f"{work}/in")
+        )
+        agg = stream.groupBy("user").agg(F.count(F.lit(1)).alias("c"))
+        bsink = BucketedParquetUpsertSink(f"{work}/state", ["user"], 8)
+        q = start_upsert_stream(
+            agg, bsink, f"{work}/ckpt",
+            stat_time="1970-01-01 00:00:00", available_now=True,
+        )
+        assert q.awaitTermination(timeout=300)
+        final = {
+            r["user"]: r["c"] for r in bsink.read(spark).collect()
+        }
+        exp = {
+            r["user"]: r["c"]
+            for r in ev.groupBy("user")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert final == exp
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
