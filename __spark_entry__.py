@@ -90,14 +90,21 @@ def _plan_modules():
 #
 # Touched-path note: this round's code changes touch the persisted-
 # index publish/vacuum (legacy-meta grace, tuning delete ordering),
-# span_dedup (packing guard), and knn_pq_persisted_rerank (coverage
-# guard) — all of which held 50/50-green r12 rows and re-certify in
-# the local gate + pytest this round; the guards are no-ops on
-# in-range contract inputs by construction (tests pin the raising
-# paths). The r12-green rows rotated out to make room (the 22
-# r8-stale returns, the seven persisted-index rows, the r11/r12
-# newborns) all run in tools/check_correctness.py (driver-identical
-# canon, 152/152 green) and in tests/test_oracle_parity.
+# span_dedup (packing guard), knn_pq_persisted_rerank (coverage
+# guard), the PQ meta (codec flag; pre-flag indexes read as raw), and
+# the MemoryUpsertSink transfer path (Arrow both ways) — all of which
+# held 50/50-green r12 rows and re-certify in the local gate + pytest
+# this round; the guards are no-ops on in-range contract inputs by
+# construction (tests pin the raising paths). The r12-green rows
+# rotated out to make room (the 22 r8-stale returns, the seven
+# persisted-index rows, the r11/r12 newborns) all run in
+# tools/check_correctness.py (driver-identical canon, 154/154 green)
+# and in tests/test_oracle_parity.
+# r14 newborn heads (registry rows without a driver slot yet — the
+# window was exactly full): lm_perplexity_filter_kn (interpolated
+# Kneser-Ney, hand-pinned arithmetic + refit oracle) and
+# knn_pq_residual_persisted (the persisted residual codec, oracle
+# reused verbatim from knn_ivf_pq_residual, which IS in this window).
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",

@@ -265,17 +265,25 @@ def fit_kn_bigram_model(
     ref: DataFrame, text_col: str = "text"
 ) -> tuple[dict, dict, dict, dict, int, int]:
     """Fit the interpolated Kneser-Ney bigram model's count tables:
-    (uni map, bi map keyed 'w1 w2', follower map N1+(w1 ·) — distinct
-    continuations per history, predecessor map N1+(· w2) — distinct
-    histories per word, B = N1+(· ·) total distinct bigrams,
-    V = vocabulary size). Chen & Goodman (1998) §2.7: KN replaces the
-    lower-order raw frequency with the CONTINUATION count — how many
-    distinct contexts a word follows — which is the smoothing KenLM
-    ships. Every table derives from the same two explode+hash-agg
-    passes as :func:`fit_bigram_model` (the follower/predecessor maps
-    are one more hash-agg over the DISTINCT bigram frame, map-side
-    partials intact), bounded by the REFERENCE corpus exactly like
-    the other fits."""
+    (hist map — c(w1 ·) = Σ_w2 c(w1 w2), the HISTORY count; bi map
+    keyed 'w1 w2'; follower map N1+(w1 ·) — distinct continuations
+    per history; predecessor map N1+(· w2) — distinct histories per
+    word; B = N1+(· ·) total distinct bigrams; V = vocabulary size).
+    Chen & Goodman (1998) §2.7: KN replaces the lower-order raw
+    frequency with the CONTINUATION count — how many distinct
+    contexts a word follows — which is the smoothing KenLM ships.
+
+    The interpolation denominator is the HISTORY count, not the raw
+    unigram count — the distinction matters beyond normalization: a
+    word that appears only document-finally has c(w) > 0 but zero
+    bigram mass as a history, and a unigram denominator would assign
+    its transitions probability EXACTLY ZERO (ln undefined — caught
+    by the sf0.01 oracle refusing ln(0) in round 13). With history
+    counts, c(w1 ·) > 0 implies N1+(w1 ·) ≥ 1, so λ > 0 and every
+    transition has positive mass; c(w1 ·) = 0 backs off to the
+    continuation distribution. Every table derives from the same two
+    explode+hash-agg passes as :func:`fit_bigram_model`, bounded by
+    the REFERENCE corpus exactly like the other fits."""
     from ..session import ensure_min_partitions
 
     toks = (
@@ -285,29 +293,31 @@ def fit_kn_bigram_model(
     )
     try:
         uni, bi = _counts_from(toks)
-        u = {r["w"]: r["c"] for r in uni.collect()}
+        n_vocab = uni.count()
         bi_rows = bi.collect()
     finally:
         toks.unpersist()
     b = {f"{r['w1']} {r['w2']}": r["c"] for r in bi_rows}
+    hist: dict = {}
     foll: dict = {}
     pred: dict = {}
-    for r in bi_rows:  # distinct (w1, w2) rows: each contributes 1
+    for r in bi_rows:  # distinct (w1, w2) rows
+        hist[r["w1"]] = hist.get(r["w1"], 0) + r["c"]
         foll[r["w1"]] = foll.get(r["w1"], 0) + 1
         pred[r["w2"]] = pred.get(r["w2"], 0) + 1
-    return u, b, foll, pred, len(bi_rows), len(u)
+    return hist, b, foll, pred, len(bi_rows), int(n_vocab)
 
 
 def kn_model_row(
-    spark, uni_map: dict, bi_map: dict, foll_map: dict, pred_map: dict
+    spark, hist_map: dict, bi_map: dict, foll_map: dict, pred_map: dict
 ) -> DataFrame:
     """The KN count tables as ONE broadcast row of four maps (the
     bigram model_row convention — at bigram-model scale the map
     lookups stay cheap; a trigram-scale KN model would take the
     exploded-join path like score_perplexity_3gram)."""
     return spark.createDataFrame(
-        [(uni_map, bi_map, foll_map, pred_map)],
-        "uni map<string,bigint>, bi map<string,bigint>, "
+        [(hist_map, bi_map, foll_map, pred_map)],
+        "hist map<string,bigint>, bi map<string,bigint>, "
         "foll map<string,bigint>, pred map<string,bigint>",
     )
 
@@ -321,15 +331,18 @@ def _kn_transition_score(
 
         Pc(w2)    = (N1+(· w2) + 1) / (B + V)      [Laplace-floored
                      continuation: P > 0 even for OOV w2, ln defined]
-        P(w2|w1)  = max(c(w1 w2) − D, 0)/c(w1)
-                  + ((D · N1+(w1 ·))/c(w1)) · Pc(w2)   if c(w1) > 0
-                  = Pc(w2)                              otherwise
+        P(w2|w1)  = max(c(w1 w2) − D, 0)/c(w1 ·)
+                  + ((D · N1+(w1 ·))/c(w1 ·)) · Pc(w2)  if c(w1 ·) > 0
+                  = Pc(w2)                               otherwise
 
-    ``oov`` counts transitions whose BIGRAM is unseen, matching the
-    other scorers' diagnostic."""
+    with c(w1 ·) the HISTORY count (see :func:`fit_kn_bigram_model` —
+    a unigram denominator would zero out document-final-only
+    histories; with history counts c(w1 ·) > 0 forces N1+(w1 ·) ≥ 1,
+    so P > 0 always and ln stays defined). ``oov`` counts transitions
+    whose BIGRAM is unseen, matching the other scorers' diagnostic."""
     key = F.concat_ws(" ", w1, w2)
     cb = F.coalesce(F.try_element_at("bi", key), F.lit(0)).cast("double")
-    cu = F.coalesce(F.try_element_at("uni", w1), F.lit(0)).cast("double")
+    cu = F.coalesce(F.try_element_at("hist", w1), F.lit(0)).cast("double")
     f1 = F.coalesce(F.try_element_at("foll", w1), F.lit(0)).cast("double")
     p2 = F.coalesce(F.try_element_at("pred", w2), F.lit(0)).cast("double")
     pc = (p2 + 1) / F.lit(float(n_bigrams + vocab_size))

@@ -892,9 +892,9 @@ ORACLE["lm_perplexity_filter_3gram_dist"] = ORACLE[
 # --- Kneser-Ney depth (the smoothing KenLM actually ships) ---------
 #
 # Threshold sits just above the sf0.01 median KN ln-perplexity
-# (3.5884; quartiles 3.51 / 3.59 / 3.66) so the verdict splits the
+# (3.5717; quartiles 3.49 / 3.57 / 3.64) so the verdict splits the
 # corpus non-trivially at every scale factor.
-LM_KN_PPL_THRESHOLD = 3.59
+LM_KN_PPL_THRESHOLD = 3.58
 
 _LM_KN_MODELS: dict[str, tuple[dict, dict, dict, dict, int, int]] = {}
 
@@ -926,22 +926,24 @@ def lm_perplexity_filter_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the discount/interpolation arithmetic in the pinned operation
     order (operators/lmfilter.py _kn_transition_score, the one
     smoothing site)."""
-    uni, bi, foll, pred, n_bigrams, vocab = _lm_kn_model(spark, sf_dir)
+    hist, bi, foll, pred, n_bigrams, vocab = _lm_kn_model(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
     return lmfilter.score_perplexity_kn(
         docs,
-        lmfilter.kn_model_row(spark, uni, bi, foll, pred),
+        lmfilter.kn_model_row(spark, hist, bi, foll, pred),
         n_bigrams,
         vocab,
         LM_KN_PPL_THRESHOLD,
     )
 
 
-# The KN twin: refits uni/bi AND the continuation tables (follower
-# counts per history, predecessor counts per word, total distinct
-# bigrams) from the same slice, restates the one smoothing expression
-# with the SAME left-assoc parenthesization
-# (GREATEST(cb-D,0)/cu + ((D*f1)/cu) * pc, pc = (p2+1)/(B+V)), rounds
+# The KN twin: refits bi AND the continuation tables (HISTORY counts
+# c(w1.) as the interpolation denominator — see fit_kn_bigram_model's
+# docstring for why unigram counts there would produce ln(0) —
+# follower counts per history, predecessor counts per word, total
+# distinct bigrams) from the same slice, restates the one smoothing
+# expression with the SAME left-assoc parenthesization
+# (GREATEST(cb-D,0)/hc + ((D*f1)/hc) * pc, pc = (p2+1)/(B+V)), rounds
 # each ln to 12 BEFORE the position-ordered fold, and replays the
 # verdict.
 ORACLE["lm_perplexity_filter_kn"] = """
@@ -961,6 +963,7 @@ ORACLE["lm_perplexity_filter_kn"] = """
                   FROM refdocs WHERE len(toks) >= 2)
         ) GROUP BY w1, w2
     ),
+    hist AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS hc FROM bi GROUP BY w1),
     foll AS (SELECT w1, COUNT(*) AS f FROM bi GROUP BY w1),
     pred AS (SELECT w2, COUNT(*) AS p FROM bi GROUP BY w2),
     nb AS (SELECT COUNT(*) AS b FROM bi),
@@ -974,11 +977,11 @@ ORACLE["lm_perplexity_filter_kn"] = """
     scored AS (
         SELECT t.doc_id, t.i,
                ROUND(ln(
-                   CASE WHEN COALESCE(u.c, 0) > 0
+                   CASE WHEN COALESCE(h.hc, 0) > 0
                         THEN GREATEST(COALESCE(b.c, 0) - {D}, 0.0)
-                               / COALESCE(u.c, 0)
+                               / COALESCE(h.hc, 0)
                              + (({D} * COALESCE(f.f, 0))
-                                  / COALESCE(u.c, 0))
+                                  / COALESCE(h.hc, 0))
                                * ((COALESCE(p.p, 0) + 1)
                                     / (nb.b + v.vs))
                         ELSE (COALESCE(p.p, 0) + 1) / (nb.b + v.vs)
@@ -987,7 +990,7 @@ ORACLE["lm_perplexity_filter_kn"] = """
                CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS oov
         FROM trans t
         LEFT JOIN bi b ON b.w1 = t.w1 AND b.w2 = t.w2
-        LEFT JOIN uni u ON u.w = t.w1
+        LEFT JOIN hist h ON h.w1 = t.w1
         LEFT JOIN foll f ON f.w1 = t.w1
         LEFT JOIN pred p ON p.w2 = t.w2
         CROSS JOIN nb CROSS JOIN v

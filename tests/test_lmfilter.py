@@ -151,8 +151,12 @@ def test_kn_fit_and_score_hand_computed(spark):
     ref = spark.createDataFrame(
         [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
     )
-    u, b, foll, pred, n_big, vocab = lmfilter.fit_kn_bigram_model(ref)
-    assert u == {"a": 3, "b": 2, "c": 1}
+    hist, b, foll, pred, n_big, vocab = lmfilter.fit_kn_bigram_model(ref)
+    # HISTORY counts c(w1 .) — NOT unigram counts: "b" occurs twice
+    # but precedes something only once, and "c" (document-final only)
+    # has NO history mass at all, which is exactly the case a unigram
+    # denominator would send to ln(0) (caught at sf0.01, r13)
+    assert hist == {"a": 3, "b": 1}
     assert b == {"a b": 2, "b a": 1, "a c": 1}
     # distinct continuations per history / distinct histories per word
     assert foll == {"a": 2, "b": 1}      # a -> {b, c}; b -> {a}
@@ -168,13 +172,15 @@ def test_kn_fit_and_score_hand_computed(spark):
     def lp(p):
         return round(math.log(p), lmfilter.LOG_ROUND)
 
-    model = lmfilter.kn_model_row(spark, u, b, foll, pred)
+    model = lmfilter.kn_model_row(spark, hist, b, foll, pred)
     docs = spark.createDataFrame(
         [
             (10, "a b"),   # seen bigram, seen history
             (11, "b c"),   # unseen bigram, seen history
             (12, "z a"),   # unseen history -> continuation backoff
             (13, "z z"),   # fully OOV -> floored continuation
+            (14, "c a"),   # document-final-only history: c(c)>0 but
+                           # c(c .)=0 -> continuation backoff, P>0
         ],
         "doc_id long, text string",
     )
@@ -189,8 +195,9 @@ def test_kn_fit_and_score_hand_computed(spark):
     assert rows[10]["n_oov"] == 0
     assert rows[10]["ppl"] == round(-lp(p10), lmfilter.PPL_ROUND)
     assert bool(rows[10]["kept"]) is True
-    # doc 11: c(b c)=0 -> discount clamps to 0; lambda(b)=D*1/2
-    p11 = 0.0 / 2 + ((D * 1) / 2) * pc(1)
+    # doc 11: c(b c)=0 -> discount clamps to 0; lambda(b)=D*1/c(b .)
+    # with the HISTORY count c(b .)=1 (not the unigram count 2)
+    p11 = 0.0 / 1 + ((D * 1) / 1) * pc(1)
     assert rows[11]["n_oov"] == 1
     assert rows[11]["ppl"] == round(-lp(p11), lmfilter.PPL_ROUND)
     # doc 12: history z unseen -> P = pc(pred[a]) = pc(1)
@@ -199,3 +206,8 @@ def test_kn_fit_and_score_hand_computed(spark):
     assert rows[13]["n_oov"] == 1
     assert rows[13]["ppl"] == round(-lp(pc(0)), lmfilter.PPL_ROUND)
     assert bool(rows[13]["kept"]) is False
+    # doc 14: the regression case — "c" is seen (unigram 1) but only
+    # document-finally, so it has zero history mass; the history-count
+    # denominator routes it to the continuation backoff instead of
+    # the zero-probability ln(0) a unigram denominator produces
+    assert rows[14]["ppl"] == round(-lp(pc(1)), lmfilter.PPL_ROUND)
