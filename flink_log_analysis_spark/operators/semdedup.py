@@ -1,0 +1,199 @@
+"""SemDeDup — semantic deduplication via embedding clusters (Abbas
+et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication").
+
+Exact near-duplicate detection over embeddings is O(n^2); SemDeDup's
+observation is that semantic duplicates land in the same cluster of
+any reasonable coarse quantizer, so it clusters the corpus (k-means
+in the paper), compares pairs ONLY within a cluster, and keeps one
+representative per duplicate group — the member with the LOWEST
+cosine similarity to its cluster centroid (the most "interior"
+duplicates are removed, retaining the diverse boundary point).
+
+Spark-first shape:
+
+- **Cluster assignment is a projection, not a join.** The centroid
+  set travels as ONE broadcast row (the ``cmat`` convention,
+  :mod:`.similarity`): each vector computes its rounded cosine to
+  every centroid inside a ``transform`` and takes the struct-max —
+  no shuffle, no crossJoin beyond the whitelisted 1-row attach. The
+  centroid count is a CONFIG-bounded parameter (the paper uses 50k
+  for LAION), so the broadcast never scales with the corpus.
+- **The quadratic work is fenced per cell.** Candidate pairs come
+  from a self-equi-join on ``cell`` — shuffle keyed by cell, pair
+  count bounded by sum of per-cell occupancy squared, the quantity
+  the cluster count controls (that is the paper's own scaling
+  argument; a skewed cell degrades gracefully into the
+  embedding-LSH fallback :mod:`.dedup` already provides).
+- **Duplicate groups are transitive-closure components** over the
+  threshold graph (:mod:`.graph` — driver union-find under the edge
+  threshold, distributed hash-min label propagation above it), so
+  a~b, b~c collapses to ONE kept representative even when a!~c.
+
+Determinism contract: centroids are pinned rows of the corpus itself
+(every ``seed_mod``-th vector, collected in id order — bounded by
+construction at contract scale; production passes externally fitted
+centroids), cosines round to 6 digits before every comparison (the
+certified Spark/DuckDB ``list_cosine_similarity`` pairing), and all
+ties break toward the lower id — so a DuckDB oracle replays
+assignment, edges, components, and the keep rule exactly.
+
+Reference behavioral parity: the reference engine
+(/root/reference/src/main/java/com/jmx/analysis/LogAnalysis.java) has
+no embedding surface — this is engine-extension tier (SURVEY.md §2.D).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .graph import connected_components
+from .similarity import as_double, cosine
+
+SEED_MOD = 40     # contract centroids = every 40th vector, id order
+TAU = 0.3         # rounded-cosine duplicate threshold within a cell
+COS_ROUND = 6     # the repo-wide certified cosine rounding
+
+
+def seed_centroids(
+    emb: DataFrame,
+    seed_mod: int = SEED_MOD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-row broadcastable centroid frame (sids array<bigint>, smat
+    array<array<double>>), both ordered by seed id. Bounded collect:
+    the centroid count is the clustering parameter, not the corpus."""
+    rows = (
+        emb.filter(F.col(id_col) % seed_mod == 0)
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("sv"))
+        .orderBy(id_col)
+        .collect()
+    )
+    sids = [r[0] for r in rows]
+    smat = [list(r[1]) for r in rows]
+    return emb.sparkSession.createDataFrame(
+        [(sids, smat)], "sids array<bigint>, smat array<array<double>>"
+    )
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, e, cell, cos_centroid): nearest centroid by rounded
+    cosine, ties to the lower centroid id — one projection over the
+    1-row broadcast centroid row."""
+    e = as_double(F.col(vec_col))
+    with_e = emb.select(F.col(id_col), e.alias("e")).crossJoin(
+        F.broadcast(seeds)
+    )
+    cosarr = F.transform(
+        F.col("smat"), lambda s: F.round(cosine(F.col("e"), s), COS_ROUND)
+    )
+    best = F.array_max(
+        F.zip_with(
+            cosarr,
+            F.col("sids"),
+            lambda c, s: F.struct(c.alias("cos"), (-s).alias("negid")),
+        )
+    )
+    return with_e.select(
+        id_col,
+        "e",
+        (-best["negid"]).alias("cell"),
+        best["cos"].alias("cos_centroid"),
+    )
+
+
+def cell_dup_edges(
+    assigned: DataFrame,
+    tau: float = TAU,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_a, vec_b) pairs within one cell whose rounded cosine
+    reaches ``tau`` (each pair once, a < b)."""
+    a = assigned.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("e").alias("ea"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("e").alias("eb"),
+        "cell",
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(cosine(F.col("ea"), F.col("eb")), COS_ROUND)
+            >= F.lit(tau)
+        )
+        .select("vec_a", "vec_b")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    seed_mod: int = SEED_MOD,
+    tau: float = TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector SemDeDup verdict.
+
+    Output: (vec_id, cell, cluster_id, cos_centroid, kept) — every
+    vector, its cell, its duplicate component (its own id when it has
+    no duplicate), its rounded cosine to the cell centroid, and
+    whether it survives: singletons survive; each duplicate component
+    keeps exactly its lowest-centroid-similarity member (tie: lowest
+    id), the paper's diversity-preserving choice."""
+    from ..session import ensure_min_partitions
+
+    # Widen first: a single-file local corpus would otherwise run the
+    # n x k cosine projection (and the per-cell pair verification) on
+    # one core — the expression-heavy single-scan trap.
+    emb = ensure_min_partitions(emb)
+    seeds = seed_centroids(emb, seed_mod, id_col, vec_col)
+    # The n x k cosine assignment feeds FOUR consumers (both sides of
+    # the pair join, the verdict join, the keeper agg) — cut the plan
+    # here so it computes once (blocks reclaimed by
+    # session.release_checkpoints, the repo convention).
+    assigned = assign_to_centroids(emb, seeds, id_col, vec_col)
+    assigned = assigned.localCheckpoint(eager=True)
+    comps = connected_components(
+        cell_dup_edges(assigned, tau, id_col), src="vec_a", dst="vec_b"
+    ).withColumnRenamed("vertex", id_col)
+    labeled = assigned.join(comps, id_col, "left")
+    keepers = (
+        labeled.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(
+            F.min(F.struct(F.col("cos_centroid"), F.col(id_col))).alias(
+                "_k"
+            )
+        )
+        .select("component", F.col("_k")[id_col].alias("_keeper"))
+    )
+    return (
+        # keeper table size tracks the duplicate-component count (can
+        # grow with the corpus) — no broadcast hint; AQE picks the
+        # strategy from the measured size.
+        labeled.join(keepers, "component", "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("component"), F.col(id_col)).alias(
+                "cluster_id"
+            ),
+            "cos_centroid",
+            (
+                F.col("component").isNull()
+                | (F.col(id_col) == F.col("_keeper"))
+            ).alias("kept"),
+        )
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity
+from ..operators import dedup, semdedup, similarity
 from ..session import read_table
 
 N_QUERIES = 10  # query set = vec_id < 10
@@ -1030,6 +1030,17 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(
         emb, threshold=NEAR_DUP_THRESHOLD, n_planes=None, dim=DIM
     )
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdict over the real embeddings (operators/
+    semdedup.py): pinned-row centroids, within-cell rounded-cosine
+    threshold graph, transitive-closure duplicate components, keep =
+    lowest centroid similarity per component. The oracle replays
+    assignment (window twin of the struct-max), edges, a recursive-CTE
+    closure, and the keep rule."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semdedup.semantic_dedup(emb)
 
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2053,6 +2064,7 @@ QUERIES = {
     "hard_negative_mining": hard_negative_mining,
     "hard_negative_mining_ivf": hard_negative_mining_ivf,
     "embedding_near_dups": embedding_near_dups,
+    "semantic_dedup": semantic_dedup,
     "embedding_norms": embedding_norms,
     "embedding_quantize": embedding_quantize,
     "knn_quantized": knn_quantized,
@@ -2438,4 +2450,52 @@ ORACLE["knn_pq_rerank_recall"] = f"""
                AS shortlist,
            TRUE AS {PQ_RERANK_COL}
     FROM r WHERE rn <= {K}
+"""
+
+# SemDeDup (operators/semdedup.py): the oracle replays centroid
+# assignment as the window twin of the operator's struct-max (same
+# rounded cosine, same low-id tie), within-cell threshold edges, a
+# recursive-CTE transitive closure (== hash-min label propagation at
+# fixpoint), and the keep-lowest-centroid-similarity rule verbatim.
+ORACLE["semantic_dedup"] = f"""
+    WITH RECURSIVE
+    seeds AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS sv
+              FROM embeddings WHERE vec_id % {semdedup.SEED_MOD} = 0),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sim AS (SELECT vec_id, e, sid,
+                   ROUND(list_cosine_similarity(e, sv),
+                         {semdedup.COS_ROUND}) AS cos
+            FROM v CROSS JOIN seeds),
+    asg AS (SELECT vec_id, e, sid AS cell, cos AS cos_centroid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, sid ASC) AS rn
+            FROM sim),
+    m AS (SELECT vec_id, cell, cos_centroid, e FROM asg WHERE rn = 1),
+    pairs AS (SELECT a.vec_id AS pu, b.vec_id AS pw
+              FROM m a JOIN m b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE ROUND(list_cosine_similarity(a.e, b.e),
+                          {semdedup.COS_ROUND}) >= {semdedup.TAU}),
+    edges AS (SELECT pu AS u, pw AS w FROM pairs
+              UNION SELECT pw, pu FROM pairs),
+    reach(u, w) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u),
+    comp AS (SELECT u AS vec_id, MIN(w) AS component
+             FROM reach GROUP BY u),
+    j AS (SELECT m.vec_id, m.cell, m.cos_centroid, c.component
+          FROM m LEFT JOIN comp c USING (vec_id)),
+    k AS (SELECT component, vec_id AS keeper FROM (
+              SELECT component, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY component
+                                        ORDER BY cos_centroid ASC,
+                                                 vec_id ASC) AS krn
+              FROM j WHERE component IS NOT NULL)
+          WHERE krn = 1)
+    SELECT j.vec_id, j.cell,
+           COALESCE(j.component, j.vec_id) AS cluster_id,
+           j.cos_centroid,
+           (j.component IS NULL OR j.vec_id = k.keeper) AS kept
+    FROM j LEFT JOIN k USING (component)
 """

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, relevance, sampling, skew, urls
+from ..operators import dedup, dsir, relevance, sampling, skew, urls
 from ..operators.rangejoin import bucketed_range_join
 from ..session import read_table
 from .analytics import _dec
@@ -94,6 +94,58 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     across runs/partitionings/engines."""
     docs = read_table(spark, sf_dir, "documents")
     return sampling.training_order_shuffle(docs, seed=SAMPLE_SEED)
+
+
+# --- DSIR importance resampling (Xie et al. 2023) ------------------
+#
+# Target slice: every 10th document plays the clean reference (the
+# LM-filter convention, plans/llm_quality.py) — DSIR fits p on it,
+# q on the raw pool (the rest), and scores/selects POOL docs only.
+DSIR_TARGET_MOD = 10
+DSIR_K = 100
+DSIR_SEED = 11
+
+# One DSIR fit per corpus per session (the _LM_MODELS convention,
+# plans/llm_quality.py): a production selector fits its hashed-ngram
+# models once and scores many batches; the collected table is capped
+# at dsir.N_BUCKETS rows BY CONSTRUCTION, so caching it is a
+# bounded-model property, not a scale leak.
+_DSIR_MODELS: dict[str, tuple[list, int, int]] = {}
+
+
+def _dsir_model(spark: SparkSession, sf_dir: str) -> tuple[list, int, int]:
+    m = _DSIR_MODELS.get(sf_dir)
+    if m is None:
+        docs = read_table(spark, sf_dir, "documents")
+        m = dsir.fit_feature_model(
+            docs, F.col("doc_id") % DSIR_TARGET_MOD == 0
+        )
+        _DSIR_MODELS[sf_dir] = m
+    return m
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pool-document hashed-ngram log importance ratio
+    (operators/dsir.py). The oracle refits both smoothed feature
+    models from the same slices and replays the integer-first
+    log-ratio, the feature-ordered left-assoc fold, and the final
+    rounding — fit and score both certified."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir.importance_weights(
+        docs,
+        F.col("doc_id") % DSIR_TARGET_MOD == 0,
+        model=_dsir_model(spark, sf_dir),
+    )
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k DSIR resample: the DSIR_K pool documents with the
+    largest content-hash-Gumbel-perturbed importance weight — the
+    paper's sample-without-replacement step, deterministic and
+    engine-portable."""
+    return dsir.select_top_k(
+        dsir_weights(spark, sf_dir), DSIR_K, seed=DSIR_SEED
+    )
 
 
 def _synth_url():
@@ -494,4 +546,51 @@ QUERIES = {
     "domain_quota_sample": domain_quota_sample,
     "domain_quota_survivors": domain_quota_survivors,
     "promo_window_orders": promo_window_orders,
+    "dsir_weights": dsir_weights,
+    "dsir_select": dsir_select,
 }
+
+# DSIR oracle: refit both hashed-ngram models and replay the scoring
+# fold. The hash, bucket count, smoothing shape, rounding digits, and
+# fold order are all injected from operators/dsir.py so the twin can
+# never drift from the implementation's constants.
+_DSIR_AGG = f"""
+    WITH occ AS ({dsir.feature_occ_sql("documents", "doc_id")}),
+    cnts AS (SELECT doc_id, feat, COUNT(*) AS cnt
+             FROM occ GROUP BY doc_id, feat),
+    fit AS (SELECT feat,
+             CAST(SUM(CASE WHEN doc_id % {DSIR_TARGET_MOD} = 0
+                           THEN cnt ELSE 0 END) AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN doc_id % {DSIR_TARGET_MOD} <> 0
+                           THEN cnt ELSE 0 END) AS BIGINT) AS cq
+            FROM cnts GROUP BY feat),
+    tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+                   CAST(SUM(cq) AS BIGINT) AS tq FROM fit),
+    contrib AS (
+        SELECT c.doc_id, c.feat, c.cnt,
+               c.cnt * {dsir.log_ratio_sql(
+                   "COALESCE(f.cp, 0)", "COALESCE(f.cq, 0)",
+                   "t.tp", "t.tq", dsir.N_BUCKETS)} AS x
+        FROM cnts c LEFT JOIN fit f USING (feat) CROSS JOIN tot t
+        WHERE c.doc_id % {DSIR_TARGET_MOD} <> 0),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
+                   CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                   ROUND(list_reduce([0.0] || list(x ORDER BY feat),
+                                     (a, b) -> a + b),
+                         {dsir.W_ROUND}) AS logw
+            FROM contrib GROUP BY doc_id)
+"""
+
+ORACLE["dsir_weights"] = f"""
+    {_DSIR_AGG}
+    SELECT doc_id, n_feats, n_grams, logw FROM agg
+"""
+
+ORACLE["dsir_select"] = f"""
+    {_DSIR_AGG},
+    sel AS (SELECT doc_id, n_feats, n_grams, logw,
+                   {dsir.gumbel_key_sql("doc_id", "logw", DSIR_SEED)}
+                       AS gkey
+            FROM agg)
+    SELECT * FROM sel ORDER BY gkey DESC, doc_id LIMIT {DSIR_K}
+"""
