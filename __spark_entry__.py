@@ -105,10 +105,11 @@ def _plan_modules():
 # Kneser-Ney, hand-pinned arithmetic + refit oracle),
 # knn_pq_residual_persisted (the persisted residual codec, oracle
 # reused verbatim from knn_ivf_pq_residual, which IS in this window),
-# dsir_weights + dsir_select (DSIR importance resampling, Xie et al.
-# NeurIPS'23 — refit-and-replay oracle over the hashed-ngram models),
-# and semantic_dedup (SemDeDup, Abbas et al. 2023 — assignment/
-# closure/keep-rule oracle with a recursive CTE).
+# dsir_weights + dsir_select + dsir_weights_stream (DSIR importance
+# resampling, Xie et al. NeurIPS'23 — refit-and-replay oracle over
+# the hashed-ngram models; the stream twin reuses it verbatim), and
+# semantic_dedup (SemDeDup, Abbas et al. 2023 — assignment/closure/
+# keep-rule oracle with a recursive CTE).
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",

@@ -631,6 +631,60 @@ def lm_perplexity_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def dsir_weights_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR scoring: documents arrive on a JSONL file stream
+    and each micro-batch is weighted against the FROZEN hashed-ngram
+    importance model (fit once in batch on the full corpus —
+    production fits offline and ships the <=10k-row table to the
+    scoring tier; the fit never runs inside the stream). Scoring
+    needs a per-document regroup (the feature-ordered fold), so it
+    runs INSIDE foreachBatch as plain batch ops — legal because a
+    document's grams never span micro-batches, making per-batch
+    scoring == batch scoring under a frozen model. Certified by the
+    SAME refit-and-replay oracle as dsir_weights (it never sees JSON,
+    the stream, or the cached model). At 100 TB this is the selection
+    tier's deployment shape: broadcast the capped model once, stream
+    the pool through, no state store."""
+    import os
+
+    from ..operators import dsir
+    from .formats import DOC_SCHEMA, jsonl_dir
+    from .pipeline_ops import DSIR_TARGET_MOD, _dsir_model
+
+    work = shared_tmp_dir("loganalysis_stream_")
+    try:
+        model = _dsir_model(spark, sf_dir)
+        docs = spark.readStream.schema(DOC_SCHEMA).json(
+            f"{jsonl_dir(spark, sf_dir)}/docs"
+        )
+        out_dir = f"{work}/weights"
+
+        def score(batch, _bid):
+            dsir.importance_weights(
+                batch.select("doc_id", "text"),
+                F.col("doc_id") % DSIR_TARGET_MOD == 0,
+                model=model,
+            ).write.mode("append").parquet(out_dir)
+
+        q = (
+            docs.writeStream.outputMode("append")
+            .foreachBatch(score)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        if not os.path.exists(out_dir):
+            from .pipeline_ops import dsir_weights as _batch
+
+            return spark.createDataFrame(
+                [], _batch(spark, sf_dir).schema
+            )
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming JSONL corpus ingestion with hygiene: a file stream of
     JSON-lines documents (the interchange format an LLM pipeline
@@ -810,6 +864,7 @@ QUERIES = {
     "corpus_ingest_stream": corpus_ingest_stream,
     "corpus_tokenize_stream": corpus_tokenize_stream,
     "lm_perplexity_filter_stream": lm_perplexity_filter_stream,
+    "dsir_weights_stream": dsir_weights_stream,
 }
 
 # The streamed incremental dedup must converge to the batch query's
@@ -843,3 +898,11 @@ from .llm_quality import ORACLE as _QUALITY_ORACLE  # noqa: E402
 ORACLE["lm_perplexity_filter_stream"] = _QUALITY_ORACLE[
     "lm_perplexity_filter"
 ]
+
+# Same contract shape for the streaming DSIR scorer: frozen model +
+# stateless-per-document scoring (the regroup stays inside one
+# micro-batch), so the batch refit-and-replay oracle is reused
+# verbatim.
+from .pipeline_ops import ORACLE as _PIPEOPS_ORACLE  # noqa: E402
+
+ORACLE["dsir_weights_stream"] = _PIPEOPS_ORACLE["dsir_weights"]
