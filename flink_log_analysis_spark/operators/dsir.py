@@ -66,9 +66,18 @@ W_ROUND = 6         # per-document score rounding
 HASH_SALT = "dsir"  # feature-hash salt (namespaces the md5 space)
 
 
-def _grams(text: Column) -> Column:
-    """array<string> of word unigrams ++ bigrams ("w1 w2")."""
-    toks = tokens(text)
+def _grams(toks: Column) -> Column:
+    """array<string> of word unigrams ++ bigrams ("w1 w2").
+
+    ``toks`` MUST be a bound column (a real attribute), never the
+    inline ``tokens(text)`` expression tree: higher-order lambdas are
+    interpreted and do NOT share subexpressions, so an inline split
+    re-tokenizes the document for EVERY ``element_at`` — O(tokens^2)
+    re-splitting per doc (caught by the giant-doc skew probe: one
+    200k-token document pinned a core for >15 min; bound-column form
+    finishes in seconds). Same discipline as lmfilter._counts_from.
+    Catalyst's CollapseProject keeps the tokenizing projection intact
+    because the alias is non-cheap and multiply-referenced."""
     bi = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -126,10 +135,13 @@ def occurrence_rows(
     THE featurization projection, stated once and consumed by both
     the fit and the scoring paths so they can never hash differently."""
     extras = list(extra_cols or [])
-    occ = df.select(
+    toked = df.select(
+        F.col(id_col), *extras, tokens(F.col(text_col)).alias("_toks")
+    )
+    occ = toked.select(
         F.col(id_col),
         *extras,
-        F.explode(_grams(F.col(text_col))).alias("gram"),
+        F.explode(_grams(F.col("_toks"))).alias("gram"),
     )
     return occ.select(
         id_col,
