@@ -107,9 +107,12 @@ def _plan_modules():
 # reused verbatim from knn_ivf_pq_residual, which IS in this window),
 # dsir_weights + dsir_select + dsir_weights_stream (DSIR importance
 # resampling, Xie et al. NeurIPS'23 — refit-and-replay oracle over
-# the hashed-ngram models; the stream twin reuses it verbatim), and
+# the hashed-ngram models; the stream twin reuses it verbatim),
 # semantic_dedup (SemDeDup, Abbas et al. 2023 — assignment/closure/
-# keep-rule oracle with a recursive CTE).
+# keep-rule oracle with a recursive CTE), and ccnet_buckets (CCNet's
+# per-language head/middle/tail perplexity terciles — the LM filter's
+# refit oracle wrapped verbatim + real NTILE certifying the
+# distributed-rank arithmetic).
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",

@@ -740,6 +740,42 @@ def _lm3_model(
     return m
 
 
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. LREC'20
+    §4.3): per-LANGUAGE perplexity terciles under the reference-fit
+    bigram LM — the shape CCNet actually ships Common Crawl in (head
+    = most reference-like third of each language, the slice most
+    pipelines train on first). Composes the certified LM scorer with
+    the distributed-rank NTILE: a ``Window.partitionBy(lang)`` would
+    funnel each language through ONE task (three langs here — three
+    straggler tasks at 100x data), so the per-lang rank comes from
+    operators.ranking.distributed_rank and the tercile is arithmetic
+    on (rank, group size), identical to NTILE(3) (the
+    order_value_ntile precedent). The oracle wraps the LM filter's
+    refit-and-replay oracle verbatim and buckets with real NTILE."""
+    from ..operators.ranking import distributed_rank, ntile_expr
+
+    scored = lm_perplexity_filter(spark, sf_dir).select("doc_id", "ppl")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = distributed_rank(
+        scored.join(docs, "doc_id"),
+        partition_cols=["lang"],
+        order_cols=["ppl", "doc_id"],
+        rank_col="_rn",
+        size_col="_n",
+    )
+    b = ntile_expr(F.col("_rn"), F.col("_n"), 3)
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "ppl",
+        F.when(b == 1, F.lit("head"))
+        .when(b == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def lm_perplexity_filter_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LM filter at the depth curation teams actually run (the
     KenLM-shaped CCNet scorer): per-document ln-perplexity under an
@@ -1017,6 +1053,7 @@ ORACLE["lm_perplexity_filter_kn"] = """
 
 QUERIES = {
     "lm_perplexity_filter": lm_perplexity_filter,
+    "ccnet_buckets": ccnet_buckets,
     "lm_perplexity_filter_3gram": lm_perplexity_filter_3gram,
     "lm_perplexity_filter_3gram_dist": lm_perplexity_filter_3gram_dist,
     "lm_perplexity_filter_kn": lm_perplexity_filter_kn,
@@ -1034,3 +1071,22 @@ QUERIES = {
     "token_budget_select": token_budget_select,
     "corpus_shards": corpus_shards,
 }
+
+# CCNet head/middle/tail: wraps the LM filter's refit-and-replay
+# oracle verbatim (a WITH over the full scorer CTE chain, the
+# dup_cluster_sizes composition pattern) and buckets with real
+# NTILE(3) over (lang; ppl, doc_id) — certifying that ntile_expr on
+# the distributed rank is value-identical to the window formulation.
+ORACLE["ccnet_buckets"] = f"""
+    WITH lmq AS ({ORACLE["lm_perplexity_filter"]}),
+    j AS (SELECT l.doc_id, d.lang, l.ppl
+          FROM lmq l JOIN documents d USING (doc_id)),
+    r AS (SELECT doc_id, lang, ppl,
+                 NTILE(3) OVER (PARTITION BY lang
+                                ORDER BY ppl, doc_id) AS b
+          FROM j)
+    SELECT doc_id, lang, ppl,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+    FROM r
+"""

@@ -466,3 +466,26 @@ def test_span_dedup_packing_bounds_enforced(spark):
             quality.span_dedup(ok, span=2).collect()}
     # first occurrence = the lexicographically smaller (id, pos)
     assert rows[3] == 1 and rows[(1 << 39) - 1] == 0
+
+
+def test_ccnet_buckets_properties(spark, sf_dir):
+    """CCNet head/middle/tail (plans/llm_quality.ccnet_buckets):
+    per-language tercile sizes differ by at most 1 (NTILE contract)
+    and bucket order tracks perplexity — max(head) <= min(middle) <=
+    ... per language (ties can straddle only via the doc_id
+    tie-break, which NTILE also respects)."""
+    from flink_log_analysis_spark.plans.llm_quality import ccnet_buckets
+
+    rows = ccnet_buckets(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in by_lang.items():
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            sizes[r["bucket"]] += 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        ranked = sorted(rs, key=lambda r: (r["ppl"], r["doc_id"]))
+        labels = [order[r["bucket"]] for r in ranked]
+        assert labels == sorted(labels), lang  # monotone in ppl order
