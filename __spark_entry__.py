@@ -109,7 +109,9 @@ def _plan_modules():
 # resampling, Xie et al. NeurIPS'23 — refit-and-replay oracle over
 # the hashed-ngram models; the stream twin reuses it verbatim),
 # semantic_dedup (SemDeDup, Abbas et al. 2023 — assignment/closure/
-# keep-rule oracle with a recursive CTE), and ccnet_buckets (CCNet's
+# keep-rule oracle with a recursive CTE), semantic_dedup_incremental
+# (batch-vs-frozen-corpus matching, the incremental_near_dups shape),
+# and ccnet_buckets (CCNet's
 # per-language head/middle/tail perplexity terciles — the LM filter's
 # refit oracle wrapped verbatim + real NTILE certifying the
 # distributed-rank arithmetic).

@@ -73,6 +73,13 @@ def seed_centroids(
     )
     sids = [r[0] for r in rows]
     smat = [list(r[1]) for r in rows]
+    if not sids:
+        # an empty quantizer silently assigns every vector a NULL
+        # cell and every downstream join returns 0 rows "green" —
+        # caught live when a batch split made seed_mod unsatisfiable
+        raise ValueError(
+            f"no seed centroids: no {id_col} % {seed_mod} == 0 rows"
+        )
     return emb.sparkSession.createDataFrame(
         [(sids, smat)], "sids array<bigint>, smat array<array<double>>"
     )
@@ -134,6 +141,46 @@ def cell_dup_edges(
             >= F.lit(tau)
         )
         .select("vec_a", "vec_b")
+    )
+
+
+def match_against_cells(
+    new: DataFrame,
+    corpus: DataFrame,
+    seed_mod: int = SEED_MOD,
+    tau: float = TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arriving-batch semantic matching against the standing corpus:
+    verified (new_id, corpus_id, cos) pairs with rounded cosine >=
+    ``tau`` — never batch x batch or corpus x corpus (the
+    incremental_near_dups contract shape, semantic edition).
+
+    The quantizer is FROZEN ON THE CORPUS (centroids never look at
+    the batch — the index-reuse property that makes continuous ingest
+    cheap: per-batch cost is batch_size x cell occupancy, and the
+    corpus side is exactly what a cell-partitioned persisted layout
+    would prune to). Both sides run the same 1-row-broadcast
+    assignment projection, so batch and corpus can never disagree
+    about cell geometry."""
+    seeds = seed_centroids(corpus, seed_mod, id_col, vec_col)
+    nc = assign_to_centroids(corpus, seeds, id_col, vec_col).select(
+        F.col(id_col).alias("corpus_id"), F.col("e").alias("ec"), "cell"
+    )
+    nb = assign_to_centroids(new, seeds, id_col, vec_col).select(
+        F.col(id_col).alias("new_id"), F.col("e").alias("en"), "cell"
+    )
+    return (
+        nb.join(nc, "cell")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(cosine(F.col("en"), F.col("ec")), COS_ROUND).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= F.lit(tau))
     )
 
 

@@ -1043,6 +1043,28 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup.semantic_dedup(emb)
 
 
+# The incremental-ingest split. NOT llm_dedup's BATCH_MOD=5: the
+# batch modulus must be COPRIME with semdedup.SEED_MOD=40, or the
+# corpus-side seed set (vec_id % 40 == 0 AND vec_id % mod != 0) is
+# EMPTY — with 5, every multiple of 40 lands in the batch and the
+# quantizer has no centroids (caught live: both engines agreed on a
+# 0-row non-contract; seed_centroids now raises on that state).
+SEM_BATCH_MOD = 7
+
+
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest SemDeDup: every 5th vector plays the arriving
+    batch, matched against the standing corpus through the quantizer
+    FROZEN on the corpus (operators/semdedup.match_against_cells) —
+    verified (new_id, corpus_id, cos) pairs only, never batch x batch
+    or corpus x corpus. The oracle replays corpus-only seed selection,
+    both assignments, and the rounded-cosine threshold join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % SEM_BATCH_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % SEM_BATCH_MOD != 0)
+    return semdedup.match_against_cells(new, corpus)
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     v = similarity.as_double(F.col("embedding"))
@@ -2065,6 +2087,7 @@ QUERIES = {
     "hard_negative_mining_ivf": hard_negative_mining_ivf,
     "embedding_near_dups": embedding_near_dups,
     "semantic_dedup": semantic_dedup,
+    "semantic_dedup_incremental": semantic_dedup_incremental,
     "embedding_norms": embedding_norms,
     "embedding_quantize": embedding_quantize,
     "knn_quantized": knn_quantized,
@@ -2498,4 +2521,35 @@ ORACLE["semantic_dedup"] = f"""
            j.cos_centroid,
            (j.component IS NULL OR j.vec_id = k.keeper) AS kept
     FROM j LEFT JOIN k USING (component)
+"""
+
+# Incremental SemDeDup: corpus-frozen seeds, both assignments, and the
+# threshold join replayed; the seed set comes from the CORPUS side
+# only (vec_id % SEED_MOD = 0 AND vec_id % BATCH_MOD <> 0 — seeds
+# never look at the batch).
+ORACLE["semantic_dedup_incremental"] = f"""
+    WITH seeds AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS sv
+                   FROM embeddings
+                   WHERE vec_id % {semdedup.SEED_MOD} = 0
+                     AND vec_id % {SEM_BATCH_MOD} <> 0),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sim AS (SELECT vec_id, e, sid,
+                   ROUND(list_cosine_similarity(e, sv),
+                         {semdedup.COS_ROUND}) AS cos
+            FROM v CROSS JOIN seeds),
+    asg AS (SELECT vec_id, e, sid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, sid ASC) AS rn
+            FROM sim),
+    m AS (SELECT vec_id, cell, e FROM asg WHERE rn = 1),
+    nb AS (SELECT vec_id AS new_id, cell, e AS en FROM m
+           WHERE vec_id % {SEM_BATCH_MOD} = 0),
+    nc AS (SELECT vec_id AS corpus_id, cell, e AS ec FROM m
+           WHERE vec_id % {SEM_BATCH_MOD} <> 0)
+    SELECT new_id, corpus_id,
+           ROUND(list_cosine_similarity(en, ec),
+                 {semdedup.COS_ROUND}) AS cos
+    FROM nb JOIN nc USING (cell)
+    WHERE ROUND(list_cosine_similarity(en, ec),
+                {semdedup.COS_ROUND}) >= {semdedup.TAU}
 """

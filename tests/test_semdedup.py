@@ -103,3 +103,37 @@ def test_partitioning_invariance(spark):
     assert sorted(map(tuple, a.collect())) == sorted(
         map(tuple, b.collect())
     )
+
+
+def test_match_against_cells_batch_vs_corpus_only(spark):
+    import pytest
+
+    # corpus: seeds 0 and 4 (seed_mod=4), non-seed corpus member 2 in
+    # seed 0's cell; batch member 3 duplicates that cell's members;
+    # batch member 5 is orthogonal to everything.
+    vecs = {
+        0: [1.0, 0.0, 0.0],    # corpus seed A
+        2: [1.0, 0.01, 0.0],   # corpus, lands in cell 0 (NOT a seed)
+        4: [0.0, 1.0, 0.0],    # corpus seed B
+        3: [1.0, 0.005, 0.0],  # batch: dup of corpus cell 0
+        5: [0.0, 0.0, 1.0],    # batch: orthogonal to everything
+    }
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    new = emb.filter("vec_id % 2 = 1")
+    corpus = emb.filter("vec_id % 2 = 0")
+    out = semdedup.match_against_cells(
+        new, corpus, seed_mod=4, tau=0.99
+    ).collect()
+    got = {(r["new_id"], r["corpus_id"]) for r in out}
+    # batch 3 matches corpus 0 and 2 (same cell, cos ~1); batch 5
+    # matches nothing; no corpus x corpus or batch x batch pairs
+    assert got == {(3, 0), (3, 2)}
+    assert all(r["cos"] >= 0.99 for r in out)
+
+    # empty seed set raises loudly instead of 0-row "green"
+    with pytest.raises(ValueError, match="no seed centroids"):
+        semdedup.match_against_cells(new, corpus.filter("vec_id = 2"),
+                                     seed_mod=40, tau=0.5)
