@@ -111,7 +111,8 @@ def _plan_modules():
 # semantic_dedup (SemDeDup, Abbas et al. 2023 — assignment/closure/
 # keep-rule oracle with a recursive CTE), semantic_dedup_incremental
 # (batch-vs-frozen-corpus matching, the incremental_near_dups shape),
-# and ccnet_buckets (CCNet's
+# bloom_decontam (Bloom semi-join reduction held to the plain exact
+# oracle verbatim), and ccnet_buckets (CCNet's
 # per-language head/middle/tail perplexity terciles — the LM filter's
 # refit oracle wrapped verbatim + real NTILE certifying the
 # distributed-rank arithmetic).

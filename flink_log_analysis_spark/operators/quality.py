@@ -424,6 +424,7 @@ def benchmark_contamination(
     n: int = CONTAMINATION_GRAM,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Docs sharing >= 1 word ``n``-gram with any benchmark document —
     the standard test-set decontamination check (n-gram overlap, as in
@@ -452,6 +453,18 @@ def benchmark_contamination(
         .select(F.col(id_col).alias("bench_id"), F.explode("toks").alias("gram"))
         .distinct()
     )
+    if bloom_prefilter:
+        # Semi-join reduction (operators/bloom.py): when the standing
+        # exclusion list outgrows a raw-gram broadcast (every benchmark
+        # suite's n-grams, 10^8+ keys), a fixed-size Bloom built from
+        # the bench grams prunes the corpus side BEFORE the exact join.
+        # No false negatives -> the result is bit-identical to the
+        # plain path (same oracle, the salted-twin framing); false
+        # positives just ride into the exact join and die there.
+        from .bloom import bloom_build, bloom_might_contain
+
+        filt = bloom_build(bench_grams, "gram")
+        corpus_grams = bloom_might_contain(corpus_grams, "gram", filt)
     hits = corpus_grams.join(F.broadcast(bench_grams), "gram")
     return (
         hits.filter(F.col(id_col) != F.col("bench_id"))

@@ -91,6 +91,22 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.benchmark_contamination(docs, bench)
 
 
+def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """benchmark_contamination through the Bloom semi-join reduction
+    (operators/bloom.py): a fixed-size bit table built from the
+    benchmark shingles prunes the corpus grams before the exact
+    overlap join. No false negatives -> the logical result is
+    BIT-IDENTICAL to the plain path, so this row is held to the plain
+    row's oracle VERBATIM — the physical-rewrite contract the salted
+    twins use. The deployment shape when the standing exclusion list
+    (every benchmark suite's n-grams) outgrows a raw broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    return quality.benchmark_contamination(
+        docs, bench, bloom_prefilter=True
+    )
+
+
 def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.pack_chunks(read_table(spark, sf_dir, "documents"))
 
@@ -1065,6 +1081,7 @@ QUERIES = {
     "doc_boilerplate_signals": doc_boilerplate_signals,
     "pii_scrub": pii_scrub,
     "benchmark_contamination": benchmark_contamination,
+    "bloom_decontam": bloom_decontam,
     "pack_chunks": pack_chunks,
     "span_dedup": span_dedup,
     "doc_chunks": doc_chunks,
@@ -1090,3 +1107,9 @@ ORACLE["ccnet_buckets"] = f"""
                   ELSE 'tail' END AS bucket
     FROM r
 """
+
+# The Bloom-prefiltered row is held to the PLAIN exact-overlap oracle
+# verbatim: Bloom has no false negatives, so the prefilter is a
+# physical rewrite with a bit-identical logical result (the salted
+# twins' contract shape — the oracle never sees the filter).
+ORACLE["bloom_decontam"] = ORACLE["benchmark_contamination"]

@@ -1,0 +1,56 @@
+"""Behavioral tests for the distributed Bloom filter
+(operators/bloom.py): the no-false-negative guarantee (the property
+that makes the decontam prefilter a pure physical rewrite), real
+pruning on non-members, and the fixed-size table bound.
+"""
+
+from pyspark.sql import functions as F
+
+from flink_log_analysis_spark.operators import bloom
+
+
+def _keys(spark, prefix, n):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("key")
+    )
+
+
+def test_no_false_negatives_and_pruning(spark):
+    members = _keys(spark, "in", 500)
+    filt = bloom.bloom_build(members, "key")
+    # every true member passes
+    passed = bloom.bloom_might_contain(members, "key", filt).count()
+    assert passed == 500
+    # non-members overwhelmingly pruned (FP rate ~(kn/m)^k ~ 1e-4 at
+    # these sizes; allow generous slack)
+    others = _keys(spark, "out", 2000)
+    fp = bloom.bloom_might_contain(others, "key", filt).count()
+    assert fp < 50, fp
+
+
+def test_table_size_is_config_bounded(spark):
+    # 50k keys -> the table still holds at most m/64 rows
+    big = _keys(spark, "k", 50_000)
+    filt = bloom.bloom_build(big, "key")
+    assert filt.count() <= bloom.M_BITS // 64
+    # words and masks are well-formed
+    row = filt.agg(
+        F.min("word"), F.max("word"), F.min(F.col("bits") == 0)
+    ).first()
+    assert row[0] >= 0 and row[1] < bloom.M_BITS // 64
+    assert row[2] is False  # no empty words stored
+
+
+def test_prefiltered_contamination_equals_plain(spark, sf_dir):
+    from flink_log_analysis_spark.operators import quality
+    from flink_log_analysis_spark.plans.llm_quality import BENCH_MOD
+    from flink_log_analysis_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    plain = quality.benchmark_contamination(docs, bench).collect()
+    pre = quality.benchmark_contamination(
+        docs, bench, bloom_prefilter=True
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, pre))
+    assert len(plain) > 0  # discriminating, not trivially empty
