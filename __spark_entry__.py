@@ -112,7 +112,9 @@ def _plan_modules():
 # keep-rule oracle with a recursive CTE), semantic_dedup_incremental
 # (batch-vs-frozen-corpus matching, the incremental_near_dups shape),
 # bloom_decontam (Bloom semi-join reduction held to the plain exact
-# oracle verbatim), and ccnet_buckets (CCNet's
+# oracle verbatim), split_leakage_pairs (near-dups straddling the
+# train/val/test split — pair CTE + split CASE reused verbatim from
+# their green rows), and ccnet_buckets (CCNet's
 # per-language head/middle/tail perplexity terciles — the LM filter's
 # refit oracle wrapped verbatim + real NTILE certifying the
 # distributed-rank arithmetic).

@@ -93,6 +93,42 @@ def near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit: verified near-duplicate pairs that STRADDLE
+    the train/val/test hash split — the check a pipeline runs after
+    splitting, because a random split scatters duplicate families
+    across splits and leaks eval content into training (the reason
+    dedup-before-split is doctrine; this row measures the damage when
+    it wasn't). Composes the certified MinHash-LSH pair builder with
+    the certified hash-split assignment (both reused verbatim, no new
+    semantics to drift); docs hashing past the split boundary (the
+    excluded-by-design NULL split) cannot leak and are not counted."""
+    from ..operators import sampling
+    from .pipeline_ops import SAMPLE_SEED, SPLITS
+
+    pairs = _verified_pairs(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    sp = sampling.split_assign(
+        docs, "doc_id", SPLITS, seed=SAMPLE_SEED
+    ).select("doc_id", "split")
+    sa = sp.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("split_a").isNotNull()
+            & F.col("split_b").isNotNull()
+            & (F.col("split_a") != F.col("split_b"))
+        )
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(read_table(spark, sf_dir, "documents"))
 
@@ -488,4 +524,24 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "incremental_near_dups": incremental_near_dups,
     "simhash_near_dups": simhash_near_dups,
+    "split_leakage_pairs": split_leakage_pairs,
 }
+
+# Eval-leakage audit: the pair CTE and the split CASE are both reused
+# verbatim from their certified rows, joined and filtered only.
+from .pipeline_ops import _bucket as _po_bucket  # noqa: E402
+from .pipeline_ops import _split_case as _po_split_case  # noqa: E402
+
+ORACLE["split_leakage_pairs"] = f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    s AS (SELECT doc_id, {_po_split_case()} AS split
+          FROM (SELECT doc_id, {_po_bucket("doc_id")} AS b
+                FROM documents))
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           a.split AS split_a, b.split AS split_b
+    FROM pairs p
+    JOIN s a ON a.doc_id = p.doc_a
+    JOIN s b ON b.doc_id = p.doc_b
+    WHERE a.split IS NOT NULL AND b.split IS NOT NULL
+      AND a.split <> b.split
+"""
