@@ -114,7 +114,9 @@ def _plan_modules():
 # bloom_decontam (Bloom semi-join reduction held to the plain exact
 # oracle verbatim), split_leakage_pairs (near-dups straddling the
 # train/val/test split — pair CTE + split CASE reused verbatim from
-# their green rows), and ccnet_buckets (CCNet's
+# their green rows), lm_perplexity_per_lang (CCNet's per-language
+# reference models — per-lang refit oracle, no-model-no-score), and
+# ccnet_buckets (CCNet's
 # per-language head/middle/tail perplexity terciles — the LM filter's
 # refit oracle wrapped verbatim + real NTILE certifying the
 # distributed-rank arithmetic).

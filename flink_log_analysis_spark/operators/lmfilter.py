@@ -647,3 +647,138 @@ def score_perplexity(
         ppl.alias("ppl"),
         (ppl <= F.lit(threshold)).alias("kept"),
     )
+
+
+def fit_bigram_frames_per_key(
+    ref: DataFrame, key_col: str = "lang", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Per-KEY bigram fit — CCNet proper fits ONE reference model per
+    LANGUAGE (Wenzek et al. §4.3: a Wikipedia LM per language scores
+    that language's pages; a shared model would punish every non-
+    majority language as "unlike the reference").
+
+    Returns lazy distributed frames (uni (key, w, c), bi (key, w1,
+    w2, c), vocab (key, vs)) — the per-key twin of
+    :func:`fit_trigram_frames`'s posture: the union of per-language
+    vocabularies can outgrow one driver dict, but each count row is
+    just another aggregation key, so the fit stays one explode +
+    hash-agg pass with the key column riding along."""
+    from ..session import ensure_min_partitions
+
+    toked = ensure_min_partitions(ref).select(
+        F.col(key_col), tokens(F.col(text_col)).alias("toks")
+    )
+    uni = (
+        toked.select(key_col, F.explode("toks").alias("w"))
+        .groupBy(key_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = toked.filter(F.size("toks") >= 2).select(
+        key_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    )
+    bi = (
+        pairs.select(key_col, "p.w1", "p.w2")
+        .groupBy(key_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # vocabulary size per key = distinct unigrams = uni's row count
+    vocab = uni.groupBy(key_col).agg(F.count(F.lit(1)).alias("vs"))
+    return uni, bi, vocab
+
+
+def score_perplexity_per_key(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    vocab: DataFrame,
+    threshold: float,
+    key_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document ln-perplexity under the document's OWN key's
+    (language's) reference model, Laplace smoothing and rounding
+    identical to :func:`score_perplexity`. Output: (id, key, n_trans,
+    n_oov, ppl, kept), one row per document with >= 1 transition
+    WHOSE KEY HAS A MODEL (no model, no score — an inner join on
+    ``vocab``; scoring an unmodeled language against some other
+    language's model would be a silent wrong answer, not a default).
+
+    Execution shape: the 3-gram scorer's explode + broadcast-hash-
+    join + position-ordered regroup (the map-lookup linear-scan trap
+    measured there applies to any large model table), with the key
+    column added to every join — each language's counts only ever
+    meet that language's transitions."""
+    from ..session import ensure_min_partitions
+
+    toks = tokens(F.col(text_col))
+    d = (
+        ensure_min_partitions(docs)
+        .select(F.col(id_col), F.col(key_col), toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    pos = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2"),
+            ),
+        )
+    )
+    trans = d.select(F.col(id_col), F.col(key_col), pos.alias("i", "t")).select(
+        id_col, key_col, "i", "t.w1", "t.w2"
+    )
+    j = (
+        trans.join(
+            F.broadcast(bi.withColumnRenamed("c", "_cb")),
+            [key_col, "w1", "w2"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                uni.select(
+                    key_col, F.col("w").alias("w1"), F.col("c").alias("_cu")
+                )
+            ),
+            [key_col, "w1"],
+            "left",
+        )
+        .join(F.broadcast(vocab), key_col)  # inner: no model, no score
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    lp = F.round(
+        F.log((z("_cb") + F.lit(1)) * F.lit(1.0) / (z("_cu") + F.col("vs"))),
+        LOG_ROUND,
+    )
+    scored = j.select(
+        id_col,
+        key_col,
+        "i",
+        lp.alias("lp"),
+        F.col("_cb").isNull().cast("int").alias("oov"),
+    )
+    agg = scored.groupBy(id_col, key_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_trans"),
+        F.sum("oov").cast("int").alias("n_oov"),
+        F.array_sort(F.collect_list(F.struct("i", "lp"))).alias("_lps"),
+    )
+    s = F.aggregate("_lps", F.lit(0.0), lambda a, t: a + t.getField("lp"))
+    ppl = F.round(-s / F.col("n_trans"), PPL_ROUND)
+    return agg.select(
+        id_col,
+        key_col,
+        "n_trans",
+        "n_oov",
+        ppl.alias("ppl"),
+        (ppl <= F.lit(threshold)).alias("kept"),
+    )

@@ -756,6 +756,35 @@ def _lm3_model(
     return m
 
 
+# Per-language threshold: 3.50 sits at the per-lang medians
+# (3.46-3.54 across langs at sf0.001/0.01) so the verdict splits every
+# language non-trivially.
+LM_LANG_PPL_THRESHOLD = 3.50
+
+
+def lm_perplexity_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet proper: a reference LM PER LANGUAGE (Wenzek et al. §4.3
+    fit one Wikipedia model per language — a shared model punishes
+    every non-majority language as 'unlike the reference'). The fit
+    is one explode+hash-agg pass with lang riding the grouping keys
+    (lmfilter.fit_bigram_frames_per_key — the union of per-language
+    vocabularies is the case the distributed-fit posture exists for);
+    scoring joins each document's transitions to ITS OWN language's
+    counts (broadcast hash joins, the 3-gram scorer's shape) with the
+    bigram filter's exact smoothing and rounding. Documents of
+    unmodeled languages are excluded by the inner vocab join — no
+    model, no score. The oracle refits all per-lang tables and
+    replays smoothing, fold order, and verdict."""
+    ref = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % LM_REF_MOD == 0
+    )
+    uni, bi, vocab = lmfilter.fit_bigram_frames_per_key(ref)
+    docs = read_table(spark, sf_dir, "documents")
+    return lmfilter.score_perplexity_per_key(
+        docs, uni, bi, vocab, LM_LANG_PPL_THRESHOLD
+    )
+
+
 def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. LREC'20
     §4.3): per-LANGUAGE perplexity terciles under the reference-fit
@@ -1070,6 +1099,7 @@ ORACLE["lm_perplexity_filter_kn"] = """
 QUERIES = {
     "lm_perplexity_filter": lm_perplexity_filter,
     "ccnet_buckets": ccnet_buckets,
+    "lm_perplexity_per_lang": lm_perplexity_per_lang,
     "lm_perplexity_filter_3gram": lm_perplexity_filter_3gram,
     "lm_perplexity_filter_3gram_dist": lm_perplexity_filter_3gram_dist,
     "lm_perplexity_filter_kn": lm_perplexity_filter_kn,
@@ -1113,3 +1143,62 @@ ORACLE["ccnet_buckets"] = f"""
 # physical rewrite with a bit-identical logical result (the salted
 # twins' contract shape — the oracle never sees the filter).
 ORACLE["bloom_decontam"] = ORACLE["benchmark_contamination"]
+
+# Per-language LM filter: the bigram refit-and-replay oracle with
+# lang riding every grouping/join key; the inner v-join is the
+# no-model-no-score rule.
+ORACLE["lm_perplexity_per_lang"] = """
+    WITH refdocs AS (
+        SELECT lang, {toks} AS toks FROM documents
+        WHERE doc_id % {mod} = 0
+    ),
+    uni AS (
+        SELECT lang, w, COUNT(*) AS c
+        FROM (SELECT lang, unnest(toks) AS w FROM refdocs)
+        GROUP BY lang, w
+    ),
+    v AS (SELECT lang, COUNT(*) AS vs FROM uni GROUP BY lang),
+    bi AS (
+        SELECT lang, w1, w2, COUNT(*) AS c FROM (
+            SELECT lang, toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT lang, toks,
+                         unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM refdocs WHERE len(toks) >= 2)
+        ) GROUP BY lang, w1, w2
+    ),
+    d AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+    trans AS (
+        SELECT doc_id, lang, i, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, lang, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM d WHERE len(toks) >= 2)
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang, t.i,
+               ROUND(ln((COALESCE(b.c, 0) + 1) * 1.0
+                        / (COALESCE(u.c, 0) + v.vs)), {lr}) AS lp,
+               CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS oov
+        FROM trans t
+        LEFT JOIN bi b ON b.lang = t.lang AND b.w1 = t.w1
+                      AND b.w2 = t.w2
+        LEFT JOIN uni u ON u.lang = t.lang AND u.w = t.w1
+        JOIN v ON v.lang = t.lang
+    ),
+    agg AS (
+        SELECT doc_id, lang, COUNT(*) AS n_trans,
+               CAST(SUM(oov) AS INTEGER) AS n_oov,
+               list_reduce([0.0] || list(lp ORDER BY i),
+                           (a, x) -> a + x) AS s
+        FROM scored GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, CAST(n_trans AS INTEGER) AS n_trans, n_oov,
+           ROUND(-s / n_trans, {pr}) AS ppl,
+           ROUND(-s / n_trans, {pr}) <= {th} AS kept
+    FROM agg
+""".format(
+    toks=_TOKS,
+    mod=LM_REF_MOD,
+    lr=lmfilter.LOG_ROUND,
+    pr=lmfilter.PPL_ROUND,
+    th=LM_LANG_PPL_THRESHOLD,
+)

@@ -211,3 +211,43 @@ def test_kn_fit_and_score_hand_computed(spark):
     # denominator routes it to the continuation backoff instead of
     # the zero-probability ln(0) a unigram denominator produces
     assert rows[14]["ppl"] == round(-lp(pc(1)), lmfilter.PPL_ROUND)
+
+
+def test_per_key_models_isolate_languages(spark):
+    """fit_bigram_frames_per_key / score_perplexity_per_key: each
+    document is scored under ITS OWN language's model (a doc whose
+    text repeats its language's reference exactly has zero OOV
+    transitions; the same text under the other language's model would
+    be all-OOV), and unmodeled languages are excluded, not defaulted."""
+    from pyspark.sql import functions as F
+
+    from flink_log_analysis_spark.operators import lmfilter
+
+    rows = [
+        # reference slice (doc_id % 10 == 0)
+        (0, "en", "alpha beta gamma alpha beta"),
+        (10, "de", "eins zwei drei eins zwei"),
+        # pool: exact reference echoes + an unmodeled language
+        (1, "en", "alpha beta gamma"),
+        (2, "de", "eins zwei drei"),
+        (3, "xx", "quux corge grault"),
+        # cross-language text: en words under the de model -> all OOV
+        (4, "de", "alpha beta gamma"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    )
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    uni, bi, vocab = lmfilter.fit_bigram_frames_per_key(ref)
+    out = {
+        r["doc_id"]: r
+        for r in lmfilter.score_perplexity_per_key(
+            docs, uni, bi, vocab, threshold=10.0
+        ).collect()
+    }
+    assert out[1]["n_oov"] == 0  # en echo under the en model
+    assert out[2]["n_oov"] == 0  # de echo under the de model
+    assert 3 not in out          # no xx model -> no score
+    assert out[4]["n_oov"] == out[4]["n_trans"]  # en text, de model
+    # the echo scores strictly better than the cross-language doc
+    assert out[2]["ppl"] < out[4]["ppl"]
