@@ -194,12 +194,17 @@ def importance_weights(
 ) -> DataFrame:
     """Per-pool-document DSIR log importance weight.
 
-    Output: (id, n_feats int, n_grams bigint, logw double) for every
-    document NOT satisfying ``target_pred`` (the raw pool — DSIR
-    scores the pool against the target, it never re-selects the
-    target slice itself). ``logw`` is the feature-ordered
-    left-associative fold of ``cnt * log_ratio(feat)``, rounded to
-    :data:`W_ROUND`.
+    Output: (id, n_feats int, n_grams bigint, logw double), one row
+    per pool document WITH AT LEAST ONE GRAM (documents failing
+    ``target_pred``; DSIR scores the pool against the target, never
+    the target slice itself). Empty/whitespace-only documents carry
+    no features and are EXCLUDED rather than given logw = 0 — a
+    zero-feature doc's "weight" says nothing about target likeness,
+    and letting it outrank real (negative-logw) documents in the
+    Gumbel resample would select garbage; drop-empty-first is the
+    same contract the LM filter applies to <2-token docs. ``logw``
+    is the feature-ordered left-associative fold of
+    ``cnt * log_ratio(feat)``, rounded to :data:`W_ROUND`.
 
     Plan shape: ONE bounded fit (featurize+agg, table capped at
     ``n_buckets`` rows, collected once per model — session-cacheable
@@ -225,9 +230,7 @@ def importance_weights(
     pool_docs = ensure_min_partitions(docs.filter(~target_pred)).select(
         F.col(id_col), F.col(text_col)
     )
-    pool = occurrence_rows(
-        pool_docs, text_col, id_col, n_buckets
-    ).groupBy(id_col, "feat").agg(F.count(F.lit(1)).alias("cnt"))
+    pool = feature_counts(pool_docs, text_col, id_col, n_buckets)
     scored = pool.join(F.broadcast(fitdf), "feat", "left").select(
         id_col,
         "feat",

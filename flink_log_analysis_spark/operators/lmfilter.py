@@ -60,15 +60,22 @@ JM_L2 = 0.3
 JM_L1 = 0.2
 
 
-def _counts_from(toks: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _counts_from(
+    toks: DataFrame, key_cols: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
     """(unigram counts, bigram counts) from a tokenized frame — two
-    explode+hash-agg passes, partial aggregation map-side."""
+    explode+hash-agg passes, partial aggregation map-side. With
+    ``key_cols`` the counts are PER KEY (one model per language):
+    the keys just ride the grouping, one construction serving both
+    the plain and the per-key fits so they can never drift."""
+    keys = list(key_cols)
     uni = (
-        toks.select(F.explode("toks").alias("w"))
-        .groupBy("w")
+        toks.select(*keys, F.explode("toks").alias("w"))
+        .groupBy(*keys, "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     pairs = toks.filter(F.size("toks") >= 2).select(
+        *keys,
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - 1),
@@ -77,11 +84,11 @@ def _counts_from(toks: DataFrame) -> tuple[DataFrame, DataFrame]:
                     F.element_at("toks", i + 1).alias("w2"),
                 ),
             )
-        ).alias("p")
+        ).alias("p"),
     )
     bi = (
-        pairs.select("p.w1", "p.w2")
-        .groupBy("w1", "w2")
+        pairs.select(*keys, "p.w1", "p.w2")
+        .groupBy(*keys, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return uni, bi
@@ -668,28 +675,7 @@ def fit_bigram_frames_per_key(
     toked = ensure_min_partitions(ref).select(
         F.col(key_col), tokens(F.col(text_col)).alias("toks")
     )
-    uni = (
-        toked.select(key_col, F.explode("toks").alias("w"))
-        .groupBy(key_col, "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    pairs = toked.filter(F.size("toks") >= 2).select(
-        key_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at("toks", i).alias("w1"),
-                    F.element_at("toks", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("p"),
-    )
-    bi = (
-        pairs.select(key_col, "p.w1", "p.w2")
-        .groupBy(key_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    uni, bi = _counts_from(toked, key_cols=(key_col,))
     # vocabulary size per key = distinct unigrams = uni's row count
     vocab = uni.groupBy(key_col).agg(F.count(F.lit(1)).alias("vs"))
     return uni, bi, vocab
@@ -704,6 +690,7 @@ def score_perplexity_per_key(
     key_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document ln-perplexity under the document's OWN key's
     (language's) reference model, Laplace smoothing and rounding
@@ -717,8 +704,17 @@ def score_perplexity_per_key(
     join + position-ordered regroup (the map-lookup linear-scan trap
     measured there applies to any large model table), with the key
     column added to every join — each language's counts only ever
-    meet that language's transitions."""
+    meet that language's transitions.
+
+    ``broadcast_model`` follows its 3-gram sibling's contract: True
+    pins broadcast hash joins (right while the UNION of per-language
+    models fits an executor); when that union is the thing that
+    outgrows the driver — the very case the distributed per-key fit
+    exists for — pass False and the joins stay plain equi-joins for
+    the planner (AQE) to size. Identical results either way."""
     from ..session import ensure_min_partitions
+
+    hint = F.broadcast if broadcast_model else (lambda d: d)
 
     toks = tokens(F.col(text_col))
     d = (
@@ -740,12 +736,12 @@ def score_perplexity_per_key(
     )
     j = (
         trans.join(
-            F.broadcast(bi.withColumnRenamed("c", "_cb")),
+            hint(bi.withColumnRenamed("c", "_cb")),
             [key_col, "w1", "w2"],
             "left",
         )
         .join(
-            F.broadcast(
+            hint(
                 uni.select(
                     key_col, F.col("w").alias("w1"), F.col("c").alias("_cu")
                 )
@@ -753,7 +749,7 @@ def score_perplexity_per_key(
             [key_col, "w1"],
             "left",
         )
-        .join(F.broadcast(vocab), key_col)  # inner: no model, no score
+        .join(hint(vocab), key_col)  # inner: no model, no score
     )
     z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
     lp = F.round(

@@ -463,9 +463,23 @@ def benchmark_contamination(
         # positives just ride into the exact join and die there.
         from .bloom import bloom_build, bloom_might_contain
 
-        filt = bloom_build(bench_grams, "gram")
+        # cut the build lineage: the table is consumed once per hash
+        # (k joins) and would otherwise re-aggregate the bench grams
+        # each time; it is <= m/64 rows, the cheapest checkpoint in
+        # the repo
+        filt = bloom_build(bench_grams, "gram").localCheckpoint(
+            eager=True
+        )
         corpus_grams = bloom_might_contain(corpus_grams, "gram", filt)
-    hits = corpus_grams.join(F.broadcast(bench_grams), "gram")
+        # NO broadcast hint on the exact join here: the prefilter
+        # exists precisely for the bench side that no longer fits a
+        # broadcast, so forcing one would re-create the failure the
+        # Bloom removes. The planner (AQE) still broadcasts when the
+        # runtime size allows; above that it shuffle-joins the
+        # Bloom-pruned candidates — a tiny fraction of the corpus.
+        hits = corpus_grams.join(bench_grams, "gram")
+    else:
+        hits = corpus_grams.join(F.broadcast(bench_grams), "gram")
     return (
         hits.filter(F.col(id_col) != F.col("bench_id"))
         .groupBy(id_col)

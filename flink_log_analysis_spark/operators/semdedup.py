@@ -16,9 +16,13 @@ Spark-first shape:
   set travels as ONE broadcast row (the ``cmat`` convention,
   :mod:`.similarity`): each vector computes its rounded cosine to
   every centroid inside a ``transform`` and takes the struct-max —
-  no shuffle, no crossJoin beyond the whitelisted 1-row attach. The
-  centroid count is a CONFIG-bounded parameter (the paper uses 50k
-  for LAION), so the broadcast never scales with the corpus.
+  no shuffle, no crossJoin beyond the whitelisted 1-row attach. At
+  production scale the centroid set MUST be the config-bounded
+  ``seeds`` argument (the paper uses 50k k-means centroids for
+  LAION — e.g. :func:`.similarity.ivf_fit` output) so the broadcast
+  never scales with the corpus; the ``seed_mod`` default instead
+  pins every seed_mod-th corpus row — closed-form for the oracle
+  contract, but its count grows as n/seed_mod, a test-scale shape.
 - **The quadratic work is fenced per cell.** Candidate pairs come
   from a self-equi-join on ``cell`` — shuffle keyed by cell, pair
   count bounded by sum of per-cell occupancy squared, the quantity
@@ -151,6 +155,8 @@ def match_against_cells(
     tau: float = TAU,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: DataFrame | None = None,
+    assigned_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Arriving-batch semantic matching against the standing corpus:
     verified (new_id, corpus_id, cos) pairs with rounded cosine >=
@@ -159,13 +165,26 @@ def match_against_cells(
 
     The quantizer is FROZEN ON THE CORPUS (centroids never look at
     the batch — the index-reuse property that makes continuous ingest
-    cheap: per-batch cost is batch_size x cell occupancy, and the
-    corpus side is exactly what a cell-partitioned persisted layout
-    would prune to). Both sides run the same 1-row-broadcast
-    assignment projection, so batch and corpus can never disagree
-    about cell geometry."""
-    seeds = seed_centroids(corpus, seed_mod, id_col, vec_col)
-    nc = assign_to_centroids(corpus, seeds, id_col, vec_col).select(
+    cheap, and the corpus side is exactly what a cell-partitioned
+    persisted layout would prune to). Both sides run the same
+    1-row-broadcast assignment projection, so batch and corpus can
+    never disagree about cell geometry.
+
+    A production ingest loop passes ``seeds`` (the frozen quantizer,
+    built once) and ``assigned_corpus`` (the standing assignment,
+    e.g. the cell-partitioned layout on disk) so each batch pays only
+    batch_size assignments + the per-cell join — with them omitted,
+    THIS call derives both from ``corpus`` (the self-contained
+    contract shape, which re-scans the corpus and is NOT incremental
+    across calls)."""
+    if seeds is None:
+        seeds = seed_centroids(corpus, seed_mod, id_col, vec_col)
+    assigned = (
+        assign_to_centroids(corpus, seeds, id_col, vec_col)
+        if assigned_corpus is None
+        else assigned_corpus
+    )
+    nc = assigned.select(
         F.col(id_col).alias("corpus_id"), F.col("e").alias("ec"), "cell"
     )
     nb = assign_to_centroids(new, seeds, id_col, vec_col).select(
@@ -190,6 +209,7 @@ def semantic_dedup(
     tau: float = TAU,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Per-vector SemDeDup verdict.
 
@@ -198,14 +218,24 @@ def semantic_dedup(
     no duplicate), its rounded cosine to the cell centroid, and
     whether it survives: singletons survive; each duplicate component
     keeps exactly its lowest-centroid-similarity member (tie: lowest
-    id), the paper's diversity-preserving choice."""
+    id), the paper's diversity-preserving choice.
+
+    ``seeds`` is the production entry point for EXTERNALLY FITTED
+    centroids (the paper's k-means — :func:`..similarity.ivf_fit`
+    output reshaped to (sids, smat), or any config-bounded set): pass
+    it and ``seed_mod`` is ignored. The ``seed_mod`` default derives
+    centroids from pinned corpus rows — right for the closed-form
+    contract, but its centroid COUNT grows as n/seed_mod, so it is
+    NOT the shape to run at 10^9 vectors (the driver collect and the
+    broadcast row both grow with the corpus)."""
     from ..session import ensure_min_partitions
 
     # Widen first: a single-file local corpus would otherwise run the
     # n x k cosine projection (and the per-cell pair verification) on
     # one core — the expression-heavy single-scan trap.
     emb = ensure_min_partitions(emb)
-    seeds = seed_centroids(emb, seed_mod, id_col, vec_col)
+    if seeds is None:
+        seeds = seed_centroids(emb, seed_mod, id_col, vec_col)
     # The n x k cosine assignment feeds FOUR consumers (both sides of
     # the pair join, the verdict join, the keeper agg) — cut the plan
     # here so it computes once (blocks reclaimed by

@@ -1053,8 +1053,11 @@ SEM_BATCH_MOD = 7
 
 
 def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous-ingest SemDeDup: every 5th vector plays the arriving
-    batch, matched against the standing corpus through the quantizer
+    """Continuous-ingest SemDeDup: every 7th vector plays the arriving
+    batch (7, not llm_dedup's 5 — see SEM_BATCH_MOD above: the batch
+    modulus must be coprime with the seed modulus or the corpus-side
+    seed set is empty), matched against the standing corpus through
+    the quantizer
     FROZEN on the corpus (operators/semdedup.match_against_cells) —
     verified (new_id, corpus_id, cos) pairs only, never batch x batch
     or corpus x corpus. The oracle replays corpus-only seed selection,

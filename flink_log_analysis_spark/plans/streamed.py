@@ -659,12 +659,16 @@ def dsir_weights_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out_dir = f"{work}/weights"
 
-        def score(batch, _bid):
+        def score(batch, bid):
+            # foreachBatch is at-least-once: a retried micro-batch
+            # must not duplicate rows, so each batch owns a batch_id
+            # directory and retries OVERWRITE it (idempotent replay —
+            # the commit-marker idea, directory edition)
             dsir.importance_weights(
                 batch.select("doc_id", "text"),
                 F.col("doc_id") % DSIR_TARGET_MOD == 0,
                 model=model,
-            ).write.mode("append").parquet(out_dir)
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
 
         q = (
             docs.writeStream.outputMode("append")
@@ -680,7 +684,14 @@ def dsir_weights_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame(
                 [], _batch(spark, sf_dir).schema
             )
-        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        # recursiveFileLookup: the batch_id=N directories are replay
+        # units, not a partition column — plain partition discovery
+        # would add batch_id to the schema and break the oracle twin
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
