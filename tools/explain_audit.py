@@ -65,6 +65,13 @@ CROSS_JOIN_OK = {
     "lm_perplexity_filter",  # 1-row bigram-model map broadcast attach
     "lm_perplexity_filter_3gram",  # same attach, three-map model row
     "lm_perplexity_filter_kn",  # same attach, four-map KN model row
+    # SemDeDup: nearest-centroid assignment is the 1-row (sids, smat)
+    # broadcast attach (the cmat convention). The batch-verdict row
+    # (semantic_dedup) cuts its plan with a localCheckpoint after the
+    # assignment, so only the incremental row's audited plan shows
+    # the two attaches (batch side + corpus side).
+    "semantic_dedup",
+    "semantic_dedup_incremental",
 }
 # Queries allowed a SinglePartition exchange that feeds a Sort/Window
 # (the funnel shape): only tiny POST-AGGREGATION inputs (a handful of
