@@ -137,3 +137,34 @@ def test_match_against_cells_batch_vs_corpus_only(spark):
     with pytest.raises(ValueError, match="no seed centroids"):
         semdedup.match_against_cells(new, corpus.filter("vec_id = 2"),
                                      seed_mod=40, tau=0.5)
+
+
+def test_external_seeds_and_standing_assignment(spark):
+    """The production entry points added by review: (a) semantic_dedup
+    accepts EXTERNALLY FITTED centroids (config-bounded — the paper's
+    k-means) and then ignores seed_mod; (b) match_against_cells
+    accepts a frozen seeds frame + standing corpus assignment and
+    must return exactly what the self-contained call returns."""
+    vecs = [[float(i % 5), float((i * 7) % 3), 1.0] for i in range(30)]
+    emb = _emb(spark, vecs)
+    # (a) external seeds: two hand-picked centroids, NOT corpus rows
+    ext = spark.createDataFrame(
+        [([100, 200], [[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]])],
+        "sids array<bigint>, smat array<array<double>>",
+    )
+    out = semdedup.semantic_dedup(emb, seed_mod=999, tau=0.98, seeds=ext)
+    cells = {r["cell"] for r in out.collect()}
+    assert cells <= {100, 200} and len(out.collect()) == 30
+    # (b) frozen seeds + standing assignment == self-contained call
+    new = emb.filter("vec_id % 3 = 0")
+    corpus = emb.filter("vec_id % 3 <> 0")
+    seeds = semdedup.seed_centroids(corpus, seed_mod=7)
+    standing = semdedup.assign_to_centroids(corpus, seeds)
+    a = semdedup.match_against_cells(new, corpus, seed_mod=7, tau=0.9)
+    b = semdedup.match_against_cells(
+        new, corpus, seed_mod=7, tau=0.9,
+        seeds=seeds, assigned_corpus=standing,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
