@@ -38,11 +38,12 @@ Spark-first shape (this is the part the paper leaves to the reader):
   auditable by a DuckDB oracle.
 
 Transcendental discipline (the repo-wide LM-filter convention,
-operators/lmfilter.py): every per-feature log-ratio keeps all-integer
-arithmetic until ONE double division inside ONE ``ln``, rounded to
-:data:`LR_ROUND` digits BEFORE any further arithmetic; per-document
-sums fold left-associatively in feature order; final scores round to
-:data:`W_ROUND`.
+operators/lmfilter.py): every per-feature log-ratio casts its four
+integer factors to double (IEEE-exact below 2^53; never 64-bit
+wrapping at exabyte gram totals), does one multiply-divide chain
+inside ONE ``ln``, and rounds to :data:`LR_ROUND` digits BEFORE any
+further arithmetic; per-document sums fold left-associatively in
+feature order; final scores round to :data:`W_ROUND`.
 
 Reference behavioral parity: the reference engine
 (/root/reference/src/main/java/com/jmx/analysis/LogAnalysis.java) has
@@ -114,14 +115,20 @@ def log_ratio(cp: Column, cq: Column, tp: Column, tq: Column, b: int) -> Column:
 
     = ln( p_f / q_f ) with add-1 smoothing over ``b`` buckets:
       p_f = (cp+1)/(tp+b), q_f = (cq+1)/(tq+b)
-    restated so integers stay exact until one double division:
-      ln( (cp+1)*(tq+b) / ((tp+b)*(cq+1)) )
-    (products < 2^63 for any corpus whose total gram count squared
-    stays under 9.2e18 — i.e. comfortably past 10^9 grams).
+    restated as ln( (cp+1)*(tq+b) / ((tp+b)*(cq+1)) ) with each factor
+    cast to DOUBLE **before** multiplying. Integer (BIGINT) products
+    would silently wrap past 2^63 — at exabyte pool scale the gram
+    totals tp/tq run ~1e13 and every product overflows, turning each
+    weight into garbage without an error in non-ANSI Spark (and into a
+    hard error in DuckDB, so the engines would also diverge). Double
+    products are IEEE-exact below 2^53 (every contract-scale input) and
+    carry ~1e-16 relative error beyond, which LR_ROUND=12 rounding
+    discards; both engines do bit-identical IEEE double multiply, so
+    the oracle stays value-exact at every scale.
     """
-    num = (cp + F.lit(1)) * (tq + F.lit(b))
-    den = (tp + F.lit(b)) * (cq + F.lit(1))
-    return F.round(F.log(num * F.lit(1.0) / den), LR_ROUND)
+    num = (cp + F.lit(1)).cast("double") * (tq + F.lit(b)).cast("double")
+    den = (tp + F.lit(b)).cast("double") * (cq + F.lit(1)).cast("double")
+    return F.round(F.log(num / den), LR_ROUND)
 
 
 def occurrence_rows(
@@ -304,10 +311,13 @@ def select_top_k(
 
 
 def log_ratio_sql(cp: str, cq: str, tp: str, tq: str, b: int) -> str:
-    """DuckDB twin of :func:`log_ratio` (same integer-first shape)."""
+    """DuckDB twin of :func:`log_ratio` (same double-first shape —
+    factors cast to DOUBLE before multiplying, so neither engine can
+    overflow 64-bit integers at large gram totals)."""
     return (
-        f"ROUND(ln((({cp} + 1) * ({tq} + {b})) * 1.0"
-        f" / (({tp} + {b}) * ({cq} + 1))), {LR_ROUND})"
+        f"ROUND(ln((CAST({cp} + 1 AS DOUBLE) * CAST({tq} + {b} AS DOUBLE))"
+        f" / (CAST({tp} + {b} AS DOUBLE) * CAST({cq} + 1 AS DOUBLE)))"
+        f", {LR_ROUND})"
     )
 
 

@@ -110,6 +110,34 @@ def fit_bigram_counts(
     return _counts_from(toks)
 
 
+# Hard ceiling on any ONE collected model table (uni/bi/tri). The
+# session-cache fits pull the reference model into driver dicts — fine
+# for a bounded reference slice (the CCNet recipe: the reference is
+# curated and small), catastrophic if a misconfigured "reference"
+# points at the corpus itself: the collect would OOM the driver
+# silently. 2M rows ≈ low hundreds of MB of dict — loud failure well
+# before the JVM driver heap is at risk.
+MAX_COLLECTED_MODEL_ROWS = 2_000_000
+
+
+def _collect_model_rows(df: DataFrame, what: str) -> list:
+    """Collect one model-count table with a row-count guard: transfers
+    at most MAX+1 rows (limit pushes into the exchange), returns the
+    complete table when in-range, raises loudly when over — pointing
+    at the distributed path that has no such bound."""
+    rows = df.limit(MAX_COLLECTED_MODEL_ROWS + 1).collect()
+    if len(rows) > MAX_COLLECTED_MODEL_ROWS:
+        raise ValueError(
+            f"{what} model table exceeds MAX_COLLECTED_MODEL_ROWS="
+            f"{MAX_COLLECTED_MODEL_ROWS}: the session-cache fit collects "
+            "the reference model into driver dicts and is only safe for "
+            "bounded reference slices — fit this reference with "
+            "fit_trigram_frames/fit_bigram_counts (the distributed model "
+            "path) instead, or shrink the reference"
+        )
+    return rows
+
+
 def fit_bigram_model(
     ref: DataFrame, text_col: str = "text"
 ) -> tuple[dict, dict, int]:
@@ -131,8 +159,11 @@ def fit_bigram_model(
     )
     try:
         uni, bi = _counts_from(toks)
-        u = {r["w"]: r["c"] for r in uni.collect()}
-        b = {f"{r['w1']} {r['w2']}": r["c"] for r in bi.collect()}
+        u = {r["w"]: r["c"] for r in _collect_model_rows(uni, "unigram")}
+        b = {
+            f"{r['w1']} {r['w2']}": r["c"]
+            for r in _collect_model_rows(bi, "bigram")
+        }
     finally:
         toks.unpersist()
     return u, b, len(u)
@@ -186,10 +217,14 @@ def fit_trigram_model(
     try:
         uni, bi = _counts_from(toks)
         tri = _trigram_counts(toks)
-        u = {r["w"]: r["c"] for r in uni.collect()}
-        b = {f"{r['w1']} {r['w2']}": r["c"] for r in bi.collect()}
+        u = {r["w"]: r["c"] for r in _collect_model_rows(uni, "unigram")}
+        b = {
+            f"{r['w1']} {r['w2']}": r["c"]
+            for r in _collect_model_rows(bi, "bigram")
+        }
         t = {
-            f"{r['w1']} {r['w2']} {r['w3']}": r["c"] for r in tri.collect()
+            f"{r['w1']} {r['w2']} {r['w3']}": r["c"]
+            for r in _collect_model_rows(tri, "trigram")
         }
     finally:
         toks.unpersist()

@@ -23,12 +23,25 @@ Spark-first shape:
   never scales with the corpus; the ``seed_mod`` default instead
   pins every seed_mod-th corpus row — closed-form for the oracle
   contract, but its count grows as n/seed_mod, a test-scale shape.
-- **The quadratic work is fenced per cell.** Candidate pairs come
-  from a self-equi-join on ``cell`` — shuffle keyed by cell, pair
-  count bounded by sum of per-cell occupancy squared, the quantity
-  the cluster count controls (that is the paper's own scaling
-  argument; a skewed cell degrades gracefully into the
-  embedding-LSH fallback :mod:`.dedup` already provides).
+- **The quadratic work is fenced per cell, and a hot cell no longer
+  serializes.** Candidate pairs come from a self-equi-join on
+  ``cell`` — pair count bounded by sum of per-cell occupancy squared,
+  the quantity the cluster count controls (the paper's own scaling
+  argument). Cells whose occupancy exceeds :data:`HOT_CELL_BOUND`
+  dispatch (one count agg, driver scalar) into a **grid-salted
+  triangle self-join**: rows hash into g groups and the join keys on
+  (cell, g_lo, g_hi), so the occupancy^2/2 candidate work spreads
+  over g(g+1)/2 tasks instead of ONE (measured 2.01x wall on a
+  50%-hot cell before the fix, tools/semdedup_skew_probe.py). The
+  emitted pair SET is construction-identical to the plain join, so
+  the dispatch can never move the oracle hash — on ANY input, not
+  just contract-scale ones. (An in-cell banded-LSH fallback was
+  considered and rejected: a hot cell is hot because its members
+  share a direction, which puts them in the SAME hyperplane sign
+  bucket — the join re-serializes and recall silently drops; the
+  salted grid parallelizes regardless of cell geometry and loses
+  nothing. The quadratic MASS itself remains the paper's config
+  knob: raise the centroid count so occupancy stays bounded.)
 - **Duplicate groups are transitive-closure components** over the
   threshold graph (:mod:`.graph` — driver union-find under the edge
   threshold, distributed hash-min label propagation above it), so
@@ -53,11 +66,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .graph import connected_components
-from .similarity import as_double, cosine
+from .similarity import as_double, cosine_safe
 
 SEED_MOD = 40     # contract centroids = every 40th vector, id order
 TAU = 0.3         # rounded-cosine duplicate threshold within a cell
 COS_ROUND = 6     # the repo-wide certified cosine rounding
+# Occupancy above which a cell's pair generation routes through the
+# grid-salted triangle join (value-identical, just parallel). Sized so
+# a cold cell's single-task pair work stays ~0.5M cosines and the salt
+# never triggers at contract scale (sf0.01 ships 500 vectors total).
+HOT_CELL_BOUND = 1024
+SALT_GROUP_CAP = 64  # replication factor ceiling for the salted join
 
 
 def seed_centroids(
@@ -97,13 +116,22 @@ def assign_to_centroids(
 ) -> DataFrame:
     """(id, e, cell, cos_centroid): nearest centroid by rounded
     cosine, ties to the lower centroid id — one projection over the
-    1-row broadcast centroid row."""
+    1-row broadcast centroid row.
+
+    Zero-norm vectors (either side): ``cosine_safe`` returns -1.0 —
+    the convention DuckDB's ``list_cosine_similarity`` already applies
+    — so a degenerate vector deterministically ties across all
+    centroids and lands in the lowest-id cell with cos_centroid =
+    -1.0 in BOTH engines (ADVICE r13: raw it was an ANSI
+    DIVIDE_BY_ZERO in Spark and engine-sensitive NULL ordering
+    otherwise)."""
     e = as_double(F.col(vec_col))
     with_e = emb.select(F.col(id_col), e.alias("e")).crossJoin(
         F.broadcast(seeds)
     )
     cosarr = F.transform(
-        F.col("smat"), lambda s: F.round(cosine(F.col("e"), s), COS_ROUND)
+        F.col("smat"),
+        lambda s: F.round(cosine_safe(F.col("e"), s), COS_ROUND),
     )
     best = F.array_max(
         F.zip_with(
@@ -120,13 +148,10 @@ def assign_to_centroids(
     )
 
 
-def cell_dup_edges(
-    assigned: DataFrame,
-    tau: float = TAU,
-    id_col: str = "vec_id",
+def _plain_cell_edges(
+    assigned: DataFrame, tau: float, id_col: str
 ) -> DataFrame:
-    """(vec_a, vec_b) pairs within one cell whose rounded cosine
-    reaches ``tau`` (each pair once, a < b)."""
+    """The unsalted within-cell pair join (one shuffle keyed on cell)."""
     a = assigned.select(
         F.col(id_col).alias("vec_a"),
         F.col("e").alias("ea"),
@@ -141,11 +166,105 @@ def cell_dup_edges(
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(
-            F.round(cosine(F.col("ea"), F.col("eb")), COS_ROUND)
+            F.round(cosine_safe(F.col("ea"), F.col("eb")), COS_ROUND)
             >= F.lit(tau)
         )
         .select("vec_a", "vec_b")
     )
+
+
+def _salted_cell_edges(
+    hot: DataFrame, tau: float, id_col: str, n_groups: int
+) -> DataFrame:
+    """Grid-salted triangle self-join over hot cells: value-identical
+    to :func:`_plain_cell_edges`, but the occupancy^2/2 candidate work
+    of one cell spreads over g(g+1)/2 join keys instead of ONE task.
+
+    Each row hashes into a group r in [0, g). The unordered pair with
+    groups (i, j), i <= j, is generated at EXACTLY the key
+    (cell, i, j): the left side replicates a group-r row to keys
+    (r, j) for j >= r, the right side to (i, r) for i <= r, so a
+    cross-group pair meets once at (min, max) and a same-group pair
+    meets at (r, r) both ways — normalized by the id inequality. Total
+    replication is g+1 copies per row; per-key candidate volume is
+    ~(occ/g)^2. The group hash only PLACES work, it never selects
+    pairs, so any deterministic hash is fine and the emitted pair set
+    is construction-identical to the plain join on every input."""
+    g = F.pmod(F.hash(F.col(id_col)), F.lit(n_groups))
+    base = hot.select(F.col(id_col), "e", "cell", g.alias("_g"))
+    left = base.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("e").alias("ea"),
+        "cell",
+        F.col("_g").alias("_g1"),
+        F.explode(
+            F.sequence(F.col("_g"), F.lit(n_groups - 1))
+        ).alias("_g2"),
+    )
+    right = base.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("e").alias("eb"),
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("_g1"),
+        F.col("_g").alias("_g2"),
+    )
+    return (
+        left.join(right, ["cell", "_g1", "_g2"])
+        .filter(
+            ((F.col("_g1") != F.col("_g2")) | (F.col("vec_a") < F.col("vec_b")))
+            & (F.col("vec_a") != F.col("vec_b"))
+        )
+        .select(
+            F.least(F.col("vec_a"), F.col("vec_b")).alias("vec_a"),
+            F.greatest(F.col("vec_a"), F.col("vec_b")).alias("vec_b"),
+            F.col("ea"),
+            F.col("eb"),
+        )
+        .filter(
+            F.round(cosine_safe(F.col("ea"), F.col("eb")), COS_ROUND)
+            >= F.lit(tau)
+        )
+        .select("vec_a", "vec_b")
+    )
+
+
+def cell_dup_edges(
+    assigned: DataFrame,
+    tau: float = TAU,
+    id_col: str = "vec_id",
+    hot_cell_bound: int | None = HOT_CELL_BOUND,
+) -> DataFrame:
+    """(vec_a, vec_b) pairs within one cell whose rounded cosine
+    reaches ``tau`` (each pair once, a < b).
+
+    Cells whose occupancy exceeds ``hot_cell_bound`` dispatch into the
+    grid-salted triangle join (VERDICT r13 item 3 — the 50%-hot-cell
+    probe measured 2.01x wall before this): the dispatch is ONE count
+    agg reduced to a driver scalar, the occupancy table is bounded by
+    the quantizer size (broadcastable by construction), and the salted
+    branch emits the construction-identical pair set — so the verdict,
+    components, and oracle hash cannot move on any input. Pass
+    ``hot_cell_bound=None`` to force the plain single-key join."""
+    if hot_cell_bound is not None:
+        occ = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_occ")
+        )
+        max_occ = occ.agg(F.max("_occ")).first()[0] or 0
+        if max_occ > hot_cell_bound:
+            n_groups = min(
+                SALT_GROUP_CAP, -(-max_occ // hot_cell_bound) * 2
+            )
+            tagged = assigned.join(F.broadcast(occ), "cell")
+            cold = tagged.filter(
+                F.col("_occ") <= hot_cell_bound
+            ).drop("_occ")
+            hot = tagged.filter(F.col("_occ") > hot_cell_bound).drop(
+                "_occ"
+            )
+            return _plain_cell_edges(cold, tau, id_col).unionByName(
+                _salted_cell_edges(hot, tau, id_col, n_groups)
+            )
+    return _plain_cell_edges(assigned, tau, id_col)
 
 
 def match_against_cells(
@@ -195,7 +314,7 @@ def match_against_cells(
         .select(
             "new_id",
             "corpus_id",
-            F.round(cosine(F.col("en"), F.col("ec")), COS_ROUND).alias(
+            F.round(cosine_safe(F.col("en"), F.col("ec")), COS_ROUND).alias(
                 "cos"
             ),
         )
@@ -210,6 +329,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seeds: DataFrame | None = None,
+    hot_cell_bound: int | None = HOT_CELL_BOUND,
 ) -> DataFrame:
     """Per-vector SemDeDup verdict.
 
@@ -243,7 +363,9 @@ def semantic_dedup(
     assigned = assign_to_centroids(emb, seeds, id_col, vec_col)
     assigned = assigned.localCheckpoint(eager=True)
     comps = connected_components(
-        cell_dup_edges(assigned, tau, id_col), src="vec_a", dst="vec_b"
+        cell_dup_edges(assigned, tau, id_col, hot_cell_bound),
+        src="vec_a",
+        dst="vec_b",
     ).withColumnRenamed("vertex", id_col)
     labeled = assigned.join(comps, id_col, "left")
     keepers = (

@@ -57,6 +57,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_safe(a: Column, b: Column) -> Column:
+    """Cosine that returns -1.0 when either side has zero norm —
+    the EXACT convention DuckDB's ``list_cosine_similarity`` applies
+    (verified: one-zero and both-zero inputs return -1.0), so oracles
+    keep their plain ``ROUND(list_cosine_similarity(...))`` twin.
+    Identical bits to :func:`cosine` on every nonzero-norm pair
+    (``try_divide`` is a plain IEEE divide when the divisor isn't 0);
+    under ANSI mode the unguarded form instead raises DIVIDE_BY_ZERO
+    mid-job (ADVICE r13 — the SemDeDup assignment struct-max)."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(-1.0)
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,

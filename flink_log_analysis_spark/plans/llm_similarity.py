@@ -2488,6 +2488,8 @@ ORACLE["semantic_dedup"] = f"""
     seeds AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS sv
               FROM embeddings WHERE vec_id % {semdedup.SEED_MOD} = 0),
     v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    -- zero-norm vectors: list_cosine_similarity returns -1.0, the
+    -- convention the operator's cosine_safe mirrors exactly
     sim AS (SELECT vec_id, e, sid,
                    ROUND(list_cosine_similarity(e, sv),
                          {semdedup.COS_ROUND}) AS cos

@@ -117,3 +117,27 @@ def test_log_ratio_sign(spark):
     ).collect()[0]
     assert row["pos"] > 0 > row["neg"]
     assert row["zero"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_log_ratio_no_overflow_at_exabyte_totals(spark):
+    # ADVICE r13: with gram totals tp/tq ~1e13 the old BIGINT products
+    # (cp+1)*(tq+b) exceeded 2^63 and wrapped silently in non-ANSI
+    # Spark, producing garbage (often NULL via ln of a negative). The
+    # double-first shape must return the true finite ratio and agree
+    # with Python's math.log.
+    import math
+
+    tp = tq = 10_000_000_000_000  # 1e13 grams each side
+    cp, cq, b = 2_000_000, 500_000, dsir.N_BUCKETS
+    row = spark.range(1).select(
+        dsir.log_ratio(
+            F.lit(cp), F.lit(cq), F.lit(tp), F.lit(tq), b
+        ).alias("lr")
+    ).collect()[0]
+    expect = round(
+        math.log(((cp + 1) * (tq + b)) / ((tp + b) * (cq + 1))),
+        dsir.LR_ROUND,
+    )
+    assert row["lr"] is not None and math.isfinite(row["lr"])
+    assert row["lr"] == pytest.approx(expect, abs=1e-12)
+    assert row["lr"] == pytest.approx(math.log(cp / cq), abs=1e-4)

@@ -251,3 +251,24 @@ def test_per_key_models_isolate_languages(spark):
     assert out[4]["n_oov"] == out[4]["n_trans"]  # en text, de model
     # the echo scores strictly better than the cross-language doc
     assert out[2]["ppl"] < out[4]["ppl"]
+
+
+def test_session_cache_fit_guard_raises_over_bound(spark, monkeypatch):
+    """VERDICT r13 item 7: the dict-collecting fits must refuse a
+    "reference" whose model tables exceed MAX_COLLECTED_MODEL_ROWS,
+    pointing at the distributed path — and stay a no-op in-range."""
+    import pytest
+
+    from flink_log_analysis_spark.operators import lmfilter
+
+    ref = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "f g h i j")], "doc_id bigint, text string"
+    )
+    # in-range: identical result through the guard
+    u, b, v = lmfilter.fit_bigram_model(ref)
+    assert v == 10 and sum(u.values()) == 10
+    monkeypatch.setattr(lmfilter, "MAX_COLLECTED_MODEL_ROWS", 4)
+    with pytest.raises(ValueError, match="fit_trigram_frames"):
+        lmfilter.fit_bigram_model(ref)
+    with pytest.raises(ValueError, match="MAX_COLLECTED_MODEL_ROWS"):
+        lmfilter.fit_trigram_model(ref)
