@@ -31,7 +31,11 @@ engine-portable operator:
 
 Sizing: false-positive rate ~ (1 - e^(-k·n/m))^k; the defaults
 (m = 2^17 bits, k = 2) hold FP under ~1% up to ~25k keys and degrade
-gracefully (more candidates, never wrong results).
+gracefully (more candidates, never wrong results). Callers that know
+the key count should size through :func:`sized_m_bits` — at the
+motivating 10^8-key exclusion list the default m saturates (FP ~ 1,
+the prefilter prunes nothing) while the sized filter stays at the
+target rate for ~240 MB of broadcast (ADVICE r13).
 """
 
 from __future__ import annotations
@@ -43,6 +47,27 @@ from ..functions.hashing import token_hash
 
 M_BITS = 1 << 17
 K_HASHES = 2
+
+
+def sized_m_bits(
+    n_keys: int, k: int = K_HASHES, target_fp: float = 0.01
+) -> int:
+    """Smallest power-of-two bit count keeping the FP rate under
+    ``target_fp`` for ``n_keys`` keys with ``k`` hashes, floored at
+    :data:`M_BITS`. From FP = (1 - e^(-k n/m))^k: m >= k·n /
+    -ln(1 - fp^(1/k)) — ~19n bits at k=2, fp=1%. Power-of-two keeps
+    the growth schedule deterministic; the table is m/64 longs
+    however many keys went in, so the broadcast cost is the caller's
+    explicit, computed choice rather than a silent saturation."""
+    import math
+
+    if n_keys <= 0:
+        return M_BITS
+    need = k * n_keys / -math.log1p(-(target_fp ** (1.0 / k)))
+    m = M_BITS
+    while m < need:
+        m <<= 1
+    return m
 
 
 def _position(key: Column, j: int, m_bits: int) -> Column:

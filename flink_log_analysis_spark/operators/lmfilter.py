@@ -639,6 +639,124 @@ def score_perplexity_3gram(
     )
 
 
+# Chunked-scoring unit: the token window each chunk scores over.
+# CCNet's own scoring unit is the paragraph (~100 words); 32 keeps the
+# synthetic contract docs multi-chunk so the recombine arithmetic is
+# exercised, and at production scale it is the knob that BOUNDS the
+# per-group regroup below.
+CHUNK_SCORE_WINDOW = 32
+
+
+def score_perplexity_3gram_chunked(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    tri: DataFrame,
+    vocab_size: int,
+    n_tokens: int,
+    threshold: float,
+    window: int = CHUNK_SCORE_WINDOW,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """The 3-gram LM filter with CHUNKED scoring — the production
+    answer to the per-document regroup bound (VERDICT r13 item 4):
+    :func:`score_perplexity_3gram`'s one semantic skew exposure is
+    that a document's fold needs the WHOLE document in one group
+    (measured 2.6-8.3x hostile in tools/lm_skew_probe.py when one doc
+    holds half the corpus). CCNet itself never scores whole documents
+    — it scores paragraph units (Wenzek et al. §3.3) — so this
+    operator cuts each document into non-overlapping ``window``-token
+    chunks FIRST, scores each chunk with the UNCHANGED certified
+    scorer (the regroup key becomes the chunk: group size <= window-2
+    by construction, whatever the document length), and recombines
+    per document from chunk AGGREGATES (that group is n/window rows,
+    not n).
+
+    Semantics (pinned for the oracle): transitions never cross a
+    chunk boundary (the documented cost of unit-wise scoring — 2
+    trigrams lost per boundary); a chunk scores only if it has >= 3
+    tokens; the document score is the transition-count-weighted mean
+    of the ROUNDED chunk scores, folded in chunk order:
+    ppl_doc = round(sum_c(ppl_c * n_trans_c) / sum_c(n_trans_c),
+    PPL_ROUND), left-associatively over chunk_idx. Output:
+    (id, n_chunks, n_trans, n_oov, ppl, kept), one row per document
+    with at least one scored chunk.
+
+    (doc_id, chunk_idx) rides the scorer as ONE packed bigint
+    (quality._pack_id_pos — same guarded injective pack as
+    span_dedup), so the scorer's id column stays scalar; 2^24 chunks
+    per doc = ~10^9 tokens at window 32 before the guard trips."""
+    from .quality import SPAN_POS_BITS, _pack_id_pos
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") >= 3)
+    n_chunks = F.ceil(F.col("_n") / window).cast("int")
+    chunks = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda c: F.concat_ws(
+                    " ", F.slice("_toks", c * window + 1, window)
+                ),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    ).select(
+        _pack_id_pos(id_col, "chunk_idx", "score_perplexity_3gram_chunked")
+        .alias("chunk_uid"),
+        "chunk_text",
+    )
+    per_chunk = score_perplexity_3gram(
+        chunks,
+        uni,
+        bi,
+        tri,
+        vocab_size,
+        n_tokens,
+        threshold,
+        text_col="chunk_text",
+        id_col="chunk_uid",
+        broadcast_model=broadcast_model,
+    )
+    unpacked = per_chunk.select(
+        F.shiftright("chunk_uid", SPAN_POS_BITS).alias(id_col),
+        F.col("chunk_uid")
+        .bitwiseAND(F.lit((1 << SPAN_POS_BITS) - 1))
+        .cast("int")
+        .alias("chunk_idx"),
+        "n_trans",
+        "n_oov",
+        "ppl",
+    )
+    agg = unpacked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum("n_trans").cast("int").alias("n_trans"),
+        F.sum("n_oov").cast("int").alias("n_oov"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("chunk_idx"),
+                    (F.col("ppl") * F.col("n_trans")).alias("w"),
+                )
+            )
+        ).alias("_ws"),
+    )
+    num = F.aggregate("_ws", F.lit(0.0), lambda a, t: a + t.getField("w"))
+    ppl = F.round(num / F.col("n_trans"), PPL_ROUND)
+    return agg.select(
+        id_col,
+        "n_chunks",
+        "n_trans",
+        "n_oov",
+        ppl.alias("ppl"),
+        (ppl <= F.lit(threshold)).alias("kept"),
+    )
+
+
 def score_perplexity(
     docs: DataFrame,
     model: DataFrame,

@@ -425,6 +425,8 @@ def benchmark_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     bloom_prefilter: bool = False,
+    bloom_m_bits: int | None = None,
+    bloom_k: int | None = None,
 ) -> DataFrame:
     """Docs sharing >= 1 word ``n``-gram with any benchmark document —
     the standard test-set decontamination check (n-gram overlap, as in
@@ -461,16 +463,27 @@ def benchmark_contamination(
         # No false negatives -> the result is bit-identical to the
         # plain path (same oracle, the salted-twin framing); false
         # positives just ride into the exact join and die there.
-        from .bloom import bloom_build, bloom_might_contain
+        from .bloom import K_HASHES, bloom_build, bloom_might_contain, sized_m_bits
 
+        # Size the filter to the ACTUAL key count (ADVICE r13: the
+        # module default m=2^17 saturates past ~25k keys — at the
+        # motivating 10^8-key list FP ~ 100% and the prefilter prunes
+        # nothing while still paying its k joins). bench_grams is
+        # checkpointed, so the count is a cheap second consumption.
+        k = K_HASHES if bloom_k is None else bloom_k
+        m = (
+            sized_m_bits(bench_grams.count(), k)
+            if bloom_m_bits is None
+            else bloom_m_bits
+        )
         # cut the build lineage: the table is consumed once per hash
         # (k joins) and would otherwise re-aggregate the bench grams
         # each time; it is <= m/64 rows, the cheapest checkpoint in
         # the repo
-        filt = bloom_build(bench_grams, "gram").localCheckpoint(
+        filt = bloom_build(bench_grams, "gram", m, k).localCheckpoint(
             eager=True
         )
-        corpus_grams = bloom_might_contain(corpus_grams, "gram", filt)
+        corpus_grams = bloom_might_contain(corpus_grams, "gram", filt, m, k)
         # NO broadcast hint on the exact join here: the prefilter
         # exists precisely for the bench side that no longer fits a
         # broadcast, so forcing one would re-create the failure the
@@ -614,6 +627,33 @@ SPAN_TOKENS = 8
 SPAN_POS_BITS = 24
 
 
+def _pack_id_pos(id_col: str, pos_col: str, what: str) -> Column:
+    """(id << SPAN_POS_BITS) | pos as ONE guarded bigint — the
+    skew-immune first-occurrence key shared by span_dedup and
+    substring_dedup. Injective only for 0 <= id < 2^39 and
+    pos < 2^24; violations raise from inside the expression instead
+    of silently corrupting which occurrence survives."""
+    return F.when(
+        (F.col(id_col) < 0)
+        | (F.col(id_col) >= F.lit(1 << (63 - SPAN_POS_BITS)))
+        | (F.col(pos_col) >= F.lit(1 << SPAN_POS_BITS)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{what}: (doc_id, pos) outside the packing "
+                    f"bounds (0 <= id < 2^{63 - SPAN_POS_BITS}, "
+                    f"pos < 2^{SPAN_POS_BITS}): id="
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" pos="),
+                F.col(pos_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(
+        F.shiftleft(F.col(id_col), SPAN_POS_BITS) + F.col(pos_col)
+    )
+
+
 def span_dedup(
     df: DataFrame,
     span: int = SPAN_TOKENS,
@@ -673,28 +713,9 @@ def span_dedup(
             )
         ).alias("pos", "span_text"),
     )
-    # packing-bounds guard (r12 advisory): the (id << 24) + pos pack
-    # is only injective for 0 <= id < 2^39 and pos < 2^24 — a negative
-    # or oversized id would silently corrupt first-occurrence
-    # selection (sign-bit wrap / cross-document bit bleed), so
-    # violations raise instead. One cheap branch per exploded row.
-    packed = F.when(
-        (F.col(id_col) < 0)
-        | (F.col(id_col) >= F.lit(1 << (63 - SPAN_POS_BITS)))
-        | (F.col("pos") >= F.lit(1 << SPAN_POS_BITS)),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "span_dedup: (doc_id, pos) outside the packing "
-                    f"bounds (0 <= id < 2^{63 - SPAN_POS_BITS}, "
-                    f"pos < 2^{SPAN_POS_BITS}): id="
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(" pos="),
-                F.col("pos").cast("string"),
-            )
-        ).cast("bigint"),
-    ).otherwise(F.shiftleft(F.col(id_col), SPAN_POS_BITS) + F.col("pos"))
+    # packing-bounds guard (r12 advisory): one cheap branch per
+    # exploded row — see _pack_id_pos.
+    packed = _pack_id_pos(id_col, "pos", "span_dedup")
     kept = (
         spans.groupBy("span_text")
         .agg(F.min(packed).alias("_packed"))
@@ -740,6 +761,148 @@ def span_dedup(
             F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
             F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
         )
+    )
+
+
+# Exact-substring dedup window (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the
+# deduplicate-text-datasets default recipe): every repeated token
+# sequence of at least this many tokens, at ANY alignment, keeps its
+# first corpus occurrence. The paper uses 50 BPE tokens; contract
+# rows pass a smaller window so the synthetic corpus discriminates.
+SUBSTR_TOKENS = 50
+
+
+def substring_dedup(
+    df: DataFrame,
+    min_tokens: int = SUBSTR_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring dedup at arbitrary alignment — the Lee et al.
+    2022 tier :func:`span_dedup` approximates with fixed
+    non-overlapping spans: ANY repeated token sequence of length >=
+    ``min_tokens``, wherever it starts, keeps exactly its first corpus
+    occurrence (lexicographic (doc_id, pos)) and is removed everywhere
+    else. A repeated substring of length L >= N is exactly the union
+    of its L-N+1 duplicated N-token windows, so sliding N-windows at
+    EVERY offset + first-occurrence selection + per-doc interval merge
+    reproduces the suffix-array recipe's removals without ever
+    building a suffix array.
+
+    Output per doc (>= 1 token): (doc_id, n_tokens, n_dup_windows,
+    n_removed_tokens, n_ranges, kept_md5) — n_ranges counts the
+    maximal merged removed intervals and kept_md5 digests the
+    surviving tokens in position order (md5('') when everything went).
+
+    Spark-first shape, stage by stage:
+
+    - **Windows explode with FIXED-WIDTH keys.** Each of the ~n
+      offsets emits (id, pos, md5(window_text)) — 32 hex chars
+      whatever ``min_tokens`` is, so the shuffle carries ~40 bytes per
+      corpus token instead of the N-token window text (a 50-token
+      window would 50x the corpus through the exchange — the reason
+      the naive formulation dies at 100 TB). md5 is the repo's
+      engine-portable digest, so the DuckDB oracle groups on the SAME
+      keys; a false key collision needs an md5 collision
+      (~w^2 / 2^129 — at 10^13 windows, ~1e-13), accepted and
+      documented rather than hidden (the published tool's suffix
+      array is exact but single-machine; a 64-bit rolling hash — the
+      other distributed folklore — collides at real corpus sizes).
+    - **First occurrence is the span_dedup packed-key min-agg** —
+      a true HashAggregate with map-side partials, so even a window
+      repeated across half the corpus collapses to one row per input
+      partition before the shuffle (the skew-immunity argument
+      measured in tools/dedup_skew_probe.py). The duplicate verdict
+      is one hash join of the window rows back to that (key, first)
+      table: a hot key concentrates its OCCURRENCE rows (linear) in
+      one task, never occurrence^2.
+    - **Interval merge is per-doc arithmetic**, bounded by the doc's
+      own window count: collect_list + array_sort + one left fold
+      (positions sorted; window [p, p+N) merges into the open range
+      iff p <= last.e). No window function, no per-key funnel.
+    - **Rebuild** filters each doc's tokens by index against its
+      merged ranges (O(tokens x ranges) per doc — ranges, not dup
+      windows, after the merge).
+    """
+    n = min_tokens
+    toks = tokens(F.col(text_col))
+    base = (
+        df.select(
+            F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+        )
+        .filter(F.col("_n") > 0)
+        # two consumers (window explode + final rebuild join) — cut
+        # the plan so tokenization runs once (the
+        # benchmark_contamination lineage-cut convention)
+        .localCheckpoint(eager=True)
+    )
+    wins = base.filter(F.col("_n") >= n).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n") - n),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("_toks", i + 1, n))
+                ),
+            )
+        ).alias("pos", "wkey"),
+    )
+    packed = _pack_id_pos(id_col, "pos", "substring_dedup")
+    firsts = wins.groupBy("wkey").agg(F.min(packed).alias("_first"))
+    dups = (
+        wins.join(firsts, "wkey")
+        .filter(packed != F.col("_first"))
+        .select(id_col, "pos")
+    )
+    hits = dups.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_ps")
+    )
+    empty_ranges = F.array().cast("array<struct<s:int,e:int>>")
+    ranges = F.aggregate(
+        F.slice(F.col("_ps"), 2, F.greatest(F.size("_ps") - 1, F.lit(0))),
+        F.array(
+            F.struct(
+                F.element_at("_ps", 1).alias("s"),
+                (F.element_at("_ps", 1) + n).alias("e"),
+            )
+        ),
+        lambda acc, p: F.when(
+            p <= F.element_at(acc, -1)["e"],
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + n).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + n).alias("e"))))
+        ),
+    )
+    stats = hits.select(
+        id_col,
+        F.size("_ps").cast("int").alias("_n_dup"),
+        ranges.alias("_ranges"),
+    )
+    rng = F.coalesce(F.col("_ranges"), empty_ranges)
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            rng, lambda r: (i >= r["s"]) & (i < r["e"])
+        ),
+    )
+    return base.join(stats, id_col, "left").select(
+        id_col,
+        F.col("_n").cast("int").alias("n_tokens"),
+        F.coalesce("_n_dup", F.lit(0)).alias("n_dup_windows"),
+        F.aggregate(
+            rng, F.lit(0), lambda a, r: a + (r["e"] - r["s"])
+        ).alias("n_removed_tokens"),
+        F.size(rng).alias("n_ranges"),
+        F.md5(F.concat_ws(" ", kept)).alias("kept_md5"),
     )
 
 

@@ -140,6 +140,29 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.span_dedup(read_table(spark, sf_dir, "documents"))
 
 
+# Exact-substring contract window: 8 tokens (the span_dedup
+# granularity, now at EVERY alignment) — the paper's 50-token default
+# finds nothing in a 500-doc synthetic corpus; 8 touches 24 docs at
+# sf0.01, so the row discriminates.
+SUBSTR_DEDUP_TOKENS = 8
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at arbitrary alignment (Lee et al. 2022,
+    the deduplicate-text-datasets recipe — VERDICT r13 item 2): ANY
+    repeated token run of >= 8 tokens keeps its first corpus
+    occurrence and is removed everywhere else, reported per doc as
+    merged maximal ranges + a kept-text digest. The oracle re-derives
+    the sliding md5-keyed windows, the packed-key first-occurrence
+    rule, the interval union (distinct removed token positions — set
+    semantics, definitionally equal to the operator's merged-range
+    sum), the LAG-based range count, and the surviving-token digest."""
+    return quality.substring_dedup(
+        read_table(spark, sf_dir, "documents"),
+        min_tokens=SUBSTR_DEDUP_TOKENS,
+    )
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking with overlap (the long-document
     complement of pack_chunks); chunk_md5 certifies the exact token
@@ -787,23 +810,28 @@ def lm_perplexity_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. LREC'20
-    §4.3): per-LANGUAGE perplexity terciles under the reference-fit
-    bigram LM — the shape CCNet actually ships Common Crawl in (head
-    = most reference-like third of each language, the slice most
-    pipelines train on first). Composes the certified LM scorer with
-    the distributed-rank NTILE: a ``Window.partitionBy(lang)`` would
-    funnel each language through ONE task (three langs here — three
-    straggler tasks at 100x data), so the per-lang rank comes from
-    operators.ranking.distributed_rank and the tercile is arithmetic
-    on (rank, group size), identical to NTILE(3) (the
-    order_value_ntile precedent). The oracle wraps the LM filter's
-    refit-and-replay oracle verbatim and buckets with real NTILE."""
+    §4.3): per-LANGUAGE perplexity terciles, each language scored
+    under ITS OWN reference model (lm_perplexity_per_lang — the
+    recipe's actual scorer; ADVICE r13 flagged the earlier shared-
+    reference scoring as a fidelity gap) — the shape CCNet actually
+    ships Common Crawl in (head = most reference-like third of each
+    language, the slice most pipelines train on first). Composes the
+    certified per-language scorer with the distributed-rank NTILE: a
+    ``Window.partitionBy(lang)`` would funnel each language through
+    ONE task (three langs here — three straggler tasks at 100x data),
+    so the per-lang rank comes from operators.ranking.distributed_rank
+    and the tercile is arithmetic on (rank, group size), identical to
+    NTILE(3) (the order_value_ntile precedent). The oracle wraps the
+    per-language refit-and-replay oracle verbatim and buckets with
+    real NTILE. Documents of unmodeled languages are absent here
+    exactly as they are from the scorer (no model, no bucket)."""
     from ..operators.ranking import distributed_rank, ntile_expr
 
-    scored = lm_perplexity_filter(spark, sf_dir).select("doc_id", "ppl")
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = lm_perplexity_per_lang(spark, sf_dir).select(
+        "doc_id", "lang", "ppl"
+    )
     ranked = distributed_rank(
-        scored.join(docs, "doc_id"),
+        scored,
         partition_cols=["lang"],
         order_cols=["ppl", "doc_id"],
         rank_col="_rn",
@@ -841,6 +869,24 @@ def lm_perplexity_filter_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_df, b_df, t_df = lmfilter.trigram_model_frames(spark, uni, bi, tri)
     return lmfilter.score_perplexity_3gram(
         docs, u_df, b_df, t_df, vocab, n_tokens, LM3_PPL_THRESHOLD
+    )
+
+
+def lm_perplexity_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-gram LM filter with CHUNKED scoring (VERDICT r13 item 4 —
+    the production kill for the per-document regroup bound): documents
+    cut into non-overlapping 32-token chunks, each chunk scored by the
+    unchanged certified 3-gram scorer (regroup group size <= 30 by
+    construction, whatever the document length — CCNet itself scores
+    paragraph units, Wenzek et al. §3.3), then a chunk-ordered
+    transition-weighted recombine per document. The oracle refits the
+    model, drops boundary-crossing trigrams, and replays chunk fold,
+    rounding, and recombine."""
+    uni, bi, tri, vocab, n_tokens = _lm3_model(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    u_df, b_df, t_df = lmfilter.trigram_model_frames(spark, uni, bi, tri)
+    return lmfilter.score_perplexity_3gram_chunked(
+        docs, u_df, b_df, t_df, vocab, n_tokens, LM_CHUNKED_PPL_THRESHOLD
     )
 
 
@@ -969,6 +1015,104 @@ ORACLE["lm_perplexity_filter_3gram"] = """
 ORACLE["lm_perplexity_filter_3gram_dist"] = ORACLE[
     "lm_perplexity_filter_3gram"
 ]
+
+# Chunked 3-gram scoring (VERDICT r13 item 4): the oracle refits the
+# same three count tables, keeps only trigrams that fit inside one
+# window-token chunk ((i-1) % W <= W-3 — transitions never cross a
+# boundary), replays the per-chunk position-ordered fold + rounding,
+# then the per-doc chunk-ordered weighted recombine. Threshold 3.96 =
+# the 3-gram row's (chunked quartiles at sf0.01: 3.83/3.956/4.05 —
+# the verdict still splits the corpus non-trivially).
+LM_CHUNKED_PPL_THRESHOLD = 3.96
+ORACLE["lm_perplexity_chunked"] = """
+    WITH refdocs AS (
+        SELECT {toks} AS toks FROM documents WHERE doc_id % {mod} = 0
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM refdocs) GROUP BY w
+    ),
+    v AS (SELECT COUNT(*) AS vs FROM uni),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM uni),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks,
+                         unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM refdocs WHERE len(toks) >= 2)
+        ) GROUP BY w1, w2
+    ),
+    tri AS (
+        SELECT w1, w2, w3, COUNT(*) AS c FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+            FROM (SELECT toks,
+                         unnest(generate_series(1, len(toks) - 2)) AS i
+                  FROM refdocs WHERE len(toks) >= 3)
+        ) GROUP BY w1, w2, w3
+    ),
+    d AS (SELECT doc_id, {toks} AS toks FROM documents),
+    trans AS (
+        SELECT doc_id, (i - 1) // {w} AS chunk, i,
+               toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS i
+              FROM d WHERE len(toks) >= 3)
+        WHERE (i - 1) % {w} <= {w} - 3
+    ),
+    scored AS (
+        SELECT t.doc_id, t.chunk, t.i,
+               ROUND(ln(
+                   (CASE WHEN COALESCE(b12.c, 0) > 0
+                         THEN ({l3} * COALESCE(tr.c, 0)) / b12.c
+                         ELSE 0.0 END
+                    + CASE WHEN COALESCE(u2.c, 0) > 0
+                           THEN ({l2} * COALESCE(b23.c, 0)) / u2.c
+                           ELSE 0.0 END)
+                   + ({l1} * (COALESCE(u3.c, 0) + 1)) / (n.nt + v.vs)
+               ), {lr}) AS lp,
+               CASE WHEN tr.c IS NULL THEN 1 ELSE 0 END AS oov
+        FROM trans t
+        LEFT JOIN tri tr
+               ON tr.w1 = t.w1 AND tr.w2 = t.w2 AND tr.w3 = t.w3
+        LEFT JOIN bi b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+        LEFT JOIN bi b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+        LEFT JOIN uni u2 ON u2.w = t.w2
+        LEFT JOIN uni u3 ON u3.w = t.w3
+        CROSS JOIN v CROSS JOIN n
+    ),
+    cagg AS (
+        SELECT doc_id, chunk, COUNT(*) AS n_trans,
+               CAST(SUM(oov) AS INTEGER) AS n_oov,
+               list_reduce([0.0] || list(lp ORDER BY i),
+                           (a, x) -> a + x) AS s
+        FROM scored GROUP BY doc_id, chunk
+    ),
+    cp AS (SELECT doc_id, chunk, n_trans, n_oov,
+                  ROUND(-s / n_trans, {pr}) AS ppl FROM cagg),
+    dagg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INTEGER) AS n_chunks,
+               CAST(SUM(n_trans) AS INTEGER) AS n_trans,
+               CAST(SUM(n_oov) AS INTEGER) AS n_oov,
+               list_reduce([0.0] || list(ppl * n_trans ORDER BY chunk),
+                           (a, x) -> a + x) AS num
+        FROM cp GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_trans, n_oov,
+           ROUND(num / n_trans, {pr}) AS ppl,
+           ROUND(num / n_trans, {pr}) <= {th} AS kept
+    FROM dagg
+""".format(
+    toks=_TOKS,
+    mod=LM_REF_MOD,
+    w=lmfilter.CHUNK_SCORE_WINDOW,
+    lr=lmfilter.LOG_ROUND,
+    pr=lmfilter.PPL_ROUND,
+    th=LM_CHUNKED_PPL_THRESHOLD,
+    l3=lmfilter.JM_L3,
+    l2=lmfilter.JM_L2,
+    l1=lmfilter.JM_L1,
+)
 
 # --- Kneser-Ney depth (the smoothing KenLM actually ships) ---------
 #
@@ -1102,6 +1246,7 @@ QUERIES = {
     "lm_perplexity_per_lang": lm_perplexity_per_lang,
     "lm_perplexity_filter_3gram": lm_perplexity_filter_3gram,
     "lm_perplexity_filter_3gram_dist": lm_perplexity_filter_3gram_dist,
+    "lm_perplexity_chunked": lm_perplexity_chunked,
     "lm_perplexity_filter_kn": lm_perplexity_filter_kn,
     "quality_ablation_report": quality_ablation_report,
     "corpus_report": corpus_report,
@@ -1114,29 +1259,11 @@ QUERIES = {
     "bloom_decontam": bloom_decontam,
     "pack_chunks": pack_chunks,
     "span_dedup": span_dedup,
+    "substring_dedup": substring_dedup,
     "doc_chunks": doc_chunks,
     "token_budget_select": token_budget_select,
     "corpus_shards": corpus_shards,
 }
-
-# CCNet head/middle/tail: wraps the LM filter's refit-and-replay
-# oracle verbatim (a WITH over the full scorer CTE chain, the
-# dup_cluster_sizes composition pattern) and buckets with real
-# NTILE(3) over (lang; ppl, doc_id) — certifying that ntile_expr on
-# the distributed rank is value-identical to the window formulation.
-ORACLE["ccnet_buckets"] = f"""
-    WITH lmq AS ({ORACLE["lm_perplexity_filter"]}),
-    j AS (SELECT l.doc_id, d.lang, l.ppl
-          FROM lmq l JOIN documents d USING (doc_id)),
-    r AS (SELECT doc_id, lang, ppl,
-                 NTILE(3) OVER (PARTITION BY lang
-                                ORDER BY ppl, doc_id) AS b
-          FROM j)
-    SELECT doc_id, lang, ppl,
-           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                  ELSE 'tail' END AS bucket
-    FROM r
-"""
 
 # The Bloom-prefiltered row is held to the PLAIN exact-overlap oracle
 # verbatim: Bloom has no false negatives, so the prefilter is a
@@ -1202,3 +1329,84 @@ ORACLE["lm_perplexity_per_lang"] = """
     pr=lmfilter.PPL_ROUND,
     th=LM_LANG_PPL_THRESHOLD,
 )
+
+# CCNet head/middle/tail: wraps the PER-LANGUAGE refit-and-replay
+# oracle verbatim (a WITH over the full per-lang scorer CTE chain,
+# the dup_cluster_sizes composition pattern — ADVICE r13: CCNet §4.3
+# buckets each language under its own model, which is exactly the
+# scorer this round wires in) and buckets with real NTILE(3) over
+# (lang; ppl, doc_id) — certifying that ntile_expr on the distributed
+# rank is value-identical to the window formulation.
+ORACLE["ccnet_buckets"] = f"""
+    WITH lmq AS ({ORACLE["lm_perplexity_per_lang"]}),
+    r AS (SELECT doc_id, lang, ppl,
+                 NTILE(3) OVER (PARTITION BY lang
+                                ORDER BY ppl, doc_id) AS b
+          FROM lmq)
+    SELECT doc_id, lang, ppl,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+    FROM r
+"""
+
+# Exact-substring dedup (Lee et al. 2022): the oracle replays the
+# sliding md5 window keys, the (id << 24 | pos) first-occurrence min,
+# the duplicate verdict join, the removed-token UNION as DISTINCT
+# token positions (set semantics == the operator's merged-interval
+# sum), the LAG(pos) range count (new range iff the gap exceeds the
+# window), and the position-ordered surviving-token md5 (string_agg
+# skips the removed rows' NULLs; fully-removed docs coalesce to
+# md5('')).
+_SN = SUBSTR_DEDUP_TOKENS
+ORACLE["substring_dedup"] = f"""
+    WITH d AS (SELECT doc_id, toks FROM
+                   (SELECT doc_id, {_TOKS} AS toks FROM documents)
+               WHERE len(toks) > 0),
+    w AS (SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(toks[i:i + {_SN - 1}], ' ')) AS wkey
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - {_SN} + 1))
+                           AS i
+                FROM d WHERE len(toks) >= {_SN})),
+    f AS (SELECT wkey, MIN(doc_id * {1 << 24} + pos) AS fp
+          FROM w GROUP BY wkey),
+    dup AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (wkey)
+            WHERE w.doc_id * {1 << 24} + w.pos <> f.fp),
+    tok AS (SELECT doc_id, t - 1 AS t0, toks[t] AS tok
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks))) AS t
+                  FROM d)),
+    rem AS (SELECT DISTINCT k.doc_id, k.t0
+            FROM tok k JOIN dup p
+              ON p.doc_id = k.doc_id
+             AND k.t0 >= p.pos AND k.t0 < p.pos + {_SN}),
+    nd AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_dup_windows
+           FROM dup GROUP BY doc_id),
+    nr AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_removed_tokens
+           FROM rem GROUP BY doc_id),
+    ng AS (SELECT doc_id, CAST(SUM(newr) AS INTEGER) AS n_ranges FROM (
+               SELECT doc_id,
+                      CASE WHEN pos - LAG(pos) OVER (
+                               PARTITION BY doc_id ORDER BY pos)
+                               <= {_SN}
+                           THEN 0 ELSE 1 END AS newr
+               FROM dup) GROUP BY doc_id),
+    kept AS (SELECT k.doc_id,
+                    md5(COALESCE(string_agg(
+                        CASE WHEN r.t0 IS NULL THEN k.tok END, ' '
+                        ORDER BY k.t0), '')) AS kept_md5
+             FROM tok k LEFT JOIN rem r
+               ON r.doc_id = k.doc_id AND r.t0 = k.t0
+             GROUP BY k.doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS INTEGER) AS n_tokens,
+           COALESCE(nd.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(nr.n_removed_tokens, 0) AS n_removed_tokens,
+           COALESCE(ng.n_ranges, 0) AS n_ranges,
+           kept.kept_md5
+    FROM d
+    LEFT JOIN nd USING (doc_id)
+    LEFT JOIN nr USING (doc_id)
+    LEFT JOIN ng USING (doc_id)
+    JOIN kept USING (doc_id)
+"""

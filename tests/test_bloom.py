@@ -54,3 +54,49 @@ def test_prefiltered_contamination_equals_plain(spark, sf_dir):
     ).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, pre))
     assert len(plain) > 0  # discriminating, not trivially empty
+
+
+def test_sized_m_bits_tracks_key_count():
+    """ADVICE r13: the filter must be sized to the key count — the
+    fixed default saturates past ~25k keys. Check the floor, the ~19n
+    growth at k=2/1% FP, and that the sized filter actually holds the
+    FP rate where the default would saturate."""
+    import math
+
+    assert bloom.sized_m_bits(0) == bloom.M_BITS
+    assert bloom.sized_m_bits(1000) == bloom.M_BITS  # floor
+    m8 = bloom.sized_m_bits(100_000_000)
+    assert m8 >= 19 * 100_000_000 and (m8 & (m8 - 1)) == 0
+    # predicted FP at the sized m stays under target; at the default
+    # m it would be ~1 (saturated)
+    k, n = bloom.K_HASHES, 100_000_000
+    fp_sized = (1 - math.exp(-k * n / m8)) ** k
+    fp_default = (1 - math.exp(-k * n / bloom.M_BITS)) ** k
+    assert fp_sized <= 0.01 < 0.99 < fp_default
+
+
+def test_contamination_sized_filter_equals_plain(spark):
+    """The keys-derived sizing threads through benchmark_contamination
+    without moving the result (no false negatives at any m)."""
+    from flink_log_analysis_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} shared word here")
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "tok5 tok6 tok7 tok8 shared word here")],
+        "doc_id bigint, text string",
+    )
+    plain = quality.benchmark_contamination(docs, bench, n=3)
+    sized = quality.benchmark_contamination(
+        docs, bench, n=3, bloom_prefilter=True
+    )
+    tiny = quality.benchmark_contamination(
+        docs, bench, n=3, bloom_prefilter=True, bloom_m_bits=64, bloom_k=1
+    )
+    p = sorted(map(tuple, plain.collect()))
+    assert p == sorted(map(tuple, sized.collect()))
+    # even a deliberately saturated 64-bit filter keeps exactness
+    assert p == sorted(map(tuple, tiny.collect()))

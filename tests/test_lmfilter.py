@@ -272,3 +272,56 @@ def test_session_cache_fit_guard_raises_over_bound(spark, monkeypatch):
         lmfilter.fit_bigram_model(ref)
     with pytest.raises(ValueError, match="MAX_COLLECTED_MODEL_ROWS"):
         lmfilter.fit_trigram_model(ref)
+
+
+def test_chunked_scoring_semantics(spark):
+    """VERDICT r13 item 4: (a) a doc within one window scores exactly
+    as the whole-doc 3-gram scorer (one chunk, weighted mean of one ==
+    itself); (b) boundary-crossing transitions drop: with window=4, a
+    7-token doc splits 4+3 -> 2+1 transitions, never 5; (c) the
+    recombine is the transition-weighted mean of rounded chunk ppls."""
+    import pytest
+
+    from flink_log_analysis_spark.operators import lmfilter
+
+    ref = spark.createDataFrame(
+        [(0, "a b c a b d b c a")], "doc_id bigint, text string"
+    )
+    uni, bi, tri, vocab, n_tok = lmfilter.fit_trigram_model(ref)
+    u, b, t = lmfilter.trigram_model_frames(spark, uni, bi, tri)
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a b c a b d b")],
+        "doc_id bigint, text string",
+    )
+    whole = {
+        r["doc_id"]: r
+        for r in lmfilter.score_perplexity_3gram(
+            docs, u, b, t, vocab, n_tok, 10.0
+        ).collect()
+    }
+    chunked = {
+        r["doc_id"]: r
+        for r in lmfilter.score_perplexity_3gram_chunked(
+            docs, u, b, t, vocab, n_tok, 10.0, window=4
+        ).collect()
+    }
+    # (a) doc 1 fits one window: identical score, 1 chunk
+    assert chunked[1]["n_chunks"] == 1
+    assert chunked[1]["ppl"] == whole[1]["ppl"]
+    assert chunked[1]["n_trans"] == whole[1]["n_trans"] == 2
+    # (b) doc 2 (7 tokens, window 4): chunks "a b c a" (2 trans) +
+    # "b d b" (1 trans) = 3, vs 5 whole-doc
+    assert chunked[2]["n_chunks"] == 2
+    assert chunked[2]["n_trans"] == 3 and whole[2]["n_trans"] == 5
+    # (c) recombine = weighted mean of the two chunk ppls
+    c1 = lmfilter.score_perplexity_3gram(
+        spark.createDataFrame([(0, "a b c a")], "doc_id bigint, text string"),
+        u, b, t, vocab, n_tok, 10.0,
+    ).collect()[0]["ppl"]
+    c2 = lmfilter.score_perplexity_3gram(
+        spark.createDataFrame([(0, "b d b")], "doc_id bigint, text string"),
+        u, b, t, vocab, n_tok, 10.0,
+    ).collect()[0]["ppl"]
+    assert chunked[2]["ppl"] == pytest.approx(
+        round((c1 * 2 + c2 * 1) / 3, lmfilter.PPL_ROUND), abs=1e-9
+    )

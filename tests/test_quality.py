@@ -489,3 +489,66 @@ def test_ccnet_buckets_properties(spark, sf_dir):
         ranked = sorted(rs, key=lambda r: (r["ppl"], r["doc_id"]))
         labels = [order[r["bucket"]] for r in ranked]
         assert labels == sorted(labels), lang  # monotone in ppl order
+
+
+def test_substring_dedup_arbitrary_alignment(spark):
+    """VERDICT r13 item 2 (Lee et al. 2022): any repeated run of >= N
+    tokens is removed at any alignment, keeping the first corpus
+    occurrence; overlapping hits merge to maximal ranges."""
+    from flink_log_analysis_spark.operators import quality
+
+    rows = [
+        (0, "a b c d e f g h i j"),          # source of the run
+        (1, "x y c d e f g h zz"),           # run at offset 2
+        (2, "c d e f g h q c d e f g h"),    # run twice -> 2 ranges
+        (3, "p q r s t u v w"),              # clean
+        (4, "m n c d e f mm nn oo pp"),      # 4-token overlap < N
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in quality.substring_dedup(df, min_tokens=5).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # first occurrence untouched
+    assert out[0]["n_removed_tokens"] == 0
+    assert out[0]["kept_md5"] == md5("a b c d e f g h i j")
+    # doc 1: windows at pos 2 and 3 duplicate -> union [2, 8), 1 range
+    assert (
+        out[1]["n_dup_windows"],
+        out[1]["n_removed_tokens"],
+        out[1]["n_ranges"],
+    ) == (2, 6, 1)
+    assert out[1]["kept_md5"] == md5("x y zz")
+    # doc 2: the run appears twice -> both removed, 2 merged ranges
+    assert (out[2]["n_removed_tokens"], out[2]["n_ranges"]) == (12, 2)
+    assert out[2]["kept_md5"] == md5("q")
+    # clean doc and sub-threshold overlap untouched
+    assert out[3]["n_removed_tokens"] == 0
+    assert out[4]["n_removed_tokens"] == 0
+
+
+def test_substring_dedup_within_doc_and_invariance(spark):
+    """A repeat WITHIN one document keeps its first position; results
+    are invariant to physical partitioning; docs shorter than N pass
+    through with zero windows."""
+    from flink_log_analysis_spark.operators import quality
+
+    rows = [
+        (7, "r s t u v 1 2 r s t u v"),  # internal repeat of 5-run
+        (8, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in quality.substring_dedup(df, min_tokens=5).collect()
+    }
+    assert (out[7]["n_removed_tokens"], out[7]["n_ranges"]) == (5, 1)
+    assert out[8] and out[8]["n_removed_tokens"] == 0
+    a = quality.substring_dedup(df, min_tokens=5).collect()
+    b = quality.substring_dedup(
+        df.repartition(7, "text"), min_tokens=5
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -24,9 +24,14 @@ after a warm pass.
 
 The reported number is skewed/uniform wall-clock: ~1.0 means the
 hash-agg machinery absorbs the hot group; >> 1 is the single-task
-bound a 100 TB deployment must know (mitigation if it ever matters:
-cap document length upstream — doc_chunks already cuts pathological
-documents before scoring in the shipped pipelines).
+bound a 100 TB deployment must know. r14 adds the CONTRACTED kill
+(score_perplexity_3gram_chunked, VERDICT r13 item 4): chunk first, so
+the regroup group is the window, not the document — measured at 2M
+tokens: whole-doc hostile ratio 15.4x vs chunked 3.98x (uniform arm
+unchanged, 1.09 s vs 1.13 s). The residual ~4x is the OTHER half of
+the trap: the giant document is ONE physical row, so its tokenize +
+explode cannot leave its task — that half only splits upstream, at
+ingest (pre-split monster rows before they ever become one row).
 
 Writes nothing under the repo; replica parquet goes to --out. Usage:
 
@@ -125,9 +130,26 @@ def main() -> None:
                     frame, u, b, t, v, n, threshold=99.0
                 )
             )
+            # r14 (VERDICT r13 item 4): the chunked scorer caps the
+            # regroup group at the window, so the half-corpus doc's
+            # fold parallelizes — the hostile ratio should flatten.
+            results[name + "_chunked"] = timed(
+                lmfilter.score_perplexity_3gram_chunked(
+                    frame, u, b, t, v, n, threshold=99.0
+                )
+            )
         ratio = (
             round(results["skewed_halfdoc"] / results["uniform"], 2)
             if results["uniform"] > 0
+            else None
+        )
+        ratio_chunked = (
+            round(
+                results["skewed_halfdoc_chunked"]
+                / results["uniform_chunked"],
+                2,
+            )
+            if results["uniform_chunked"] > 0
             else None
         )
         print(
@@ -141,6 +163,11 @@ def main() -> None:
                     "uniform_sec": results["uniform"],
                     "skewed_sec": results["skewed_halfdoc"],
                     "skew_ratio": ratio,
+                    "uniform_chunked_sec": results["uniform_chunked"],
+                    "skewed_chunked_sec": results[
+                        "skewed_halfdoc_chunked"
+                    ],
+                    "skew_ratio_chunked": ratio_chunked,
                 }
             )
         )

@@ -12,10 +12,15 @@ Two hostile shapes, each against a same-size control:
   VARIABLE is cell occupancy). The within-cell self-join is the
   operator's declared quadratic fence: pairs grow as sum over cells
   of occupancy^2, so a 50%-hot cell carries ~n^2/4 pairs where the
-  uniform control carries ~n^2/k. This probe measures what that
-  costs wall-clock — the paper's own mitigation (raise the cluster
-  count so occupancy stays bounded) is a CONFIG knob, and the number
-  tells a deployment when to turn it.
+  uniform control carries ~n^2/k. r14: cells above
+  semdedup.HOT_CELL_BOUND now dispatch into the grid-salted triangle
+  join — measured at --n 20000 (top cell 9501; 45.3M skew pairs vs
+  0.55M uniform): the hot-cell edge stage fell 208 s -> 43 s (4.8x,
+  one task -> g(g+1)/2 tasks across 32 cores; pair set identical).
+  The residual skew/uniform ratio (~3x end-to-end) is the candidate
+  MASS itself — 83x the uniform arm's pairs, now parallel instead of
+  serialized — and shrinking it remains the paper's CONFIG knob:
+  raise the cluster count so occupancy stays bounded.
 
 - **giant_doc** (DSIR): one document holds 50% of all corpus grams
   (one 500k-token doc beside n-1 normal ones, vs the same token
