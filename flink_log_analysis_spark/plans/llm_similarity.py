@@ -366,8 +366,21 @@ def _build_index_once(path: str, marker_name: str, build_fn) -> str:
             # stale-fingerprint siblings (and their .build orphans);
             # same-fingerprint .build dirs are left alone — one may be
             # a live concurrent builder, and orphans rotate out with
-            # the next fingerprint change.
-            if sib.startswith(leaf_prefix) and not sib.startswith(name):
+            # the next fingerprint change. A sibling only counts as a
+            # STALE VERSION of THIS leaf when the part after the
+            # prefix is a pure version/fingerprint token (no further
+            # dash-separated qualifiers): "…-m4cw16-v4" must prune
+            # "…-m4cw16-v3" but NEVER "…-m4cw16-res-v4" — r14 found
+            # the raw manycell-PQ build silently deleting the residual
+            # sibling root on every build, forcing the residual row's
+            # rebuild into whatever window ran it next (the exact
+            # mid-suite deletion shape behind recurring bench
+            # outliers).
+            if (
+                sib.startswith(leaf_prefix)
+                and not sib.startswith(name)
+                and "-" not in sib[len(leaf_prefix):].split(".build-")[0]
+            ):
                 _shutil.rmtree(f"{base}/{sib}", ignore_errors=True)
     tmp = f"{path}.build-{_os.getpid()}"
     _shutil.rmtree(tmp, ignore_errors=True)

@@ -236,6 +236,78 @@ ORACLE["web_corpus_prep"] = f"""
     FROM pc JOIN quota_kept qk ON pc.doc_id = qk.doc_id
 """
 
+# Pretraining-prep DSIR selection width: 60 of the ~156 sf0.01 pool
+# survivors, so the Gumbel resample actually discriminates (a K above
+# the pool size would select everything and verify nothing).
+PRETRAIN_DSIR_K = 60
+
+
+def pretrain_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRETRAINING curation tier composed end-to-end (VERDICT r13
+    item 5 — web_corpus_prep's sibling over the LLM-text stages):
+
+        quality keep (C4/Gopher predicate)
+          -> LM-perplexity filter (reference-fit bigram, kept only)
+            -> exact dedup (min doc_id per normalized-content md5)
+              -> MinHash-LSH near dedup (drop verified doc_b)
+                -> DSIR selection (hashed-ngram importance weights fit
+                   ON THE SURVIVOR SET, Gumbel-top-K resample)
+                  -> BPE tokenize (frozen merge table)
+                    -> sequence packing in real BPE tokens
+
+    Every stage is an already-green operator; this row proves they
+    COMPOSE with survivor cardinality flowing through (sf0.01: 500 ->
+    268 quality -> 185 LM-kept -> 177 near-deduped -> 60 selected).
+    The LM scorer runs over the full corpus and joins (its model is
+    fit on the raw reference slice and scores are per-doc independent,
+    so filter-then-score and score-then-filter are value-identical —
+    a deployment scores survivors only); DSIR's models are refit on
+    the composed survivor set, which is exactly what makes this a
+    composition proof rather than a union of the standalone rows. The
+    oracle chains the same stages as CTEs, reusing the certified
+    fragments verbatim (_KEEP_PRED, the lm_perplexity_filter oracle,
+    _sig_cte/_bands_cte, feature_occ_sql, the BPE merge-chain
+    counter)."""
+    from ..operators import bpe as bpe_ops
+    from ..operators import dsir
+    from ..session import ensure_min_partitions
+    from .llm_quality import lm_perplexity_filter
+    from .pipeline_ops import DSIR_SEED, DSIR_TARGET_MOD
+
+    docs = read_table(spark, sf_dir, "documents")
+    qkept = docs.filter(quality.keep_predicate(F.col("text")))
+    lmq = (
+        lm_perplexity_filter(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("doc_id")
+    )
+    lmkept = qkept.join(lmq, "doc_id")
+    exact = dedup.exact_dedup_keep(lmkept)
+    survivors = dedup.near_dedup_keep(
+        exact, threshold=NEAR_DUP_THRESHOLD
+    )
+    pred = F.col("doc_id") % DSIR_TARGET_MOD == 0
+    weights = dsir.importance_weights(survivors, pred)
+    sel = dsir.select_top_k(
+        weights, PRETRAIN_DSIR_K, seed=DSIR_SEED
+    ).select("doc_id", "logw")
+    seldocs = survivors.join(sel, "doc_id")
+    packed = quality.pack_chunks(
+        ensure_min_partitions(seldocs),
+        n_tokens_expr=bpe_ops.doc_token_count(
+            F.col("text"), bpe_ops.BPE_MERGES_V1
+        ),
+    )
+    return packed.join(sel, "doc_id").select(
+        "doc_id",
+        "logw",
+        "n_tokens",
+        "cum_tokens",
+        "chunk_first",
+        "chunk_last",
+    )
+
+
 def quality_ablation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ablation report pointed at the WEB tier's quality-filter
     input (r10 optional-depth item — the two newest quality tools
@@ -264,8 +336,127 @@ ORACLE["quality_ablation_web"] = _ablation_oracle(
     "webdocs", prelude=_WEB_FUNNEL_CTES + ", "
 )
 
+# Pretraining-tier composition oracle: quality keep -> LM filter
+# (the certified lm_perplexity_filter oracle spliced whole as one CTE
+# — its inner WITH is scoped to the parenthesized subquery) -> exact
+# dedup -> the parameterized LSH chain on k1 -> DSIR refit ON k2 (the
+# composed survivor set) -> Gumbel-top-K -> BPE merge-chain token
+# counts -> the pack cumsum over the chosen docs in id order.
+from ..operators import bpe as _bpe_ops  # noqa: E402
+from ..operators import dsir as _dsir  # noqa: E402
+from .llm_quality import ORACLE as _LMQ_ORACLE  # noqa: E402
+from .llm_text import _BPE_D, _BPE_PIECES, _bpe_chain_sql  # noqa: E402
+from .pipeline_ops import DSIR_SEED as _DSIR_SEED  # noqa: E402
+from .pipeline_ops import DSIR_TARGET_MOD as _DSIR_MOD  # noqa: E402
+
+_chain = _bpe_chain_sql("p", _bpe_ops.BPE_MERGES_V1)
+_BPE_N = (
+    f"CAST(COALESCE(list_sum(list_transform({_BPE_PIECES}, "
+    f"p -> (length({_chain}) - length(replace({_chain}, '{_BPE_D}', '')))"
+    f" // 2)), 0) AS INTEGER)"
+)
+
+ORACLE["pretrain_corpus_prep"] = f"""
+    WITH qt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    kept0 AS (
+        SELECT d.* FROM documents d
+        JOIN qt USING (doc_id)
+        WHERE {_KEEP_PRED}
+    ),
+    lmq AS ({_LMQ_ORACLE["lm_perplexity_filter"]}),
+    lmkept AS (
+        SELECT k.* FROM kept0 k
+        JOIN lmq ON lmq.doc_id = k.doc_id AND lmq.kept
+    ),
+    efp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp
+        FROM lmkept
+    ),
+    k1 AS (
+        SELECT k.* FROM lmkept k
+        JOIN (SELECT MIN(doc_id) AS doc_id FROM efp GROUP BY fp) e
+        USING (doc_id)
+    ),
+    {_sig_cte("k1")},
+    {_bands_cte()},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    dropped AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM cands
+        JOIN toks ta ON ta.doc_id = doc_a
+        JOIN toks tb ON tb.doc_id = doc_b
+        WHERE ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
+                    / (len(ta.toks) + len(tb.toks)
+                       - len(list_intersect(ta.toks, tb.toks))), 4)
+              >= {NEAR_DUP_THRESHOLD}
+    ),
+    k2 AS (
+        SELECT k.* FROM k1 k
+        WHERE NOT EXISTS (SELECT 1 FROM dropped x
+                          WHERE x.doc_id = k.doc_id)
+    ),
+    occ AS ({_dsir.feature_occ_sql("k2", "doc_id")}),
+    cnts AS (SELECT doc_id, feat, COUNT(*) AS cnt
+             FROM occ GROUP BY doc_id, feat),
+    fit AS (SELECT feat,
+             CAST(SUM(CASE WHEN doc_id % {_DSIR_MOD} = 0
+                           THEN cnt ELSE 0 END) AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN doc_id % {_DSIR_MOD} <> 0
+                           THEN cnt ELSE 0 END) AS BIGINT) AS cq
+            FROM cnts GROUP BY feat),
+    tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+                   CAST(SUM(cq) AS BIGINT) AS tq FROM fit),
+    contrib AS (
+        SELECT c.doc_id, c.feat, c.cnt,
+               c.cnt * {_dsir.log_ratio_sql(
+                   "COALESCE(f.cp, 0)", "COALESCE(f.cq, 0)",
+                   "t.tp", "t.tq", _dsir.N_BUCKETS)} AS x
+        FROM cnts c LEFT JOIN fit f USING (feat) CROSS JOIN tot t
+        WHERE c.doc_id % {_DSIR_MOD} <> 0),
+    wagg AS (SELECT doc_id,
+                    ROUND(list_reduce([0.0] || list(x ORDER BY feat),
+                                      (a, b) -> a + b),
+                          {_dsir.W_ROUND}) AS logw
+             FROM contrib GROUP BY doc_id),
+    chosen AS (
+        SELECT doc_id, logw FROM (
+            SELECT doc_id, logw,
+                   {_dsir.gumbel_key_sql("doc_id", "logw", _DSIR_SEED)}
+                       AS gkey
+            FROM wagg)
+        ORDER BY gkey DESC, doc_id LIMIT {PRETRAIN_DSIR_K}
+    ),
+    bt AS (
+        SELECT k2.doc_id, c.logw, {_BPE_N} AS n_tokens
+        FROM k2 JOIN chosen c USING (doc_id)
+    ),
+    pc AS (
+        SELECT doc_id, logw, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM bt
+    )
+    SELECT doc_id, logw, n_tokens, cum_tokens,
+           CAST(FLOOR((cum_tokens - n_tokens)
+                      / {quality.PACK_BLOCK_TOKENS}.0) AS BIGINT)
+               AS chunk_first,
+           CAST(FLOOR((cum_tokens - 1)
+                      / {quality.PACK_BLOCK_TOKENS}.0) AS BIGINT)
+               AS chunk_last
+    FROM pc
+"""
+
 QUERIES = {
     "corpus_prep": corpus_prep,
     "web_corpus_prep": web_corpus_prep,
     "quality_ablation_web": quality_ablation_web,
+    "pretrain_corpus_prep": pretrain_corpus_prep,
 }

@@ -1296,3 +1296,45 @@ def test_residual_pq_index_full_lifecycle(spark, tmp_path):
     )
     assert rr.exceptAll(full).count() == 0
     assert full.exceptAll(rr).count() == 0
+
+
+def test_build_index_once_prunes_versions_not_qualified_siblings(tmp_path):
+    """r14: the stale-sibling pruner must remove only PURE version/
+    fingerprint successors of its own leaf ("...-v3" when building
+    "...-v4", and their .build orphans) — never a dash-qualified
+    sibling root like "...-res-v4", which is a DIFFERENT index whose
+    deletion forces its row's rebuild into whatever timed window runs
+    it next (found live: the raw manycell-PQ build deleted the
+    residual index on every build)."""
+    import os
+
+    from flink_log_analysis_spark.plans.llm_similarity import (
+        _build_index_once,
+    )
+
+    base = tmp_path / "roots"
+    base.mkdir()
+    stale = base / "c64d8-m4cw16-v3"
+    stale.mkdir()
+    (stale / "_BUILT").write_text("ok")
+    stale_orphan = base / "c64d8-m4cw16-v3.build-999"
+    stale_orphan.mkdir()
+    residual = base / "c64d8-m4cw16-res-v4"
+    residual.mkdir()
+    (residual / "_BUILT").write_text("ok")
+    (residual / "data").write_text("payload")
+
+    target = str(base / "c64d8-m4cw16-v4")
+    _build_index_once(
+        target, "_BUILT", lambda tmp: os.makedirs(tmp, exist_ok=True)
+    )
+    assert os.path.exists(f"{target}/_BUILT")
+    assert not stale.exists()          # pure stale version pruned
+    assert not stale_orphan.exists()   # its build orphan pruned
+    assert residual.exists()           # qualified sibling SPARED
+    assert (residual / "data").read_text() == "payload"
+    # idempotent: marker hit returns early, nothing else touched
+    _build_index_once(
+        target, "_BUILT", lambda tmp: (_ for _ in ()).throw(AssertionError)
+    )
+    assert residual.exists()
