@@ -271,13 +271,22 @@ def run_slice(
         from flink_log_analysis_spark.plans.llm_similarity import _ivf_centroids
 
         prestep("ivf_centroids", lambda: _ivf_centroids(spark, sf_dir))
-    if any(n.startswith("lm_perplexity_filter") for n in names):
+    if any(
+        n.startswith("lm_perplexity_filter") or n == "pretrain_corpus_prep"
+        for n in names
+    ):
         # the batch row AND the streaming twin score against the same
-        # frozen bigram model (production fits it offline)
+        # frozen bigram model (production fits it offline); the
+        # composed pretraining pipeline's LM stage reads the same
+        # session cache (keyed by sf_dir, so the sf0.001 warm pass
+        # does not cover the timed sf)
         from flink_log_analysis_spark.plans.llm_quality import _lm_model
 
         prestep("lm_bigram_model", lambda: _lm_model(spark, sf_dir))
-    if "lm_perplexity_filter_3gram" in names:
+    if "lm_perplexity_filter_3gram" in names or "lm_perplexity_chunked" in names:
+        # the chunked row scores under the SAME session-cached trigram
+        # model (keyed by sf_dir — the warm pass only fits sf0.001's),
+        # so it needs the timed-sf fit outside its window too
         from flink_log_analysis_spark.plans.llm_quality import _lm3_model
 
         prestep("lm_trigram_model", lambda: _lm3_model(spark, sf_dir))

@@ -286,11 +286,22 @@ def pretrain_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = dedup.near_dedup_keep(
         exact, threshold=NEAR_DUP_THRESHOLD
     )
+    # Cut the plan at the survivor set: FIVE downstream consumers (the
+    # DSIR fit's collect, the scoring pass, and the select/pack joins)
+    # would otherwise each re-execute the whole quality->LM->exact->
+    # LSH chain (measured 24.6 s -> the chain replayed per action; the
+    # benchmark_contamination lineage-cut convention). Blocks are
+    # reclaimed by session.release_checkpoints.
+    survivors = survivors.localCheckpoint(eager=True)
     pred = F.col("doc_id") % DSIR_TARGET_MOD == 0
     weights = dsir.importance_weights(survivors, pred)
-    sel = dsir.select_top_k(
-        weights, PRETRAIN_DSIR_K, seed=DSIR_SEED
-    ).select("doc_id", "logw")
+    # sel feeds two joins; without a cut each recomputes the fit +
+    # scoring pass (tiny frame: K rows)
+    sel = (
+        dsir.select_top_k(weights, PRETRAIN_DSIR_K, seed=DSIR_SEED)
+        .select("doc_id", "logw")
+        .localCheckpoint(eager=True)
+    )
     seldocs = survivors.join(sel, "doc_id")
     packed = quality.pack_chunks(
         ensure_min_partitions(seldocs),

@@ -65,6 +65,10 @@ CROSS_JOIN_OK = {
     "lm_perplexity_filter",  # 1-row bigram-model map broadcast attach
     "lm_perplexity_filter_3gram",  # same attach, three-map model row
     "lm_perplexity_filter_kn",  # same attach, four-map KN model row
+    # the composed pretraining pipeline embeds lm_perplexity_filter's
+    # 1-row model attach (plus token-budget-style scalar attaches from
+    # its packing stage)
+    "pretrain_corpus_prep",
     # SemDeDup: nearest-centroid assignment is the 1-row (sids, smat)
     # broadcast attach (the cmat convention). The batch-verdict row
     # (semantic_dedup) cuts its plan with a localCheckpoint after the
