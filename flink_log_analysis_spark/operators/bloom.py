@@ -43,8 +43,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import token_hash
-
 M_BITS = 1 << 17
 K_HASHES = 2
 
@@ -65,14 +63,28 @@ def sized_m_bits(
         return M_BITS
     need = k * n_keys / -math.log1p(-(target_fp ** (1.0 / k)))
     m = M_BITS
-    while m < need:
+    while m < need and m < (1 << POSITION_BITS):
         m <<= 1
     return m
 
 
+# Positions draw from 52 bits of the salted md5 (13 hex chars), NOT
+# the repo's 32-bit token_hash: a sized filter for >= ~2.3e8 keys
+# needs m > 2^32, and a 32-bit position source would silently saturate
+# the effective m at 2^32 regardless of what sized_m_bits computed —
+# the exact silent-saturation failure the sizing exists to remove
+# (r14 review). 52 bits keeps the value double-exact and covers any
+# practical filter (2^52 bits = 512 TiB).
+POSITION_BITS = 52
+
+
 def _position(key: Column, j: int, m_bits: int) -> Column:
-    """Bit position of hash j for a key (salted md5 bucket)."""
-    return token_hash(key, salt=f"bloom{j}") % m_bits
+    """Bit position of hash j for a key (salted 52-bit md5 bucket)."""
+    salted = F.concat(F.lit(f"bloom{j}|"), key)
+    wide = F.conv(F.substring(F.md5(salted), 1, 13), 16, 10).cast(
+        "bigint"
+    )
+    return wide % m_bits
 
 
 def bloom_build(

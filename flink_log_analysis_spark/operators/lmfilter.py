@@ -687,9 +687,19 @@ def score_perplexity_3gram_chunked(
     (doc_id, chunk_idx) rides the scorer as ONE packed bigint
     (quality._pack_id_pos — same guarded injective pack as
     span_dedup), so the scorer's id column stays scalar; 2^24 chunks
-    per doc = ~10^9 tokens at window 32 before the guard trips."""
+    per doc = 2^24 * 32 ≈ 5.4e8 tokens at window 32 before the guard
+    trips."""
     from .quality import SPAN_POS_BITS, _pack_id_pos
 
+    if window < 3:
+        # every chunk would hold < 3 tokens and the inner scorer would
+        # drop ALL of them — a silent 100%-filter, the opposite of the
+        # loud-guard convention (_pack_id_pos, _collect_model_rows)
+        raise ValueError(
+            f"score_perplexity_3gram_chunked: window={window} < 3 "
+            "cannot hold a trigram transition — every document would "
+            "silently vanish"
+        )
     toks = tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")

@@ -468,11 +468,18 @@ def benchmark_contamination(
         # Size the filter to the ACTUAL key count (ADVICE r13: the
         # module default m=2^17 saturates past ~25k keys — at the
         # motivating 10^8-key list FP ~ 100% and the prefilter prunes
-        # nothing while still paying its k joins). bench_grams is
-        # checkpointed, so the count is a cheap second consumption.
+        # nothing while still paying its k joins). The key count is
+        # DISTINCT grams — the set actually inserted — not the
+        # (bench_id, gram) pair count, which over-sizes by the
+        # cross-document gram multiplicity (r14 review: a templated
+        # suite sharing grams 10x across docs would size a 8-16x
+        # larger filter for no FP benefit). bench_grams is
+        # checkpointed, so this is a cheap second consumption.
         k = K_HASHES if bloom_k is None else bloom_k
         m = (
-            sized_m_bits(bench_grams.count(), k)
+            sized_m_bits(
+                bench_grams.select("gram").distinct().count(), k
+            )
             if bloom_m_bits is None
             else bloom_m_bits
         )

@@ -244,11 +244,19 @@ def cell_dup_edges(
     the quantizer size (broadcastable by construction), and the salted
     branch emits the construction-identical pair set — so the verdict,
     components, and oracle hash cannot move on any input. Pass
-    ``hot_cell_bound=None`` to force the plain single-key join."""
+    ``hot_cell_bound=None`` to force the plain single-key join.
+
+    NOTE: the dispatch is an EAGER Spark action at construction time
+    (driver-side branching needs the scalar); callers composing this
+    frame without executing it still pay one occupancy aggregation
+    over ``assigned`` — checkpoint ``assigned`` first when its lineage
+    is expensive (semantic_dedup does). The occupancy table itself is
+    checkpointed here so the dispatch scan and the hot-branch join
+    consume ONE computation (r14 review)."""
     if hot_cell_bound is not None:
         occ = assigned.groupBy("cell").agg(
             F.count(F.lit(1)).alias("_occ")
-        )
+        ).localCheckpoint(eager=True)
         max_occ = occ.agg(F.max("_occ")).first()[0] or 0
         if max_occ > hot_cell_bound:
             n_groups = min(

@@ -58,16 +58,26 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_safe(a: Column, b: Column) -> Column:
-    """Cosine that returns -1.0 when either side has zero norm —
+    """Cosine that returns -1.0 when either side has ZERO NORM —
     the EXACT convention DuckDB's ``list_cosine_similarity`` applies
     (verified: one-zero and both-zero inputs return -1.0), so oracles
     keep their plain ``ROUND(list_cosine_similarity(...))`` twin.
     Identical bits to :func:`cosine` on every nonzero-norm pair
     (``try_divide`` is a plain IEEE divide when the divisor isn't 0);
     under ANSI mode the unguarded form instead raises DIVIDE_BY_ZERO
-    mid-job (ADVICE r13 — the SemDeDup assignment struct-max)."""
-    return F.coalesce(
-        F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(-1.0)
+    mid-job (ADVICE r13 — the SemDeDup assignment struct-max).
+
+    A NULL array PROPAGATES as NULL (matching DuckDB again, which
+    returns NULL for a NULL list) rather than being coalesced into a
+    "valid" -1.0 — a null embedding is upstream data corruption and
+    masking it as an extreme-but-legal cosine would silently file the
+    row as a kept singleton while the oracle diverged (r14 review).
+    Element-level nulls inside a non-null array are outside the
+    determinism contract (both engines treat them as corrupt input)."""
+    return F.when(
+        a.isNull() | b.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.coalesce(F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(-1.0))
     )
 
 

@@ -100,3 +100,20 @@ def test_contamination_sized_filter_equals_plain(spark):
     assert p == sorted(map(tuple, sized.collect()))
     # even a deliberately saturated 64-bit filter keeps exactness
     assert p == sorted(map(tuple, tiny.collect()))
+
+
+def test_positions_exceed_32_bits(spark):
+    """r14 review: sized filters past ~2.3e8 keys need m > 2^32, so
+    positions must draw from more than 32 bits — membership must stay
+    exact (no false negatives) at m = 2^34, and at least one set bit
+    must land beyond the 2^32 word range (proving the width)."""
+    members = _keys(spark, "wide", 300)
+    m = 1 << 34
+    filt = bloom.bloom_build(members, "key", m_bits=m)
+    assert bloom.bloom_might_contain(
+        members, "key", filt, m_bits=m
+    ).count() == 300
+    max_word = filt.agg(F.max("word")).first()[0]
+    assert max_word is not None and max_word > (1 << 32) // 64
+    # sizing clamps at the position width instead of outrunning it
+    assert bloom.sized_m_bits(10**17) == 1 << bloom.POSITION_BITS

@@ -325,3 +325,18 @@ def test_chunked_scoring_semantics(spark):
     assert chunked[2]["ppl"] == pytest.approx(
         round((c1 * 2 + c2 * 1) / 3, lmfilter.PPL_ROUND), abs=1e-9
     )
+
+
+def test_chunked_scoring_rejects_subtrigram_window(spark):
+    """r14 review: window < 3 would silently drop every document."""
+    import pytest
+
+    from flink_log_analysis_spark.operators import lmfilter
+
+    ref = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
+    uni, bi, tri, vocab, n_tok = lmfilter.fit_trigram_model(ref)
+    u, b, t = lmfilter.trigram_model_frames(spark, uni, bi, tri)
+    with pytest.raises(ValueError, match="window=2 < 3"):
+        lmfilter.score_perplexity_3gram_chunked(
+            ref, u, b, t, vocab, n_tok, 10.0, window=2
+        )

@@ -683,3 +683,29 @@ def test_residual_pq_beats_raw_at_same_budget(spark):
         ).alias("rv")
     ).first()["rv"]
     assert rv == [0.0] * 8
+
+
+def test_cosine_safe_null_propagates_zero_norm_sentinels(spark):
+    """r14 review: a NULL embedding must stay NULL (DuckDB's own
+    convention for NULL lists) — only genuine zero-norm inputs take
+    the -1.0 sentinel."""
+    from pyspark.sql import functions as F
+
+    from flink_log_analysis_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, None)],
+        "i bigint, v array<double>",
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i",
+            similarity.cosine_safe(
+                F.col("v"), F.array(F.lit(1.0), F.lit(0.0))
+            ).alias("c"),
+        ).collect()
+    }
+    assert got[0] == 1.0
+    assert got[1] == -1.0
+    assert got[2] is None
