@@ -833,18 +833,35 @@ def substring_dedup(
       windows, after the merge).
     """
     n = min_tokens
+    base = _substr_base(df, text_col, id_col)
+    wins = _substr_windows(base, n, id_col)
+    packed = _pack_id_pos(id_col, "pos", "substring_dedup")
+    firsts = wins.groupBy("wkey").agg(F.min(packed).alias("_first"))
+    dups = (
+        wins.join(firsts, "wkey")
+        .filter(packed != F.col("_first"))
+        .select(id_col, "pos")
+    )
+    return _substr_report(base, dups, n, id_col)
+
+
+def _substr_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _toks, _n) for docs with >= 1 token, lineage-cut: two
+    consumers (window explode + final rebuild join) would otherwise
+    re-tokenize (the benchmark_contamination convention)."""
     toks = tokens(F.col(text_col))
-    base = (
+    return (
         df.select(
             F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
         )
         .filter(F.col("_n") > 0)
-        # two consumers (window explode + final rebuild join) — cut
-        # the plan so tokenization runs once (the
-        # benchmark_contamination lineage-cut convention)
         .localCheckpoint(eager=True)
     )
-    wins = base.filter(F.col("_n") >= n).select(
+
+
+def _substr_windows(base: DataFrame, n: int, id_col: str) -> DataFrame:
+    """(id, pos, wkey): md5 of the n-token window at EVERY offset."""
+    return base.filter(F.col("_n") >= n).select(
         id_col,
         F.posexplode(
             F.transform(
@@ -855,13 +872,16 @@ def substring_dedup(
             )
         ).alias("pos", "wkey"),
     )
-    packed = _pack_id_pos(id_col, "pos", "substring_dedup")
-    firsts = wins.groupBy("wkey").agg(F.min(packed).alias("_first"))
-    dups = (
-        wins.join(firsts, "wkey")
-        .filter(packed != F.col("_first"))
-        .select(id_col, "pos")
-    )
+
+
+def _substr_report(
+    base: DataFrame, dups: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """Per-doc removal report from a (id, pos) duplicate-window frame:
+    sorted positions -> maximal merged [s, e) ranges (one left fold,
+    bounded by the doc's own window count) -> stats + surviving-token
+    md5 (every base doc appears; zero-removal docs digest their full
+    text)."""
     hits = dups.groupBy(id_col).agg(
         F.array_sort(F.collect_list("pos")).alias("_ps")
     )
@@ -911,6 +931,65 @@ def substring_dedup(
         F.size(rng).alias("n_ranges"),
         F.md5(F.concat_ws(" ", kept)).alias("kept_md5"),
     )
+
+
+def build_substring_index(
+    corpus: DataFrame,
+    min_tokens: int = SUBSTR_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The standing corpus's DISTINCT window-key table — the persisted
+    build-once artifact a continuous-ingest loop writes (parquet of
+    32-char keys) and every arriving batch probes. One explode + one
+    distinct (hash agg with map-side partials); size is bounded by the
+    corpus's distinct n-gram count, never the batch rate."""
+    return _substr_windows(
+        _substr_base(corpus, text_col, id_col), min_tokens, id_col
+    ).select("wkey").distinct()
+
+
+def substring_dedup_incremental(
+    new: DataFrame,
+    corpus: DataFrame | None = None,
+    min_tokens: int = SUBSTR_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Arriving-batch exact-substring dedup against the FROZEN
+    standing corpus — the substring member of the incremental family
+    (incremental_near_dups / semantic_dedup_incremental shape): a
+    batch window is removed iff its ``min_tokens``-token sequence
+    already exists ANYWHERE in the corpus. Batch-internal repeats are
+    deliberately NOT deduped here — never batch x batch, the family's
+    contract — run :func:`substring_dedup` over the batch for those.
+
+    Output: the :func:`substring_dedup` report over the BATCH docs
+    (kept_md5 digests the batch content genuinely novel vs the
+    corpus).
+
+    A production ingest loop passes ``corpus_keys`` (the persisted
+    :func:`build_substring_index` table) so each batch pays only its
+    own window explode plus one hash semi-join against the index —
+    per-batch cost tracks the batch, never the corpus. With it
+    omitted, THIS call derives the index from ``corpus`` (the
+    self-contained contract shape, which re-scans the corpus and is
+    NOT incremental across calls)."""
+    if corpus_keys is None:
+        if corpus is None:
+            raise ValueError(
+                "substring_dedup_incremental needs corpus or corpus_keys"
+            )
+        corpus_keys = build_substring_index(
+            corpus, min_tokens, text_col, id_col
+        )
+    base = _substr_base(new, text_col, id_col)
+    wins = _substr_windows(base, min_tokens, id_col)
+    dups = wins.join(corpus_keys, "wkey", "left_semi").select(
+        id_col, "pos"
+    )
+    return _substr_report(base, dups, min_tokens, id_col)
 
 
 # Context-window chunking defaults: window = model context slots per

@@ -163,6 +163,31 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental batch split: every 7th doc plays the arriving batch
+# (the SEM_BATCH_MOD convention — any modulus works here; 7 keeps the
+# same family shape), the rest the standing corpus.
+SUBSTR_BATCH_MOD = 7
+
+
+def substring_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingest exact-substring dedup: the arriving batch
+    (every 7th doc) deduped against the FROZEN standing corpus — a
+    batch window is removed iff its 8-token sequence exists anywhere
+    in the corpus; never batch x batch or corpus x corpus (the
+    incremental family's contract, substring edition). The oracle
+    derives the corpus's distinct window-key index, semi-joins the
+    batch's windows, and replays the SAME report tail as the full
+    row."""
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % SUBSTR_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % SUBSTR_BATCH_MOD != 0)
+    return quality.substring_dedup_incremental(
+        new, corpus, min_tokens=SUBSTR_DEDUP_TOKENS
+    )
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking with overlap (the long-document
     complement of pack_chunks); chunk_md5 certifies the exact token
@@ -1260,6 +1285,7 @@ QUERIES = {
     "pack_chunks": pack_chunks,
     "span_dedup": span_dedup,
     "substring_dedup": substring_dedup,
+    "substring_dedup_incremental": substring_dedup_incremental,
     "doc_chunks": doc_chunks,
     "token_budget_select": token_budget_select,
     "corpus_shards": corpus_shards,
@@ -1356,22 +1382,12 @@ ORACLE["ccnet_buckets"] = f"""
 # sum), the LAG(pos) range count (new range iff the gap exceeds the
 # window), and the position-ordered surviving-token md5 (string_agg
 # skips the removed rows' NULLs; fully-removed docs coalesce to
-# md5('')).
+# md5('')). The report tail (everything downstream of the `d` docs
+# CTE and the `dup` duplicate-window CTE) is ONE template consumed by
+# both the full and the incremental rows, so the replicas cannot
+# drift.
 _SN = SUBSTR_DEDUP_TOKENS
-ORACLE["substring_dedup"] = f"""
-    WITH d AS (SELECT doc_id, toks FROM
-                   (SELECT doc_id, {_TOKS} AS toks FROM documents)
-               WHERE len(toks) > 0),
-    w AS (SELECT doc_id, i - 1 AS pos,
-                 md5(array_to_string(toks[i:i + {_SN - 1}], ' ')) AS wkey
-          FROM (SELECT doc_id, toks,
-                       unnest(generate_series(1, len(toks) - {_SN} + 1))
-                           AS i
-                FROM d WHERE len(toks) >= {_SN})),
-    f AS (SELECT wkey, MIN(doc_id * {1 << 24} + pos) AS fp
-          FROM w GROUP BY wkey),
-    dup AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (wkey)
-            WHERE w.doc_id * {1 << 24} + w.pos <> f.fp),
+_SUBSTR_TAIL = f"""
     tok AS (SELECT doc_id, t - 1 AS t0, toks[t] AS tok
             FROM (SELECT doc_id, toks,
                          unnest(generate_series(1, len(toks))) AS t
@@ -1410,3 +1426,53 @@ ORACLE["substring_dedup"] = f"""
     LEFT JOIN ng USING (doc_id)
     JOIN kept USING (doc_id)
 """
+
+ORACLE["substring_dedup"] = f"""
+    WITH d AS (SELECT doc_id, toks FROM
+                   (SELECT doc_id, {_TOKS} AS toks FROM documents)
+               WHERE len(toks) > 0),
+    w AS (SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(toks[i:i + {_SN - 1}], ' ')) AS wkey
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - {_SN} + 1))
+                           AS i
+                FROM d WHERE len(toks) >= {_SN})),
+    f AS (SELECT wkey, MIN(doc_id * {1 << 24} + pos) AS fp
+          FROM w GROUP BY wkey),
+    dup AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (wkey)
+            WHERE w.doc_id * {1 << 24} + w.pos <> f.fp),
+    {_SUBSTR_TAIL}
+"""
+
+# Incremental substring dedup: the batch plays `d`, the duplicate
+# verdict is one semi-join of the batch's windows against the
+# corpus's DISTINCT window keys (the frozen standing index — never
+# batch x batch, the incremental family's contract), and the report
+# tail is the SAME template as the full row.
+ORACLE["substring_dedup_incremental"] = f"""
+    WITH d AS (SELECT doc_id, toks FROM
+                   (SELECT doc_id, {_TOKS} AS toks FROM documents
+                    WHERE doc_id % {{bmod}} = 0)
+               WHERE len(toks) > 0),
+    cw AS (SELECT DISTINCT
+                  md5(array_to_string(toks[i:i + {_SN - 1}], ' '))
+                      AS wkey
+           FROM (SELECT toks,
+                        unnest(generate_series(1, len(toks) - {_SN} + 1))
+                            AS i
+                 FROM (SELECT {_TOKS} AS toks FROM documents
+                       WHERE doc_id % {{bmod}} <> 0)
+                 WHERE len(toks) >= {_SN})),
+    w AS (SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(toks[i:i + {_SN - 1}], ' ')) AS wkey
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - {_SN} + 1))
+                           AS i
+                FROM d WHERE len(toks) >= {_SN})),
+    dup AS (SELECT w.doc_id, w.pos FROM w JOIN cw USING (wkey)),
+    {_SUBSTR_TAIL}
+"""
+
+ORACLE["substring_dedup_incremental"] = ORACLE[
+    "substring_dedup_incremental"
+].format(bmod=SUBSTR_BATCH_MOD)

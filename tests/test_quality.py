@@ -552,3 +552,49 @@ def test_substring_dedup_within_doc_and_invariance(spark):
         df.repartition(7, "text"), min_tokens=5
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_substring_dedup_incremental_semantics(spark):
+    """The substring member of the incremental family: batch windows
+    are removed iff present in the FROZEN corpus; batch-internal
+    repeats are untouched (never batch x batch); the persisted-index
+    entry point returns exactly the self-contained result."""
+    import pytest
+
+    from flink_log_analysis_spark.operators import quality
+
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e f"), (2, "z y x w v u")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "q q a b c d e qq"),          # corpus run at offset 2
+            (3, "m n o p r s m n o p r s"),    # batch-INTERNAL repeat only
+            (5, "totally novel tokens here five"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality.substring_dedup_incremental(
+            new, corpus, min_tokens=5
+        ).collect()
+    }
+    # doc 1: windows at pos 2 ("a b c d e") hit the corpus -> [2, 7)
+    assert (out[1]["n_dup_windows"], out[1]["n_removed_tokens"]) == (1, 5)
+    # doc 3's internal repeat is NOT in the corpus -> untouched here
+    assert out[3]["n_removed_tokens"] == 0
+    assert out[5]["n_removed_tokens"] == 0
+    # production entry point: frozen persisted index == self-contained
+    idx = quality.build_substring_index(corpus, min_tokens=5)
+    alt = quality.substring_dedup_incremental(
+        new, corpus_keys=idx, min_tokens=5
+    ).collect()
+    assert sorted(map(tuple, alt)) == sorted(
+        map(tuple, quality.substring_dedup_incremental(
+            new, corpus, min_tokens=5).collect())
+    )
+    # neither corpus nor corpus_keys -> loud
+    with pytest.raises(ValueError, match="corpus or corpus_keys"):
+        quality.substring_dedup_incremental(new, min_tokens=5)
