@@ -96,8 +96,8 @@ def _plan_modules():
 # order_value_ntile, rare_token_stats, simhash_near_dups,
 # table_profile, training_order_shuffle, url_curation, wav_roundtrip)
 # are the r15 stale heads, alongside the one post-rotation r14
-# newborn substring_dedup_incremental (added after the window was
-# sealed; gate + pytest green this round); all run in
+# newborns substring_dedup_incremental and substring_dedup_stream
+# (added after the window was sealed; gate-green this round); all run in
 # tools/check_correctness.py (driver-identical canon) and
 # tests/test_oracle_parity this round.
 # 12 + 14 + 24 = 50 exactly.

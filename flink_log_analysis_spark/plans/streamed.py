@@ -696,6 +696,72 @@ def dsir_weights_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def substring_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-substring dedup against the FROZEN standing
+    corpus: arriving documents (the batch slice, doc_id % 7 == 0) flow
+    in on the JSONL file stream and every micro-batch is probed
+    against the corpus's persisted distinct window-key index (built
+    once OUTSIDE the stream — production writes it with
+    quality.build_substring_index and refreshes on its own compaction
+    schedule). The per-document interval merge needs a per-doc
+    regroup, so it runs INSIDE foreachBatch as plain batch ops — legal
+    because a document's windows never span micro-batches, making
+    per-batch dedup == batch dedup under a frozen index (the
+    dsir_weights_stream argument, substring edition; idempotent
+    replay via per-batch_id directory overwrite). Certified by the
+    SAME oracle string as substring_dedup_incremental (it never sees
+    JSON, the stream, or the index)."""
+    import os
+
+    from ..operators import quality
+    from .formats import DOC_SCHEMA, jsonl_dir
+    from .llm_quality import SUBSTR_BATCH_MOD, SUBSTR_DEDUP_TOKENS
+    from .llm_quality import substring_dedup_incremental as _batch_row
+
+    work = shared_tmp_dir("loganalysis_stream_")
+    try:
+        corpus = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % SUBSTR_BATCH_MOD != 0
+        )
+        # the frozen artifact: materialize once; every batch probes it
+        index = quality.build_substring_index(
+            corpus, min_tokens=SUBSTR_DEDUP_TOKENS
+        ).localCheckpoint(eager=True)
+        docs = spark.readStream.schema(DOC_SCHEMA).json(
+            f"{jsonl_dir(spark, sf_dir)}/docs"
+        )
+        out_dir = f"{work}/deduped"
+
+        def dedupe(batch, bid):
+            quality.substring_dedup_incremental(
+                batch.filter(
+                    F.col("doc_id") % SUBSTR_BATCH_MOD == 0
+                ).select("doc_id", "text"),
+                min_tokens=SUBSTR_DEDUP_TOKENS,
+                corpus_keys=index,
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
+
+        q = (
+            docs.writeStream.outputMode("append")
+            .foreachBatch(dedupe)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        if not os.path.exists(out_dir):
+            return spark.createDataFrame(
+                [], _batch_row(spark, sf_dir).schema
+            )
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def corpus_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming JSONL corpus ingestion with hygiene: a file stream of
     JSON-lines documents (the interchange format an LLM pipeline
@@ -876,6 +942,7 @@ QUERIES = {
     "corpus_tokenize_stream": corpus_tokenize_stream,
     "lm_perplexity_filter_stream": lm_perplexity_filter_stream,
     "dsir_weights_stream": dsir_weights_stream,
+    "substring_dedup_stream": substring_dedup_stream,
 }
 
 # The streamed incremental dedup must converge to the batch query's
@@ -917,3 +984,10 @@ ORACLE["lm_perplexity_filter_stream"] = _QUALITY_ORACLE[
 from .pipeline_ops import ORACLE as _PIPEOPS_ORACLE  # noqa: E402
 
 ORACLE["dsir_weights_stream"] = _PIPEOPS_ORACLE["dsir_weights"]
+
+# Streaming substring dedup: frozen corpus index + per-batch probe
+# (the per-doc interval merge stays inside one micro-batch), so the
+# incremental row's oracle string is reused verbatim.
+ORACLE["substring_dedup_stream"] = _QUALITY_ORACLE[
+    "substring_dedup_incremental"
+]
