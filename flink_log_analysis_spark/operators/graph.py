@@ -6,19 +6,36 @@ lower id — correct one-pass semantics, but transitive duplicate sets
 exactly one representative. This is the engine's iterative-algorithm
 tier: label propagation to fixpoint over the candidate-pair edge list.
 
-Algorithm (standard "hash-min" CC, the Spark idiom for Pregel-style
-iteration): every vertex starts labeled with its own id; each round,
-every vertex adopts the min label in its neighborhood; stop when no
-label changes. Rounds = graph diameter, which for near-dup clusters
-is tiny (duplicate families are dense); each round is one shuffle of
-the edge list joined to the current labels.
+Algorithm (two-phase "large-star / small-star", Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond", Alg. 2): alternate
+
+- **large-star(u)**: every neighbor v > u re-points to
+  m = min(N(u) + {u}) — emit (v, m);
+- **small-star(u)** (edges kept as big -> small): u and all its
+  smaller neighbors re-point to m = min(N(u) + {u}).
+
+until the edge set reaches a fixpoint, at which every component is a
+STAR rooted at its minimum vertex, so labels fall out of the final
+edge list with one left join. Each phase is one groupBy + one
+re-emit over the *edge list* (never the vertex-neighborhood
+cross-product), and the round count is O(log^2 n) on ANY topology —
+the reason this replaced the earlier hash-min label propagation,
+whose round count is the graph DIAMETER: a 1 000-link chain (the
+shape adversarial near-dup corpora and URL graphs actually produce)
+needs 1 000 hash-min rounds = 1 000 shuffles, but ~a dozen
+two-phase rounds (pinned by tests/test_dedup.py's chain torture
+test). Dense duplicate families converge in 2-3 rounds either way.
 
 Scale notes: edges come from LSH candidate pairs — already pruned to
-~linear in corpus size; labels are (id, label) pairs, far smaller
-than documents. Each iteration localCheckpoints the label frame to
-truncate lineage (iterative joins otherwise stack exponentially
-deep plans). Convergence is data-dependent but bounded by
-``max_iter`` with an explicit non-convergence error.
+~linear in corpus size, and shrinking every round as stars collapse.
+Each iteration localCheckpoints the edge frame to truncate lineage
+(iterative joins otherwise stack exponentially deep plans).
+Convergence is detected by a (count, xxhash64-sum) checksum of the
+canonical edge set, confirmed with one exact ``exceptAll`` check the
+round the checksum first repeats (the checksum only gates when the
+exact comparison runs, so a hash collision costs one extra round,
+never a wrong answer); bounded by ``max_iter`` with an explicit
+non-convergence error.
 """
 
 from __future__ import annotations
@@ -81,51 +98,128 @@ def connected_components(
                 ]
             )
             return edges.sparkSession.createDataFrame(rows, schema)
-        return _cc_label_propagation(edges, src, dst, max_iter)
+        return _cc_two_phase(edges, src, dst, max_iter)
     finally:
         edges.unpersist()
 
 
-def _cc_label_propagation(
+def _star_round(e: DataFrame, large: bool) -> DataFrame:
+    """One star phase over a canonical (big, small) edge list.
+
+    large-star re-points every strictly larger neighbor of u at
+    m = min(N(u) + {u}); small-star (edges kept directed big->small)
+    re-points the big end plus every smaller neighbor at
+    m = min(N(u) + {u}) = min of the smaller neighbors. Both emit
+    canonical (big, small) pairs (the min is strictly smaller than
+    everything re-pointed), so the phases compose without
+    re-normalizing.
+
+    Shape: ONE partial-aggregated groupBy-min per phase joined back to
+    the edge rows — never a per-vertex collect_set/explode, which
+    would serialize a hub's whole neighborhood (millions of edges for
+    a viral URL or a boilerplate near-dup family) into a single task's
+    array. Per-edge rows stream through the join, so a hub costs a
+    skewed-but-splittable join (AQE skew handling applies), not one
+    giant array."""
+    if large:
+        nbrs = e.select(
+            F.col("big").alias("u"), F.col("small").alias("v")
+        ).union(e.select(F.col("small").alias("u"), F.col("big").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        out = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("big"),
+                F.least(F.col("mn"), F.col("u")).alias("small"),
+            )
+        )
+        # No distinct here: duplicates are bounded (<= one emit per
+        # input edge) and the small phase's groupBy/final distinct
+        # absorbs them — one fewer shuffle per round.
+        return out.filter(F.col("big") != F.col("small"))
+    else:
+        mins = e.groupBy("big").agg(F.min("small").alias("mn"))
+        leaves = (
+            e.join(mins, "big")
+            .filter(F.col("small") != F.col("mn"))
+            .select(F.col("small").alias("big"), F.col("mn").alias("small"))
+        )
+        out = leaves.union(
+            mins.select(F.col("big"), F.col("mn").alias("small"))
+        )
+    return out.filter(F.col("big") != F.col("small")).distinct()
+
+
+def _cc_two_phase(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> DataFrame:
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
-
-    labels = (
-        sym.select(F.col("u").alias("vertex"))
+    verts = (
+        edges.select(F.col(src).alias("vertex"))
+        .union(edges.select(F.col(dst).alias("vertex")))
         .distinct()
-        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.greatest(F.col(src), F.col(dst)).alias("big"),
+            F.least(F.col(src), F.col(dst)).alias("small"),
+        )
+        .distinct()
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
-        # Min label among each vertex's neighbors (messages), then
-        # min(own, neighborhood) per vertex.
-        msgs = (
-            sym.join(labels, sym.v == labels.vertex)
-            .groupBy(F.col("u").alias("vertex"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(msgs, "vertex", "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
-                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
-                    "changed"
-                ),
-            )
-        )
-        updated = updated.localCheckpoint(eager=True)
-        n_changed = updated.filter("changed").count()
-        labels = updated.drop("changed")
-        if n_changed == 0:
-            return labels
+    def _checksum(frame: DataFrame) -> tuple:
+        # Per-edge hash bounded to 2^20 so the ANSI-mode sum cannot
+        # overflow long below ~2^42 edges; a (vanishingly rare)
+        # checksum collision only triggers the exact exceptAll
+        # comparison one round early, never a wrong answer.
+        row = frame.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("big", "small") % F.lit(1_048_576)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sum = _checksum(e)
+    # Iteration frames are the EDGE list, which is usually orders of
+    # magnitude smaller than the session's shuffle sizing assumes
+    # (tuned for corpus scans); ~8 shuffles per round at full width is
+    # pure scheduling overhead. Size the round shuffles by the actual
+    # edge count (~250k edges/partition), never above the session
+    # default — a real 100 TB candidate graph keeps its width.
+    from ..session import scoped_conf
+
+    session_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    parts = min(session_parts, max(8, int(prev_sum[0]) // 250_000 + 1))
+    with scoped_conf(
+        edges.sparkSession, {"spark.sql.shuffle.partitions": str(parts)}
+    ):
+        for _ in range(max_iter):
+            nxt = _star_round(_star_round(e, large=True), large=False)
+            nxt = nxt.localCheckpoint(eager=True)
+            nxt_sum = _checksum(nxt)
+            if nxt_sum == prev_sum and not (
+                nxt.exceptAll(e).limit(1).count()
+                or e.exceptAll(nxt).limit(1).count()
+            ):
+                # Fixpoint: every component is a star rooted at its min.
+                labels = nxt.select(
+                    F.col("big").alias("vertex"),
+                    F.col("small").alias("component"),
+                )
+                return (
+                    verts.join(labels, "vertex", "left")
+                    .select(
+                        "vertex",
+                        F.coalesce("component", F.col("vertex")).alias(
+                            "component"
+                        ),
+                    )
+                )
+            e, prev_sum = nxt, nxt_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

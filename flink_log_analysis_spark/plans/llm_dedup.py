@@ -318,6 +318,49 @@ _PAIRS_SQL = f"""
 """
 
 
+def graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a DIAMETER-HOSTILE graph, forced down
+    the distributed two-phase (large-star/small-star, Kiveris et al.
+    2014) path.
+
+    The LSH-candidate graphs the other dedup rows feed
+    ``connected_components`` are dense (duplicate families, diameter
+    2-3) — they would converge under any CC scheme and never exercise
+    the property that matters at 100 TB: round count independent of
+    graph DIAMETER. Adversarial corpora produce exactly the hostile
+    shape (near-dup CHAINS: a~b~c~... with no shortcut edges), so this
+    row builds one deterministically from the TPC-H keys: 100-vertex
+    paths (c_custkey -> c_custkey+1 except at multiples of 100) plus
+    supplier-derived pseudo-random cross edges that splice chains into
+    larger high-diameter components (and one self-loop from s_suppkey
+    0, pinning isolated-vertex handling). Hash-min label propagation
+    needs ~100 rounds here — 5x past its max_iter guard; two-phase
+    converges in ~a dozen. ``local_threshold=0`` forces the
+    distributed algorithm so THIS row certifies it, not the driver
+    union-find shortcut; the oracle re-derives components with a
+    recursive-CTE transitive closure.
+    """
+    from ..operators.graph import connected_components
+
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    chain = cust.filter(F.col("c_custkey") % 100 != 0).select(
+        F.col("c_custkey").alias("u"),
+        (F.col("c_custkey") + 1).alias("v"),
+    )
+    cross = supp.select(
+        ((F.col("s_suppkey") * 97) % 1000 + 1).alias("u"),
+        ((F.col("s_suppkey") * 389) % 1000 + 1).alias("v"),
+    )
+    comp = connected_components(
+        chain.union(cross), "u", "v", local_threshold=0
+    )
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.max("vertex").alias("max_vertex"),
+    )
+
+
 def _simhash_sql() -> str:
     h = token_hash_sql("t", "sim")
     bits = " + ".join(
@@ -525,7 +568,33 @@ QUERIES = {
     "incremental_near_dups": incremental_near_dups,
     "simhash_near_dups": simhash_near_dups,
     "split_leakage_pairs": split_leakage_pairs,
+    "graph_components_chain": graph_components_chain,
 }
+
+# Twin of graph_components_chain's deterministic edge construction;
+# components re-derived with a recursive-CTE transitive closure (the
+# same pattern the near_dup_clusters oracle uses), then aggregated to
+# per-component (size, max vertex).
+ORACLE["graph_components_chain"] = """
+    WITH RECURSIVE base AS (
+        SELECT c_custkey AS u, c_custkey + 1 AS v
+        FROM customer WHERE c_custkey % 100 <> 0
+        UNION ALL
+        SELECT (s_suppkey * 97) % 1000 + 1, (s_suppkey * 389) % 1000 + 1
+        FROM supplier
+    ),
+    edges AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
+    reach(u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS vertex, MIN(v) AS component FROM reach GROUP BY u)
+    SELECT component,
+           COUNT(*) AS n_vertices,
+           MAX(vertex) AS max_vertex
+    FROM comp GROUP BY component
+"""
 
 # Eval-leakage audit: the pair CTE and the split CASE are both reused
 # verbatim from their certified rows, joined and filtered only.

@@ -180,6 +180,62 @@ def test_connected_components_distributed_path(spark):
     assert local == dist
 
 
+def test_connected_components_chain_torture(spark):
+    """A 600-link path graph (diameter 600) through the distributed
+    path: the two-phase large-star/small-star algorithm converges in
+    O(log^2 n) rounds well under max_iter=20, where the previous
+    hash-min label propagation needed one round PER HOP (600 rounds —
+    an unconditional RuntimeError at any practical max_iter). Also
+    interleaves two chains to check components don't bleed."""
+    from flink_log_analysis_spark.operators.graph import connected_components
+
+    n = 600
+    edges = [(i, i + 2) for i in range(0, 2 * n, 2)]          # evens chain
+    edges += [(i, i + 2) for i in range(1, 2 * n, 2)]         # odds chain
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {
+        r.vertex: r.component
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert len(got) == 2 * n + 2
+    assert all(c == 0 for v, c in got.items() if v % 2 == 0)
+    assert all(c == 1 for v, c in got.items() if v % 2 == 1)
+
+
+def test_connected_components_distributed_random(spark):
+    """Pseudo-random graph: distributed two-phase == driver union-find."""
+    import random
+
+    from flink_log_analysis_spark.operators.graph import connected_components
+
+    rng = random.Random(1405)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    local = {r.vertex: r.component for r in connected_components(df).collect()}
+    dist = {
+        r.vertex: r.component
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == dist
+
+
+def test_connected_components_distributed_string_ids(spark):
+    """Two-phase path on non-numeric ids (greatest/least order on
+    strings) agrees with the union-find path."""
+    from flink_log_analysis_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("q", "q")],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        r.vertex: r.component
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "q": "q"}
+
+
 def test_connected_components_string_ids(spark):
     from flink_log_analysis_spark.operators.graph import connected_components
 
