@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators import bpe as bpe_ops
 from ..operators import textstats
+from ..operators import wordpiece as wp_ops
 from ..session import read_table
 
 # DuckDB token expression (twin of textstats.tokens)
@@ -129,6 +130,56 @@ def bpe_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = merges[0] if merges else ("", "")
     return spark.range(1).select(
         F.lit(BPE_FIT_MERGES).alias("n_merges_requested"),
+        F.lit(len(merges)).alias("n_merges_learned"),
+        F.lit(first[0]).alias("first_merge_left"),
+        F.lit(first[1]).alias("first_merge_right"),
+        F.lit(well_formed).alias("merges_well_formed"),
+    )
+
+
+def wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match tokenization under the frozen
+    corpus-learned vocabulary (operators/wordpiece.py): per-doc word
+    count, piece count, [UNK]-word count, and an md5 digest of the
+    exact emitted piece stream in word order. Every distinct word is
+    tokenized ONCE (broadcast vocab candidate join + one JVM fold) and
+    joined back; the oracle replays the candidates relationally and
+    the greedy cursor walk as a recursive CTE keyed by word."""
+    return wp_ops.encode_docs(
+        read_table(spark, sf_dir, "documents"), wp_ops.WORDPIECE_VOCAB_V1
+    )
+
+
+# Runtime-fit contract bounds (wordpiece_vocab_fit): the sf0.01 corpus
+# sustains the full merge count (the freeze run learned 32/32).
+WP_FIT_MERGES = 32
+WP_FIT_SAMPLE = 10_000
+
+
+def wordpiece_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side WordPiece fit contract (the bpe_vocab_fit pattern):
+    learn WP_FIT_MERGES likelihood-scored merges from the bounded
+    top-WP_FIT_SAMPLE word sample, then emit a one-row contract: the
+    FIRST merge pair (SQL-derivable — argmax of count(ab) /
+    (count(a)*count(b)) over adjacent initial-split symbols, ties to
+    the smallest (left, right)) plus structural validity of the whole
+    table (every merge part is an initial symbol or the output of a
+    strictly earlier merge, and every output carries its left part's
+    continuation marker)."""
+    docs = read_table(spark, sf_dir, "documents")
+    merges, _vocab = wp_ops.fit_wordpiece(
+        docs, n_merges=WP_FIT_MERGES, sample_pieces=WP_FIT_SAMPLE
+    )
+    outputs: set[str] = set()
+    well_formed = bool(merges)
+    for a, b in merges:
+        for part in (a, b):
+            if len(wp_ops._raw(part)) > 1 and part not in outputs:
+                well_formed = False
+        outputs.add(wp_ops._merge_sym(a, b))
+    first = merges[0] if merges else ("", "")
+    return spark.range(1).select(
+        F.lit(WP_FIT_MERGES).alias("n_merges_requested"),
         F.lit(len(merges)).alias("n_merges_learned"),
         F.lit(first[0]).alias("first_merge_left"),
         F.lit(first[1]).alias("first_merge_right"),
@@ -683,6 +734,136 @@ def _stair_oracle() -> str:
 
 ORACLE["bpe_learned_deep"] = _stair_oracle()
 
+_WP_WORDS = f"regexp_extract_all(coalesce(text, ''), '{textstats.BPE_TOKEN_REGEX}')"
+
+
+def _wordpiece_tokens_sql() -> str:
+    """wordpiece_tokens oracle: the frozen vocabulary spliced in as
+    VALUES rows, candidate windows + longest-match hops as plain SQL,
+    and the greedy cursor walk as a recursive CTE keyed by word (each
+    non-terminal state row advances exactly once per step — LEFT JOIN
+    to the hop table either hops or collapses to [UNK])."""
+    vocab_rows = ",\n            ".join(
+        f"('{wp_ops._raw(p)}', '{p}', {str(p.startswith('##')).upper()})"
+        for p in wp_ops.WORDPIECE_VOCAB_V1
+    )
+    lmax = max(len(wp_ops._raw(p)) for p in wp_ops.WORDPIECE_VOCAB_V1)
+    return f"""
+        WITH RECURSIVE vocab(raw, piece, is_cont) AS (
+            VALUES {vocab_rows}
+        ),
+        t AS (SELECT doc_id, {_WP_WORDS} AS arr FROM documents),
+        words AS (
+            SELECT doc_id, u.i AS pos, arr[u.i] AS word
+            FROM t, unnest(generate_series(1, len(arr))) AS u(i)
+        ),
+        dw AS (SELECT DISTINCT word FROM words),
+        cand AS (
+            SELECT word, s.st, l.ln
+            FROM dw,
+                 unnest(generate_series(1, length(word))) AS s(st),
+                 unnest(generate_series(
+                     1, least({lmax}, length(word) - s.st + 1)))
+                     AS l(ln)
+        ),
+        hop AS (
+            SELECT word, st,
+                   MAX(ln) AS hoplen, arg_max(piece, ln) AS piece
+            FROM cand JOIN vocab v
+              ON v.raw = substr(word, st, ln)
+             AND v.is_cont = (st > 1)
+            GROUP BY word, st
+        ),
+        walk(word, pos, n, unk, toks) AS (
+            SELECT word, 1, 0, FALSE, '' FROM dw
+            UNION ALL
+            SELECT w.word,
+                   CASE WHEN h.word IS NULL THEN length(w.word) + 1
+                        ELSE w.pos + h.hoplen END,
+                   CASE WHEN h.word IS NULL THEN 0 ELSE w.n + 1 END,
+                   h.word IS NULL,
+                   CASE WHEN h.word IS NULL THEN ''
+                        WHEN w.toks = '' THEN h.piece
+                        ELSE w.toks || ' ' || h.piece END
+            FROM walk w
+            LEFT JOIN hop h ON h.word = w.word AND h.st = w.pos
+            WHERE w.pos <= length(w.word) AND NOT w.unk
+        ),
+        wordres AS (
+            SELECT word,
+                   CASE WHEN unk THEN 1 ELSE n END AS n_tokens,
+                   unk AS is_unk,
+                   CASE WHEN unk THEN '{wp_ops.UNK}' ELSE toks END
+                       AS pieces
+            FROM walk WHERE pos > length(word) OR unk
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(word) AS INTEGER) AS n_words,
+                   CAST(COALESCE(SUM(n_tokens), 0) AS INTEGER)
+                       AS n_tokens,
+                   CAST(COALESCE(SUM(CASE WHEN is_unk THEN 1 ELSE 0 END),
+                                 0) AS INTEGER) AS n_unk_words,
+                   md5(string_agg(pieces, ' ' ORDER BY pos))
+                       AS stream_md5
+            FROM words LEFT JOIN wordres USING (word)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_words, 0) AS n_words,
+               COALESCE(a.n_tokens, 0) AS n_tokens,
+               COALESCE(a.n_unk_words, 0) AS n_unk_words,
+               COALESCE(a.stream_md5, md5('')) AS stream_md5
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+ORACLE["wordpiece_tokens"] = _wordpiece_tokens_sql()
+
+# First-merge argmax over the adjacent symbols of the initial split
+# (first char bare, rest ##-prefixed) of the bounded word sample;
+# score = pair count / (left symbol count * right symbol count) with
+# DOUBLE division (both engines' correctly-rounded IEEE divide; the
+# Python fit compares by exact integer cross-multiplication, which
+# can only disagree on a sub-ulp gap — ruled out on the frozen
+# contract data by the hash gate itself).
+ORACLE["wordpiece_vocab_fit"] = f"""
+    WITH ws AS (
+        SELECT t.w FROM documents d,
+             unnest({_WP_WORDS.replace('text', 'd.text')}) AS t(w)
+    ), pc AS (
+        SELECT w, COUNT(*) AS c FROM ws GROUP BY w
+        ORDER BY c DESC, w ASC LIMIT {WP_FIT_SAMPLE}
+    ), syms AS (
+        SELECT w, c, i.i,
+               CASE WHEN i.i = 1 THEN substr(w, 1, 1)
+                    ELSE '##' || substr(w, i.i, 1) END AS sym
+        FROM pc, unnest(generate_series(1, length(w))) AS i(i)
+    ), sym_c AS (
+        SELECT sym, SUM(c) AS sc FROM syms GROUP BY sym
+    ), pair_c AS (
+        SELECT a.sym AS l, b.sym AS r, SUM(a.c) AS pc
+        FROM syms a JOIN syms b ON a.w = b.w AND b.i = a.i + 1
+        GROUP BY a.sym, b.sym
+    ), best AS (
+        SELECT p.l, p.r
+        FROM pair_c p
+        JOIN sym_c sl ON sl.sym = p.l
+        JOIN sym_c sr ON sr.sym = p.r
+        ORDER BY CAST(p.pc AS DOUBLE)
+                 / (CAST(sl.sc AS DOUBLE) * CAST(sr.sc AS DOUBLE))
+                 DESC, p.l ASC, p.r ASC
+        LIMIT 1
+    )
+    SELECT CAST({WP_FIT_MERGES} AS INTEGER) AS n_merges_requested,
+           CAST({WP_FIT_MERGES} AS INTEGER) AS n_merges_learned,
+           l AS first_merge_left,
+           r AS first_merge_right,
+           TRUE AS merges_well_formed
+    FROM best
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -693,6 +874,8 @@ QUERIES = {
     "bpe_large_vocab": bpe_large_vocab,
     "bpe_learned_deep": bpe_learned_deep,
     "bpe_vocab_fit": bpe_vocab_fit,
+    "wordpiece_tokens": wordpiece_tokens,
+    "wordpiece_vocab_fit": wordpiece_vocab_fit,
     "token_frequencies": token_frequencies,
     "rolling_fingerprints": rolling_fingerprints,
     "lang_id_ngram": lang_id_ngram,
