@@ -187,6 +187,59 @@ def wordpiece_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer evaluation: per-language fertility (tokens per word)
+    and compression (word chars per token) for BOTH trained tokenizer
+    families under their frozen tables — the published way to compare
+    tokenizers across languages/domains (the BLOOM/XLM-R-style
+    fertility table), and the number a pipeline checks before
+    committing a vocabulary to a 100 TB tokenization run.
+
+    Composes the two certified per-doc tokenizers (WordPiece
+    `encode_docs`, BPE `token_digests`) with one word-char projection,
+    joins on doc_id, and aggregates per language — all sums exact
+    integers, one rounded double division per metric (repo
+    determinism convention). The oracle wraps both certified oracle
+    bodies verbatim as CTEs so the composition can never drift from
+    the row contracts."""
+    docs = read_table(spark, sf_dir, "documents")
+    wpd = wp_ops.encode_docs(docs, wp_ops.WORDPIECE_VOCAB_V1).select(
+        "doc_id",
+        "n_words",
+        F.col("n_tokens").alias("wp_tokens"),
+        F.col("n_unk_words").alias("unk_words"),
+    )
+    bped = bpe_ops.token_digests(docs, bpe_ops.BPE_MERGES_V1).select(
+        "doc_id", F.col("n_tokens").alias("bpe_tokens")
+    )
+    chars = docs.select(
+        "doc_id",
+        "lang",
+        F.aggregate(
+            textstats.bpe_tokens(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w),
+        ).alias("wchars"),
+    )
+    j = chars.join(wpd, "doc_id").join(bped, "doc_id")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("wp_tokens").alias("wp_tokens"),
+        F.sum("unk_words").alias("unk_words"),
+        F.sum("bpe_tokens").alias("bpe_tokens"),
+        F.round(
+            F.sum("wp_tokens").cast("double") / F.sum("n_words"), 4
+        ).alias("wp_fertility"),
+        F.round(
+            F.sum("bpe_tokens").cast("double") / F.sum("n_words"), 4
+        ).alias("bpe_fertility"),
+        F.round(
+            F.sum("wchars").cast("double") / F.sum("wp_tokens"), 4
+        ).alias("wp_chars_per_token"),
+    )
+
+
 # Deep-fit contract: more merges REQUESTED than the staircase corpus
 # supports, so n_merges_learned certifies saturation at exactly
 # STAIR_T1 + STAIR_T2 = 768 learned merges.
@@ -864,6 +917,37 @@ ORACLE["wordpiece_vocab_fit"] = f"""
 """
 
 
+# Composition row: both component oracle bodies wrapped VERBATIM (the
+# dup_cluster_sizes pattern), plus one word-char projection; per-lang
+# sums are exact integers, one rounded double division per metric.
+ORACLE["tokenizer_fertility"] = f"""
+    WITH wp AS ({ORACLE["wordpiece_tokens"]}),
+    bpe AS ({ORACLE["bpe_merge_tokens"]}),
+    ch AS (
+        SELECT doc_id, lang,
+               CAST(COALESCE(list_sum(list_transform(
+                   {_WP_WORDS}, w -> length(w))), 0) AS BIGINT) AS wchars
+        FROM documents
+    )
+    SELECT ch.lang,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(SUM(wp.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(wp.n_tokens) AS BIGINT) AS wp_tokens,
+           CAST(SUM(wp.n_unk_words) AS BIGINT) AS unk_words,
+           CAST(SUM(bpe.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM(wp.n_tokens) AS DOUBLE) / SUM(wp.n_words), 4)
+               AS wp_fertility,
+           ROUND(CAST(SUM(bpe.n_bpe_tokens) AS DOUBLE) / SUM(wp.n_words),
+                 4) AS bpe_fertility,
+           ROUND(CAST(SUM(ch.wchars) AS DOUBLE) / SUM(wp.n_tokens), 4)
+               AS wp_chars_per_token
+    FROM ch
+    JOIN wp USING (doc_id)
+    JOIN bpe USING (doc_id)
+    GROUP BY ch.lang
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -876,6 +960,7 @@ QUERIES = {
     "bpe_vocab_fit": bpe_vocab_fit,
     "wordpiece_tokens": wordpiece_tokens,
     "wordpiece_vocab_fit": wordpiece_vocab_fit,
+    "tokenizer_fertility": tokenizer_fertility,
     "token_frequencies": token_frequencies,
     "rolling_fingerprints": rolling_fingerprints,
     "lang_id_ngram": lang_id_ngram,
