@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators import bpe as bpe_ops
 from ..operators import textstats
+from ..operators import unigram as ug_ops
 from ..operators import wordpiece as wp_ops
 from ..session import read_table
 
@@ -187,6 +188,81 @@ def wordpiece_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenization under the frozen
+    EM-fitted scored vocabulary (operators/unigram.py): per-doc word
+    count, piece count, [UNK]-word count, total Viterbi log-prob, and
+    an md5 digest of the exact maximum-likelihood piece stream. The
+    oracle enumerates EVERY segmentation of each distinct word with a
+    recursive CTE and takes the same (score, n, length-key) argmax —
+    an independent derivation of the DP's optimum, not a replay of
+    it."""
+    return ug_ops.encode_docs(
+        read_table(spark, sf_dir, "documents"), ug_ops.UNIGRAM_VOCAB_V1
+    )
+
+
+# Runtime-fit contract bounds (unigram_vocab_fit) — the freeze params.
+UG_FIT_SAMPLE = 10_000
+UG_FIT_LMAX = 6
+UG_FIT_SEED = 120
+UG_FIT_MULTI = 48
+UG_FIT_EM = 4
+UG_FIT_MIN_CHAR = 40
+
+
+def unigram_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side unigram-LM fit contract: run the bounded EM fit and
+    emit the SQL-checkable invariants — the char-coverage count (number
+    of single-char pieces = distinct sample chars at min_char_count,
+    re-derived by the oracle from the raw words), the multi-piece
+    count (the prune bound), the pre-EM TOP SEED multi-char substring
+    by occurrence mass (SQL-derivable argmax with the same total
+    order), and normalization/negativity checks on the fitted
+    log-probs."""
+    import math
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = (
+        docs.select(
+            F.explode(textstats.bpe_tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), F.asc("w"))
+        .limit(UG_FIT_SAMPLE)
+        .collect()
+    )
+    counts = [(r["w"], r["count"]) for r in rows]
+    vocab = ug_ops.learn_unigram(
+        counts,
+        lmax=UG_FIT_LMAX,
+        seed_size=UG_FIT_SEED,
+        n_multi=UG_FIT_MULTI,
+        em_rounds=UG_FIT_EM,
+        min_char_count=UG_FIT_MIN_CHAR,
+    )
+    # pre-EM seed argmax, re-derived with the module's own helper so
+    # the contract states the seed rule, not a copy of its result
+    sub_c: dict[str, int] = {}
+    for w, c in counts:
+        for s in ug_ops._substrings(w, UG_FIT_LMAX):
+            if len(s) > 1:
+                sub_c[s] = sub_c.get(s, 0) + c
+    top_seed = min(sub_c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    n_chars = sum(1 for p, _ in vocab if len(p) == 1)
+    n_multi = sum(1 for p, _ in vocab if len(p) > 1)
+    psum = sum(math.exp(lp) for _, lp in vocab)
+    return spark.range(1).select(
+        F.lit(len(vocab)).alias("n_pieces"),
+        F.lit(n_chars).alias("n_char_pieces"),
+        F.lit(n_multi).alias("n_multi_pieces"),
+        F.lit(top_seed).alias("top_seed_multi"),
+        F.lit(all(lp < 0 for _, lp in vocab)).alias("logps_negative"),
+        F.lit(bool(abs(psum - 1.0) < 1e-6)).alias("probs_normalized"),
+    )
+
+
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer evaluation: per-language fertility (tokens per word)
     and compression (word chars per token) for BOTH trained tokenizer
@@ -212,6 +288,9 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     bped = bpe_ops.token_digests(docs, bpe_ops.BPE_MERGES_V1).select(
         "doc_id", F.col("n_tokens").alias("bpe_tokens")
     )
+    ugd = ug_ops.encode_docs(docs, ug_ops.UNIGRAM_VOCAB_V1).select(
+        "doc_id", F.col("n_tokens").alias("ug_tokens")
+    )
     chars = docs.select(
         "doc_id",
         "lang",
@@ -221,19 +300,27 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, w: acc + F.length(w),
         ).alias("wchars"),
     )
-    j = chars.join(wpd, "doc_id").join(bped, "doc_id")
+    j = (
+        chars.join(wpd, "doc_id")
+        .join(bped, "doc_id")
+        .join(ugd, "doc_id")
+    )
     return j.groupBy("lang").agg(
         F.count(F.lit(1)).cast("int").alias("n_docs"),
         F.sum("n_words").alias("n_words"),
         F.sum("wp_tokens").alias("wp_tokens"),
         F.sum("unk_words").alias("unk_words"),
         F.sum("bpe_tokens").alias("bpe_tokens"),
+        F.sum("ug_tokens").alias("ug_tokens"),
         F.round(
             F.sum("wp_tokens").cast("double") / F.sum("n_words"), 4
         ).alias("wp_fertility"),
         F.round(
             F.sum("bpe_tokens").cast("double") / F.sum("n_words"), 4
         ).alias("bpe_fertility"),
+        F.round(
+            F.sum("ug_tokens").cast("double") / F.sum("n_words"), 4
+        ).alias("ug_fertility"),
         F.round(
             F.sum("wchars").cast("double") / F.sum("wp_tokens"), 4
         ).alias("wp_chars_per_token"),
@@ -917,12 +1004,140 @@ ORACLE["wordpiece_vocab_fit"] = f"""
 """
 
 
+def _unigram_tokens_sql() -> str:
+    """unigram_tokens oracle: the frozen scored vocabulary spliced as
+    VALUES, then an EXHAUSTIVE segmentation enumeration per distinct
+    word (recursive CTE walking every lattice path left to right — the
+    cumulative score therefore carries the same IEEE association as
+    the DP's prefix sums) and one (score DESC, n ASC, key DESC) argmax
+    per word: an independent derivation of the Viterbi optimum. Path
+    count is bounded by word length (<= 2^(L-1), L <= 8 here), which
+    an ORACLE may spend — the engine side stays O(L * Lmax) per
+    word."""
+    vocab_rows = ",\n            ".join(
+        f"('{p}', CAST({lp!r} AS DOUBLE))"
+        for p, lp in ug_ops.UNIGRAM_VOCAB_V1
+    )
+    return f"""
+        WITH RECURSIVE vocab(piece, logp) AS (
+            VALUES {vocab_rows}
+        ),
+        t AS (SELECT doc_id, {_WP_WORDS} AS arr FROM documents),
+        words AS (
+            SELECT doc_id, u.i AS pos, arr[u.i] AS word
+            FROM t, unnest(generate_series(1, len(arr))) AS u(i)
+        ),
+        dw AS (SELECT DISTINCT word FROM words),
+        matches AS (
+            SELECT word, s.st, v.piece, v.logp,
+                   length(v.piece) AS ln
+            FROM dw,
+                 unnest(generate_series(1, length(word))) AS s(st)
+            JOIN vocab v
+              ON v.piece = substr(word, s.st, length(v.piece))
+        ),
+        paths(word, pos, score, n, key, toks) AS (
+            SELECT word, 0, CAST(0.0 AS DOUBLE), 0, '', '' FROM dw
+            UNION ALL
+            SELECT p.word, p.pos + m.ln, p.score + m.logp, p.n + 1,
+                   p.key || lpad(CAST(m.ln AS VARCHAR), 2, '0'),
+                   CASE WHEN p.toks = '' THEN m.piece
+                        ELSE p.toks || ' ' || m.piece END
+            FROM paths p
+            JOIN matches m ON m.word = p.word AND m.st = p.pos + 1
+            WHERE p.pos < length(p.word)
+        ),
+        best AS (
+            SELECT word, n, toks, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY word
+                       ORDER BY score DESC, n ASC, key DESC
+                   ) AS rn
+            FROM paths WHERE pos = length(word)
+        ),
+        wordres AS (
+            SELECT d.word,
+                   COALESCE(b.n, 1) AS n_tokens,
+                   b.word IS NULL AS is_unk,
+                   COALESCE(b.toks, '{ug_ops.UNK}') AS pieces,
+                   COALESCE(ROUND(b.score, {ug_ops.SCORE_ROUND}), 0.0)
+                       AS logprob
+            FROM dw d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (word)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(word) AS INTEGER) AS n_words,
+                   CAST(COALESCE(SUM(n_tokens), 0) AS INTEGER)
+                       AS n_tokens,
+                   CAST(COALESCE(SUM(CASE WHEN is_unk THEN 1 ELSE 0
+                                     END), 0) AS INTEGER)
+                       AS n_unk_words,
+                   ROUND(list_reduce(
+                       [CAST(0.0 AS DOUBLE)]
+                           || list(COALESCE(logprob, 0.0) ORDER BY pos),
+                       (a, x) -> a + x), {ug_ops.SCORE_ROUND})
+                       AS logprob,
+                   md5(string_agg(pieces, ' ' ORDER BY pos))
+                       AS stream_md5
+            FROM words LEFT JOIN wordres USING (word)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_words, 0) AS n_words,
+               COALESCE(a.n_tokens, 0) AS n_tokens,
+               COALESCE(a.n_unk_words, 0) AS n_unk_words,
+               COALESCE(a.logprob, 0.0) AS logprob,
+               COALESCE(a.stream_md5, md5('')) AS stream_md5
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+ORACLE["unigram_tokens"] = _unigram_tokens_sql()
+
+# Fit contract: char coverage and the pre-EM seed argmax re-derived
+# from the raw sample; the prune bound and normalization checks are
+# config/invariant literals (the bpe_vocab_fit pattern).
+ORACLE["unigram_vocab_fit"] = f"""
+    WITH ws AS (
+        SELECT t.w FROM documents d,
+             unnest({_WP_WORDS.replace('text', 'd.text')}) AS t(w)
+    ), pc AS (
+        SELECT w, COUNT(*) AS c FROM ws GROUP BY w
+        ORDER BY c DESC, w ASC LIMIT {UG_FIT_SAMPLE}
+    ), chars AS (
+        SELECT substr(w, i.i, 1) AS ch, SUM(c) AS cc
+        FROM pc, unnest(generate_series(1, length(w))) AS i(i)
+        GROUP BY ch
+    ), nch AS (
+        SELECT COUNT(*) AS n FROM chars WHERE cc >= {UG_FIT_MIN_CHAR}
+    ), subs AS (
+        SELECT substr(w, s.st, l.ln) AS sub, SUM(c) AS mass
+        FROM pc,
+             unnest(generate_series(1, length(w))) AS s(st),
+             unnest(generate_series(
+                 2, least({UG_FIT_LMAX}, length(w) - s.st + 1))) AS l(ln)
+        WHERE length(w) - s.st + 1 >= 2
+        GROUP BY sub
+    ), seed AS (
+        SELECT sub FROM subs ORDER BY mass DESC, sub ASC LIMIT 1
+    )
+    SELECT CAST(nch.n + {UG_FIT_MULTI} AS INTEGER) AS n_pieces,
+           CAST(nch.n AS INTEGER) AS n_char_pieces,
+           CAST({UG_FIT_MULTI} AS INTEGER) AS n_multi_pieces,
+           seed.sub AS top_seed_multi,
+           TRUE AS logps_negative,
+           TRUE AS probs_normalized
+    FROM nch, seed
+"""
+
 # Composition row: both component oracle bodies wrapped VERBATIM (the
 # dup_cluster_sizes pattern), plus one word-char projection; per-lang
 # sums are exact integers, one rounded double division per metric.
 ORACLE["tokenizer_fertility"] = f"""
     WITH wp AS ({ORACLE["wordpiece_tokens"]}),
     bpe AS ({ORACLE["bpe_merge_tokens"]}),
+    ug AS ({ORACLE["unigram_tokens"]}),
     ch AS (
         SELECT doc_id, lang,
                CAST(COALESCE(list_sum(list_transform(
@@ -935,15 +1150,19 @@ ORACLE["tokenizer_fertility"] = f"""
            CAST(SUM(wp.n_tokens) AS BIGINT) AS wp_tokens,
            CAST(SUM(wp.n_unk_words) AS BIGINT) AS unk_words,
            CAST(SUM(bpe.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(ug.n_tokens) AS BIGINT) AS ug_tokens,
            ROUND(CAST(SUM(wp.n_tokens) AS DOUBLE) / SUM(wp.n_words), 4)
                AS wp_fertility,
            ROUND(CAST(SUM(bpe.n_bpe_tokens) AS DOUBLE) / SUM(wp.n_words),
                  4) AS bpe_fertility,
+           ROUND(CAST(SUM(ug.n_tokens) AS DOUBLE) / SUM(wp.n_words), 4)
+               AS ug_fertility,
            ROUND(CAST(SUM(ch.wchars) AS DOUBLE) / SUM(wp.n_tokens), 4)
                AS wp_chars_per_token
     FROM ch
     JOIN wp USING (doc_id)
     JOIN bpe USING (doc_id)
+    JOIN ug USING (doc_id)
     GROUP BY ch.lang
 """
 
@@ -961,6 +1180,8 @@ QUERIES = {
     "wordpiece_tokens": wordpiece_tokens,
     "wordpiece_vocab_fit": wordpiece_vocab_fit,
     "tokenizer_fertility": tokenizer_fertility,
+    "unigram_tokens": unigram_tokens,
+    "unigram_vocab_fit": unigram_vocab_fit,
     "token_frequencies": token_frequencies,
     "rolling_fingerprints": rolling_fingerprints,
     "lang_id_ngram": lang_id_ngram,
