@@ -95,9 +95,14 @@ def _plan_modules():
 # left over (conversion_pairs_stream, events_csv_roundtrip,
 # order_value_ntile, rare_token_stats, simhash_near_dups,
 # table_profile, training_order_shuffle, url_curation, wav_roundtrip)
-# are the r15 stale heads, alongside the one post-rotation r14
-# newborns substring_dedup_incremental and substring_dedup_stream
-# (added after the window was sealed; gate-green this round); all run in
+# are the r15 stale heads, alongside the post-rotation r14 newborns
+# (added after the window was sealed; every one gate-green first run
+# this round): substring_dedup_incremental, substring_dedup_stream,
+# graph_components_chain (two-phase CC on a diameter-hostile graph),
+# wordpiece_tokens + wordpiece_vocab_fit, unigram_tokens +
+# unigram_vocab_fit + unigram_tokens_stream (the second and third
+# tokenizer families), and
+# tokenizer_fertility (the three-family eval composition). All run in
 # tools/check_correctness.py (driver-identical canon) and
 # tests/test_oracle_parity this round.
 # 12 + 14 + 24 = 50 exactly.

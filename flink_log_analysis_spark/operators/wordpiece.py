@@ -50,7 +50,7 @@ pipeline); engine-extension tier, SURVEY.md §2.D.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import textstats

@@ -582,6 +582,60 @@ def corpus_tokenize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def unigram_tokens_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming unigram-LM tokenization: documents arrive on the
+    JSONL file stream and each micro-batch runs the Viterbi
+    segmentation under the FROZEN scored vocabulary
+    (operators/unigram.py encode_docs). The per-document stream digest
+    needs a per-doc regroup and the distinct-word amortization a
+    per-batch distinct, so the encode runs INSIDE foreachBatch as
+    plain batch ops — legal because tokenization is a pure per-document
+    function and a document never spans micro-batches, so per-batch
+    encode == batch encode under a frozen vocabulary (the
+    substring_dedup_stream argument, tokenizer edition; idempotent
+    replay via per-batch_id directory overwrite). Certified by the
+    SAME exhaustive-enumeration oracle as unigram_tokens (it never
+    sees JSON, the stream, or the fold)."""
+    import os
+
+    from ..operators import unigram as ug_ops
+    from .formats import DOC_SCHEMA, jsonl_dir
+    from .llm_text import unigram_tokens as _batch_row
+
+    work = shared_tmp_dir("loganalysis_stream_")
+    try:
+        docs = spark.readStream.schema(DOC_SCHEMA).json(
+            f"{jsonl_dir(spark, sf_dir)}/docs"
+        )
+        out_dir = f"{work}/tokens"
+
+        def encode(batch, bid):
+            ug_ops.encode_docs(
+                batch.select("doc_id", "text"),
+                ug_ops.UNIGRAM_VOCAB_V1,
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
+
+        q = (
+            docs.writeStream.outputMode("append")
+            .foreachBatch(encode)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        if not os.path.exists(out_dir):
+            return spark.createDataFrame(
+                [], _batch_row(spark, sf_dir).schema
+            )
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def lm_perplexity_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming LM-perplexity filtering: documents arrive on a JSONL
     file stream and each micro-batch is scored against the FROZEN
@@ -909,6 +963,10 @@ from .llm_text import ORACLE as _TEXT_ORACLE  # noqa: E402
 
 ORACLE["corpus_tokenize_stream"] = _TEXT_ORACLE["bpe_large_vocab"]
 
+# Streaming unigram tokenization: pure per-document function under a
+# frozen vocabulary, so the stream-final union equals the batch row.
+ORACLE["unigram_tokens_stream"] = _TEXT_ORACLE["unigram_tokens"]
+
 ORACLE["log_hourly_windows_stream"] = ORACLE[
     "log_hourly_windows_stream"
 ].replace("{section_id_sql}", SECTION_ID_SQL)
@@ -943,6 +1001,7 @@ QUERIES = {
     "lm_perplexity_filter_stream": lm_perplexity_filter_stream,
     "dsir_weights_stream": dsir_weights_stream,
     "substring_dedup_stream": substring_dedup_stream,
+    "unigram_tokens_stream": unigram_tokens_stream,
 }
 
 # The streamed incremental dedup must converge to the batch query's
