@@ -535,10 +535,12 @@ def encode_docs(
         vocab,
     )
     joined = base.join(wt, "word", "left")
-    ordered = F.array_sort(
-        F.collect_list(F.struct("pos", "pieces", "logprob"))
-    )
-    return joined.groupBy(id_col).agg(
+    # ONE collect_list+sort per document, consumed by both the ordered
+    # log-prob fold and the stream digest: two aggregate expressions
+    # with identical collect_list children are NOT deduplicated by the
+    # planner, and the duplicate buffer+sort read as ~2x agg cost in
+    # the 10x scale probe.
+    grouped = joined.groupBy(id_col).agg(
         F.count(F.col("word")).cast("int").alias("n_words"),
         F.coalesce(F.sum("n_tokens"), F.lit(0))
         .cast("int")
@@ -548,9 +550,18 @@ def encode_docs(
         )
         .cast("int")
         .alias("n_unk_words"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "pieces", "logprob"))
+        ).alias("_ord"),
+    )
+    return grouped.select(
+        id_col,
+        "n_words",
+        "n_tokens",
+        "n_unk_words",
         F.round(
             F.aggregate(
-                ordered,
+                F.col("_ord"),
                 F.lit(0.0),
                 lambda acc, s: acc
                 + F.coalesce(s["logprob"], F.lit(0.0)),
@@ -559,7 +570,7 @@ def encode_docs(
         ).alias("logprob"),
         F.md5(
             F.array_join(
-                F.transform(ordered, lambda s: s["pieces"]), " "
+                F.transform(F.col("_ord"), lambda s: s["pieces"]), " "
             )
         ).alias("stream_md5"),
     )
