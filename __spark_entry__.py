@@ -98,7 +98,8 @@ def _plan_modules():
 # are the r15 stale heads, alongside the post-rotation r14 newborns
 # (added after the window was sealed; every one gate-green first run
 # this round): substring_dedup_incremental, substring_dedup_stream,
-# graph_components_chain (two-phase CC on a diameter-hostile graph),
+# graph_components_chain + graph_components_incremental (two-phase CC
+# on a diameter-hostile graph; standing-label batch folding),
 # wordpiece_tokens + wordpiece_vocab_fit, unigram_tokens +
 # unigram_vocab_fit + unigram_tokens_stream (the second and third
 # tokenizer families), and

@@ -63,7 +63,8 @@ def connected_components(
     when the edge list fits comfortably on the driver
     (< ``local_threshold`` edges) a union-find there beats multiple
     distributed rounds of fixed scheduling overhead; past the
-    threshold, hash-min label propagation runs fully distributed.
+    threshold, the alternating large-star/small-star algorithm runs
+    fully distributed (diameter-independent round count).
     """
     edges = edges.persist()
     try:
@@ -252,4 +253,60 @@ def near_dup_clusters(
             id_col,
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         )
+    )
+
+
+def update_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
+) -> DataFrame:
+    """Incrementally fold a batch of NEW edges into a standing
+    (vertex, component) labeling — the graph member of the
+    incremental-ingest family (MinHash: match_against_index;
+    substring: substring_dedup_incremental): an ingest loop keeps the
+    label table as its persisted artifact and folds each arriving
+    candidate-pair batch into it without re-reading old EDGES.
+
+    Correctness: a component labeling IS its own star compression
+    (every vertex -> its component min), and connected components of
+    (old graph + batch) equal components of (star edges + batch) —
+    the standard union-find forest-compression argument. So the
+    update runs :func:`connected_components` over
+    ``{(v, comp(v)) : v != comp(v)} UNION batch`` and re-attaches
+    singleton components by a left join over all known vertices.
+
+    Scale: the star edge list is <= one edge per clustered vertex —
+    typically far smaller than the edge history it replaces — and the
+    alternating-star iteration re-converges in O(log^2) rounds of the
+    COMBINED (compressed) size. Per-batch cost therefore tracks the
+    label table + batch, never the accumulated raw pair count.
+
+    Output: (vertex, component) for every vertex in ``labels`` or
+    touched by ``new_edges``. Component ids stay "min vertex id in
+    the merged component" — each old component's min is one of its
+    members, so ids never drift from the full-graph recompute
+    (pinned by the contract row, which holds this path to the
+    full-graph oracle VERBATIM)."""
+    star = labels.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("_u"), F.col("component").alias("_v")
+    )
+    batch = new_edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    )
+    comp = connected_components(
+        star.union(batch), "_u", "_v", max_iter, local_threshold
+    )
+    known = (
+        labels.select("vertex")
+        .union(new_edges.select(F.col(src).alias("vertex")))
+        .union(new_edges.select(F.col(dst).alias("vertex")))
+        .distinct()
+    )
+    return known.join(comp, "vertex", "left").select(
+        "vertex",
+        F.coalesce("component", F.col("vertex")).alias("component"),
     )

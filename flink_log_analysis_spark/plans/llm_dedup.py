@@ -361,6 +361,41 @@ def graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental component maintenance: the standing labeling is
+    built from the CHAIN edges alone (the frozen artifact an ingest
+    loop would persist), then the supplier cross-edge batch is folded
+    in with ``update_components`` — WITHOUT re-reading the chain
+    edges. The UPDATE pass is forced down the distributed two-phase
+    path (the standing build takes the default scale-adaptive route —
+    its distributed form is already certified by
+    graph_components_chain). Held to the full-graph row's oracle
+    VERBATIM: the
+    incremental fold must reproduce the from-scratch components
+    exactly (same ids, same sizes), which certifies the
+    star-compression argument, not just "similar clusters"."""
+    from ..operators.graph import connected_components, update_components
+
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    chain = cust.filter(F.col("c_custkey") % 100 != 0).select(
+        F.col("c_custkey").alias("u"),
+        (F.col("c_custkey") + 1).alias("v"),
+    )
+    cross = supp.select(
+        ((F.col("s_suppkey") * 97) % 1000 + 1).alias("u"),
+        ((F.col("s_suppkey") * 389) % 1000 + 1).alias("v"),
+    )
+    standing = connected_components(chain, "u", "v")
+    updated = update_components(
+        standing, cross, "u", "v", local_threshold=0
+    )
+    return updated.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.max("vertex").alias("max_vertex"),
+    )
+
+
 def _simhash_sql() -> str:
     h = token_hash_sql("t", "sim")
     bits = " + ".join(
@@ -569,6 +604,7 @@ QUERIES = {
     "simhash_near_dups": simhash_near_dups,
     "split_leakage_pairs": split_leakage_pairs,
     "graph_components_chain": graph_components_chain,
+    "graph_components_incremental": graph_components_incremental,
 }
 
 # Twin of graph_components_chain's deterministic edge construction;
@@ -595,6 +631,10 @@ ORACLE["graph_components_chain"] = """
            MAX(vertex) AS max_vertex
     FROM comp GROUP BY component
 """
+
+# The incremental fold must reproduce the from-scratch components
+# exactly — same oracle string, zero drift possible.
+ORACLE["graph_components_incremental"] = ORACLE["graph_components_chain"]
 
 # Eval-leakage audit: the pair CTE and the split CASE are both reused
 # verbatim from their certified rows, joined and filtered only.

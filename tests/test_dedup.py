@@ -236,6 +236,60 @@ def test_connected_components_distributed_string_ids(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "q": "q"}
 
 
+def test_update_components_matches_full_recompute(spark):
+    """Folding a batch into standing labels == CC over the full edge
+    set: merges across standing components, brand-new vertices,
+    untouched singletons, and a batch self-loop all covered."""
+    from flink_log_analysis_spark.operators.graph import (
+        connected_components,
+        update_components,
+    )
+
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 30)]
+    new_edges = [(3, 10), (40, 41), (21, 21), (11, 50)]
+    old_df = spark.createDataFrame(old_edges, "doc_a bigint, doc_b bigint")
+    new_df = spark.createDataFrame(new_edges, "doc_a bigint, doc_b bigint")
+    standing = connected_components(old_df)
+    inc = {
+        r.vertex: r.component
+        for r in update_components(standing, new_df).collect()
+    }
+    full = {
+        r.vertex: r.component
+        for r in connected_components(old_df.union(new_df)).collect()
+    }
+    assert inc == full
+    assert inc[50] == 1          # new vertex joined the merged 1..3+10,11
+    assert inc[30] == 30         # untouched singleton survives
+    assert inc[40] == 40 and inc[41] == 40  # brand-new component
+
+
+def test_update_components_distributed_path(spark):
+    from flink_log_analysis_spark.operators.graph import (
+        connected_components,
+        update_components,
+    )
+
+    old_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 50)], "doc_a bigint, doc_b bigint"
+    )
+    new_df = spark.createDataFrame(
+        [(50, 51), (51, 52), (7, 100)], "doc_a bigint, doc_b bigint"
+    )
+    standing = connected_components(old_df)
+    inc = {
+        r.vertex: r.component
+        for r in update_components(
+            standing, new_df, local_threshold=0
+        ).collect()
+    }
+    full = {
+        r.vertex: r.component
+        for r in connected_components(old_df.union(new_df)).collect()
+    }
+    assert inc == full
+
+
 def test_connected_components_string_ids(spark):
     from flink_log_analysis_spark.operators.graph import connected_components
 
