@@ -103,7 +103,8 @@ def _plan_modules():
 # wordpiece_tokens + wordpiece_vocab_fit, unigram_tokens +
 # unigram_vocab_fit + unigram_tokens_stream (the second and third
 # tokenizer families), and
-# tokenizer_fertility (the three-family eval composition). All run in
+# tokenizer_fertility (the three-family eval composition), and
+# leakage_free_splits (cluster-aware split repair). All run in
 # tools/check_correctness.py (driver-identical canon) and
 # tests/test_oracle_parity this round.
 # 12 + 14 + 24 = 50 exactly.

@@ -129,6 +129,51 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_free_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPAIR op completing split_leakage_pairs' detection:
+    re-assign every near-duplicate family to ONE split so no verified
+    near-dup pair straddles train/val/test (cluster-aware splitting —
+    the dedup-then-split doctrine applied after the fact). Rule: each
+    doc takes the split of its cluster's MIN doc_id (singletons keep
+    their own; a family whose canonical doc hashed past the split
+    boundary inherits its NULL, i.e. the whole family is excluded
+    rather than half-leaked).
+
+    Composes three certified pieces verbatim — the transitive cluster
+    assignment (near_dup_clusters), the hash-split assignment
+    (sampling.split_assign), and one self-join of the split table on
+    the cluster id — so the oracle wraps the cluster CTE and the
+    split CASE with zero new semantics. Per-doc output records the
+    original split, the repaired split, and whether the doc moved;
+    by construction the repaired column is constant within every
+    cluster, which is exactly the no-leak property."""
+    from ..operators import sampling
+    from .pipeline_ops import SAMPLE_SEED, SPLITS
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    sp = sampling.split_assign(docs, "doc_id", SPLITS, seed=SAMPLE_SEED).select(
+        "doc_id", "split"
+    )
+    clusters = near_dup_clusters(spark, sf_dir)
+    roots = sp.select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("split").alias("split_fixed"),
+    )
+    return (
+        clusters.join(sp, "doc_id")
+        .join(roots, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("split").alias("split_orig"),
+            "split_fixed",
+            (~F.col("split").eqNullSafe(F.col("split_fixed"))).alias(
+                "moved"
+            ),
+        )
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(read_table(spark, sf_dir, "documents"))
 
@@ -140,9 +185,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clustering: iterative label-propagation
-    connected components over the shared verified pair set (the oracle
-    re-derives components with a recursive CTE)."""
+    """Transitive near-dup clustering: connected components (driver
+    union-find below the edge threshold, distributed two-phase
+    large-star/small-star above) over the shared verified pair set
+    (the oracle re-derives components with a recursive CTE)."""
     from ..operators.graph import near_dup_clusters as _clusters
 
     return _clusters(
@@ -603,6 +649,7 @@ QUERIES = {
     "incremental_near_dups": incremental_near_dups,
     "simhash_near_dups": simhash_near_dups,
     "split_leakage_pairs": split_leakage_pairs,
+    "leakage_free_splits": leakage_free_splits,
     "graph_components_chain": graph_components_chain,
     "graph_components_incremental": graph_components_incremental,
 }
@@ -653,4 +700,21 @@ ORACLE["split_leakage_pairs"] = f"""
     JOIN s b ON b.doc_id = p.doc_b
     WHERE a.split IS NOT NULL AND b.split IS NOT NULL
       AND a.split <> b.split
+"""
+
+# Repair twin: cluster CTE + split CASE wrapped verbatim; repaired
+# split = the cluster-min doc's split (NULL inherits: the family is
+# excluded whole rather than half-leaked).
+ORACLE["leakage_free_splits"] = f"""
+    WITH assign AS ({ORACLE["near_dup_clusters"]}),
+    s AS (SELECT doc_id, {_po_split_case()} AS split
+          FROM (SELECT doc_id, {_po_bucket("doc_id")} AS b
+                FROM documents))
+    SELECT a.doc_id, a.cluster_id,
+           s.split AS split_orig,
+           r.split AS split_fixed,
+           (s.split IS DISTINCT FROM r.split) AS moved
+    FROM assign a
+    JOIN s ON s.doc_id = a.doc_id
+    JOIN s r ON r.doc_id = a.cluster_id
 """

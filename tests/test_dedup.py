@@ -290,6 +290,31 @@ def test_update_components_distributed_path(spark):
     assert inc == full
 
 
+def test_leakage_free_splits_properties(spark):
+    """After repair: the fixed split is constant within every cluster
+    (no near-dup pair can straddle splits), singletons never move,
+    and cluster members take the cluster-min doc's split."""
+    from flink_log_analysis_spark.plans.llm_dedup import (
+        leakage_free_splits,
+        split_leakage_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = leakage_free_splits(spark, sf).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split_fixed)
+    assert all(len(v) == 1 for v in by_cluster.values())
+    singles = [r for r in rows if r.cluster_id == r.doc_id]
+    assert all(not r.moved for r in singles)
+    # the detection row must find leaks on the ORIGINAL assignment for
+    # the repair to be non-vacuous at this sf; if this ever goes dry,
+    # regenerate with a corpus that actually leaks
+    assert split_leakage_pairs(spark, sf).count() > 0
+    moved = [r for r in rows if r.moved]
+    assert moved, "repair moved nothing despite detected leaks"
+
+
 def test_connected_components_string_ids(spark):
     from flink_log_analysis_spark.operators.graph import connected_components
 
