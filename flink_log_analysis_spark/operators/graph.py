@@ -53,6 +53,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 20,
     local_threshold: int = LOCAL_EDGE_THRESHOLD,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(vertex, component) with component = min vertex id reachable.
 
@@ -65,6 +66,11 @@ def connected_components(
     distributed rounds of fixed scheduling overhead; past the
     threshold, the alternating large-star/small-star algorithm runs
     fully distributed (diameter-independent round count).
+
+    ``stats``: optional dict; the distributed path records
+    ``stats["rounds"]`` at convergence (tools/cc_scale_probe.py reads
+    it to MEASURE the round-vs-diameter claim; the local path records
+    0).
     """
     edges = edges.persist()
     try:
@@ -86,6 +92,8 @@ def connected_components(
                 ra, rb = find(r[0]), find(r[1])
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
+            if stats is not None:
+                stats["rounds"] = 0
             rows = [(v, find(v)) for v in parent]
             # Schema follows the edge id type (ids may be strings/UUIDs,
             # not only bigints) — same contract as the distributed path.
@@ -99,7 +107,7 @@ def connected_components(
                 ]
             )
             return edges.sparkSession.createDataFrame(rows, schema)
-        return _cc_two_phase(edges, src, dst, max_iter)
+        return _cc_two_phase(edges, src, dst, max_iter, stats)
     finally:
         edges.unpersist()
 
@@ -153,7 +161,11 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
 
 
 def _cc_two_phase(
-    edges: DataFrame, src: str, dst: str, max_iter: int
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     verts = (
         edges.select(F.col(src).alias("vertex"))
@@ -198,7 +210,7 @@ def _cc_two_phase(
     with scoped_conf(
         edges.sparkSession, {"spark.sql.shuffle.partitions": str(parts)}
     ):
-        for _ in range(max_iter):
+        for rounds in range(1, max_iter + 1):
             nxt = _star_round(_star_round(e, large=True), large=False)
             nxt = nxt.localCheckpoint(eager=True)
             nxt_sum = _checksum(nxt)
@@ -206,6 +218,8 @@ def _cc_two_phase(
                 nxt.exceptAll(e).limit(1).count()
                 or e.exceptAll(nxt).limit(1).count()
             ):
+                if stats is not None:
+                    stats["rounds"] = rounds
                 # Fixpoint: every component is a star rooted at its min.
                 labels = nxt.select(
                     F.col("big").alias("vertex"),
