@@ -101,8 +101,9 @@ def _plan_modules():
 # graph_components_chain + graph_components_incremental (two-phase CC
 # on a diameter-hostile graph; standing-label batch folding),
 # wordpiece_tokens + wordpiece_vocab_fit, unigram_tokens +
-# unigram_vocab_fit + unigram_tokens_stream (the second and third
-# tokenizer families), and
+# unigram_vocab_fit + unigram_tokens_stream + unigram_sample_tokens
+# (the second and third tokenizer families incl. subword-regularization
+# sampling), and
 # tokenizer_fertility (the three-family eval composition), and
 # leakage_free_splits (cluster-aware split repair). All run in
 # tools/check_correctness.py (driver-identical canon) and

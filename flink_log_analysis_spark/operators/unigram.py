@@ -574,3 +574,270 @@ def encode_docs(
             )
         ).alias("stream_md5"),
     )
+
+
+# ------------------------------------------- subword regularization
+
+# Exact double probabilities derived ONCE from the frozen log-probs
+# (math.exp here; the plan oracle splices repr() of these same Python
+# floats into its VALUES rows, so neither engine ever calls exp at
+# runtime and libm rounding differences cannot exist by construction).
+def vocab_probs(vocab: list[tuple[str, float]]) -> list[tuple[str, float, float]]:
+    return [(p, lp, math.exp(lp)) for p, lp in vocab]
+
+
+def _empty_cands():
+    return F.array().cast(
+        "array<struct<ln:int,prob:double,piece:string>>"
+    )
+
+
+def sample_word_tokens(
+    words: DataFrame,
+    vocab: list[tuple[str, float]],
+    seed: int | str = 0,
+    word_col: str = "word",
+) -> DataFrame:
+    """SAMPLE one segmentation per distinct word from the exact
+    unigram posterior P(seg | word) ∝ Π p(piece) — subword
+    regularization (Kudo ACL'18 §4), the training-time counterpart of
+    :func:`word_viterbi`'s argmax, as deterministic
+    forward-filtering / backward-sampling:
+
+    - **forward**: alpha[j] = Σ over arcs (j-ln, j, piece) of
+      alpha[j-ln] * p(piece) — one fold per word, inner sums in
+      ln-ascending order (the association the oracle replays).
+    - **backward**: from the word end, choose the arc whose
+      cumulative weight interval [cum - w, cum) brackets
+      t = u * alpha[endp], where u is the content-hash uniform of
+      (word, endp) — exactly the FFBS conditional, and because every
+      bracketing quantity is static per (word, position), the chosen
+      arc table is precomputable RELATIONALLY and the sample itself is
+      the same functional-graph hop walk the WordPiece path uses.
+      Dead arcs (alpha[j-ln] = 0) carry zero width and can never
+      bracket t; a word with alpha[L] = 0 has no bracketing arc at L
+      and falls out as [UNK].
+
+    Deterministic across runs, partitionings, and engines: uniforms
+    are md5-derived, probabilities are spliced literals, and every
+    float add/multiply happens in a stated order.
+
+    Output: (word, n_tokens int, is_unk boolean, pieces string).
+    """
+    if not vocab:
+        raise ValueError("empty unigram vocabulary")
+    from .sampling import BUCKETS, sample_bucket
+
+    lmax = max(len(p) for p, _ in vocab)
+    spark = words.sparkSession
+    vdf = spark.createDataFrame(
+        vocab_probs(vocab), "piece string, logp double, prob double"
+    )
+    w = words.select(F.col(word_col).alias("word")).filter(
+        F.length("word") > 0
+    )
+    cand = w.select(
+        "word",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("endp"),
+    ).select(
+        "word",
+        "endp",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.lit(lmax), F.col("endp")))
+        ).alias("ln"),
+    )
+    arcs = cand.join(
+        F.broadcast(vdf),
+        F.expr("substring(word, endp - ln + 1, ln)") == F.col("piece"),
+        "inner",
+    )
+    matched = arcs.groupBy("word", "endp").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ln", "prob", "piece"))
+        ).alias("cands")
+    )
+    hops0 = matched.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("endp"), F.col("cands")))
+        ).alias("endmap")
+    )
+    base = w.join(hops0, "word", "left")
+
+    def _cands_at(i):
+        return F.coalesce(
+            F.element_at(F.col("endmap"), i), _empty_cands()
+        )
+
+    # forward: acc IS the 1-indexed alphas array (al[k] = alpha_{k-1})
+    al = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")),
+        F.array(F.lit(1.0)),
+        lambda al_, i: F.concat(
+            al_,
+            F.array(
+                F.aggregate(
+                    F.transform(
+                        _cands_at(i),
+                        lambda c: F.element_at(al_, i - c["ln"] + 1)
+                        * c["prob"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        ),
+    )
+    fwd = base.select("word", F.col("endmap"), al.alias("al"))
+
+    def _sel_at(i):
+        """Chosen-arc struct for position i (done=false when no arc
+        brackets, i.e. alpha[i] = 0 or no arcs end here)."""
+        wl = F.transform(
+            _cands_at(i),
+            lambda c: F.struct(
+                (
+                    F.element_at(F.col("al"), i - c["ln"] + 1)
+                    * c["prob"]
+                ).alias("cum"),
+                c["ln"].alias("ln"),
+                c["piece"].alias("piece"),
+                F.lit(False).alias("done"),
+            ),
+        )
+        total = F.aggregate(
+            wl, F.lit(0.0), lambda a, x: a + x["cum"]
+        )
+        u = (
+            sample_bucket(
+                F.concat_ws(":", F.col("word"), i.cast("string")), seed
+            )
+            + F.lit(0.5)
+        ) / F.lit(float(BUCKETS))
+        t = u * total
+        zero = F.struct(
+            F.lit(0.0).alias("cum"),
+            F.lit(0).alias("ln"),
+            F.lit("").alias("piece"),
+            F.lit(False).alias("done"),
+        )
+        return F.aggregate(
+            wl,
+            zero,
+            lambda a, x: F.when(a["done"], a).otherwise(
+                F.when(
+                    (a["cum"] + x["cum"]) > t,
+                    F.struct(
+                        (a["cum"] + x["cum"]).alias("cum"),
+                        x["ln"].alias("ln"),
+                        x["piece"].alias("piece"),
+                        F.lit(True).alias("done"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        (a["cum"] + x["cum"]).alias("cum"),
+                        F.lit(0).alias("ln"),
+                        F.lit("").alias("piece"),
+                        F.lit(False).alias("done"),
+                    )
+                )
+            ),
+        )
+
+    hoparr = F.transform(
+        F.sequence(F.lit(1), F.length("word")), _sel_at
+    )
+    staged = fwd.select("word", hoparr.alias("hops"))
+
+    # backward hop walk (descending positions; skip unless at cursor)
+    def _bwd(acc, i):
+        h = F.element_at(F.col("hops"), i)
+        at_cursor = (i == acc["cur"]) & (acc["cur"] > 0)
+        return F.when(
+            at_cursor & h["done"],
+            F.struct(
+                (acc["cur"] - h["ln"]).alias("cur"),
+                (acc["n"] + 1).alias("n"),
+                F.when(acc["toks"] == "", h["piece"])
+                .otherwise(F.concat(h["piece"], F.lit(" "), acc["toks"]))
+                .alias("toks"),
+            ),
+        ).otherwise(acc)
+
+    binit = F.struct(
+        F.length("word").alias("cur"),
+        F.lit(0).alias("n"),
+        F.lit("").alias("toks"),
+    )
+    out = staged.select(
+        "word",
+        F.aggregate(
+            F.reverse(F.sequence(F.lit(1), F.length("word"))),
+            binit,
+            _bwd,
+        ).alias("st"),
+    )
+    unk = F.col("st")["cur"] != 0
+    return out.select(
+        "word",
+        F.when(unk, F.lit(1))
+        .otherwise(F.col("st")["n"])
+        .cast("int")
+        .alias("n_tokens"),
+        unk.alias("is_unk"),
+        F.when(unk, F.lit(UNK))
+        .otherwise(F.col("st")["toks"])
+        .alias("pieces"),
+    )
+
+
+def sample_docs(
+    df: DataFrame,
+    vocab: list[tuple[str, float]],
+    seed: int | str = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sampled-segmentation stats: (id, n_words,
+    n_tokens, n_unk_words, stream_md5) under one FFBS draw per
+    distinct word (the draw is keyed by word content, so repeated
+    words share their sample within a run — the per-epoch reseeding a
+    trainer does is the ``seed`` argument)."""
+    from ..session import ensure_min_partitions
+
+    base = ensure_min_partitions(df).select(
+        F.col(id_col),
+        F.posexplode_outer(
+            textstats.bpe_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "word"),
+    )
+    wt = sample_word_tokens(
+        base.filter(F.col("word").isNotNull()).select("word").distinct(),
+        vocab,
+        seed,
+    )
+    joined = base.join(wt, "word", "left")
+    grouped = joined.groupBy(id_col).agg(
+        F.count(F.col("word")).cast("int").alias("n_words"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("int")
+        .alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_unk"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("int")
+        .alias("n_unk_words"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "pieces"))
+        ).alias("_ord"),
+    )
+    return grouped.select(
+        id_col,
+        "n_words",
+        "n_tokens",
+        "n_unk_words",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("_ord"), lambda s: s["pieces"]), " "
+            )
+        ).alias("stream_md5"),
+    )

@@ -263,6 +263,30 @@ def unigram_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Subword-regularization draw seed (one "epoch"); reseeding = new draw.
+UG_SAMPLE_SEED = "sr1"
+
+
+def unigram_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword regularization (Kudo ACL'18 §4): SAMPLE one
+    segmentation per word from the exact unigram posterior
+    P(seg|word) ∝ Π p(piece) — the training-time counterpart of the
+    Viterbi row, as deterministic forward-filtering /
+    backward-sampling with content-hash uniforms
+    (operators/unigram.py sample_docs). The oracle replays the FFBS
+    exactly: forward alphas as a recursive CTE carrying the alpha
+    list, the bracketing-interval arc choice relationally (every
+    bracketing quantity is static per word position), and the sample
+    itself as the same hop-walk recursion the WordPiece oracle uses —
+    piece probabilities are spliced as literals derived once in
+    Python, so neither engine calls exp at runtime."""
+    return ug_ops.sample_docs(
+        read_table(spark, sf_dir, "documents"),
+        ug_ops.UNIGRAM_VOCAB_V1,
+        seed=UG_SAMPLE_SEED,
+    )
+
+
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer evaluation: per-language fertility (tokens per word)
     and compression (word chars per token) for BOTH trained tokenizer
@@ -1095,6 +1119,145 @@ def _unigram_tokens_sql() -> str:
 
 ORACLE["unigram_tokens"] = _unigram_tokens_sql()
 
+
+def _unigram_sample_sql() -> str:
+    """unigram_sample_tokens oracle: exact FFBS replay. Forward alphas
+    recurse with the growing alpha list (list ops only — no aggregate
+    in the recursive term); arc choice is the bracketing interval
+    [cum - w, cum) around t = u * total with u the md5 uniform of
+    (word, position) and every sum folded in ln-ascending order (the
+    engine's stated association); the walk is the WordPiece hop
+    recursion. Dead arcs have zero width and cannot bracket; a word
+    with alpha[L] = 0 never reaches cursor 0 and falls out as
+    [UNK]."""
+    from ..operators.sampling import BUCKETS, sample_bucket_sql
+
+    vocab_rows = ",\n            ".join(
+        f"('{p}', CAST({prob!r} AS DOUBLE))"
+        for p, _lp, prob in ug_ops.vocab_probs(ug_ops.UNIGRAM_VOCAB_V1)
+    )
+    key_expr = "c.word || chr(58) || CAST(c.endp AS VARCHAR)"
+    u_expr = (
+        f"(({sample_bucket_sql(key_expr, UG_SAMPLE_SEED)}"
+        f" + 0.5) / {float(BUCKETS)!r})"
+    )
+    total_expr = (
+        "list_reduce([CAST(0.0 AS DOUBLE)] || "
+        "list_transform(c.cl, q -> f.als[c.endp - q.ln + 1] * q.prob), "
+        "(s1, s2) -> s1 + s2)"
+    )
+    t_expr = f"({u_expr} * {total_expr})"
+    empty_cl = "CAST([] AS STRUCT(ln INTEGER, prob DOUBLE, piece VARCHAR)[])"
+    return f"""
+        WITH RECURSIVE vocab(piece, prob) AS (
+            VALUES {vocab_rows}
+        ),
+        t AS (SELECT doc_id, {_WP_WORDS} AS arr FROM documents),
+        words AS (
+            SELECT doc_id, u.i AS pos, arr[u.i] AS word
+            FROM t, unnest(generate_series(1, len(arr))) AS u(i)
+        ),
+        dw AS (SELECT DISTINCT word FROM words),
+        arcs AS (
+            SELECT word, s.endp, length(v.piece) AS ln, v.prob, v.piece
+            FROM dw,
+                 unnest(generate_series(1, length(word))) AS s(endp)
+            JOIN vocab v
+              ON v.piece = substr(word, s.endp - length(v.piece) + 1,
+                                  length(v.piece))
+             AND length(v.piece) <= s.endp
+        ),
+        cands AS (
+            SELECT word, endp,
+                   list(struct_pack(ln := ln, prob := prob,
+                                    piece := piece) ORDER BY ln) AS cl
+            FROM arcs GROUP BY word, endp
+        ),
+        fwd(word, j, als) AS (
+            SELECT word, 0, [CAST(1.0 AS DOUBLE)] FROM dw
+            UNION ALL
+            SELECT f.word, f.j + 1,
+                   f.als || [list_reduce(
+                       [CAST(0.0 AS DOUBLE)] ||
+                       list_transform(COALESCE(c.cl, {empty_cl}),
+                           x -> f.als[f.j + 2 - x.ln] * x.prob),
+                       (s1, s2) -> s1 + s2)]
+            FROM fwd f
+            LEFT JOIN cands c ON c.word = f.word AND c.endp = f.j + 1
+            WHERE f.j < length(f.word)
+        ),
+        fin AS (SELECT word, als FROM fwd WHERE j = length(word)),
+        chosen AS (
+            SELECT c.word, c.endp,
+                   list_reduce(
+                       [struct_pack(cum := CAST(0.0 AS DOUBLE),
+                                    ln := 0, piece := '',
+                                    done := false)] ||
+                       list_transform(c.cl,
+                           x -> struct_pack(
+                               cum := f.als[c.endp - x.ln + 1] * x.prob,
+                               ln := x.ln, piece := x.piece,
+                               done := false)),
+                       (a, x) -> CASE
+                           WHEN a.done THEN a
+                           WHEN a.cum + x.cum > {t_expr}
+                               THEN struct_pack(cum := a.cum + x.cum,
+                                                ln := x.ln,
+                                                piece := x.piece,
+                                                done := true)
+                           ELSE struct_pack(cum := a.cum + x.cum,
+                                            ln := 0, piece := '',
+                                            done := false) END
+                   ) AS sel
+            FROM cands c JOIN fin f USING (word)
+        ),
+        hop AS (
+            SELECT word, endp,
+                   struct_extract(sel, 'ln') AS ln,
+                   struct_extract(sel, 'piece') AS piece
+            FROM chosen WHERE struct_extract(sel, 'done')
+        ),
+        walk(word, pos, n, toks) AS (
+            SELECT word, length(word), 0, '' FROM dw
+            UNION ALL
+            SELECT w.word, w.pos - h.ln, w.n + 1,
+                   CASE WHEN w.toks = '' THEN h.piece
+                        ELSE h.piece || ' ' || w.toks END
+            FROM walk w JOIN hop h ON h.word = w.word AND h.endp = w.pos
+            WHERE w.pos > 0
+        ),
+        wordres AS (
+            SELECT d.word,
+                   COALESCE(b.n, 1) AS n_tokens,
+                   b.word IS NULL AS is_unk,
+                   COALESCE(b.toks, '{ug_ops.UNK}') AS pieces
+            FROM dw d
+            LEFT JOIN (SELECT * FROM walk WHERE pos = 0) b USING (word)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(word) AS INTEGER) AS n_words,
+                   CAST(COALESCE(SUM(n_tokens), 0) AS INTEGER)
+                       AS n_tokens,
+                   CAST(COALESCE(SUM(CASE WHEN is_unk THEN 1 ELSE 0
+                                     END), 0) AS INTEGER)
+                       AS n_unk_words,
+                   md5(string_agg(pieces, ' ' ORDER BY pos))
+                       AS stream_md5
+            FROM words LEFT JOIN wordres USING (word)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_words, 0) AS n_words,
+               COALESCE(a.n_tokens, 0) AS n_tokens,
+               COALESCE(a.n_unk_words, 0) AS n_unk_words,
+               COALESCE(a.stream_md5, md5('')) AS stream_md5
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+ORACLE["unigram_sample_tokens"] = _unigram_sample_sql()
+
 # Fit contract: char coverage and the pre-EM seed argmax re-derived
 # from the raw sample; the prune bound and normalization checks are
 # config/invariant literals (the bpe_vocab_fit pattern).
@@ -1182,6 +1345,7 @@ QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "unigram_tokens": unigram_tokens,
     "unigram_vocab_fit": unigram_vocab_fit,
+    "unigram_sample_tokens": unigram_sample_tokens,
     "token_frequencies": token_frequencies,
     "rolling_fingerprints": rolling_fingerprints,
     "lang_id_ngram": lang_id_ngram,

@@ -138,3 +138,115 @@ def test_frozen_vocab_is_fit_output(spark):
         min_char_count=40,
     )
     assert vocab == ug.UNIGRAM_VOCAB_V1
+
+
+def _ffbs_reference(word, vocab, seed):
+    """Pure-Python FFBS twin: same probs (math.exp of the frozen
+    logp), same md5 uniforms, same ln-ascending fold order, same
+    bracketing rule — the independent per-draw reference."""
+    import hashlib
+
+    probs = {p: math.exp(lp) for p, lp in vocab}
+    lmax = max(len(p) for p in probs)
+    L = len(word)
+    arcs = {}  # endp -> [(ln, prob, piece)] ln asc
+    for endp in range(1, L + 1):
+        lst = []
+        for ln in range(1, min(lmax, endp) + 1):
+            piece = word[endp - ln : endp]
+            if piece in probs:
+                lst.append((ln, probs[piece], piece))
+        arcs[endp] = lst
+    alpha = [1.0] + [0.0] * L
+    for j in range(1, L + 1):
+        s = 0.0
+        for ln, pr, _ in arcs[j]:
+            s = s + alpha[j - ln] * pr
+        alpha[j] = s
+
+    def uniform(endp):
+        key = f"{seed}|{word}:{endp}"
+        b = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 1_000_000
+        return (b + 0.5) / 1_000_000.0
+
+    pieces = []
+    cur = L
+    while cur > 0:
+        total = 0.0
+        for ln, pr, _ in arcs[cur]:
+            total = total + alpha[cur - ln] * pr
+        t = uniform(cur) * total
+        cum = 0.0
+        chosen = None
+        for ln, pr, piece in arcs[cur]:
+            cum = cum + alpha[cur - ln] * pr
+            if cum > t:
+                chosen = (ln, piece)
+                break
+        if chosen is None:
+            return [ug.UNK]
+        pieces.append(chosen[1])
+        cur -= chosen[0]
+    return list(reversed(pieces))
+
+
+def test_sample_word_tokens_matches_reference(spark):
+    """Every Spark draw equals the pure-Python FFBS reference exactly
+    (validity, UNKs, and the specific sampled segmentation), across
+    two seeds."""
+    vocab = ug.UNIGRAM_VOCAB_V1
+    words = ["column", "columns", "customer", "batch", "hashjoin",
+             "mergesort", "quest", "erer", "at", "42", "z"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    for seed in ("e1", "e2"):
+        got = {
+            r["word"]: (r["n_tokens"], r["is_unk"], r["pieces"])
+            for r in ug.sample_word_tokens(df, vocab, seed=seed).collect()
+        }
+        for w in words:
+            ref = _ffbs_reference(w, vocab, seed)
+            unk = ref == [ug.UNK]
+            exp = (1 if unk else len(ref), unk, " ".join(ref))
+            assert got[w] == exp, (seed, w, got[w], exp)
+            if not unk:
+                assert "".join(ref) == w
+
+
+def test_sample_word_tokens_matches_posterior(spark):
+    """Empirical draw frequency tracks the exact posterior: word 'ab'
+    with P(['ab']) = p_ab / (p_ab + p_a*p_b) = 2/3 under the hand
+    vocab; 120 deterministic seeds land near it."""
+    import math
+
+    p_ab, p_a, p_b = 0.4, 0.3, 0.3  # doubles chosen exactly
+    vocab = [("ab", round(math.log(p_ab), 7)),
+             ("a", round(math.log(p_a), 7)),
+             ("b", round(math.log(p_b), 7))]
+    df = spark.createDataFrame([("ab",)], "word string")
+    whole = 0
+    n = 50  # deterministic draws: the empirical rate is FROZEN, not flaky
+    for k in range(n):
+        r = ug.sample_word_tokens(df, vocab, seed=f"s{k}").collect()[0]
+        assert r["pieces"] in ("ab", "a b")
+        whole += r["pieces"] == "ab"
+    post = p_ab / (p_ab + p_a * p_b)  # ~0.816
+    assert abs(whole / n - post) < 0.15, (whole / n, post)
+
+
+def test_sample_docs_stats(spark):
+    import hashlib
+    import math
+
+    vocab = [("hi", round(math.log(0.5), 7)),
+             ("h", round(math.log(0.25), 7)),
+             ("i", round(math.log(0.25), 7))]
+    rows = [(1, "hi zz hi"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in ug.sample_docs(df, vocab, seed="t").collect()}
+    assert got[1]["n_words"] == 3 and got[1]["n_unk_words"] == 1
+    # both 'hi' occurrences share the per-word draw within a run
+    assert got[1]["n_tokens"] in (3, 5)
+    for d in (2, 3):
+        assert got[d]["n_words"] == 0
+        assert got[d]["stream_md5"] == hashlib.md5(b"").hexdigest()
