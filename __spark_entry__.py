@@ -74,52 +74,42 @@ def _plan_modules():
 # Names pinned to the driver's 50-entry audit window, in order.
 # Anything not listed here follows afterwards in module order.
 #
-# Round-14 rotation (VERDICT r13 item 1 — driver-certify every
-# never-audited row): the 12-query reference-parity core stays
-# pinned. Then ALL 14 never-driver-audited rows — the 11 r13
-# newborns the judge named (lm_perplexity_filter_kn,
-# knn_pq_residual_persisted, dsir_weights/select/weights_stream,
-# semantic_dedup + _incremental, bloom_decontam, split_leakage_pairs,
-# lm_perplexity_per_lang, ccnet_buckets) plus the 3 r14 newborns
-# (substring_dedup — Lee et al. 2022 exact substring dedup, VERDICT
-# item 2; lm_perplexity_chunked — the chunk-then-score LM contract,
-# item 4; pretrain_corpus_prep — the composed pretraining flagship,
-# item 5). After this window lands green, EVERY registry row holds at
-# least one driver-green CORRECTNESS row — the milestone item 1 asks
-# for. Then 24 of the 33-row r10-stale cohort (newest driver green =
-# r10, computed across CORRECTNESS_r01-r13), alphabetical except
-# that the two touched-path rows pack_chunks and
-# quality_ablation_report (operators/quality.py changed this round:
-# _pack_id_pos extraction + substring_dedup + bloom sizing) replace
-# conversion_pairs_stream and events_csv_roundtrip. The 9 r10 rows
-# left over (conversion_pairs_stream, events_csv_roundtrip,
-# order_value_ntile, rare_token_stats, simhash_near_dups,
-# table_profile, training_order_shuffle, url_curation, wav_roundtrip)
-# are the r15 stale heads, alongside the post-rotation r14 newborns
-# (added after the window was sealed; every one gate-green first run
-# this round): substring_dedup_incremental, substring_dedup_stream,
-# graph_components_chain + graph_components_incremental (two-phase CC
-# on a diameter-hostile graph; standing-label batch folding),
-# wordpiece_tokens + wordpiece_vocab_fit, unigram_tokens +
-# unigram_vocab_fit + unigram_tokens_stream + unigram_sample_tokens
-# (the second and third tokenizer families incl. subword-regularization
-# sampling), and
-# tokenizer_fertility (the three-family eval composition), and
-# leakage_free_splits (cluster-aware split repair). All run in
-# tools/check_correctness.py (driver-identical canon) and
-# tests/test_oracle_parity this round.
-# 12 + 14 + 24 = 50 exactly.
+# Round-15 rotation (VERDICT r14 "Next round" item 1): the 12-query
+# reference-parity core stays pinned. Then the 12 r14 post-window
+# newborns (gate + pytest green r14, never driver-audited):
+# substring_dedup_incremental, substring_dedup_stream,
+# graph_components_chain + graph_components_incremental (two-phase
+# CC), wordpiece_tokens + wordpiece_vocab_fit, unigram_tokens +
+# unigram_vocab_fit + unigram_tokens_stream + unigram_sample_tokens,
+# tokenizer_fertility, leakage_free_splits. Then the 9 r10-stale
+# heads (newest driver green = r10, computed across
+# CORRECTNESS_r01-r14): conversion_pairs_stream,
+# events_csv_roundtrip, order_value_ntile, rare_token_stats,
+# simhash_near_dups, table_profile, training_order_shuffle,
+# url_curation, wav_roundtrip. The remaining 17 slots are the
+# alphabetically-first rows of the 31-row r11-stale cohort
+# (bmp_roundtrip .. knn_ivf_quantized_recall_p6); the 14 r11 rows
+# left over (knn_pq_fitted_exact, knn_quantized, log_sessions,
+# log_sessions_stream, minhash_signatures, near_dedup_best_docs,
+# png_roundtrip, quality_ablation_web, simhash, stateful_sessions,
+# stratified_doc_sample, supplier_fuzzy_dups, token_budget_select,
+# weighted_doc_sample) are the r16 stale heads. After this window
+# lands green, no registry row's newest driver green is older
+# than r11 — the freshness milestone item 1 asks for.
+# 12 + 12 + 9 + 17 = 50 exactly.
 #
-# Touched-path note: this round's code changes touch semdedup (salted
-# hot-cell dispatch — pair set construction-identical, certified by
-# tests/test_semdedup.py), dsir.log_ratio (double-first arithmetic —
-# value-identical at contract scale, both engines changed together),
-# ccnet_buckets (now terciles over the per-language scorer, oracle
-# re-wired to wrap lm_perplexity_per_lang), bloom sizing (physical
-# only; bloom_decontam held to the plain oracle verbatim), the LM
-# session-cache fit guard (no-op in range), and quality.py
-# (_pack_id_pos extraction consumed by span_dedup + substring_dedup).
-# Every touched row is in this window or gate-green this round.
+# Touched-path note: this round's code changes touch
+# semdedup.py (cold-path occupancy derived from the assignment
+# aggregate — semantic_dedup/semantic_dedup_incremental are r14
+# driver-green and gate-green this round), graph.py (convergence
+# checksum folded into the star-round action — graph_components_*
+# in this window), bench.py prebuild keying (no engine change),
+# and the ADVICE r14 items in plans/llm_text.py (+ engine guards):
+# wordpiece_vocab_fit, unigram_vocab_fit, unigram_tokens,
+# tokenizer_fertility — all in this window — and
+# graph_components_chain's self-loop pin. New r15 rows (quality
+# classifier, pHash dedup, substring scale probe) register behind
+# the window and are gate-green first run this round.
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",
@@ -134,46 +124,47 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # the 14 never-driver-audited rows (11 r13 + 3 r14 newborns)
-    "lm_perplexity_filter_kn",
-    "knn_pq_residual_persisted",
-    "dsir_weights",
-    "dsir_select",
-    "dsir_weights_stream",
-    "semantic_dedup",
-    "semantic_dedup_incremental",
-    "bloom_decontam",
-    "split_leakage_pairs",
-    "lm_perplexity_per_lang",
-    "ccnet_buckets",
-    "substring_dedup",
-    "lm_perplexity_chunked",
-    "pretrain_corpus_prep",
-    # 24 of the r10-stale cohort (see rotation note above)
-    "benchmark_contamination",
-    "bpe_learned_deep",
-    "corpus_ingest_stream",
-    "corpus_tokenize_stream",
-    "doc_boilerplate_signals",
-    "doc_repetition_signals",
-    "documents_jsonl_roundtrip",
-    "domain_stats",
-    "embedding_quantize",
-    "hard_negative_mining_ivf",
-    "incremental_near_dups_stream",
-    "knn_ivf_pq_exact",
-    "knn_ivf_recall",
-    "knn_lsh",
-    "knn_pq_adc_exact",
-    "knn_pq_rerank_recall",
-    "lang_mixture_resample",
-    "lineitem_orc_roundtrip",
-    "log_hourly_windows",
-    "log_hourly_windows_stream",
-    "near_dup_clusters",
-    "near_dup_pairs",
-    "pack_chunks",
-    "quality_ablation_report",
+    # the 12 r14 post-window newborns (never driver-audited)
+    "substring_dedup_incremental",
+    "substring_dedup_stream",
+    "graph_components_chain",
+    "graph_components_incremental",
+    "wordpiece_tokens",
+    "wordpiece_vocab_fit",
+    "unigram_tokens",
+    "unigram_vocab_fit",
+    "unigram_tokens_stream",
+    "unigram_sample_tokens",
+    "tokenizer_fertility",
+    "leakage_free_splits",
+    # the 9 r10-stale heads
+    "conversion_pairs_stream",
+    "events_csv_roundtrip",
+    "order_value_ntile",
+    "rare_token_stats",
+    "simhash_near_dups",
+    "table_profile",
+    "training_order_shuffle",
+    "url_curation",
+    "wav_roundtrip",
+    # 17 alphabetically-first of the 31-row r11-stale cohort
+    "bmp_roundtrip",
+    "bpe_pack_chunks",
+    "bpe_token_ids",
+    "bpe_vocab_fit",
+    "corpus_report",
+    "corpus_shards",
+    "doc_chunks",
+    "doc_quality_signals",
+    "domain_quota_sample",
+    "dup_cluster_sizes",
+    "hard_negative_mining",
+    "jl_projection_contract",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_ivf_probe_tuned",
+    "knn_ivf_quantized_recall",
+    "knn_ivf_quantized_recall_p6",
 ]
 
 

@@ -26,9 +26,14 @@ A timed query whose first execution still lands on a compile-queue
 stall or transient host contention is re-timed twice warm and the
 MEDIAN of the three samples kept (min-of-2 in rounds 5-6 was
 best-case-biased; the sample lists showed 2-3x spread hiding behind
-the min). Retry triggers on the absolute threshold OR on 5x the
-query's own warm-pass time (floored at 2s), so a trivial projection
-reading 20x its warm time re-times even under the absolute bar.
+the min); when the 3-sample median still exceeds 1.5x the best
+sample, up to two more samples deepen it to a median of 5 (two
+contaminated samples out of three otherwise pin the median to a
+contaminated reading — r14's pretrain_corpus_prep recorded 28s
+against a 9.8s steady state). Retry triggers on the absolute
+threshold OR on 5x the query's own warm-pass time (floored at 2s),
+so a trivial projection reading 20x its warm time re-times even
+under the absolute bar.
 Retried names and all samples are recorded ("retried" /
 "retry_times" in the detail line) so the methodology is auditable.
 When any query errors, the detail and compact lines carry
@@ -45,7 +50,10 @@ while the build cost stays auditable.
 Env: SPARK_GRAFT_SF_DIR         (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS           (default all cores),
      SPARK_GRAFT_BENCH_CHUNK    (queries per JVM, default 12),
-     SPARK_GRAFT_BENCH_WARM_SF  (warm-pass data, default sf0.001),
+     SPARK_GRAFT_BENCH_WARM_SF  (warm-pass data, default sf0.01 —
+                                 large enough that HotSpot promotes
+                                 the generated loops to C2 before the
+                                 timed pass; see run_slice),
      SPARK_GRAFT_BENCH_RETRY_SEC (re-time threshold, default 4.0).
 
 Each query is materialized via a noop-sink write that forces full
@@ -180,11 +188,12 @@ def run_slice(
     # Untimed warmup. (a) Shared stream-input manufacture (the Kafka
     # stand-in's "topic" build) + first-stream machinery init when this
     # chunk has stream queries. (b) A full pass of this chunk's queries
-    # at the smallest SF: whole-stage codegen sources are data-size
-    # independent, so the sf0.001 pass compiles and JIT-warms exactly
-    # the classes the timed sf0.1 pass reuses (standard warmup-run
-    # benchmarking; the timed pass then measures steady-state execution
-    # rather than compiler-queue luck).
+    # at the warm SF: whole-stage codegen sources are data-size
+    # independent, so the warm pass compiles — and, at sf0.01, runs
+    # enough loop iterations to C2-promote — exactly the classes the
+    # timed sf0.1 pass reuses (standard warmup-run benchmarking; the
+    # timed pass then measures steady-state execution rather than
+    # compiler-queue luck).
     prebuild: dict[str, float] = {}
     prebuild_errors: dict[str, str] = {}
 
@@ -210,8 +219,16 @@ def run_slice(
 
         prestep("stream_inputs", lambda: lines_dir(spark, sf_dir))
         prestep("stream_inputs", lambda: events_stream_dir(spark, sf_dir))
+    # Warm at sf0.01, not sf0.001 (VERDICT r14 items 2-3): codegen
+    # COMPILES at any SF, but HotSpot only promotes the generated
+    # loops to C2 after ~10k backedges — a 50-row sf0.001 pass leaves
+    # the big LM/pipeline codegen classes interpreted, so their first
+    # sf0.1 execution measured 76s (kn) / 98s (pretrain) against
+    # 2.3s / 9.8s warm floors on BOTH hosts (BENCH_DETAIL_r14_*).
+    # The 10x warm corpus crosses the promotion threshold; warm cost
+    # stays outside every timed window.
     warm_sf = os.environ.get(
-        "SPARK_GRAFT_BENCH_WARM_SF", "/root/testdata/sf0.001"
+        "SPARK_GRAFT_BENCH_WARM_SF", "/root/testdata/sf0.01"
     )
     for name in names:
         try:
@@ -252,51 +269,65 @@ def run_slice(
         except Exception:
             pass
         release_checkpoints(spark)
-    # Shared one-time index builds at the TIMED sf, same convention
-    # as the stream-input manufacture above: the near-dup pair set
-    # and the IVF centroids are corpus preprocessing built once per
-    # session and consumed by several queries — per-query timings
-    # measure the steady-state search/read path, and the build cost
-    # is reported separately under "prebuild" in the detail line.
-    # Built after the warm pass so the build itself runs JIT-warm.
-    if any(n.startswith("near_dup") or n == "near_dedup_docs" for n in names):
-        from flink_log_analysis_spark.plans.llm_dedup import _verified_pairs
-
-        prestep("near_dup_pairs_index", lambda: _verified_pairs(spark, sf_dir))
-    if any(n.startswith("incremental_near_dups") for n in names):
-        from flink_log_analysis_spark.plans.llm_dedup import _corpus_index
-
-        prestep("near_dup_corpus_index", lambda: _corpus_index(spark, sf_dir))
-    if any(n.startswith("knn_ivf") for n in names):
-        from flink_log_analysis_spark.plans.llm_similarity import _ivf_centroids
-
-        prestep("ivf_centroids", lambda: _ivf_centroids(spark, sf_dir))
-    if any(
-        n.startswith("lm_perplexity_filter") or n == "pretrain_corpus_prep"
-        for n in names
-    ):
-        # the batch row AND the streaming twin score against the same
-        # frozen bigram model (production fits it offline); the
-        # composed pretraining pipeline's LM stage reads the same
-        # session cache (keyed by sf_dir, so the sf0.001 warm pass
-        # does not cover the timed sf)
-        from flink_log_analysis_spark.plans.llm_quality import _lm_model
-
-        prestep("lm_bigram_model", lambda: _lm_model(spark, sf_dir))
-    if "lm_perplexity_filter_3gram" in names or "lm_perplexity_chunked" in names:
-        # the chunked row scores under the SAME session-cached trigram
-        # model (keyed by sf_dir — the warm pass only fits sf0.001's),
-        # so it needs the timed-sf fit outside its window too
-        from flink_log_analysis_spark.plans.llm_quality import _lm3_model
-
-        prestep("lm_trigram_model", lambda: _lm3_model(spark, sf_dir))
+    # Shared one-time builds at the TIMED sf — a declarative registry
+    # (VERDICT r14 item 2a): every session-cached artifact a timed
+    # query consumes maps ONE membership rule to its builder, so chunk
+    # membership — under ANY driver-window rotation — deterministically
+    # triggers the build outside the timed windows. The near-dup pair
+    # set, the IVF centroids, and the LM/tokenizer models are corpus
+    # preprocessing built once per session and consumed by several
+    # queries — per-query timings measure the steady-state search/read
+    # path, and the build cost is reported separately under "prebuild"
+    # in the detail line. Built after the warm pass so the build
+    # itself runs JIT-warm. The LM caches are keyed by sf_dir, so the
+    # warm-SF pass never covers the timed sf; the staircase BPE fit is
+    # corpus-formula-constant, so the warm pass DOES cover it — its
+    # prebuild row just makes the fit cost a recorded number.
     # (lm_perplexity_filter_3gram_dist deliberately has NO prebuild:
     # its contract IS the inline distributed fit — checkpointed count
-    # frames can't outlive a harness's release_checkpoints anyway.)
-    if "lm_perplexity_filter_kn" in names:
-        from flink_log_analysis_spark.plans.llm_quality import _lm_kn_model
+    # frames can't outlive a harness's release_checkpoints anyway.
+    # lm_perplexity_per_lang / ccnet_buckets likewise: their contract
+    # is the distributed per-language frame fit, never a collected
+    # session-cached model.)
+    def _lazy(module: str, attr: str):
+        def build() -> None:
+            import importlib
 
-        prestep("lm_kn_model", lambda: _lm_kn_model(spark, sf_dir))
+            getattr(importlib.import_module(module), attr)(spark, sf_dir)
+
+        return build
+
+    _P = "flink_log_analysis_spark.plans"
+    PREBUILDS: list[tuple[str, tuple[str, ...], tuple[str, ...], object]] = [
+        # (step key, name prefixes, exact names, builder)
+        ("near_dup_pairs_index", ("near_dup",), ("near_dedup_docs",),
+         _lazy(f"{_P}.llm_dedup", "_verified_pairs")),
+        ("near_dup_corpus_index", ("incremental_near_dups",), (),
+         _lazy(f"{_P}.llm_dedup", "_corpus_index")),
+        ("ivf_centroids", ("knn_ivf",), (),
+         _lazy(f"{_P}.llm_similarity", "_ivf_centroids")),
+        ("lm_bigram_model", ("lm_perplexity_filter",),
+         ("pretrain_corpus_prep",),
+         _lazy(f"{_P}.llm_quality", "_lm_model")),
+        ("lm_trigram_model", (),
+         ("lm_perplexity_filter_3gram", "lm_perplexity_chunked"),
+         _lazy(f"{_P}.llm_quality", "_lm3_model")),
+        ("lm_kn_model", (), ("lm_perplexity_filter_kn",),
+         _lazy(f"{_P}.llm_quality", "_lm_kn_model")),
+    ]
+    if "bpe_learned_deep" in names:
+        from flink_log_analysis_spark.plans.llm_text import _staircase_merges
+
+        PREBUILDS.append(
+            ("bpe_staircase_fit", (), ("bpe_learned_deep",),
+             lambda: _staircase_merges(spark))
+        )
+    for key, prefixes, exact, build in PREBUILDS:
+        if any(
+            (prefixes and n.startswith(prefixes)) or n in exact
+            for n in names
+        ):
+            prestep(key, build)
     # Recorded economics for the persisted IVF index (VERDICT r9 #6):
     # the identity contracts that exercise it are EXCLUDEd as
     # duplicate-work correctness artifacts, so without this the BUILD
@@ -450,8 +481,25 @@ def run_slice(
         samples = [t] + [s for s in (timed(name), timed(name)) if s is not None]
         if len(samples) == 3:
             retried.append(name)
+            # Adaptive deepening (VERDICT r14 item 2): when the
+            # 3-sample median still sits far above the best sample,
+            # the spread says at least TWO samples were contaminated
+            # (r14 driver: pretrain_corpus_prep [98.5, 28.0, 9.8]
+            # recorded 28.0 against a 9.8 steady state). Take up to
+            # two more samples while that holds; the median of 5 is
+            # robust against two one-sided outliers. All samples stay
+            # recorded, so the methodology is auditable.
+            while (
+                len(samples) < 5
+                and sorted(samples)[len(samples) // 2]
+                > 1.5 * min(samples)
+            ):
+                s = timed(name)
+                if s is None:
+                    break
+                samples.append(s)
             retry_samples[name] = samples
-            timings[name] = sorted(samples)[1]
+            timings[name] = sorted(samples)[len(samples) // 2]
         elif len(samples) == 2:
             # One re-time errored: a true median doesn't exist, and
             # sorted[len//2] of 2 would keep the MAX (neither median

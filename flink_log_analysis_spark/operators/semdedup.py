@@ -239,28 +239,39 @@ def cell_dup_edges(
 
     Cells whose occupancy exceeds ``hot_cell_bound`` dispatch into the
     grid-salted triangle join (VERDICT r13 item 3 — the 50%-hot-cell
-    probe measured 2.01x wall before this): the dispatch is ONE count
-    agg reduced to a driver scalar, the occupancy table is bounded by
-    the quantizer size (broadcastable by construction), and the salted
-    branch emits the construction-identical pair set — so the verdict,
-    components, and oracle hash cannot move on any input. Pass
-    ``hot_cell_bound=None`` to force the plain single-key join.
+    probe measured 2.01x wall before this): the dispatch is ONE
+    collected count agg (the occupancy table is bounded by the
+    quantizer size — broadcastable, hence collectable, by the same
+    construction), and the salted branch emits the
+    construction-identical pair set — so the verdict, components, and
+    oracle hash cannot move on any input. Pass ``hot_cell_bound=None``
+    to force the plain single-key join.
 
     NOTE: the dispatch is an EAGER Spark action at construction time
     (driver-side branching needs the scalar); callers composing this
     frame without executing it still pay one occupancy aggregation
     over ``assigned`` — checkpoint ``assigned`` first when its lineage
-    is expensive (semantic_dedup does). The occupancy table itself is
-    checkpointed here so the dispatch scan and the hot-branch join
-    consume ONE computation (r14 review)."""
+    is expensive (semantic_dedup does). The cold path pays EXACTLY
+    that one job and nothing else (VERDICT r14 item 2: the earlier
+    occ localCheckpoint + separate max agg cost two extra scheduled
+    jobs per call — 3.74 s vs the r13 2.56 s driver median); the hot
+    path rebuilds the tiny occupancy frame locally from the collected
+    rows, so dispatch scan and hot-branch join still consume ONE
+    aggregation."""
     if hot_cell_bound is not None:
-        occ = assigned.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("_occ")
-        ).localCheckpoint(eager=True)
-        max_occ = occ.agg(F.max("_occ")).first()[0] or 0
+        occ_rows = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .collect()
+        )
+        max_occ = max((r["_occ"] for r in occ_rows), default=0)
         if max_occ > hot_cell_bound:
             n_groups = min(
                 SALT_GROUP_CAP, -(-max_occ // hot_cell_bound) * 2
+            )
+            occ = assigned.sparkSession.createDataFrame(
+                [(r["cell"], r["_occ"]) for r in occ_rows],
+                "cell bigint, _occ bigint",
             )
             tagged = assigned.join(F.broadcast(occ), "cell")
             cold = tagged.filter(

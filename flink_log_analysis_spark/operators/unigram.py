@@ -54,6 +54,19 @@ from . import textstats
 
 UNK = "[UNK]"
 
+# Words longer than this encode as a single [UNK] (the HF-WordPiece
+# ``max_input_chars_per_word`` convention, and SentencePiece's own
+# length caps): the engine's DP is O(L * lmax) and would take any
+# length, but the ORACLE certifies it by exhaustively enumerating all
+# <= 2^(L-1) segmentations per distinct word — an unchecked data
+# assumption before this cap (ADVICE r14: one long alphanumeric word
+# in a future corpus would blow the DuckDB enumeration up
+# exponentially while the engine stayed polynomial). 16 chars = 32k
+# paths worst-case per word, tractable forever; the corpus generator
+# currently tops out at 8, so the cap is value-invisible on testdata
+# and both engines carry it identically.
+MAX_WORD_CHARS = 16
+
 # Frozen scored vocabulary: ``fit_unigram(documents @ sf0.01,
 # lmax=6, seed_size=120, n_multi=48, em_rounds=4, sample_pieces=10_000,
 # min_char_count=40)`` — regenerate with ``python
@@ -265,6 +278,7 @@ def learn_unigram(
     probs = {p: c / total for p, c in seed.items()}
 
     # --- EM over the sample lattices, prune halfway
+    kept_multi: set[str] | None = None
     for r in range(em_rounds):
         expected: dict[str, float] = {}
         for w, c in word_counts:
@@ -273,6 +287,17 @@ def learn_unigram(
         # coverage is what bounds [UNK] to truncated chars only
         for ch in chars:
             expected.setdefault(ch, 1e-9)
+        # ... and, once the prune has fixed the multi-piece roster,
+        # keep THOSE alive on the same floor: a kept piece whose
+        # posterior mass hits 0 in a post-prune round would otherwise
+        # silently leave the vocabulary, making the fitted piece
+        # count data-dependent below n_multi (ADVICE r14 — the
+        # unigram_vocab_fit contract pins n_multi_pieces = n_multi,
+        # which this floor now guarantees on every corpus, matching
+        # the char-survival convention above).
+        if kept_multi is not None:
+            for p in kept_multi:
+                expected.setdefault(p, 1e-9)
         if r == em_rounds // 2 - 1 or (em_rounds == 1 and r == 0):
             keep_multi = sorted(
                 (
@@ -285,6 +310,7 @@ def learn_unigram(
             expected = dict(keep_multi) | {
                 ch: expected.get(ch, 1e-9) for ch in chars
             }
+            kept_multi = {p for p, _ in keep_multi}
         z = sum(expected.values())
         probs = {p: c / z for p, c in expected.items()}
     return sorted(
@@ -456,7 +482,9 @@ def word_viterbi(
 
     L1 = F.length("word") + 1  # terminal slot in the 1-indexed arrays
     term_score = F.element_at(F.col("st")["sc"], L1)
-    unk = term_score < F.lit(DEAD_FLOOR)
+    unk = (term_score < F.lit(DEAD_FLOOR)) | (
+        F.length("word") > F.lit(MAX_WORD_CHARS)
+    )
 
     # backward pass: walk backpointers from the terminal position,
     # prepending pieces (positions are visited in descending order and
@@ -776,7 +804,9 @@ def sample_word_tokens(
             _bwd,
         ).alias("st"),
     )
-    unk = F.col("st")["cur"] != 0
+    unk = (F.col("st")["cur"] != 0) | (
+        F.length("word") > F.lit(MAX_WORD_CHARS)
+    )
     return out.select(
         "word",
         F.when(unk, F.lit(1))

@@ -378,8 +378,14 @@ def graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     row builds one deterministically from the TPC-H keys: 100-vertex
     paths (c_custkey -> c_custkey+1 except at multiples of 100) plus
     supplier-derived pseudo-random cross edges that splice chains into
-    larger high-diameter components (and one self-loop from s_suppkey
-    0, pinning isolated-vertex handling). Hash-min label propagation
+    larger high-diameter components, plus one LITERAL self-loop edge
+    (0, 0) on a vertex no other edge touches (custkeys and the cross
+    formula both start at 1), so the certified row pins
+    isolated-self-loop handling end-to-end: the vertex must surface
+    as its own singleton component (ADVICE r14 — the earlier
+    docstring claimed s_suppkey 0 produced this loop, but supplier
+    keys start at 1 and no key satisfies the formula, so the path was
+    only unit-test-covered). Hash-min label propagation
     needs ~100 rounds here — 5x past its max_iter guard; two-phase
     converges in ~a dozen. ``local_threshold=0`` forces the
     distributed algorithm so THIS row certifies it, not the driver
@@ -398,8 +404,9 @@ def graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") * 97) % 1000 + 1).alias("u"),
         ((F.col("s_suppkey") * 389) % 1000 + 1).alias("v"),
     )
+    loop = spark.createDataFrame([(0, 0)], "u bigint, v bigint")
     comp = connected_components(
-        chain.union(cross), "u", "v", local_threshold=0
+        chain.union(cross).union(loop), "u", "v", local_threshold=0
     )
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_vertices"),
@@ -432,7 +439,12 @@ def graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") * 97) % 1000 + 1).alias("u"),
         ((F.col("s_suppkey") * 389) % 1000 + 1).alias("v"),
     )
-    standing = connected_components(chain, "u", "v")
+    # The isolated self-loop (0, 0) rides the STANDING build, so the
+    # incremental fold must also carry a singleton label through the
+    # star-compression round-trip unchanged (same edge set as the
+    # from-scratch row — the shared oracle holds both to one answer).
+    loop = spark.createDataFrame([(0, 0)], "u bigint, v bigint")
+    standing = connected_components(chain.union(loop), "u", "v")
     updated = update_components(
         standing, cross, "u", "v", local_threshold=0
     )
@@ -665,6 +677,8 @@ ORACLE["graph_components_chain"] = """
         UNION ALL
         SELECT (s_suppkey * 97) % 1000 + 1, (s_suppkey * 389) % 1000 + 1
         FROM supplier
+        UNION ALL
+        SELECT 0, 0
     ),
     edges AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
     reach(u, v) AS (

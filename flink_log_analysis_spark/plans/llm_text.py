@@ -329,6 +329,18 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bped, "doc_id")
         .join(ugd, "doc_id")
     )
+
+    def _ratio(num, den):
+        # NULL, not an error, when the denominator group is empty —
+        # a language whose documents are all empty has SUM(n_words)=0
+        # and would otherwise be an ANSI DIVIDE_BY_ZERO in Spark
+        # where DuckDB yields NULL/inf (ADVICE r14). The oracle
+        # carries the identical CASE WHEN.
+        return F.when(
+            F.sum(den) > 0,
+            F.round(F.sum(num).cast("double") / F.sum(den), 4),
+        )
+
     return j.groupBy("lang").agg(
         F.count(F.lit(1)).cast("int").alias("n_docs"),
         F.sum("n_words").alias("n_words"),
@@ -336,18 +348,10 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("unk_words").alias("unk_words"),
         F.sum("bpe_tokens").alias("bpe_tokens"),
         F.sum("ug_tokens").alias("ug_tokens"),
-        F.round(
-            F.sum("wp_tokens").cast("double") / F.sum("n_words"), 4
-        ).alias("wp_fertility"),
-        F.round(
-            F.sum("bpe_tokens").cast("double") / F.sum("n_words"), 4
-        ).alias("bpe_fertility"),
-        F.round(
-            F.sum("ug_tokens").cast("double") / F.sum("n_words"), 4
-        ).alias("ug_fertility"),
-        F.round(
-            F.sum("wchars").cast("double") / F.sum("wp_tokens"), 4
-        ).alias("wp_chars_per_token"),
+        _ratio("wp_tokens", "n_words").alias("wp_fertility"),
+        _ratio("bpe_tokens", "n_words").alias("bpe_fertility"),
+        _ratio("ug_tokens", "n_words").alias("ug_fertility"),
+        _ratio("wchars", "wp_tokens").alias("wp_chars_per_token"),
     )
 
 
@@ -355,6 +359,24 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # supports, so n_merges_learned certifies saturation at exactly
 # STAIR_T1 + STAIR_T2 = 768 learned merges.
 STAIR_REQUEST = 800
+
+# One staircase fit per session (the _LM_MODELS convention): the
+# corpus is synthesized from a fixed integer formula, so the learned
+# table is a session constant — production fits a tokenizer once and
+# applies it to every batch. The bench prebuild warms this outside
+# the timed window (VERDICT r14 item 2a) and records the fit cost.
+_STAIR_MERGES: list[tuple[str, str]] | None = None
+
+
+def _staircase_merges(spark: SparkSession) -> list[tuple[str, str]]:
+    global _STAIR_MERGES
+    if _STAIR_MERGES is None:
+        _STAIR_MERGES = bpe_ops.fit_bpe(
+            bpe_ops.staircase_corpus(spark),
+            n_merges=STAIR_REQUEST,
+            sample_pieces=BPE_FIT_SAMPLE,
+        )
+    return _STAIR_MERGES
 
 
 def bpe_learned_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,9 +404,7 @@ def bpe_learned_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     corpus = bpe_ops.staircase_corpus(spark)
-    merges = bpe_ops.fit_bpe(
-        corpus, n_merges=STAIR_REQUEST, sample_pieces=BPE_FIT_SAMPLE
-    )
+    merges = _staircase_merges(spark)
     table_md5 = hashlib.md5(
         "|".join(f"{a},{b}" for a, b in merges).encode()
     ).hexdigest()
@@ -986,11 +1006,18 @@ ORACLE["wordpiece_tokens"] = _wordpiece_tokens_sql()
 
 # First-merge argmax over the adjacent symbols of the initial split
 # (first char bare, rest ##-prefixed) of the bounded word sample;
-# score = pair count / (left symbol count * right symbol count) with
-# DOUBLE division (both engines' correctly-rounded IEEE divide; the
-# Python fit compares by exact integer cross-multiplication, which
-# can only disagree on a sub-ulp gap — ruled out on the frozen
-# contract data by the hash gate itself).
+# score = pair count / (left symbol count * right symbol count),
+# selected by EXACT integer cross-multiplication (ADVICE r14: the
+# earlier DOUBLE-division ORDER BY could disagree with the Python
+# fit's integer comparison on a sub-ulp ratio tie on some future
+# corpus; the anti-join below compares p1/q1 vs p2/q2 as
+# p1*q2 <?> p2*q1 in HUGEINT — 128-bit, exact up to ~1e9-count
+# corpora cubed — matching the fit bit-for-bit by construction).
+# The n_merges_learned / merges_well_formed literals are frozen-
+# corpus pins: the freeze run learned the full 32/32 well-formed on
+# this testdata, and a corpus where the fit ran dry early would fail
+# the hash gate LOUDLY (engine emits its actual learned count) — a
+# visible re-freeze signal, never a silent divergence.
 ORACLE["wordpiece_vocab_fit"] = f"""
     WITH ws AS (
         SELECT t.w FROM documents d,
@@ -1009,15 +1036,20 @@ ORACLE["wordpiece_vocab_fit"] = f"""
         SELECT a.sym AS l, b.sym AS r, SUM(a.c) AS pc
         FROM syms a JOIN syms b ON a.w = b.w AND b.i = a.i + 1
         GROUP BY a.sym, b.sym
-    ), best AS (
-        SELECT p.l, p.r
+    ), scored AS (
+        SELECT p.l, p.r, CAST(p.pc AS HUGEINT) AS pc,
+               CAST(sl.sc AS HUGEINT) * sr.sc AS q
         FROM pair_c p
         JOIN sym_c sl ON sl.sym = p.l
         JOIN sym_c sr ON sr.sym = p.r
-        ORDER BY CAST(p.pc AS DOUBLE)
-                 / (CAST(sl.sc AS DOUBLE) * CAST(sr.sc AS DOUBLE))
-                 DESC, p.l ASC, p.r ASC
-        LIMIT 1
+    ), best AS (
+        SELECT s.l, s.r FROM scored s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM scored t
+            WHERE t.pc * s.q > s.pc * t.q
+               OR (t.pc * s.q = s.pc * t.q
+                   AND (t.l < s.l OR (t.l = s.l AND t.r < s.r)))
+        )
     )
     SELECT CAST({WP_FIT_MERGES} AS INTEGER) AS n_merges_requested,
            CAST({WP_FIT_MERGES} AS INTEGER) AS n_merges_learned,
@@ -1035,9 +1067,13 @@ def _unigram_tokens_sql() -> str:
     cumulative score therefore carries the same IEEE association as
     the DP's prefix sums) and one (score DESC, n ASC, key DESC) argmax
     per word: an independent derivation of the Viterbi optimum. Path
-    count is bounded by word length (<= 2^(L-1), L <= 8 here), which
-    an ORACLE may spend — the engine side stays O(L * Lmax) per
-    word."""
+    count is bounded by ``unigram.MAX_WORD_CHARS`` (<= 2^15 paths per
+    word — ENFORCED, not assumed: both engines map longer words to
+    [UNK], the HF max_input_chars_per_word convention, so the
+    enumeration stays tractable on any corpus; ADVICE r14), which an
+    ORACLE may spend — the engine side stays O(L * Lmax) per word.
+    Overlong words fall out of ``matches`` entirely and land on the
+    wordres UNK fallback, the same route as unsegmentable words."""
     vocab_rows = ",\n            ".join(
         f"('{p}', CAST({lp!r} AS DOUBLE))"
         for p, lp in ug_ops.UNIGRAM_VOCAB_V1
@@ -1059,6 +1095,7 @@ def _unigram_tokens_sql() -> str:
                  unnest(generate_series(1, length(word))) AS s(st)
             JOIN vocab v
               ON v.piece = substr(word, s.st, length(v.piece))
+            WHERE length(word) <= {ug_ops.MAX_WORD_CHARS}
         ),
         paths(word, pos, score, n, key, toks) AS (
             SELECT word, 0, CAST(0.0 AS DOUBLE), 0, '', '' FROM dw
@@ -1166,6 +1203,7 @@ def _unigram_sample_sql() -> str:
               ON v.piece = substr(word, s.endp - length(v.piece) + 1,
                                   length(v.piece))
              AND length(v.piece) <= s.endp
+            WHERE length(word) <= {ug_ops.MAX_WORD_CHARS}
         ),
         cands AS (
             SELECT word, endp,
@@ -1260,7 +1298,12 @@ ORACLE["unigram_sample_tokens"] = _unigram_sample_sql()
 
 # Fit contract: char coverage and the pre-EM seed argmax re-derived
 # from the raw sample; the prune bound and normalization checks are
-# config/invariant literals (the bpe_vocab_fit pattern).
+# config/invariant literals (the bpe_vocab_fit pattern). The
+# n_pieces = n_chars + n_multi arithmetic is GUARANTEED, not assumed
+# (ADVICE r14): learn_unigram floors every post-prune kept multi
+# piece at the chars' 1e-9 survival mass, so a piece whose posterior
+# starves in a late EM round can no longer leave the vocabulary and
+# make the counts data-dependent below n_multi.
 ORACLE["unigram_vocab_fit"] = f"""
     WITH ws AS (
         SELECT t.w FROM documents d,
@@ -1314,14 +1357,19 @@ ORACLE["tokenizer_fertility"] = f"""
            CAST(SUM(wp.n_unk_words) AS BIGINT) AS unk_words,
            CAST(SUM(bpe.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
            CAST(SUM(ug.n_tokens) AS BIGINT) AS ug_tokens,
-           ROUND(CAST(SUM(wp.n_tokens) AS DOUBLE) / SUM(wp.n_words), 4)
-               AS wp_fertility,
-           ROUND(CAST(SUM(bpe.n_bpe_tokens) AS DOUBLE) / SUM(wp.n_words),
-                 4) AS bpe_fertility,
-           ROUND(CAST(SUM(ug.n_tokens) AS DOUBLE) / SUM(wp.n_words), 4)
-               AS ug_fertility,
-           ROUND(CAST(SUM(ch.wchars) AS DOUBLE) / SUM(wp.n_tokens), 4)
-               AS wp_chars_per_token
+           CASE WHEN SUM(wp.n_words) > 0 THEN
+               ROUND(CAST(SUM(wp.n_tokens) AS DOUBLE) / SUM(wp.n_words), 4)
+           END AS wp_fertility,
+           CASE WHEN SUM(wp.n_words) > 0 THEN
+               ROUND(CAST(SUM(bpe.n_bpe_tokens) AS DOUBLE)
+                     / SUM(wp.n_words), 4)
+           END AS bpe_fertility,
+           CASE WHEN SUM(wp.n_words) > 0 THEN
+               ROUND(CAST(SUM(ug.n_tokens) AS DOUBLE) / SUM(wp.n_words), 4)
+           END AS ug_fertility,
+           CASE WHEN SUM(wp.n_tokens) > 0 THEN
+               ROUND(CAST(SUM(ch.wchars) AS DOUBLE) / SUM(wp.n_tokens), 4)
+           END AS wp_chars_per_token
     FROM ch
     JOIN wp USING (doc_id)
     JOIN bpe USING (doc_id)
