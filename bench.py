@@ -314,6 +314,8 @@ def run_slice(
          _lazy(f"{_P}.llm_quality", "_lm3_model")),
         ("lm_kn_model", (), ("lm_perplexity_filter_kn",),
          _lazy(f"{_P}.llm_quality", "_lm_kn_model")),
+        ("qc_model", ("quality_classifier",), (),
+         _lazy(f"{_P}.llm_quality", "_qc_model")),
     ]
     if "bpe_learned_deep" in names:
         from flink_log_analysis_spark.plans.llm_text import _staircase_merges

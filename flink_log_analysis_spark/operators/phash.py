@@ -1,0 +1,333 @@
+"""Perceptual image dedup — block-mean perceptual hashing over the
+real image codec tier (VERDICT r14 item 5).
+
+Algorithm: the block-mean-value perceptual hash (Yang, Weng & Niu,
+IIH-MSP 2006 — the scheme the open Blockhash project implements):
+grayscale the image, split it into an 8x8 grid of equal blocks, and
+set bit j when block j's mean intensity exceeds the global mean.
+Uniform brightness/contrast shifts move block and global means
+together, so the hash is stable under them — the "perceptual" part —
+while structural edits flip only the bits of the blocks they touch.
+Near-duplicates are pairs within Hamming distance
+:data:`PH_MAX_DIST`, found by the pigeonhole chunk join (the
+simhash banding in :mod:`.dedup`): a pair within d MUST agree
+exactly on one of d+1 chunks, so chunk equality is a lossless
+candidate filter — never all-pairs.
+
+EXACT by construction: "mean_j > mean_global" is evaluated as the
+integer cross-multiplication ``block_sum * n_pixels > total_sum *
+block_pixels`` — no division, no floats, no rounding discipline
+anywhere — and grayscale is the channel SUM r+g+b (a uniform 3x of
+the average, which the cross-multiplied comparison cancels). The
+whole hash is therefore bit-identical across engines, partitionings,
+and DuckDB, and the oracle derives it from the closed-form synthetic
+pixel family without ever seeing an image byte.
+
+(A DCT pHash was considered and deliberately NOT made the contract:
+its coefficient/median comparisons sit on transcendental cos() sums
+whose cross-engine parity is 1-ulp territory — the block-mean hash
+certifies the same pipeline shape, decode -> grid stats -> bit fold
+-> banded join -> exact verify, with integer-exact semantics. The
+grid stats come out of the SAME Arrow batch the decode runs in, so
+swapping in a DCT later changes one mapInPandas body, nothing else.)
+
+Spark-first shape: the only Python is the Arrow-batched codec decode
+(the :mod:`.multimodal` convention — images are opaque binary
+columns); block sums ride out of the decode batch as an
+array<bigint>, the 64-bit fold and every comparison are relational
+(whole-stage codegen), candidates come from 4 equi-joins on 16-bit
+chunk values, and verification is one ``bit_count(xor)`` pair of
+terms per candidate.
+
+Reference behavioral parity: the reference engine
+(/root/reference/src/main/java/com/jmx/analysis/LogAnalysis.java)
+has no image surface — engine-extension tier (SURVEY.md §2.D).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+# Synthetic contract-image geometry: fixed 32x32 so the 8x8 grid
+# tiles exactly (4x4-pixel blocks) and the oracle's generate_series
+# replay stays closed-form. Real corpora vary — block ranges floor
+# the same way on any (w, h); the contract pins the exact-tile case.
+PH_W = 32
+PH_H = 32
+PH_GRID = 8
+PH_MAX_DIST = 3   # near-dup Hamming bound (banding: MAX_DIST+1 chunks)
+
+# Closed-form synthetic family: 4 variants per group. The group sets
+# per-image row/col gradients (structurally different images across
+# groups — measured mean cross-group Hamming ~32/64); the variant
+# only brightens block (1, 2) (within-group Hamming ~0-4: that
+# block's bit plus the global-mean ripple). Every doc_id derives its
+# pixels from this one formula — the oracle replays it in SQL.
+PH_GROUP_SIZE = 4
+
+
+def _gray(doc_id: int, r: int, c: int) -> int:
+    group, v = doc_id // PH_GROUP_SIZE, doc_id % PH_GROUP_SIZE
+    g = (group * 37 + r * (3 + group % 5) + c * (5 + group % 7)) % 256
+    if r // (PH_H // PH_GRID) == 1 and c // (PH_W // PH_GRID) == 2:
+        g = (g + v * 64) % 256
+    return g
+
+
+def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, img): the closed-form family encoded through the REAL
+    stdlib BMP codec (gray v as the (v, v, v) pixel), so the dedup
+    pipeline downstream exercises a genuine decode."""
+    from ..session import ensure_min_partitions
+    from .multimodal import _codecs_by_value
+
+    # Widen first: a single-file local corpus would otherwise run
+    # every encode+decode on one core (the single-scan trap — the
+    # mapInPandas tier is exactly the expression-heavy shape it
+    # bites; no-op on a real cluster whose scan already splits).
+    df = ensure_min_partitions(df)
+    enc = _codecs_by_value().encode_bmp
+    w, h = PH_W, PH_H
+    gs, grid = PH_GROUP_SIZE, PH_GRID
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def make(doc_id: int) -> bytes:
+            bh, bw = h // grid, w // grid
+
+            def g(r: int, c: int) -> int:
+                grp, v = doc_id // gs, doc_id % gs
+                x = (grp * 37 + r * (3 + grp % 5) + c * (5 + grp % 7)) % 256
+                if r // bh == 1 and c // bw == 2:
+                    x = (x + v * 64) % 256
+                return x
+
+            return enc(
+                [[(g(r, c),) * 3 for c in range(w)] for r in range(h)]
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "img": pdf[id_col].map(make)}
+            )
+
+    return df.select(id_col).mapInPandas(
+        synth, schema=f"{id_col} bigint, img binary"
+    )
+
+
+def block_stats(
+    imgs: DataFrame, img_col: str = "img", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode + grid statistics in ONE Arrow batch: (id, width,
+    height, total bigint, bsums array<bigint> of GRID^2 block channel
+    sums in row-major block order). Grayscale = r+g+b (exact; the
+    cross-multiplied comparisons cancel the 3x)."""
+    from .multimodal import _codecs_by_value
+
+    dec = _codecs_by_value().decode_bmp
+    grid = PH_GRID
+
+    def stats(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(buf: bytes):
+            w, h, rows = dec(buf)
+            bs = [0] * (grid * grid)
+            for r, row in enumerate(rows):
+                bi = r * grid // h
+                for c, (pr, pg, pb) in enumerate(row):
+                    bs[bi * grid + c * grid // w] += pr + pg + pb
+            return (w, h, sum(bs), bs)
+
+        for pdf in it:
+            cols = pdf[img_col].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": cols.map(lambda t: t[0]).astype("int32"),
+                    "height": cols.map(lambda t: t[1]).astype("int32"),
+                    "total": cols.map(lambda t: t[2]).astype("int64"),
+                    "bsums": cols.map(lambda t: t[3]),
+                }
+            )
+
+    return imgs.mapInPandas(
+        stats,
+        schema=(
+            f"{id_col} bigint, width int, height int, "
+            "total bigint, bsums array<bigint>"
+        ),
+    )
+
+
+def signatures(stats: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, width, height, hash_hi, hash_lo): the 64 block bits
+    folded into two 32-bit words (bit j of the hash lives in word
+    j // 32 at position j % 32 — two BIGINTs so bit 63 never touches
+    a sign bit in either engine). Purely relational — the bit
+    comparison is the exact integer cross-multiplication."""
+    n_blocks = PH_GRID * PH_GRID
+    # "mean_block > mean_global" as divisionless exact integers:
+    # bsum / block_px > total / (n_blocks * block_px) reduces to
+    # bsum * n_blocks > total when the grid tiles exactly (the
+    # contract geometry; a variable-size corpus would carry per-block
+    # pixel counts out of the decode batch and cross-multiply those).
+
+    def bit(j: int):
+        return (
+            F.element_at(F.col("bsums"), j + 1) * F.lit(n_blocks)
+            > F.col("total")
+        )
+
+    lo = None
+    hi = None
+    for j in range(32):
+        t = F.when(bit(j), F.lit(1 << j)).otherwise(F.lit(0))
+        lo = t if lo is None else lo + t
+    for j in range(32, 64):
+        t = F.when(bit(j), F.lit(1 << (j - 32))).otherwise(F.lit(0))
+        hi = t if hi is None else hi + t
+    return stats.select(
+        id_col,
+        "width",
+        "height",
+        hi.cast("bigint").alias("hash_hi"),
+        lo.cast("bigint").alias("hash_lo"),
+    )
+
+
+def phash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthetic family -> real BMP encode -> real decode -> block
+    stats -> relational bit fold."""
+    return signatures(block_stats(synth_images(df, id_col)), id_col)
+
+
+def near_dups(
+    sig: DataFrame,
+    max_dist: int = PH_MAX_DIST,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within ``max_dist``, each pair
+    once (a < b), via the pigeonhole chunk join over the 64 bits:
+    d+1 = 4 chunks of 16 bits (two per word), so any pair within 3
+    agrees exactly on some chunk. Uniform-ish block bits -> no skew;
+    verification is two bit_count(xor) terms per candidate."""
+    n_chunks = max_dist + 1
+    chunk_bits = 64 // n_chunks
+    per_word = 32 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
+        id_col,
+        "hash_hi",
+        "hash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(
+                            F.col(
+                                "hash_lo" if i < per_word else "hash_hi"
+                            ),
+                            (i % per_word) * chunk_bits,
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "hash_hi", "hash_lo", "c.ci", "c.cv")
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+        "ci",
+        "cv",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+        "ci",
+        "cv",
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_dist)
+    )
+
+
+# ------------------------------------------------------------ oracle
+
+def gray_sql(doc: str = "doc_id", r: str = "r", c: str = "c") -> str:
+    """DuckDB twin of the closed-form pixel family (value in 0..255;
+    the engine's channel-sum grayscale is exactly 3x this, which the
+    cross-multiplied bit comparison cancels)."""
+    bh, bw = PH_H // PH_GRID, PH_W // PH_GRID
+    grp = f"({doc} // {PH_GROUP_SIZE})"
+    base = (
+        f"(({grp} * 37 + {r} * (3 + {grp} % 5)"
+        f" + {c} * (5 + {grp} % 7)) % 256)"
+    )
+    return (
+        f"CASE WHEN {r} // {bh} = 1 AND {c} // {bw} = 2"
+        f" THEN ({base} + ({doc} % {PH_GROUP_SIZE}) * 64) % 256"
+        f" ELSE {base} END"
+    )
+
+
+def signatures_sql(src: str = "documents") -> str:
+    """CTE chain deriving (doc_id, width, height, hash_hi, hash_lo)
+    from the pixel formula — never an image byte. Callers append
+    their own SELECT after this ``WITH`` body (final CTE: ``sig``)."""
+    n_blocks = PH_GRID * PH_GRID
+    bh, bw = PH_H // PH_GRID, PH_W // PH_GRID
+    return f"""px AS (
+            SELECT doc_id, r.r, c.c, {gray_sql()} AS g
+            FROM (SELECT doc_id FROM {src}),
+                 unnest(generate_series(0, {PH_H - 1})) AS r(r),
+                 unnest(generate_series(0, {PH_W - 1})) AS c(c)
+        ),
+        bl AS (
+            SELECT doc_id, (r // {bh}) * {PH_GRID} + (c // {bw}) AS j,
+                   SUM(g) AS bsum
+            FROM px GROUP BY doc_id, j
+        ),
+        tot AS (
+            SELECT doc_id, SUM(bsum) AS total FROM bl GROUP BY doc_id
+        ),
+        bits AS (
+            SELECT bl.doc_id, bl.j,
+                   CASE WHEN bl.bsum * {n_blocks} > tot.total
+                        THEN CAST(1 AS BIGINT) ELSE 0 END AS b
+            FROM bl JOIN tot USING (doc_id)
+        ),
+        sig AS (
+            SELECT doc_id,
+                   CAST({PH_W} AS INTEGER) AS width,
+                   CAST({PH_H} AS INTEGER) AS height,
+                   CAST(SUM(CASE WHEN j >= 32
+                       THEN b << (j - 32) ELSE 0 END) AS BIGINT)
+                       AS hash_hi,
+                   CAST(SUM(CASE WHEN j < 32 THEN b << j ELSE 0 END)
+                       AS BIGINT) AS hash_lo
+            FROM bits GROUP BY doc_id
+        )"""

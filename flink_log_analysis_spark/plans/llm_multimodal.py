@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import multimodal
+from ..operators import phash as phash_ops
 from ..session import read_table
 
 
@@ -231,6 +232,55 @@ ORACLE = {
     """,
 }
 
+def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes over the real codec tier (VERDICT r14
+    item 5 — operators/phash.py): closed-form synthetic image family
+    -> REAL BMP encode -> Arrow boundary -> REAL decode -> integer
+    block sums -> relational bit fold into a (hash_hi, hash_lo)
+    64-bit block-mean hash. Every bit is an exact integer
+    cross-multiplication, so the oracle derives the hashes from the
+    pixel formula alone — a hash match certifies codec round-trip,
+    grid bucketing, and the bit fold end-to-end."""
+    docs = read_table(spark, sf_dir, "documents")
+    return phash_ops.phash_signatures(docs.select("doc_id"))
+
+
+def phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs (Hamming <= PH_MAX_DIST) via
+    the pigeonhole chunk join over the signatures — the image member
+    of the dedup family (the simhash banding shape: candidates from
+    4 equi-joins on 16-bit chunks, one bit_count(xor) verify per
+    candidate, never all-pairs). The synthetic family guarantees
+    both populations: 4 brightness/patch variants per group
+    (within-group Hamming ~0-4) and structurally distinct groups
+    (cross-group ~32/64). The ORACLE all-pairs joins its replayed
+    hashes — quadratic is an oracle's budget, never the engine's."""
+    docs = read_table(spark, sf_dir, "documents")
+    sig = phash_ops.phash_signatures(docs.select("doc_id"))
+    return phash_ops.near_dups(sig)
+
+
+ORACLE["phash_signatures"] = (
+    "WITH "
+    + phash_ops.signatures_sql()
+    + " SELECT doc_id, width, height, hash_hi, hash_lo FROM sig"
+)
+
+ORACLE["phash_near_dups"] = (
+    "WITH "
+    + phash_ops.signatures_sql()
+    + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER)
+               AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo))
+          <= {phash_ops.PH_MAX_DIST}
+    """
+)
+
 QUERIES = {
     "binary_meta": binary_meta,
     "media_features": media_features,
@@ -239,4 +289,6 @@ QUERIES = {
     "wav_roundtrip": wav_roundtrip,
     "bmp_roundtrip": bmp_roundtrip,
     "png_roundtrip": png_roundtrip,
+    "phash_signatures": phash_signatures,
+    "phash_near_dups": phash_near_dups,
 }

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import lmfilter, quality
+from ..operators import lmfilter, quality, qualityclf
 from ..operators.textstats import EN_STOPWORDS
 from ..session import read_table
 
@@ -1265,7 +1265,79 @@ ORACLE["lm_perplexity_filter_kn"] = """
     th=LM_KN_PPL_THRESHOLD,
 )
 
+# --- model-based quality classifier (the GPT-3/LLaMA page filter) --
+#
+# One fit per corpus per session (the _LM_MODELS convention): a
+# production filter trains its classifier once and scores many
+# batches; the weight table is bounded at n_buckets rows + intercept
+# (operators/qualityclf.py — the HashingTF argument).
+_QC_MODELS: dict[str, list[tuple[int, int]]] = {}
+
+
+def _qc_model(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
+    m = _QC_MODELS.get(sf_dir)
+    if m is None:
+        docs = read_table(spark, sf_dir, "documents")
+        m = qualityclf.fit_logreg(
+            qualityclf.labeled_feature_counts(
+                docs, F.col("doc_id") % LM_REF_MOD == 0
+            )
+        )
+        _QC_MODELS[sf_dir] = m
+    return m
+
+
+def quality_classifier_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FITTED weight table itself as the contract: (feat, w),
+    one row per observed hashed feature plus the intercept, weights
+    at fixed-point scale 10^QC_SCALE. The oracle re-derives the
+    ENTIRE 4-step logistic fit as a CTE chain (score -> residual ->
+    gradient -> update per step, all integer-exact sums, the sigmoid
+    rounded straight into the fixed-point grid), so any divergence
+    anywhere in the distributed fit — featurization, a gradient
+    partial, an update round — moves some weight and fails the hash.
+    Positives = the reference slice (doc_id % LM_REF_MOD == 0, the
+    CCNet stand-in the LM filters already use), negatives = the rest
+    of the pool: the GPT-3 Appendix-A construction on this corpus."""
+    w = _qc_model(spark, sf_dir)
+    return spark.createDataFrame(w, "feat bigint, w bigint")
+
+
+def quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document classifier verdict under the session-fitted
+    weights: (doc_id, n_feats, n_grams, score, kept). The dot
+    product is an exact BIGINT sum (fixed-point weights — no float
+    fold-ordering discipline anywhere), the sigmoid is taken once on
+    the exact total and rounded to QC_ROUND, and the keep verdict
+    compares the rounded score to the corpus-calibrated threshold.
+    The oracle replays fit AND scoring in one statement."""
+    docs = read_table(spark, sf_dir, "documents")
+    return qualityclf.score_docs(docs, _qc_model(spark, sf_dir))
+
+
+_QC_LABEL = f"CASE WHEN doc_id % {LM_REF_MOD} = 0 THEN 1 ELSE 0 END"
+
+ORACLE["quality_classifier_weights"] = (
+    "WITH "
+    + qualityclf.fit_sql(label_expr=_QC_LABEL)
+    + f" SELECT feat, w FROM w{qualityclf.QC_STEPS}"
+)
+
+ORACLE["quality_classifier_scores"] = (
+    "WITH "
+    + qualityclf.fit_sql(label_expr=_QC_LABEL)
+    + " "
+    + qualityclf.score_sql(f"w{qualityclf.QC_STEPS}")
+)
+
+
 QUERIES = {
+    "quality_classifier_weights": quality_classifier_weights,
+    "quality_classifier_scores": quality_classifier_scores,
     "lm_perplexity_filter": lm_perplexity_filter,
     "ccnet_buckets": ccnet_buckets,
     "lm_perplexity_per_lang": lm_perplexity_per_lang,

@@ -242,7 +242,9 @@ ORACLE["web_corpus_prep"] = f"""
 PRETRAIN_DSIR_K = 60
 
 
-def pretrain_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pretrain_corpus_prep(
+    spark: SparkSession, sf_dir: str, quality_clf: bool = False
+) -> DataFrame:
     """The PRETRAINING curation tier composed end-to-end (VERDICT r13
     item 5 — web_corpus_prep's sibling over the LLM-text stages):
 
@@ -282,6 +284,23 @@ def pretrain_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     lmkept = qkept.join(lmq, "doc_id")
+    if quality_clf:
+        # Optional model-based page filter (VERDICT r14 item 4 — the
+        # GPT-3/LLaMA classifier tier) between the heuristic and LM
+        # stages: scores are per-doc independent under the
+        # corpus-fit model, so the stage composes by doc_id join
+        # exactly like the LM verdict. Off by default so the
+        # certified contract row's survivor chain is unchanged;
+        # exercised by tests/test_qualityclf.py on the composed path.
+        from .llm_quality import _qc_model
+        from ..operators import qualityclf
+
+        clfq = (
+            qualityclf.score_docs(docs, _qc_model(spark, sf_dir))
+            .filter(F.col("kept"))
+            .select("doc_id")
+        )
+        lmkept = lmkept.join(clfq, "doc_id")
     exact = dedup.exact_dedup_keep(lmkept)
     survivors = dedup.near_dedup_keep(
         exact, threshold=NEAR_DUP_THRESHOLD

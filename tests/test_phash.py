@@ -1,0 +1,107 @@
+"""Behavioral tests for perceptual image dedup (operators/phash.py).
+
+The oracle-parity gate certifies cross-engine exactness of the hash
+and pair rows; these pin the SEMANTICS the blockhash scheme exists
+for: invariance under uniform brightness shift, locality of
+structural edits, and losslessness of the pigeonhole banding vs a
+brute-force Hamming join.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_log_analysis_spark.operators import phash as ph
+from flink_log_analysis_spark.operators.mediacodecs import encode_bmp
+
+
+def _sig_of(spark, pixel_fn):
+    """Hash one synthetic image supplied as a pixel function."""
+    img = encode_bmp(
+        [[(pixel_fn(r, c),) * 3 for c in range(ph.PH_W)]
+         for r in range(ph.PH_H)]
+    )
+    df = spark.createDataFrame([(0, img)], "doc_id bigint, img binary")
+    row = ph.signatures(ph.block_stats(df)).collect()[0]
+    return row["hash_hi"], row["hash_lo"]
+
+
+def _ham(a, b):
+    return (
+        bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+    )
+
+
+def test_uniform_brightness_shift_is_hamming_zero(spark):
+    base = _sig_of(spark, lambda r, c: (r * 3 + c * 5) % 200)
+    brighter = _sig_of(spark, lambda r, c: (r * 3 + c * 5) % 200 + 50)
+    # block and global means shift together: every cross-multiplied
+    # comparison is invariant — the "perceptual" property
+    assert _ham(base, brighter) == 0
+
+
+def test_structural_edit_flips_few_bits(spark):
+    base = _sig_of(spark, lambda r, c: (r * 3 + c * 5) % 200)
+    patched = _sig_of(
+        spark,
+        lambda r, c: 255 if (r < 4 and c < 4) else (r * 3 + c * 5) % 200,
+    )
+    d = _ham(base, patched)
+    # one 4x4 block whited out: its bit flips, the global-mean ripple
+    # may flip a few borderline neighbors — never half the hash
+    assert 1 <= d <= 8
+
+
+def test_banding_is_lossless_vs_bruteforce(spark):
+    docs = spark.range(0, 64).select(F.col("id").alias("doc_id"))
+    sig = ph.phash_signatures(docs).localCheckpoint()
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in ph.near_dups(sig).collect()
+    }
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_hi").alias("ha"),
+        F.col("hash_lo").alias("la"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_hi").alias("hb"),
+        F.col("hash_lo").alias("lb"),
+    )
+    ham = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("int")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= ph.PH_MAX_DIST)
+        .collect()
+    }
+    assert banded == brute and brute  # lossless, and non-trivial
+
+
+def test_within_group_variants_are_near_dups(spark):
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ph.near_dups(
+            ph.phash_signatures(docs).localCheckpoint()
+        ).collect()
+    }
+    # most same-group pairs (4 variants per group) land within the
+    # Hamming bound; the family tolerates a few stragglers by design
+    same_group = {
+        (a, b)
+        for g in range(10)
+        for a in range(g * 4, g * 4 + 4)
+        for b in range(a + 1, g * 4 + 4)
+    }
+    found = pairs & same_group
+    assert len(found) >= int(0.8 * len(same_group))
+    # cross-group pairs are the overwhelming majority of the corpus;
+    # near-dups must not be dominated by them
+    cross = pairs - same_group
+    assert len(cross) < len(found)
