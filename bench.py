@@ -13,6 +13,15 @@ tail capture is bounded, and a single 71-query JSON line overflows it
 truncated). The full per-query detail is also written to
 ``BENCH_DETAIL.json`` next to this script.
 
+ARCHIVING CONVENTION (VERDICT r14 item 1): the driver runs this
+script AFTER the round's last commit, so the driver-host per-query
+detail lands in the working tree as an uncommitted BENCH_DETAIL.json.
+At the START of each round, copy it to
+``BENCH_DETAIL_r{N}_driver.json`` (N = the round that just closed)
+and commit — that file is the only per-query evidence of the
+driver-host run (r13's was lost this way; r12's and r14's are
+archived).
+
 The run is sharded across a few fresh JVMs (subprocess per chunk of
 queries). A single 70+-query session generates whole-stage-codegen
 compile work faster than HotSpot's JIT queue drains it; the decay is

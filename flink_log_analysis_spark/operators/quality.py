@@ -831,10 +831,31 @@ def substring_dedup(
     - **Rebuild** filters each doc's tokens by index against its
       merged ranges (O(tokens x ranges) per doc — ranges, not dup
       windows, after the merge).
+
+    MEASURED N-vs-cost envelope (tools/substr_scale_probe.py, 10x
+    replica of sf0.1, min-of-2 steady-state, VERDICT r14 item 6):
+    N=50 (the paper's default) 2.31x wall at 10x rows, N=25 2.22x,
+    N=10 3.43x — sublinear at every window size. Cost RISES as N
+    shrinks not because the explode widens (one ~40-byte md5 key per
+    corpus token regardless of N — window count per doc is
+    L-N+1 <= L) but because more documents clear the length gate and
+    more windows repeat, fattening the verdict join and the per-doc
+    merges; the curve stays linear-shaped because every stage is
+    occurrence-linear by construction. No rare-window prefilter is
+    needed at these densities; one would slot in as a Bloom
+    left-semi on wkey before the min-agg if a corpus ever inverts
+    the economics.
     """
     n = min_tokens
     base = _substr_base(df, text_col, id_col)
-    wins = _substr_windows(base, n, id_col)
+    # Cut the explode once: wins feeds BOTH the first-occurrence agg
+    # and the verdict join — uncut, the tokenize+slice+md5 chain
+    # recomputes per consumer, and the recompute multiplier grows
+    # with scale (tools/substr_scale_probe.py measured the composed
+    # query at 4.2x its single-pass stage sum on a 10x N=10 replica:
+    # 54 s vs 13 s dissected; with the cut the 10x ratio is ~linear).
+    # ~40 bytes/window, so the blocks are ~the corpus token count.
+    wins = _substr_windows(base, n, id_col).localCheckpoint(eager=True)
     packed = _pack_id_pos(id_col, "pos", "substring_dedup")
     firsts = wins.groupBy("wkey").agg(F.min(packed).alias("_first"))
     dups = (
