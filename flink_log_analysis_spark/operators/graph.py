@@ -30,6 +30,18 @@ Scale notes: edges come from LSH candidate pairs — already pruned to
 ~linear in corpus size, and shrinking every round as stars collapse.
 Each iteration localCheckpoints the edge frame to truncate lineage
 (iterative joins otherwise stack exponentially deep plans).
+
+Toy-scale cost floor (measured, r15): the contract rows run ~8 seals
+x ~0.9 s — per-round fixed cost (Catalyst analysis + ~6 AQE-staged
+exchanges + the seal collect), not data. Folding the checksum into
+the seal action (below) removes one scheduled job per round; two
+further cuts were MEASURED AND REJECTED on interleaved A/B: AQE off
+for the loop (7.4 s -> 9.9 s — AQE's tiny-partition coalescing beats
+its re-planning pauses here, and its skew-join split is the hub
+protection real graphs need) and batching two star-rounds per seal
+(7.4 s -> 11.5 s — the deeper 12-exchange plan costs more than the
+saved seal). The remaining floor is scheduling, amortized away at
+any real edge count.
 Convergence is detected by a (count, xxhash64-sum) checksum of the
 canonical edge set, confirmed with one exact ``exceptAll`` check the
 round the checksum first repeats (the checksum only gates when the

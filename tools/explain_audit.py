@@ -195,6 +195,10 @@ def audit(name: str, df, codegen_plan: str | None = None) -> dict:
         "bpe_large_vocab", "bpe_learned_deep",
         # streamed tokenization applies the same pandas tier per batch
         "corpus_tokenize_stream",
+        # perceptual image dedup: the Arrow-batched codec decode IS
+        # the operator's Python (the multimodal round-trip
+        # convention); the hash fold and banding joins are relational
+        "phash_signatures", "phash_near_dups",
     ):
         flags.append("PYTHON-IN-HOT-PATH")
     if props["sp_funnels"] and name not in SINGLE_PARTITION_OK:
