@@ -275,6 +275,125 @@ def near_dups(
     )
 
 
+# ------------------------------------------------ DCT pHash tier
+
+# Fixed-point DCT-II basis at scale 2^DCT_SCALE: T[u][i] =
+# round(cos((2i+1)·u·π/16) · 2^15). The table is computed ONCE here
+# in Python and spliced into BOTH engines (the unigram exp-once
+# convention), so libm cos() divergence cannot exist — every DCT
+# coefficient is an exact BIGINT sum of block_sum · T[u][i] · T[v][j]
+# products. Overflow envelope: |C| <= 64 · max_block_sum · 2^30;
+# int64 holds block channel sums to ~1.3e8 (a 4x4 RGB block sums to
+# ~1.2e4 — five orders of margin; a 10^6-pixel block still fits).
+DCT_SCALE = 15
+
+
+def _dct_table() -> list[list[int]]:
+    import math
+
+    return [
+        [
+            round(
+                math.cos((2 * i + 1) * u * math.pi / 16.0)
+                * (1 << DCT_SCALE)
+            )
+            for i in range(8)
+        ]
+        for u in range(8)
+    ]
+
+
+def _dct_coef_rows() -> list[tuple[int, int, int]]:
+    """(uv, j, k): for output coefficient uv = u*8+v (DC excluded)
+    and input block j = bi*8+bj, the integer weight
+    k = T[u][bi] · T[v][bj]. 63 x 64 rows — the broadcastable DCT as
+    data, consumed identically by the Spark join and the oracle's
+    VALUES splice."""
+    t = _dct_table()
+    rows = []
+    for u in range(8):
+        for v in range(8):
+            if u == 0 and v == 0:
+                continue  # DC carries brightness — pHash drops it
+            uv = u * 8 + v
+            for bi in range(8):
+                for bj in range(8):
+                    rows.append((uv, bi * 8 + bj, t[u][bi] * t[v][bj]))
+    return rows
+
+
+def dct_signatures(stats: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, width, height, hash_hi, hash_lo): the classic DCT pHash —
+    63 low-frequency coefficients of the 8x8 block-mean matrix, bit
+    set when a coefficient exceeds the (lower) median — computed
+    EXACTLY: the fixed-point basis makes every coefficient an
+    integer, the median of 63 integers is an order statistic (no
+    averaging), and every comparison is integer-vs-integer. Shape:
+    explode the 64 block sums, broadcast-join the 4032-row
+    coefficient table, partial-aggregated groupBy back to 63
+    coefficients per image (~the decode's own row volume), one
+    per-image sort of 63 values for the median. Bit uv lives in word
+    uv // 32 (bit 63 unused — no sign-bit hazard)."""
+    spark = stats.sparkSession
+    kdf = spark.createDataFrame(
+        _dct_coef_rows(), "uv int, j int, k bigint"
+    )
+    blocks = stats.select(
+        id_col,
+        "width",
+        "height",
+        F.posexplode("bsums").alias("_j0", "bsum"),
+    ).select(
+        id_col,
+        "width",
+        "height",
+        (F.col("_j0")).alias("j"),
+        "bsum",
+    )
+    coefs = (
+        blocks.join(F.broadcast(kdf), "j")
+        .groupBy(id_col, "width", "height", "uv")
+        .agg(F.sum(F.col("bsum") * F.col("k")).alias("c"))
+    )
+    arr = coefs.groupBy(id_col, "width", "height").agg(
+        F.array_sort(F.collect_list(F.struct("uv", "c"))).alias("_a")
+    )
+    med = F.element_at(
+        F.array_sort(F.transform(F.col("_a"), lambda x: x["c"])), 32
+    )
+    with_med = arr.select(
+        id_col, "width", "height", F.col("_a"), med.alias("_med")
+    )
+
+    def word(lo_bit: int, hi_bit: int):
+        out = None
+        for uv in range(lo_bit, hi_bit):
+            # _a is sorted by uv, and uv 1..63 land at index uv
+            # (uv 0 is excluded, so position i holds uv = i + 1)
+            t = F.when(
+                F.element_at(F.col("_a"), uv)["c"] > F.col("_med"),
+                F.lit(1 << (uv % 32)),
+            ).otherwise(F.lit(0))
+            out = t if out is None else out + t
+        return out.cast("bigint")
+
+    return with_med.select(
+        id_col,
+        "width",
+        "height",
+        word(32, 64).alias("hash_hi"),
+        word(1, 32).alias("hash_lo"),
+    )
+
+
+def dct_phash_signatures(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthetic family -> real BMP codec -> block stats -> exact
+    fixed-point DCT -> median bits."""
+    return dct_signatures(block_stats(synth_images(df, id_col)), id_col)
+
+
 # ------------------------------------------------------------ oracle
 
 def gray_sql(doc: str = "doc_id", r: str = "r", c: str = "c") -> str:
@@ -291,6 +410,56 @@ def gray_sql(doc: str = "doc_id", r: str = "r", c: str = "c") -> str:
         f"CASE WHEN {r} // {bh} = 1 AND {c} // {bw} = 2"
         f" THEN ({base} + ({doc} % {PH_GROUP_SIZE}) * 64) % 256"
         f" ELSE {base} END"
+    )
+
+
+def dct_signatures_sql(src: str = "documents") -> str:
+    """CTE chain deriving the DCT pHash from the pixel formula. The
+    coefficient table is spliced from the SAME Python literals the
+    engine broadcasts, so the two sides share one basis by
+    construction. The oracle's grayscale is v where the engine's
+    channel sum is 3v — every coefficient and the median scale by
+    the same positive 3, so the bit comparisons are identical.
+    Final CTE: ``dsig``."""
+    krows = ",".join(
+        f"({uv},{j},{k})" for uv, j, k in _dct_coef_rows()
+    )
+    return (
+        signatures_sql(src)
+        + f""",
+        kt(uv, j, kv) AS (VALUES {krows}),
+        coef AS (
+            SELECT bl.doc_id, kt.uv,
+                   SUM(bl.bsum * kt.kv) AS c
+            FROM bl JOIN kt ON kt.j = bl.j
+            GROUP BY bl.doc_id, kt.uv
+        ),
+        med AS (
+            SELECT doc_id, c AS m FROM (
+                SELECT doc_id, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY c
+                       ) AS rn
+                FROM coef
+            ) WHERE rn = 32
+        ),
+        dbits AS (
+            SELECT coef.doc_id, coef.uv,
+                   CASE WHEN coef.c > med.m
+                        THEN CAST(1 AS BIGINT) ELSE 0 END AS b
+            FROM coef JOIN med USING (doc_id)
+        ),
+        dsig AS (
+            SELECT doc_id,
+                   CAST({PH_W} AS INTEGER) AS width,
+                   CAST({PH_H} AS INTEGER) AS height,
+                   CAST(SUM(CASE WHEN uv >= 32
+                       THEN b << (uv - 32) ELSE 0 END) AS BIGINT)
+                       AS hash_hi,
+                   CAST(SUM(CASE WHEN uv < 32 THEN b << uv
+                       ELSE 0 END) AS BIGINT) AS hash_lo
+            FROM dbits GROUP BY doc_id
+        )"""
     )
 
 

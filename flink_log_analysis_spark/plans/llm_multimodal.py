@@ -260,6 +260,30 @@ def phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_ops.near_dups(sig)
 
 
+def dct_phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic DCT pHash made EXACT (the documented one-batch
+    swap the block-mean row promised): 63 low-frequency DCT
+    coefficients of the 8x8 block-mean matrix under a fixed-point
+    integer basis (cos table computed once in Python at scale 2^15
+    and spliced into BOTH engines — the unigram exp-once convention,
+    so libm cos divergence cannot exist), bit = coefficient > the
+    63-value integer median (an order statistic — no averaging, no
+    floats anywhere). The engine broadcast-joins the 4032-row
+    coefficient table against the exploded block sums (partial-agg
+    back to 63 coefficients, ~the decode's own row volume); the
+    oracle splices the same table as VALUES. Near-dup banding over
+    these hashes is the already-certified phash_near_dups machinery
+    (same two-word shape)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return phash_ops.dct_phash_signatures(docs.select("doc_id"))
+
+
+ORACLE["dct_phash_signatures"] = (
+    "WITH "
+    + phash_ops.dct_signatures_sql()
+    + " SELECT doc_id, width, height, hash_hi, hash_lo FROM dsig"
+)
+
 ORACLE["phash_signatures"] = (
     "WITH "
     + phash_ops.signatures_sql()
@@ -291,4 +315,5 @@ QUERIES = {
     "png_roundtrip": png_roundtrip,
     "phash_signatures": phash_signatures,
     "phash_near_dups": phash_near_dups,
+    "dct_phash_signatures": dct_phash_signatures,
 }

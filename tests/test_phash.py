@@ -105,3 +105,51 @@ def test_within_group_variants_are_near_dups(spark):
     # near-dups must not be dominated by them
     cross = pairs - same_group
     assert len(cross) < len(found)
+
+
+def _dct_sig_of(spark, pixel_fn):
+    img = encode_bmp(
+        [[(pixel_fn(r, c),) * 3 for c in range(ph.PH_W)]
+         for r in range(ph.PH_H)]
+    )
+    df = spark.createDataFrame([(0, img)], "doc_id bigint, img binary")
+    row = ph.dct_signatures(ph.block_stats(df)).collect()[0]
+    return row["hash_hi"], row["hash_lo"]
+
+
+def test_dct_matches_pure_python_replica(spark):
+    """The Spark DCT pHash must equal an independent pure-Python
+    evaluation of the same fixed-point basis on the same image."""
+    fn = lambda r, c: (r * 7 + c * 11) % 193  # noqa: E731
+    got = _dct_sig_of(spark, fn)
+    T = ph._dct_table()
+    G = ph.PH_GRID
+    bs = [0] * 64
+    for r in range(ph.PH_H):
+        for c in range(ph.PH_W):
+            bs[(r * G // ph.PH_H) * G + (c * G // ph.PH_W)] += fn(r, c) * 3
+    coefs = {
+        u * 8 + v: sum(
+            bs[bi * 8 + bj] * T[u][bi] * T[v][bj]
+            for bi in range(8)
+            for bj in range(8)
+        )
+        for u in range(8)
+        for v in range(8)
+        if (u, v) != (0, 0)
+    }
+    med = sorted(coefs.values())[31]
+    want = (
+        sum(1 << (uv - 32) for uv, c in coefs.items() if uv >= 32 and c > med),
+        sum(1 << uv for uv, c in coefs.items() if uv < 32 and c > med),
+    )
+    assert got == want
+
+
+def test_dct_drops_dc_so_brightness_shift_is_invariant(spark):
+    base = _dct_sig_of(spark, lambda r, c: (r * 3 + c * 5) % 200)
+    brighter = _dct_sig_of(spark, lambda r, c: (r * 3 + c * 5) % 200 + 50)
+    # a uniform shift lands entirely in the (dropped) DC coefficient:
+    # every non-DC coefficient, and hence the median and every bit,
+    # is unchanged
+    assert _ham(base, brighter) == 0

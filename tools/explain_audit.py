@@ -198,7 +198,7 @@ def audit(name: str, df, codegen_plan: str | None = None) -> dict:
         # perceptual image dedup: the Arrow-batched codec decode IS
         # the operator's Python (the multimodal round-trip
         # convention); the hash fold and banding joins are relational
-        "phash_signatures", "phash_near_dups",
+        "phash_signatures", "phash_near_dups", "dct_phash_signatures",
     ):
         flags.append("PYTHON-IN-HOT-PATH")
     if props["sp_funnels"] and name not in SINGLE_PARTITION_OK:
