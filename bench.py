@@ -424,7 +424,8 @@ def run_slice(
     # the timed windows.
     if any(
         n in ("documents_jsonl_roundtrip", "corpus_ingest_stream",
-              "corpus_tokenize_stream", "lm_perplexity_filter_stream")
+              "corpus_tokenize_stream", "lm_perplexity_filter_stream",
+              "quality_classifier_stream")
         for n in names
     ):
         from flink_log_analysis_spark.plans.formats import jsonl_dir

@@ -211,24 +211,19 @@ def phash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return signatures(block_stats(synth_images(df, id_col)), id_col)
 
 
-def near_dups(
-    sig: DataFrame,
-    max_dist: int = PH_MAX_DIST,
-    id_col: str = "doc_id",
+def _sig_chunks(
+    sig: DataFrame, max_dist: int, id_col: str, suffix: str
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs within ``max_dist``, each pair
-    once (a < b), via the pigeonhole chunk join over the 64 bits:
-    d+1 = 4 chunks of 16 bits (two per word), so any pair within 3
-    agrees exactly on some chunk. Uniform-ish block bits -> no skew;
-    verification is two bit_count(xor) terms per candidate."""
+    """Explode a signature frame into its pigeonhole chunks:
+    (id_{suffix}, hi_{suffix}, lo_{suffix}, ci, cv)."""
     n_chunks = max_dist + 1
     chunk_bits = 64 // n_chunks
     per_word = 32 // chunk_bits
     mask = (1 << chunk_bits) - 1
-    chunks = sig.select(
-        id_col,
-        "hash_hi",
-        "hash_lo",
+    return sig.select(
+        F.col(id_col).alias(f"doc_{suffix}"),
+        F.col("hash_hi").alias(f"hi_{suffix}"),
+        F.col("hash_lo").alias(f"lo_{suffix}"),
         F.explode(
             F.array(
                 *[
@@ -247,32 +242,68 @@ def near_dups(
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "hash_hi", "hash_lo", "c.ci", "c.cv")
-    a = chunks.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("hash_hi").alias("hi_a"),
-        F.col("hash_lo").alias("lo_a"),
-        "ci",
-        "cv",
+    ).select(
+        f"doc_{suffix}", f"hi_{suffix}", f"lo_{suffix}", "c.ci", "c.cv"
     )
-    b = chunks.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("hash_hi").alias("hi_b"),
-        F.col("hash_lo").alias("lo_b"),
-        "ci",
-        "cv",
-    )
+
+
+def _verified(pairs: DataFrame, max_dist: int) -> DataFrame:
     hamming = (
         F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
         + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     ).cast("int")
     return (
-        a.join(b, ["ci", "cv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_dist)
     )
+
+
+def near_dups(
+    sig: DataFrame,
+    max_dist: int = PH_MAX_DIST,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within ``max_dist``, each pair
+    once (a < b), via the pigeonhole chunk join over the 64 bits:
+    d+1 = 4 chunks of 16 bits (two per word), so any pair within 3
+    agrees exactly on some chunk. Uniform-ish block bits -> no skew;
+    verification is two bit_count(xor) terms per candidate."""
+    chunks = _sig_chunks(sig, max_dist, id_col, "a")
+    b = chunks.select(
+        F.col("doc_a").alias("doc_b"),
+        F.col("hi_a").alias("hi_b"),
+        F.col("lo_a").alias("lo_b"),
+        "ci",
+        "cv",
+    )
+    return _verified(
+        chunks.join(b, ["ci", "cv"]).filter(
+            F.col("doc_a") < F.col("doc_b")
+        ),
+        max_dist,
+    )
+
+
+def match_against_corpus(
+    new_sig: DataFrame,
+    corpus_sig: DataFrame,
+    max_dist: int = PH_MAX_DIST,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arriving-batch perceptual matching against the STANDING
+    signature index — the image member of the incremental-ingest
+    family (MinHash match_against_index / semantic match_against_cells
+    / substring_dedup_incremental shape): (doc_a=new, doc_b=corpus,
+    hamming) pairs within ``max_dist``, never batch x batch or
+    corpus x corpus. A production loop persists the corpus signature
+    table once (5 BIGINTs per image — the build-once artifact) and
+    each batch pays its own decode+hash plus the banded join; the
+    chunk explode keys both sides identically, so the candidate
+    filter stays lossless."""
+    a = _sig_chunks(new_sig, max_dist, id_col, "a")
+    b = _sig_chunks(corpus_sig, max_dist, id_col, "b")
+    return _verified(a.join(b, ["ci", "cv"]), max_dist)
 
 
 # ------------------------------------------------ DCT pHash tier

@@ -241,6 +241,132 @@ def score_docs(
     )
 
 
+def model_row(spark, weights: list[tuple[int, int]]) -> DataFrame:
+    """1-row broadcastable weight frame (wmap map<bigint,bigint>) —
+    the lmfilter.model_row convention: the fitted table rides each
+    executor once and scoring becomes a stateless per-row
+    projection."""
+    ks = [int(k) for k, _ in weights]
+    vs = [int(v) for _, v in weights]
+    return spark.createDataFrame(
+        [(ks, vs)], "wk array<bigint>, wv array<bigint>"
+    ).select(F.map_from_arrays("wk", "wv").alias("wmap"))
+
+
+def score_docs_rowwise(
+    docs: DataFrame,
+    wrow: DataFrame,
+    threshold: float = QC_THRESHOLD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Streaming-shaped scoring: identical output contract to
+    :func:`score_docs`, but the dot product folds INSIDE the row
+    (exact BIGINT adds over the hashed gram array against the 1-row
+    broadcast weight map) — no groupBy, no state store, so it runs
+    unchanged on a Structured Streaming micro-batch in append mode.
+    Value-identity with the batch path is algebraic: the batch sums
+    cnt*w over distinct features; this sums w per occurrence — the
+    same integer total in any order."""
+    from ..functions.hashing import token_hash
+    from .dsir import HASH_SALT, _grams
+    from .textstats import tokens
+
+    toked = docs.select(
+        F.col(id_col),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    )
+    with_g = toked.select(
+        id_col,
+        F.transform(
+            _grams(F.col("_toks")),
+            lambda g: token_hash(g, salt=HASH_SALT) % n_buckets,
+        ).alias("_h"),
+    ).filter(F.size("_h") > 0)
+    joined = with_g.crossJoin(F.broadcast(wrow))
+    s_fp = F.aggregate(
+        F.col("_h"),
+        F.coalesce(
+            F.element_at(F.col("wmap"), F.lit(BIAS_FEAT)),
+            F.lit(0).cast("bigint"),
+        ),
+        lambda acc, h: acc
+        + F.coalesce(
+            F.element_at(F.col("wmap"), h), F.lit(0).cast("bigint")
+        ),
+    )
+    score = F.round(
+        _sigmoid(s_fp.cast("double") / F.lit(float(10 ** QC_SCALE))),
+        QC_ROUND,
+    )
+    return joined.select(
+        id_col,
+        F.size(F.array_distinct("_h")).alias("n_feats"),
+        F.size("_h").cast("bigint").alias("n_grams"),
+        score.alias("score"),
+        (score >= F.lit(threshold)).alias("kept"),
+    )
+
+
+# GPT-3's actual keep rule (Brown et al. 2020, Appendix A): a
+# document is kept iff  np.random.pareto(alpha) > 1 - score  with
+# alpha = 9 — mostly-high-scoring docs survive, but every document
+# keeps a heavy-tailed chance, so the filtered corpus is not a hard
+# threshold cut (the paper's stated reason: keep some distributional
+# breadth). The draw is the deterministic content-hash uniform
+# (the Gumbel-top-k convention): pareto = u^(-1/alpha) - 1, which is
+# the numpy inverse-CDF with 1-u replaced by the equally-uniform u.
+QC_PARETO_ALPHA = 9.0
+QC_SELECT_SEED = "qcsel"
+
+
+def pareto_select(
+    scored: DataFrame,
+    alpha: float = QC_PARETO_ALPHA,
+    seed: int | str = QC_SELECT_SEED,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score, pareto_draw, kept_sel) — the Pareto-noise keep
+    verdict over classifier scores. ``pareto_draw`` rounds to
+    QC_ROUND before the comparison (pow is the one transcendental —
+    the established ln/exp rounding discipline), and the verdict
+    compares rounded-vs-rounded, so the oracle replays it exactly."""
+    from .sampling import BUCKETS, sample_bucket
+
+    u = (sample_bucket(F.col(id_col), seed) + F.lit(0.5)) / F.lit(
+        float(BUCKETS)
+    )
+    draw = F.round(
+        F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0), QC_ROUND
+    )
+    return scored.select(
+        id_col,
+        "score",
+        draw.alias("pareto_draw"),
+        (draw > (F.lit(1.0) - F.col("score"))).alias("kept_sel"),
+    )
+
+
+def pareto_select_sql(
+    scored_cte: str,
+    alpha: float = QC_PARETO_ALPHA,
+    seed: int | str = QC_SELECT_SEED,
+) -> str:
+    """DuckDB twin of :func:`pareto_select` over a CTE exposing
+    (doc_id, score)."""
+    from .sampling import BUCKETS, sample_bucket_sql
+
+    u = f"(({sample_bucket_sql('doc_id', seed)} + 0.5) / {float(BUCKETS)!r})"
+    draw = f"ROUND(POWER({u}, {-1.0 / alpha!r}) - 1.0, {QC_ROUND})"
+    return f"""
+        SELECT doc_id, score,
+               {draw} AS pareto_draw,
+               {draw} > (1.0 - score) AS kept_sel
+        FROM {scored_cte}
+    """
+
+
 # ------------------------------------------------------------ oracle
 
 def fit_sql(

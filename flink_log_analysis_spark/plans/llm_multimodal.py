@@ -260,6 +260,44 @@ def phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_ops.near_dups(sig)
 
 
+def phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arriving-batch perceptual matching against the STANDING
+    signature index (operators/phash.py match_against_corpus) — the
+    image member of the incremental-ingest family: the batch is each
+    group's variant-3 image (a new edit of an existing picture, the
+    realistic arrival), the corpus is everything else, and the output
+    is (new, corpus, hamming) pairs within the bound — never
+    batch x batch or corpus x corpus. A production loop persists the
+    corpus signatures once (5 BIGINTs per image) and each batch pays
+    its own decode+hash plus the banded join. The oracle derives
+    both populations' hashes from the pixel formula and all-pairs
+    joins them (quadratic is an oracle's budget, not the engine's)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.filter(F.col("doc_id") % 4 != 3)
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    return phash_ops.match_against_corpus(
+        phash_ops.phash_signatures(batch),
+        phash_ops.phash_signatures(corpus),
+    )
+
+
+ORACLE["phash_incremental"] = (
+    "WITH "
+    + phash_ops.signatures_sql()
+    + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER)
+               AS hamming
+    FROM sig a JOIN sig b
+      ON a.doc_id % 4 = 3 AND b.doc_id % 4 <> 3
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo))
+          <= {phash_ops.PH_MAX_DIST}
+    """
+)
+
+
 def dct_phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classic DCT pHash made EXACT (the documented one-batch
     swap the block-mean row promised): 63 low-frequency DCT
@@ -316,4 +354,5 @@ QUERIES = {
     "phash_signatures": phash_signatures,
     "phash_near_dups": phash_near_dups,
     "dct_phash_signatures": dct_phash_signatures,
+    "phash_incremental": phash_incremental,
 }

@@ -1319,6 +1319,22 @@ def quality_classifier_scores(
     return qualityclf.score_docs(docs, _qc_model(spark, sf_dir))
 
 
+def quality_classifier_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GPT-3's ACTUAL keep rule over the classifier scores (Brown et
+    al. 2020 Appendix A): kept iff pareto(alpha=9) draw > 1 - score
+    — mostly-high-scoring documents survive but every document keeps
+    a heavy-tailed chance, preserving distributional breadth (the
+    paper's stated reason for not hard-thresholding). The draw is
+    the deterministic content-hash uniform through the Pareto
+    inverse-CDF, rounded before the comparison, so the oracle
+    replays fit, scores, draw, and verdict in one statement."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = qualityclf.score_docs(docs, _qc_model(spark, sf_dir))
+    return qualityclf.pareto_select(scored)
+
+
 _QC_LABEL = f"CASE WHEN doc_id % {LM_REF_MOD} = 0 THEN 1 ELSE 0 END"
 
 ORACLE["quality_classifier_weights"] = (
@@ -1334,10 +1350,20 @@ ORACLE["quality_classifier_scores"] = (
     + qualityclf.score_sql(f"w{qualityclf.QC_STEPS}")
 )
 
+ORACLE["quality_classifier_select"] = (
+    "WITH "
+    + qualityclf.fit_sql(label_expr=_QC_LABEL)
+    + ", scored AS ("
+    + qualityclf.score_sql(f"w{qualityclf.QC_STEPS}")
+    + ") "
+    + qualityclf.pareto_select_sql("scored")
+)
+
 
 QUERIES = {
     "quality_classifier_weights": quality_classifier_weights,
     "quality_classifier_scores": quality_classifier_scores,
+    "quality_classifier_select": quality_classifier_select,
     "lm_perplexity_filter": lm_perplexity_filter,
     "ccnet_buckets": ccnet_buckets,
     "lm_perplexity_per_lang": lm_perplexity_per_lang,

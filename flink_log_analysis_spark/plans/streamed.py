@@ -1002,7 +1002,49 @@ QUERIES = {
     "dsir_weights_stream": dsir_weights_stream,
     "substring_dedup_stream": substring_dedup_stream,
     "unigram_tokens_stream": unigram_tokens_stream,
+    "quality_classifier_stream": None,  # bound below (defined late)
 }
+
+
+def quality_classifier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model-based quality filtering: documents arrive on
+    the JSONL file stream and each micro-batch is scored under the
+    FROZEN fitted weight table (operators/qualityclf.py — fit once in
+    batch, shipped as a 1-row broadcast map; the fit never runs
+    inside the stream). Scoring folds the exact-BIGINT dot product
+    INSIDE the row (score_docs_rowwise — value-identical to the
+    batch groupBy form by integer associativity), so append mode
+    needs no watermark/state and the stream-final sink equals the
+    batch scores — held to the quality_classifier_scores oracle
+    VERBATIM (fit chain + scoring replay; it never sees JSON, the
+    stream, or the broadcast)."""
+    from ..operators import qualityclf
+    from .formats import DOC_SCHEMA, jsonl_dir
+    from .llm_quality import _qc_model
+
+    work = shared_tmp_dir("loganalysis_stream_")
+    try:
+        wrow = qualityclf.model_row(spark, _qc_model(spark, sf_dir))
+        docs = spark.readStream.schema(DOC_SCHEMA).json(
+            f"{jsonl_dir(spark, sf_dir)}/docs"
+        )
+        docs = widen_stream(docs)
+        out = qualityclf.score_docs_rowwise(docs, wrow)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return spark.read.parquet(f"{work}/out").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["quality_classifier_stream"] = quality_classifier_stream
 
 # The streamed incremental dedup must converge to the batch query's
 # exact result — same oracle, imported so the two can never drift.
@@ -1034,6 +1076,13 @@ from .llm_quality import ORACLE as _QUALITY_ORACLE  # noqa: E402
 
 ORACLE["lm_perplexity_filter_stream"] = _QUALITY_ORACLE[
     "lm_perplexity_filter"
+]
+
+# Same frozen-model stateless-scoring contract for the streaming
+# quality classifier: held to the batch scores oracle verbatim (the
+# rowwise integer fold is order-independent by construction).
+ORACLE["quality_classifier_stream"] = _QUALITY_ORACLE[
+    "quality_classifier_scores"
 ]
 
 # Same contract shape for the streaming DSIR scorer: frozen model +

@@ -153,3 +153,16 @@ def test_dct_drops_dc_so_brightness_shift_is_invariant(spark):
     # every non-DC coefficient, and hence the median and every bit,
     # is unchanged
     assert _ham(base, brighter) == 0
+
+
+def test_incremental_never_pairs_batch_with_batch(spark):
+    docs = spark.range(0, 48).select(F.col("id").alias("doc_id"))
+    corpus = docs.filter(F.col("doc_id") % 4 != 3)
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    csig = ph.phash_signatures(corpus).localCheckpoint()
+    bsig = ph.phash_signatures(batch).localCheckpoint()
+    pairs = ph.match_against_corpus(bsig, csig).collect()
+    assert pairs  # each variant-3 image has 3 in-group corpus twins
+    for r in pairs:
+        assert r["doc_a"] % 4 == 3 and r["doc_b"] % 4 != 3
+        assert r["hamming"] <= ph.PH_MAX_DIST

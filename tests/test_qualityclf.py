@@ -121,3 +121,36 @@ def test_pretrain_compose_is_intersection(spark, sf_dir):
     # The invariant that IS stable: the pre-DSIR survivor pool only
     # shrinks, so the selection width cannot grow.
     assert len(clf) <= len(base)
+
+
+def test_pareto_select_keeps_heavy_tail(spark, sf_dir):
+    """GPT-3's noise rule must not collapse to a hard threshold:
+    some below-median documents survive (the heavy tail) and some
+    high scorers fall — and the verdict is deterministic."""
+    from flink_log_analysis_spark.plans.llm_quality import (
+        quality_classifier_select,
+    )
+
+    rows = quality_classifier_select(spark, sf_dir).collect()
+    again = quality_classifier_select(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    kept = [r for r in rows if r["kept_sel"]]
+    assert 0 < len(kept) < len(rows)
+    med = sorted(r["score"] for r in rows)[len(rows) // 2]
+    assert any(r["score"] < med for r in kept)
+
+
+def test_rowwise_scoring_equals_batch(spark):
+    docs = _docs(spark).union(_heldout(spark))
+    w = _fit(spark)
+    batch = {
+        tuple(r)
+        for r in qc.score_docs(docs, w).collect()
+    }
+    roww = {
+        tuple(r)
+        for r in qc.score_docs_rowwise(
+            docs, qc.model_row(spark, w)
+        ).collect()
+    }
+    assert batch == roww

@@ -199,6 +199,7 @@ def audit(name: str, df, codegen_plan: str | None = None) -> dict:
         # the operator's Python (the multimodal round-trip
         # convention); the hash fold and banding joins are relational
         "phash_signatures", "phash_near_dups", "dct_phash_signatures",
+        "phash_incremental",
     ):
         flags.append("PYTHON-IN-HOT-PATH")
     if props["sp_funnels"] and name not in SINGLE_PARTITION_OK:
@@ -237,6 +238,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    partial = bool(args.names)
     names = args.names or [n for n in qs if n not in SKIP]
 
     from flink_log_analysis_spark.session import scoped_conf
@@ -265,6 +267,38 @@ def main() -> None:
                     # single-partition Sort/Window funnel (VERDICT r5)
                     "pack_chunks", "corpus_shards"):
             excerpts[name] = plan
+
+    if partial and os.path.exists(args.out):
+        # Named-subset run: MERGE into the standing table instead of
+        # clobbering it (a single-name re-audit used to overwrite the
+        # whole 180-row PLANS.md with one row — r15 footgun). Rows for
+        # re-audited names are replaced in place; everything else and
+        # the excerpts section survive untouched.
+        import re as _re
+
+        text = open(args.out).read()
+        for name, p in rows:
+            newline = (
+                f"| {name} | {p['broadcast_joins']} | {p['shuffle_joins']} | "
+                f"{p['cartesian']} | {p['hash_aggs']} | {p['pushed_filters']} | "
+                f"{p['codegen_spans']} | {p['exchanges']} | "
+                f"{p['single_part']}/{p['sp_funnels']} | "
+                f"{p['python_udf']} | {p['flags']} |"
+            )
+            pat = _re.compile(rf"^\| {_re.escape(name)} \|.*$", _re.M)
+            if pat.search(text):
+                text = pat.sub(newline.replace("\\", "\\\\"), text, count=1)
+            else:
+                text = text.replace(
+                    "\n## Flagship plan excerpts",
+                    f"{newline}\n\n## Flagship plan excerpts",
+                    1,
+                )
+        with open(args.out, "w") as f:
+            f.write(text)
+        print(f"{len(rows)} plans merged, {bad} flagged -> {args.out}")
+        spark.stop()
+        sys.exit(1 if bad else 0)
 
     with open(args.out, "w") as f:
         f.write(
