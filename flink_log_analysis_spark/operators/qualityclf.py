@@ -261,14 +261,23 @@ def score_docs_rowwise(
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
 ) -> DataFrame:
-    """Streaming-shaped scoring: identical output contract to
+    """Row-folded scoring: identical output contract to
     :func:`score_docs`, but the dot product folds INSIDE the row
     (exact BIGINT adds over the hashed gram array against the 1-row
     broadcast weight map) — no groupBy, no state store, so it runs
     unchanged on a Structured Streaming micro-batch in append mode.
     Value-identity with the batch path is algebraic: the batch sums
     cnt*w over distinct features; this sums w per occurrence — the
-    same integer total in any order."""
+    same integer total in any order (equality test-pinned).
+
+    COST CAVEAT (measured, r15): Spark's MapType ``element_at`` is a
+    LINEAR key scan, so each gram lookup walks the whole weight map —
+    ~10k comparisons per gram at the default bucket count (7.6 s warm
+    vs ~1.6 s for the broadcast-join form on the sf0.1 stream). Use
+    this form only when a map-sized model (hundreds of entries — the
+    LM filter's regime) or a strict no-shuffle constraint justifies
+    it; the streaming plan row runs :func:`score_docs` inside
+    foreachBatch instead."""
     from ..functions.hashing import token_hash
     from .dsir import HASH_SALT, _grams
     from .textstats import tokens

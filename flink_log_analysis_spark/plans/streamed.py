@@ -1010,36 +1010,46 @@ def quality_classifier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming model-based quality filtering: documents arrive on
     the JSONL file stream and each micro-batch is scored under the
     FROZEN fitted weight table (operators/qualityclf.py — fit once in
-    batch, shipped as a 1-row broadcast map; the fit never runs
-    inside the stream). Scoring folds the exact-BIGINT dot product
-    INSIDE the row (score_docs_rowwise — value-identical to the
-    batch groupBy form by integer associativity), so append mode
-    needs no watermark/state and the stream-final sink equals the
-    batch scores — held to the quality_classifier_scores oracle
-    VERBATIM (fit chain + scoring replay; it never sees JSON, the
-    stream, or the broadcast)."""
+    batch; the fit never runs inside the stream). Scoring runs the
+    BATCH operator inside foreachBatch (broadcast join on feat +
+    hash-agg — per-doc scores are independent, so per-batch scoring
+    equals corpus scoring; the substring_dedup_stream sink pattern,
+    idempotent per batch_id): a first cut used the per-row map-fold
+    twin instead, and Spark's MapType element_at is a LINEAR key
+    scan, so every gram paid a 10k-entry walk — measured 7.6 s warm
+    floor vs ~1.6 s for the join form. The stream-final sink is held
+    to the quality_classifier_scores oracle VERBATIM (fit chain +
+    scoring replay; it never sees JSON, the stream, or the model)."""
     from ..operators import qualityclf
     from .formats import DOC_SCHEMA, jsonl_dir
     from .llm_quality import _qc_model
 
     work = shared_tmp_dir("loganalysis_stream_")
     try:
-        wrow = qualityclf.model_row(spark, _qc_model(spark, sf_dir))
+        model = _qc_model(spark, sf_dir)
         docs = spark.readStream.schema(DOC_SCHEMA).json(
             f"{jsonl_dir(spark, sf_dir)}/docs"
         )
-        docs = widen_stream(docs)
-        out = qualityclf.score_docs_rowwise(docs, wrow)
+        out_dir = f"{work}/scored"
+
+        def score(batch, bid):
+            qualityclf.score_docs(
+                widen_stream(batch).select("doc_id", "text"), model
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
+
         q = (
-            out.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", f"{work}/out")
+            docs.writeStream.outputMode("append")
+            .foreachBatch(score)
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         _drain(q)
-        return spark.read.parquet(f"{work}/out").localCheckpoint(eager=True)
+        return (
+            spark.read.parquet(out_dir)
+            .drop("batch_id")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
