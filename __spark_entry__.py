@@ -107,9 +107,12 @@ def _plan_modules():
 # and the ADVICE r14 items in plans/llm_text.py (+ engine guards):
 # wordpiece_vocab_fit, unigram_vocab_fit, unigram_tokens,
 # tokenizer_fertility — all in this window — and
-# graph_components_chain's self-loop pin. New r15 rows (quality
-# classifier, pHash dedup, substring scale probe) register behind
-# the window and are gate-green first run this round.
+# graph_components_chain's self-loop pin. The 8 r15 newborns
+# (quality_classifier_weights/_scores/_select/_stream — the GPT-3
+# page-filter family; phash_signatures/_near_dups/_incremental +
+# dct_phash_signatures — the perceptual image-dedup family) register
+# behind the window, every one gate-green first run this round; they
+# join the 14 r11-stale leftovers as the r16 window queue.
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",
