@@ -74,45 +74,41 @@ def _plan_modules():
 # Names pinned to the driver's 50-entry audit window, in order.
 # Anything not listed here follows afterwards in module order.
 #
-# Round-15 rotation (VERDICT r14 "Next round" item 1): the 12-query
-# reference-parity core stays pinned. Then the 12 r14 post-window
-# newborns (gate + pytest green r14, never driver-audited):
-# substring_dedup_incremental, substring_dedup_stream,
-# graph_components_chain + graph_components_incremental (two-phase
-# CC), wordpiece_tokens + wordpiece_vocab_fit, unigram_tokens +
-# unigram_vocab_fit + unigram_tokens_stream + unigram_sample_tokens,
-# tokenizer_fertility, leakage_free_splits. Then the 9 r10-stale
-# heads (newest driver green = r10, computed across
-# CORRECTNESS_r01-r14): conversion_pairs_stream,
-# events_csv_roundtrip, order_value_ntile, rare_token_stats,
-# simhash_near_dups, table_profile, training_order_shuffle,
-# url_curation, wav_roundtrip. The remaining 17 slots are the
-# alphabetically-first rows of the 31-row r11-stale cohort
-# (bmp_roundtrip .. knn_ivf_quantized_recall_p6); the 14 r11 rows
-# left over (knn_pq_fitted_exact, knn_quantized, log_sessions,
-# log_sessions_stream, minhash_signatures, near_dedup_best_docs,
-# png_roundtrip, quality_ablation_web, simhash, stateful_sessions,
-# stratified_doc_sample, supplier_fuzzy_dups, token_budget_select,
-# weighted_doc_sample) are the r16 stale heads. After this window
-# lands green, no registry row's newest driver green is older
-# than r11 — the freshness milestone item 1 asks for.
-# 12 + 12 + 9 + 17 = 50 exactly.
+# Round-16 rotation (VERDICT r15 "Next round" item 1): the 12-query
+# reference-parity core stays pinned. Then the 8 r15 post-window
+# newborns (gate + pytest green r15, never driver-audited):
+# quality_classifier_weights/_scores/_select/_stream (the GPT-3
+# page-filter family) and phash_signatures/_near_dups/_incremental +
+# dct_phash_signatures (the perceptual image-dedup family). Then the
+# 14 r11-stale heads (newest driver green = r11, computed across
+# CORRECTNESS_r01-r15): knn_pq_fitted_exact, knn_quantized,
+# log_sessions, log_sessions_stream, minhash_signatures,
+# near_dedup_best_docs, png_roundtrip, quality_ablation_web,
+# simhash, stateful_sessions, stratified_doc_sample,
+# supplier_fuzzy_dups, token_budget_select, weighted_doc_sample.
+# The remaining 16 slots are the alphabetically-first rows of the
+# 38-row r12-stale cohort (bm25_scores .. knn_pq_streamed); the 22
+# r12 rows left over (lineitem_global_stats, lm_perplexity_filter,
+# lm_perplexity_filter_3gram, lm_perplexity_filter_stream,
+# nation_market_share, nation_trade_flows, order_priority_check,
+# order_scalar_features, orders_cube, orders_rollup,
+# orders_snapshot_diff, parts_never_ordered, pricing_summary,
+# regional_revenue, salted_brand_revenue, small_quantity_revenue,
+# span_dedup, text_stats, tfidf_top_terms, top_customers_revenue,
+# top_orders_per_customer, train_split_assign) are the r17 stale
+# heads. After this window lands green, every registry row has been
+# driver-audited at least once and no row's newest driver green is
+# older than r12 — the freshness milestone item 1 asks for.
+# 12 + 8 + 14 + 16 = 50 exactly.
 #
-# Touched-path note: this round's code changes touch
-# semdedup.py (cold-path occupancy derived from the assignment
-# aggregate — semantic_dedup/semantic_dedup_incremental are r14
-# driver-green and gate-green this round), graph.py (convergence
-# checksum folded into the star-round action — graph_components_*
-# in this window), bench.py prebuild keying (no engine change),
-# and the ADVICE r14 items in plans/llm_text.py (+ engine guards):
-# wordpiece_vocab_fit, unigram_vocab_fit, unigram_tokens,
-# tokenizer_fertility — all in this window — and
-# graph_components_chain's self-loop pin. The 8 r15 newborns
-# (quality_classifier_weights/_scores/_select/_stream — the GPT-3
-# page-filter family; phash_signatures/_near_dups/_incremental +
-# dct_phash_signatures — the perceptual image-dedup family) register
-# behind the window, every one gate-green first run this round; they
-# join the 14 r11-stale leftovers as the r16 window queue.
+# Touched-path note: r16 code changes touch phash.py (ADVICE
+# chunk-geometry guard + comment fixes — phash_* in this window),
+# bench.py median fix (no engine change), tools/explain_audit.py
+# anchor fallback (tooling only), and the new r16 operator families
+# (distributed Lloyd k-means contract, byte-level BPE, the
+# image+text corpus-prep flagship) which register behind the window,
+# gate-green first — they join the 22 r12-stale leftovers as the
+# r17 window queue.
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",
@@ -127,47 +123,47 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # the 12 r14 post-window newborns (never driver-audited)
-    "substring_dedup_incremental",
-    "substring_dedup_stream",
-    "graph_components_chain",
-    "graph_components_incremental",
-    "wordpiece_tokens",
-    "wordpiece_vocab_fit",
-    "unigram_tokens",
-    "unigram_vocab_fit",
-    "unigram_tokens_stream",
-    "unigram_sample_tokens",
-    "tokenizer_fertility",
-    "leakage_free_splits",
-    # the 9 r10-stale heads
-    "conversion_pairs_stream",
-    "events_csv_roundtrip",
-    "order_value_ntile",
-    "rare_token_stats",
-    "simhash_near_dups",
-    "table_profile",
-    "training_order_shuffle",
-    "url_curation",
-    "wav_roundtrip",
-    # 17 alphabetically-first of the 31-row r11-stale cohort
-    "bmp_roundtrip",
-    "bpe_pack_chunks",
-    "bpe_token_ids",
-    "bpe_vocab_fit",
-    "corpus_report",
-    "corpus_shards",
-    "doc_chunks",
-    "doc_quality_signals",
-    "domain_quota_sample",
-    "dup_cluster_sizes",
-    "hard_negative_mining",
-    "jl_projection_contract",
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_ivf_probe_tuned",
-    "knn_ivf_quantized_recall",
-    "knn_ivf_quantized_recall_p6",
+    # the 8 r15 post-window newborns (never driver-audited)
+    "quality_classifier_weights",
+    "quality_classifier_scores",
+    "quality_classifier_select",
+    "quality_classifier_stream",
+    "phash_signatures",
+    "dct_phash_signatures",
+    "phash_near_dups",
+    "phash_incremental",
+    # the 14 r11-stale heads
+    "knn_pq_fitted_exact",
+    "knn_quantized",
+    "log_sessions",
+    "log_sessions_stream",
+    "minhash_signatures",
+    "near_dedup_best_docs",
+    "png_roundtrip",
+    "quality_ablation_web",
+    "simhash",
+    "stateful_sessions",
+    "stratified_doc_sample",
+    "supplier_fuzzy_dups",
+    "token_budget_select",
+    "weighted_doc_sample",
+    # 16 alphabetically-first of the 38-row r12-stale cohort
+    "bm25_scores",
+    "corpus_prep",
+    "customer_segments_setops",
+    "distinct_parts_per_supplier",
+    "domain_quota_survivors",
+    "exact_dedup_groups",
+    "knn_ivf_appended",
+    "knn_ivf_compacted",
+    "knn_ivf_persisted",
+    "knn_ivf_persisted_tuned",
+    "knn_ivf_pq_persisted",
+    "knn_ivf_streamed",
+    "knn_pq_appended",
+    "knn_pq_compacted",
+    "knn_pq_persisted_rerank",
+    "knn_pq_streamed",
 ]
 
 

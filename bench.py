@@ -511,7 +511,15 @@ def run_slice(
                     break
                 samples.append(s)
             retry_samples[name] = samples
-            timings[name] = sorted(samples)[len(samples) // 2]
+            # For an even sample count (a 4th/5th re-time errored
+            # and broke the loop) sorted[len//2] would keep the
+            # UPPER middle — a high-biased "median" of 4. Use the
+            # lower middle instead, mirroring the len==2 min
+            # fallback below: the high samples are the readings
+            # under suspicion.
+            srt = sorted(samples)
+            mid = (len(srt) - 1) // 2
+            timings[name] = srt[mid]
         elif len(samples) == 2:
             # One re-time errored: a true median doesn't exist, and
             # sorted[len//2] of 2 would keep the MAX (neither median

@@ -215,32 +215,44 @@ def _sig_chunks(
     sig: DataFrame, max_dist: int, id_col: str, suffix: str
 ) -> DataFrame:
     """Explode a signature frame into its pigeonhole chunks:
-    (id_{suffix}, hi_{suffix}, lo_{suffix}, ci, cv)."""
+    (id_{suffix}, hi_{suffix}, lo_{suffix}, ci, cv).
+
+    Chunks are carved from the full 64-bit space (hi word spliced
+    above the lo word), so the d+1 chunks tile ALL 64 bits for ANY
+    ``max_dist`` in [0, 63]: the first d chunks take 64 // (d+1)
+    bits each and the last chunk absorbs the remainder. Disjoint
+    cover of every bit is what makes the pigeonhole lossless — a
+    pair within Hamming ``max_dist`` must agree exactly on some
+    chunk. (The earlier per-word-shift form silently dropped bits
+    whenever the chunks didn't tile a 32-bit word, e.g. max_dist=2.)
+    """
+    if not 0 <= max_dist < 64:
+        raise ValueError(
+            f"max_dist must be in [0, 63], got {max_dist}"
+        )
     n_chunks = max_dist + 1
     chunk_bits = 64 // n_chunks
-    per_word = 32 // chunk_bits
-    mask = (1 << chunk_bits) - 1
+    # hash_lo is always in [0, 2^32) so OR-splicing never collides
+    # with the shifted hi word; extraction uses *unsigned* shifts
+    # because the splice may set the bigint sign bit.
+    full = F.shiftleft(F.col("hash_hi"), 32).bitwiseOR(
+        F.col("hash_lo")
+    )
+
+    def chunk(i: int):
+        start = i * chunk_bits
+        width = chunk_bits if i < n_chunks - 1 else 64 - start
+        cv = F.shiftrightunsigned(full, start)
+        if width < 64:
+            cv = cv.bitwiseAND(F.lit((1 << width) - 1))
+        return F.struct(F.lit(i).alias("ci"), cv.alias("cv"))
+
     return sig.select(
         F.col(id_col).alias(f"doc_{suffix}"),
         F.col("hash_hi").alias(f"hi_{suffix}"),
         F.col("hash_lo").alias(f"lo_{suffix}"),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(
-                            F.col(
-                                "hash_lo" if i < per_word else "hash_hi"
-                            ),
-                            (i % per_word) * chunk_bits,
-                        )
-                        .bitwiseAND(F.lit(mask))
-                        .alias("cv"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
+            F.array(*[chunk(i) for i in range(n_chunks)])
         ).alias("c"),
     ).select(
         f"doc_{suffix}", f"hi_{suffix}", f"lo_{suffix}", "c.ci", "c.cv"
@@ -364,7 +376,10 @@ def dct_signatures(stats: DataFrame, id_col: str = "doc_id") -> DataFrame:
     coefficient table, partial-aggregated groupBy back to 63
     coefficients per image (~the decode's own row volume), one
     per-image sort of 63 values for the median. Bit uv lives in word
-    uv // 32 (bit 63 unused — no sign-bit hazard)."""
+    uv // 32 at position uv % 32 (uv 0 is excluded, so it is lo-word
+    bit 0 that stays unused; uv 63 does set hi-word bit 31, which is
+    harmless because each word is summed from long literals and cast
+    to bigint)."""
     spark = stats.sparkSession
     kdf = spark.createDataFrame(
         _dct_coef_rows(), "uv int, j int, k bigint"
@@ -399,8 +414,9 @@ def dct_signatures(stats: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def word(lo_bit: int, hi_bit: int):
         out = None
         for uv in range(lo_bit, hi_bit):
-            # _a is sorted by uv, and uv 1..63 land at index uv
-            # (uv 0 is excluded, so position i holds uv = i + 1)
+            # _a is sorted by uv; with uv 0 excluded the sorted
+            # array holds uv = i at 1-indexed position i, which is
+            # exactly what 1-based element_at(_a, uv) reads.
             t = F.when(
                 F.element_at(F.col("_a"), uv)["c"] > F.col("_med"),
                 F.lit(1 << (uv % 32)),

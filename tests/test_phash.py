@@ -83,6 +83,52 @@ def test_banding_is_lossless_vs_bruteforce(spark):
     assert banded == brute and brute  # lossless, and non-trivial
 
 
+@pytest.mark.parametrize("max_dist", [0, 1, 2, 5])
+def test_banding_is_lossless_for_non_tiling_chunk_widths(spark, max_dist):
+    """max_dist values whose chunks don't tile a 32-bit word
+    (2 -> 21-bit chunks, 5 -> 10-bit chunks) and the degenerate
+    max_dist=0 used to break the pigeonhole guarantee; the full
+    64-bit carve must stay exactly lossless for all of them."""
+    docs = spark.range(0, 48).select(F.col("id").alias("doc_id"))
+    sig = ph.phash_signatures(docs).localCheckpoint()
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in ph.near_dups(sig, max_dist=max_dist).collect()
+    }
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_hi").alias("ha"),
+        F.col("hash_lo").alias("la"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_hi").alias("hb"),
+        F.col("hash_lo").alias("lb"),
+    )
+    ham = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("int")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_near_dups_rejects_out_of_range_max_dist(spark):
+    docs = spark.range(0, 4).select(F.col("id").alias("doc_id"))
+    sig = ph.phash_signatures(docs)
+    with pytest.raises(ValueError):
+        ph.near_dups(sig, max_dist=-1)
+    with pytest.raises(ValueError):
+        ph.near_dups(sig, max_dist=64)
+
+
 def test_within_group_variants_are_near_dups(spark):
     docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
     pairs = {

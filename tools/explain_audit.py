@@ -288,12 +288,17 @@ def main() -> None:
             pat = _re.compile(rf"^\| {_re.escape(name)} \|.*$", _re.M)
             if pat.search(text):
                 text = pat.sub(newline.replace("\\", "\\\\"), text, count=1)
-            else:
+            elif "\n## Flagship plan excerpts" in text:
                 text = text.replace(
                     "\n## Flagship plan excerpts",
                     f"{newline}\n\n## Flagship plan excerpts",
                     1,
                 )
+            else:
+                # No anchor section in the standing file: a silent
+                # str.replace no-op would drop the freshly audited
+                # row while still reporting it merged. Append it.
+                text = text.rstrip("\n") + f"\n{newline}\n"
         with open(args.out, "w") as f:
             f.write(text)
         print(f"{len(rows)} plans merged, {bad} flagged -> {args.out}")
