@@ -439,6 +439,45 @@ def run_slice(
         from flink_log_analysis_spark.plans.formats import orc_dir
 
         prestep("orc_input", lambda: orc_dir(spark, sf_dir))
+    # Deep warm (r16, the lm_perplexity_filter_stream root cause):
+    # the LM scoring fold (and the pipeline/tokenize paths that embed
+    # it) reaches HotSpot steady state only after ~10k document-row
+    # evaluations of its generated code — solo diagnosis showed
+    # addBatch decaying 10.8 -> 13.0 -> 2.1 s across three identical
+    # back-to-back sf0.1 runs in ONE session with the model and JSONL
+    # inputs fully prebuilt (the contamination is deterministic
+    # warm-up, not contention: r15 driver retries [6.3, 38.8, 5.3]
+    # and r14's lm_perplexity_filter [41.8, 2.2, 2.1] are the same
+    # decay). The sf0.01 warm pass feeds only ~500 document rows —
+    # far under the promotion threshold — so the first TWO timed
+    # executions are 5-10x the floor and a median of 3 keeps a
+    # contaminated reading. One untimed execution at the TIMED sf
+    # moves the bulk of that warm-up outside the timed windows
+    # (standard warmup-run benchmarking, same rationale as the warm
+    # pass itself); the retry median absorbs the residual
+    # second-execution tail. Cost rides the prebuild map.
+    DEEP_WARM = (
+        "lm_perplexity_filter",
+        "lm_perplexity_filter_3gram",
+        "lm_perplexity_filter_3gram_dist",
+        "lm_perplexity_filter_kn",
+        "lm_perplexity_per_lang",
+        "lm_perplexity_chunked",
+        "lm_perplexity_filter_stream",
+        "ccnet_buckets",
+        "pretrain_corpus_prep",
+        "corpus_tokenize_stream",
+        "dup_cluster_sizes",
+    )
+    for name in names:
+        if name in DEEP_WARM:
+            prestep(
+                "deep_warm",
+                lambda n=name: qs[n](spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
 
     def timed(name: str) -> float | None:
         t0 = time.perf_counter()
