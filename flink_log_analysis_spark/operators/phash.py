@@ -280,7 +280,15 @@ def near_dups(
     once (a < b), via the pigeonhole chunk join over the 64 bits:
     d+1 = 4 chunks of 16 bits (two per word), so any pair within 3
     agrees exactly on some chunk. Uniform-ish block bits -> no skew;
-    verification is two bit_count(xor) terms per candidate."""
+    verification is two bit_count(xor) terms per candidate.
+
+    Scale envelope (``tools/scale_probe.py phash_near_dups``): 2.62x
+    wall at 10x rows (sf0.01 replicas) — sublinear because the decode
+    pass dominates at this size; the banded join's candidate count
+    grows with per-chunk-value collision mass, which is the
+    documented adversarial property (identical replicated images
+    would grow it quadratically; natural corpora spread chunk
+    values)."""
     chunks = _sig_chunks(sig, max_dist, id_col, "a")
     b = chunks.select(
         F.col("doc_a").alias("doc_b"),

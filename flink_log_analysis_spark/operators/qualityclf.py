@@ -139,6 +139,13 @@ def fit_logreg(
     with n_docs = documents holding >= 1 gram. Every SUM adds exact
     integers; the two ROUNDs are the engine-certified ROUND(x, 0)
     both engines share — the oracle replays the chain CTE-for-CTE.
+
+    Scale envelope (``tools/scale_probe.py
+    quality_classifier_fit_build``, cache-bypassing): 4.78x wall at
+    10x rows (sf0.01 replicas) — sublinear; each of the 4 steps is
+    one broadcast join + two hash-aggs over the checkpointed feature
+    frame, so cost is per-step scans amortized against fixed fit
+    overhead. Scoring separately probed at 1.3x (r15).
     """
     spark = fc.sparkSession
     # The featurized frame feeds 2 aggregation passes per step —

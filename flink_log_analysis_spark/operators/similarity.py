@@ -467,6 +467,22 @@ def ivf_fit(
     same index (``ivf_assign``/``knn_ivf`` accept them via
     ``centroids=``) — exactly how a production IVF index works: build
     once, search many.
+
+    **Fit-path dispatch** (two arms, pick by regime): this function
+    is the bounded-sample arm — collect <= ``fit_sample_rows``
+    vectors, iterate in numpy, zero distributed fit jobs; right
+    whenever a sample captures the density shape (the normal IVF/PQ
+    coarse-quantizer case). The other arm is
+    :func:`kmeans.lloyd_fit <..operators.kmeans.lloyd_fit>`: Lloyd
+    rounds as join + hash-agg jobs over the FULL corpus, fixed-point
+    integer-exact and SQL-replayable — right when the fit must be
+    auditable/value-reproducible, when cell structure is too fine
+    for a 100k sample, or when no bounded collect is acceptable.
+    Its ``centroids_to_floats`` output plugs into the same
+    ``centroids=`` seam (see ``knn_ivf_lloyd``). This numpy fit
+    CANNOT be the cross-engine contract target: kmeans++ draws from
+    a numpy Generator and averages floats in partition order,
+    neither replayable in SQL.
     """
     import numpy as np
 

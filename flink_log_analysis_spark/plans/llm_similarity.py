@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, semdedup, similarity
+from ..operators import dedup, kmeans, semdedup, similarity
 from ..session import read_table
 
 N_QUERIES = 10  # query set = vec_id < 10
@@ -2087,6 +2087,88 @@ def knn_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- distributed Lloyd k-means (operators/kmeans.py) ---------------
+# The fit-path dispatch's second arm: every other quantizer fit is
+# driver-side numpy over a bounded sample (similarity.ivf_fit); these
+# rows certify the join+hash-agg fit that never collects the corpus.
+
+KM_FIT_CELLS = 8        # cells for the real-embeddings fit row
+KM_CONTRACT_CELLS = 16  # cells for the formula-corpus contract row
+
+
+def kmeans_lloyd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED Lloyd fit's centroid table as the contract:
+    (cell, d, cval), fixed-point BIGINT coordinates after KM_ITERS
+    rounds over the full embeddings corpus — quantize once, then one
+    job per round (broadcast integer argmin + posexplode hash-agg +
+    bounded k x dim collect; operators/kmeans.py). The oracle
+    re-derives the ENTIRE fit as a CTE chain (seed selection by md5
+    order, then assignment -> grouped integer sums -> rounded update
+    -> empty-cell COALESCE per round), so any divergence anywhere in
+    the distributed fit — quantization, a distance, a tie-break, a
+    sum partial, a rounding — moves some coordinate and fails the
+    hash. First value-exact FITTED quantizer row (the closed-form
+    rows certify routing under constructed centers; the numpy fits
+    are recall-bounded, not replayable)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans.lloyd_fit(emb, n_cells=KM_FIT_CELLS)
+    return kmeans.centroids_df(spark, cents)
+
+
+def kmeans_lloyd_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-vs-local fit contract (VERDICT r15 item 4): the
+    SAME fixed-point Lloyd spec run twice — the distributed
+    join+hash-agg rounds, and a pure-Python driver replica
+    (hashlib seeding, integer loops, exact rational rounding) over
+    the collected quantized corpus — same seeds, identical centroids,
+    coordinate by coordinate. Runs on the formula corpus so the
+    oracle derives the input independently and replays the fit in
+    SQL: three engines, one centroid table. ``fit_match`` must be
+    TRUE on every row."""
+    corpus, _ = _manycell_corpora(spark)
+    dist = kmeans.lloyd_fit(
+        corpus, n_cells=KM_CONTRACT_CELLS, scale=kmeans.KM_SCALE
+    )
+    q = kmeans.quantize_vectors(corpus)
+    rows = [
+        (int(r["vec_id"]), [int(v) for v in r["xq"]]) for r in q.collect()
+    ]
+    local = kmeans.lloyd_fit_local(rows, n_cells=KM_CONTRACT_CELLS)
+    ddf = kmeans.centroids_df(spark, dist)
+    ldf = kmeans.centroids_df(spark, local).withColumnRenamed(
+        "cval", "local_cval"
+    )
+    return ddf.join(ldf, ["cell", "d"]).select(
+        "cell",
+        "d",
+        "cval",
+        "local_cval",
+        (F.col("cval") == F.col("local_cval")).alias("fit_match"),
+    )
+
+
+def knn_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted-path dispatch end-to-end, value-exact: centroids
+    from the DISTRIBUTED Lloyd fit (64 cells over the clustered
+    formula corpus), converted back to coordinate space (cval /
+    10^scale — the same IEEE double both engines produce), driving
+    the SAME ``similarity.knn_ivf`` operator the closed-form row
+    certifies. The oracle replays fit, conversion, argmin routing,
+    probe ranking, and cosine top-k in one statement — the first
+    exact certificate of the search path under FITTED (not
+    constructed) centers."""
+    corpus, _ = _manycell_corpora(spark)
+    cents = kmeans.lloyd_fit(corpus, n_cells=MANYCELL_CELLS)
+    queries = corpus.filter(F.col("vec_id") % MANYCELL_QUERY_MOD == 0)
+    return similarity.knn_ivf(
+        corpus,
+        queries,
+        k=K,
+        n_probe=IVFPQ_PROBE,
+        centroids=kmeans.centroids_to_floats(cents),
+    )
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
@@ -2121,6 +2203,9 @@ QUERIES = {
     "knn_ivf_probe_tuned": knn_ivf_probe_tuned,
     "knn_ivf_persisted_tuned": knn_ivf_persisted_tuned,
     "knn_pq_rerank_recall": knn_pq_rerank_recall,
+    "kmeans_lloyd_fit": kmeans_lloyd_fit,
+    "kmeans_lloyd_contract": kmeans_lloyd_contract,
+    "knn_ivf_lloyd": knn_ivf_lloyd,
 }
 
 
@@ -2571,3 +2656,80 @@ ORACLE["semantic_dedup_incremental"] = f"""
     WHERE ROUND(list_cosine_similarity(en, ec),
                 {semdedup.COS_ROUND}) >= {semdedup.TAU}
 """
+
+
+# --- distributed Lloyd k-means oracles ------------------------------
+# Each replays the ENTIRE fit CTE-for-CTE (operators/kmeans.fit_sql):
+# fixed-point quantization, md5-ordered seed selection, then per
+# round one integer-argmin assignment, one grouped-integer-sum +
+# rounded-quotient update, one empty-cell COALESCE. The fit row runs
+# on the real embeddings table; the contract and search rows derive
+# their corpus from the proven manycell formula, so three independent
+# derivations (Spark distributed, Python local, DuckDB relational)
+# must land on one centroid table.
+
+ORACLE["kmeans_lloyd_fit"] = (
+    "WITH "
+    + kmeans.fit_sql("embeddings", KM_FIT_CELLS, dim=DIM)
+    + " SELECT cell, d, cval FROM kmfit"
+)
+
+ORACLE["kmeans_lloyd_contract"] = (
+    f"WITH v AS ({_MANYCELL_CORPUS_SQL}),\n        "
+    + kmeans.fit_sql(
+        "v", KM_CONTRACT_CELLS, dim=MANYCELL_DIM, vec_expr="e"
+    )
+    + """
+    SELECT cell, d, cval, cval AS local_cval, TRUE AS fit_match
+    FROM kmfit
+"""
+)
+
+# The fitted-path search: fit CTEs -> centroids back to coordinate
+# space (cval / 10^scale, the same IEEE division both engines
+# compute) -> the _manycell_routing_sql argmin/probe/cosine replica
+# with the fitted matrix riding a one-row CTE instead of a literal.
+_KM_SEARCH_DIST = (
+    f"list_transform(cm, c -> list_reduce("
+    f"[0.0] || list_transform(generate_series(1, {MANYCELL_DIM}),"
+    f" i -> (e[i] - c[i]) * (e[i] - c[i])),"
+    f" (acc, x) -> acc + x))"
+)
+
+ORACLE["knn_ivf_lloyd"] = (
+    f"WITH v AS ({_MANYCELL_CORPUS_SQL}),\n        "
+    + kmeans.fit_sql("v", MANYCELL_CELLS, dim=MANYCELL_DIM, vec_expr="e")
+    + f""",
+    kmcf AS (SELECT list(list_transform(c, x -> x / {float(10 ** kmeans.KM_SCALE)!r})
+                         ORDER BY cell) AS cm
+             FROM kmc{kmeans.KM_ITERS}),
+    cellv AS (SELECT vec_id, e, {_KM_SEARCH_DIST} AS dv
+              FROM v CROSS JOIN kmcf),
+    assigned AS (SELECT vec_id, e,
+                        list_position(dv, list_min(dv)) - 1 AS cell
+                 FROM cellv),
+    qd AS (SELECT query_id, qv, ci - 1 AS cell, dv[ci] AS d
+           FROM (SELECT vec_id AS query_id, e AS qv, dv,
+                        unnest(generate_series(1, {MANYCELL_CELLS}))
+                            AS ci
+                 FROM cellv
+                 WHERE vec_id % {MANYCELL_QUERY_MOD} = 0)),
+    probes AS (SELECT query_id, qv, cell FROM (
+               SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY d ASC, cell ASC) AS pr
+               FROM qd) WHERE pr <= {IVFPQ_PROBE}),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(p.qv, a.e), 6) AS cos
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rn
+          FROM scored)
+    SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= {K}
+"""
+)

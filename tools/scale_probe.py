@@ -66,8 +66,31 @@ def _near_dup_pairs_build(spark, sf_dir):
     )
 
 
+def _quality_classifier_fit_build(spark, sf_dir):
+    """Cache-bypassing twin of quality_classifier_weights: the
+    registry version memoizes the fitted model per corpus
+    (_QC_MODELS), so a timed second pass would measure a dict hit.
+    This probes the FIT — featurization + 4 gradient rounds."""
+    from pyspark.sql import functions as F
+
+    from flink_log_analysis_spark.operators import qualityclf
+    from flink_log_analysis_spark.plans.llm_quality import LM_REF_MOD
+    from flink_log_analysis_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = qualityclf.fit_logreg(
+        qualityclf.labeled_feature_counts(
+            docs, F.col("doc_id") % LM_REF_MOD == 0
+        )
+    )
+    return spark.createDataFrame(w, "feat bigint, w bigint")
+
+
 # Probe names that are not registry entries (cache-bypassing builds).
-SPECIAL = {"near_dup_pairs_build": _near_dup_pairs_build}
+SPECIAL = {
+    "near_dup_pairs_build": _near_dup_pairs_build,
+    "quality_classifier_fit_build": _quality_classifier_fit_build,
+}
 
 
 def build_replica(spark, base: str, out: str, reps: int) -> None:
