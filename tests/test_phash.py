@@ -212,3 +212,62 @@ def test_incremental_never_pairs_batch_with_batch(spark):
     for r in pairs:
         assert r["doc_a"] % 4 == 3 and r["doc_b"] % 4 != 3
         assert r["hamming"] <= ph.PH_MAX_DIST
+
+
+def test_vectorized_codec_paths_match_scalar_reference():
+    """r16 optimization: the numpy fast paths (decode_bmp_array,
+    encode_bmp_gray_array, and block_stats' reduceat block sums) must
+    be value-identical to the scalar stdlib codec on every geometry
+    class: exact-tile, non-tiling remainders, and padded row sizes."""
+    import numpy as np
+
+    from flink_log_analysis_spark.operators import mediacodecs as mc
+
+    rng = np.random.RandomState(7)
+    for w, h in [(32, 32), (10, 6), (7, 32), (33, 17), (8, 8)]:
+        rows = [
+            [tuple(int(v) for v in rng.randint(0, 256, 3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        buf = mc.encode_bmp(rows)
+        w0, h0, ref_rows = mc.decode_bmp(buf)
+        w1, h1, px = mc.decode_bmp_array(buf)
+        assert (w0, h0) == (w1, h1) == (w, h)
+        assert px.shape == (h, w, 3)
+        assert [
+            [tuple(int(v) for v in px[r, c]) for c in range(w)]
+            for r in range(h)
+        ] == ref_rows
+        # gray encode twin: byte-identical BMP for (g, g, g) pixels
+        gray = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        fast = mc.encode_bmp_gray_array(gray)
+        slow = mc.encode_bmp(
+            [[(int(g),) * 3 for g in gray[r]] for r in range(h)]
+        )
+        assert fast == slow
+
+
+def test_block_stats_matches_scalar_loop(spark):
+    """The reduceat block sums equal the per-pixel scalar fold on a
+    non-tiling geometry (10x6 image under the 8x8 grid exercises the
+    empty-block scalar fallback) and the 32x32 contract geometry."""
+    from flink_log_analysis_spark.operators import mediacodecs as mc
+
+    for w, h in [(32, 32), (10, 6)]:
+        rows = [
+            [((r * 7 + c * 13) % 256,) * 3 for c in range(w)]
+            for r in range(h)
+        ]
+        buf = mc.encode_bmp(rows)
+        df = spark.createDataFrame([(0, bytearray(buf))],
+                                   "doc_id bigint, img binary")
+        got = ph.block_stats(df).collect()[0]
+        grid = ph.PH_GRID
+        bs = [0] * (grid * grid)
+        for r in range(h):
+            for c in range(w):
+                g = (r * 7 + c * 13) % 256
+                bs[(r * grid // h) * grid + c * grid // w] += 3 * g
+        assert got["width"] == w and got["height"] == h
+        assert list(got["bsums"]) == bs
+        assert got["total"] == sum(bs)
