@@ -68,6 +68,14 @@ Env: SPARK_GRAFT_SF_DIR         (default /root/testdata/sf0.1),
 Each query is materialized via a noop-sink write that forces full
 execution of every output row/column without shipping rows to the
 driver (driver-side collect cost is not what we benchmark at 100 TB).
+
+Every timed query first runs ONCE untimed at the timed sf (recorded
+under prebuild["deep_warm"]): HotSpot's warm-up on a query's generated
+code is deterministic and data-size-dependent, so without it the first
+timed execution reads 3-10x the steady state for whichever rows the
+sf0.01 warm pass under-exercises (measured across families in r16 —
+see run_slice). Timed numbers mean steady-state plan build + full
+execution from the parquet inputs.
 """
 
 from __future__ import annotations
@@ -439,45 +447,35 @@ def run_slice(
         from flink_log_analysis_spark.plans.formats import orc_dir
 
         prestep("orc_input", lambda: orc_dir(spark, sf_dir))
-    # Deep warm (r16, the lm_perplexity_filter_stream root cause):
-    # the LM scoring fold (and the pipeline/tokenize paths that embed
-    # it) reaches HotSpot steady state only after ~10k document-row
-    # evaluations of its generated code — solo diagnosis showed
-    # addBatch decaying 10.8 -> 13.0 -> 2.1 s across three identical
-    # back-to-back sf0.1 runs in ONE session with the model and JSONL
-    # inputs fully prebuilt (the contamination is deterministic
-    # warm-up, not contention: r15 driver retries [6.3, 38.8, 5.3]
-    # and r14's lm_perplexity_filter [41.8, 2.2, 2.1] are the same
-    # decay). The sf0.01 warm pass feeds only ~500 document rows —
-    # far under the promotion threshold — so the first TWO timed
-    # executions are 5-10x the floor and a median of 3 keeps a
-    # contaminated reading. One untimed execution at the TIMED sf
-    # moves the bulk of that warm-up outside the timed windows
-    # (standard warmup-run benchmarking, same rationale as the warm
-    # pass itself); the retry median absorbs the residual
-    # second-execution tail. Cost rides the prebuild map.
-    DEEP_WARM = (
-        "lm_perplexity_filter",
-        "lm_perplexity_filter_3gram",
-        "lm_perplexity_filter_3gram_dist",
-        "lm_perplexity_filter_kn",
-        "lm_perplexity_per_lang",
-        "lm_perplexity_chunked",
-        "lm_perplexity_filter_stream",
-        "ccnet_buckets",
-        "pretrain_corpus_prep",
-        "corpus_tokenize_stream",
-        "dup_cluster_sizes",
-    )
+    # Deep warm (r16): one untimed execution at the TIMED sf for
+    # EVERY query in the chunk, so the timed pass measures
+    # steady-state execution (standard warmup-run benchmarking, the
+    # same rationale as the sf0.01 warm pass). Originally scoped to
+    # the LM scoring family (the lm_perplexity_filter_stream root
+    # cause: HotSpot reaches steady state on its generated code only
+    # after ~10k document-row evaluations — solo diagnosis showed
+    # addBatch decaying 10.8 -> 13.0 -> 2.1 s across identical
+    # back-to-back sf0.1 runs with every input prebuilt; the r15
+    # driver retries [6.3, 38.8, 5.3] are the same decay). The r16
+    # optimization round then measured the SAME deterministic
+    # first-execution-at-the-timed-SF decay on rows far outside the
+    # LM family — dsir_select [15.8, 2.5, 1.8] s, near_dedup_best_docs
+    # [7.0, 1.8, 1.7] s, doc_boilerplate_signals [7.9, 4.0, 2.8] s,
+    # all solo on an idle host — so the warm-up is uniform, not
+    # family-specific, and scoping the fix per-family just moved the
+    # contamination to whichever rows lacked it. Cost stays recorded
+    # under prebuild["deep_warm"]; the timed window's meaning is
+    # unchanged (plan build + full execution from the parquet inputs;
+    # nothing result-shaped is cached — the warm execution writes to
+    # the noop sink).
     for name in names:
-        if name in DEEP_WARM:
-            prestep(
-                "deep_warm",
-                lambda n=name: qs[n](spark, sf_dir)
-                .write.format("noop")
-                .mode("overwrite")
-                .save(),
-            )
+        prestep(
+            "deep_warm",
+            lambda n=name: qs[n](spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
 
     def timed(name: str) -> float | None:
         t0 = time.perf_counter()

@@ -39,10 +39,12 @@ Why it can be VALUE-exact (the :mod:`.qualityclf` construction):
 
 Distributed shape (the :mod:`.graph` one-action-per-round
 discipline): the quantized frame is checkpointed once; each Lloyd
-round is ONE job — a broadcast attach of the k x dim centroid matrix
-(the ``cmat`` one-row convention), a posexplode + hash-agg down to
-k x dim groups (map-side partials), and a bounded k x dim collect
-that carries the next round's matrix. Early stop on an unchanged
+round is ONE job — the k x dim centroid matrix rides the task closure
+into a vectorized Arrow stage that assigns each batch (exact int64
+argmin, guide §4.2) and emits k x dim PARTIAL sums/counts, a hash-agg
+folds the partials, and a bounded k x dim collect carries the next
+round's matrix. Only k x dim x n_tasks partial rows ever shuffle —
+never the corpus, never an N x dim explode. Early stop on an unchanged
 matrix is safe under the oracle's fixed iteration count because a
 converged round is idempotent: same centroids -> same assignment ->
 same sums -> same centroids, so SQL iterations beyond convergence
@@ -118,10 +120,83 @@ def seed_centroids(
     return [[int(v) for v in r["xq"]] for r in rows]
 
 
+# Envelope bound for the vectorized int64 assignment: with every
+# coordinate magnitude (corpus and centroids) at or below this, a
+# squared distance sum over <= 256 dims stays under 2^63, so numpy
+# int64 arithmetic cannot wrap and is exactly the relational BIGINT
+# fold. 4 * B^2 * 256 <= 2^63  =>  B <= ~9.5e7; keep a round margin.
+_NP_ASSIGN_MAX_ABS = 10**7
+
+
 def assign_int_cells(q: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """(id, xq, cell): integer argmin by squared L2 over the broadcast
-    centroid matrix, ties toward the lower cell index — the
-    :func:`similarity.assign_cells` comparator in BIGINT."""
+    """(id, xq, cell): integer argmin by squared L2 over the centroid
+    matrix, ties toward the lower cell index — the
+    :func:`similarity.assign_cells` comparator in BIGINT.
+
+    Default path (r16 optimization, guide §4.2/§8.3): the argmin runs
+    as vectorized int64 numpy inside one Arrow batch stage — the
+    centroid matrix rides the closure (it is k x dim integers, the
+    "decide with small rows" proxy), each task computes
+    ``((x[:,None,:] - C)^2).sum(2).argmin(1)`` per batch, and
+    ``argmin`` returns the FIRST minimum, which is exactly the
+    (dist, cell) struct tie-break. int64 numpy is the same exact
+    integer arithmetic as the BIGINT fold within the documented
+    envelope (module doc); the envelope is CHECKED per batch and on
+    the centroid matrix, and anything outside it takes the broadcast
+    higher-order-function form below (interpreted but unbounded).
+    The earlier always-HOF form ran ~1M Catalyst-interpreted lambda
+    invocations per round at the benched sizes (measured: the fit
+    rows spent ~1.5 s/round in it; the Arrow stage is ~10 ms)."""
+    dim = len(cents[0]) if cents else 0
+    if (
+        0 < dim <= 256
+        and all(abs(v) <= _NP_ASSIGN_MAX_ABS for c in cents for v in c)
+    ):
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        # fresh StructType — StructType.add MUTATES the receiver, and
+        # DataFrame.schema is cached, so adding in place corrupts q
+        out_schema = StructType(
+            list(q.schema.fields)
+            + [StructField("cell", IntegerType(), False)]
+        )
+        cols = [f.name for f in q.schema.fields]
+
+        def assign(it):
+            import numpy as np
+
+            cmat = np.asarray(cents, dtype=np.int64)
+            for pdf in it:
+                if len(pdf):
+                    x = np.stack(
+                        [np.asarray(v, dtype=np.int64) for v in pdf["xq"]]
+                    )
+                    if np.abs(x).max() > _NP_ASSIGN_MAX_ABS:
+                        # outside the no-wrap envelope: exact Python
+                        # ints, row-at-a-time (never silently wraps)
+                        cell = [
+                            min(
+                                range(len(cents)),
+                                key=lambda ci: (
+                                    sum(
+                                        (int(a) - b) * (int(a) - b)
+                                        for a, b in zip(row, cents[ci])
+                                    ),
+                                    ci,
+                                ),
+                            )
+                            for row in x
+                        ]
+                        pdf = pdf.assign(cell=np.asarray(cell, "int32"))
+                    else:
+                        diff = x[:, None, :] - cmat[None, :, :]
+                        best = (diff * diff).sum(axis=2).argmin(axis=1)
+                        pdf = pdf.assign(cell=best.astype("int32"))
+                else:
+                    pdf = pdf.assign(cell=np.empty(0, "int32"))
+                yield pdf[cols + ["cell"]]
+
+        return q.mapInPandas(assign, schema=out_schema)
     spark = q.sparkSession
     cmat = spark.createDataFrame([(cents,)], "cmat array<array<bigint>>")
     dists = F.transform(
@@ -152,9 +227,10 @@ def lloyd_fit(
     vec_col: str = "embedding",
 ) -> list[list[int]]:
     """The distributed fit: quantize once, then ``n_iter`` Lloyd
-    rounds of ONE job each (broadcast assignment + posexplode
-    hash-agg + bounded k x dim collect). Returns the fixed-point
-    centroid matrix (cell-indexed list of BIGINT coordinate lists).
+    rounds of ONE job each (vectorized Arrow assignment emitting
+    k x dim integer partials + hash-agg + bounded k x dim collect;
+    see :func:`_update_partials`). Returns the fixed-point centroid
+    matrix (cell-indexed list of BIGINT coordinate lists).
 
     The centroid update is computed IN-ENGINE —
     ``ROUND(SUM(v)::DOUBLE / COUNT(*), 0)`` per (cell, dim) — so the
@@ -168,18 +244,20 @@ def lloyd_fit(
     wall at 10x rows (sf0.01 replicas, 8 cells) — linear in corpus
     size by construction (each round is one scan + one k*dim-bounded
     hash-agg; no pairwise term anywhere)."""
+    # Lazy checkpoint: the seed job's TakeOrdered computes every
+    # partition, so the blocks materialize as its side effect — one
+    # fewer scheduled job than eager (the graph-seal convention).
     q = quantize_vectors(emb, id_col, vec_col, scale).localCheckpoint(
-        eager=True
+        eager=False
     )
     cents = seed_centroids(q, n_cells, seed, id_col)
     for _ in range(n_iter):
         upd = (
-            assign_int_cells(q, cents)
-            .select("cell", F.posexplode("xq").alias("d", "v"))
+            _update_partials(q, cents)
             .groupBy("cell", "d")
             .agg(
                 F.round(
-                    F.sum("v").cast("double") / F.count(F.lit(1)), 0
+                    F.sum("s").cast("double") / F.sum("n"), 0
                 )
                 .cast("bigint")
                 .alias("cv")
@@ -193,6 +271,101 @@ def lloyd_fit(
             break
         cents = nxt
     return cents
+
+
+def _update_partials(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """One Lloyd round's map side, fused (r16 optimization): per Arrow
+    batch, assign every row (the :func:`assign_int_cells` int64 argmin,
+    identical tie-break) and emit the k x dim PARTIAL coordinate sums
+    plus member counts — (cell, d, s, n) rows, at most k x dim per
+    batch — instead of posexploding N x dim (cell, d, v) rows into the
+    hash-agg. Exact-integer partials sum associatively, so
+    ``SUM(s) / SUM(n)`` downstream equals the row-level
+    ``SUM(v) / COUNT(*)`` bit-for-bit and the rounded quotient is
+    unchanged. Cells with no members emit nothing (the COALESCE arm).
+
+    Envelope: a partial sum is bounded by rows_per_batch * max|x|;
+    with max|x| <= :data:`_NP_ASSIGN_MAX_ABS` (checked per batch, the
+    Python-int fallback otherwise) and Arrow's 10k-row default
+    batches, |s| <= 1e11 — five orders inside int64. The count-based
+    guard below turns a pathological envelope breach into an error,
+    never a silent wrap."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    n_cells = len(cents)
+    dim = len(cents[0]) if cents else 0
+    out_schema = StructType(
+        [
+            StructField("cell", IntegerType(), False),
+            StructField("d", IntegerType(), False),
+            StructField("s", LongType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+    vectorized = 0 < dim <= 256 and all(
+        abs(v) <= _NP_ASSIGN_MAX_ABS for c in cents for v in c
+    )
+
+    def partials(it):
+        import numpy as np
+        import pandas as pd
+
+        cmat = np.asarray(cents, dtype=np.int64)
+        sums = np.zeros((n_cells, dim), dtype=np.int64)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        max_abs = 1
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["xq"]]
+            )
+            max_abs = max(max_abs, int(np.abs(x).max()))
+            if vectorized and np.abs(x).max() <= _NP_ASSIGN_MAX_ABS:
+                diff = x[:, None, :] - cmat[None, :, :]
+                best = (diff * diff).sum(axis=2).argmin(axis=1)
+            else:
+                best = np.asarray(
+                    [
+                        min(
+                            range(n_cells),
+                            key=lambda ci: (
+                                sum(
+                                    (int(a) - b) * (int(a) - b)
+                                    for a, b in zip(row, cents[ci])
+                                ),
+                                ci,
+                            ),
+                        )
+                        for row in x
+                    ],
+                    dtype=np.int64,
+                )
+            np.add.at(sums, best, x)
+            counts += np.bincount(best, minlength=n_cells)
+        if counts.max(initial=0) > (1 << 62) // max_abs:
+            raise OverflowError(
+                "lloyd partial-sum envelope exceeded; shard the corpus"
+            )
+        live = np.flatnonzero(counts)
+        if len(live):
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(live, dim).astype("int32"),
+                    "d": np.tile(np.arange(dim), len(live)).astype(
+                        "int32"
+                    ),
+                    "s": sums[live].ravel(),
+                    "n": np.repeat(counts[live], dim),
+                }
+            )
+
+    return q.select("xq").mapInPandas(partials, schema=out_schema)
 
 
 def _round_quotient(s: int, n: int) -> int:
@@ -210,38 +383,37 @@ def lloyd_fit_local(
     n_iter: int = KM_ITERS,
     seed: int = 42,
 ) -> list[list[int]]:
-    """Pure-Python replica of :func:`lloyd_fit` over collected
+    """Driver-side replica of :func:`lloyd_fit` over collected
     quantized rows [(id, xq)] — the bounded-data contract twin (same
     seeds -> identical centroids). Shares no Spark code with the
-    distributed fit: seeding via hashlib, distances via integer
-    loops, the update via exact rational rounding."""
+    distributed fit: seeding via hashlib, distances as exact int64
+    numpy arithmetic (vectorized in r16 — the per-row Python loops
+    cost ~2 s per fit at the contract sizes; the envelope |x| <=
+    X*10^s with X=2, s=6 keeps every square and sum far inside
+    int64, see module doc), the update via exact rational rounding
+    in Python ints."""
+    import numpy as np
+
     by_hash = sorted(rows, key=lambda r: (_seed_hash(seed, r[0]), r[0]))
     cents = [list(xq) for _, xq in by_hash[:n_cells]]
+    x = np.asarray([xq for _, xq in rows], dtype=np.int64)
     for _ in range(n_iter):
-        sums: dict[int, list[int]] = {}
-        counts: dict[int, int] = {}
-        for _, xq in rows:
-            best = min(
-                range(len(cents)),
-                key=lambda c: (
-                    sum((a - b) * (a - b) for a, b in zip(xq, cents[c])),
-                    c,
-                ),
-            )
-            if best not in sums:
-                sums[best] = [0] * len(xq)
-                counts[best] = 0
-            counts[best] += 1
-            for d, v in enumerate(xq):
-                sums[best][d] += v
+        c = np.asarray(cents, dtype=np.int64)
+        diff = x[:, None, :] - c[None, :, :]
+        # argmin returns the FIRST minimum — ties toward the lower
+        # cell index, same as the (dist, cell) struct comparator.
+        best = (diff * diff).sum(axis=2).argmin(axis=1)
+        counts = np.bincount(best, minlength=n_cells)
+        sums = np.zeros((n_cells, x.shape[1]), dtype=np.int64)
+        np.add.at(sums, best, x)
         nxt = [
             [
-                _round_quotient(sums[c][d], counts[c])
-                for d in range(len(cents[c]))
+                _round_quotient(int(sums[ci][d]), int(counts[ci]))
+                for d in range(x.shape[1])
             ]
-            if c in sums
-            else list(cents[c])
-            for c in range(len(cents))
+            if counts[ci]
+            else list(cents[ci])
+            for ci in range(n_cells)
         ]
         if nxt == cents:
             break
