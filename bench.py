@@ -58,7 +58,7 @@ while the build cost stays auditable.
 
 Env: SPARK_GRAFT_SF_DIR         (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS           (default all cores),
-     SPARK_GRAFT_BENCH_CHUNK    (queries per JVM, default 12),
+     SPARK_GRAFT_BENCH_CHUNK    (queries per JVM, default 4 — see main()),
      SPARK_GRAFT_BENCH_WARM_SF  (warm-pass data, default sf0.01 —
                                  large enough that HotSpot promotes
                                  the generated loops to C2 before the
@@ -321,6 +321,9 @@ def run_slice(
          _lazy(f"{_P}.llm_dedup", "_verified_pairs")),
         ("near_dup_corpus_index", ("incremental_near_dups",), (),
          _lazy(f"{_P}.llm_dedup", "_corpus_index")),
+        ("substr_corpus_index", ("substring_dedup_incremental",
+                                 "substring_dedup_stream"), (),
+         _lazy(f"{_P}.llm_quality", "_substr_index")),
         ("ivf_centroids", ("knn_ivf",), (),
          _lazy(f"{_P}.llm_similarity", "_ivf_centroids")),
         ("lm_bigram_model", ("lm_perplexity_filter",),
@@ -592,7 +595,15 @@ def main() -> None:
         return
 
     names = query_names()
-    chunk = max(int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "12")), 1)
+    # Chunk default 12 -> 4 (r16): "JIT-healthy session" is the whole
+    # point of sharding, and with the deep-warm execution added the
+    # 12-query sessions stopped being one — the accumulated codegen
+    # churn inflated codegen-heavy rows 3x (measured, same host, same
+    # code: graph_components_chain 21.9 s in a 6-query session vs
+    # 7.4 s in a 3-query one; order_value_ntile 7.3 vs 2.0). JVM boot
+    # and per-chunk prebuild repetition are harness overhead outside
+    # every timed window (recorded in "prebuild").
+    chunk = max(int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "4")), 1)
     # Contiguous slices (NOT strided): the registry clusters operator
     # families, and keeping a family in one JVM lets its shared plan
     # fragments hit the codegen cache; striding was measured 28% worse

@@ -168,6 +168,34 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same family shape), the rest the standing corpus.
 SUBSTR_BATCH_MOD = 7
 
+_SUBSTR_INDEX_CACHE: dict[str, str] = {}
+
+
+def _substr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing corpus's distinct window-key index
+    (quality.build_substring_index), parquet-materialized ONCE per
+    (session, sf_dir) and shared by the batch and streaming
+    incremental queries — the llm_dedup._corpus_index convention:
+    production writes this artifact when the corpus is committed and
+    every arriving batch probes it; the parquet materialization (not
+    localCheckpoint) survives the harness's release_checkpoints()
+    between queries. bench.py prebuilds it (recorded under
+    "substr_corpus_index") so the timed rows measure the steady-state
+    per-batch probe path, exactly like incremental_near_dups."""
+    path = _SUBSTR_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        from ..session import shared_tmp_dir
+
+        corpus = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % SUBSTR_BATCH_MOD != 0
+        )
+        path = shared_tmp_dir("loganalysis_substridx_")
+        quality.build_substring_index(
+            corpus, min_tokens=SUBSTR_DEDUP_TOKENS
+        ).write.mode("overwrite").parquet(f"{path}/wkeys")
+        _SUBSTR_INDEX_CACHE[sf_dir] = path
+    return spark.read.parquet(f"{path}/wkeys")
+
 
 def substring_dedup_incremental(
     spark: SparkSession, sf_dir: str
@@ -176,15 +204,18 @@ def substring_dedup_incremental(
     (every 7th doc) deduped against the FROZEN standing corpus — a
     batch window is removed iff its 8-token sequence exists anywhere
     in the corpus; never batch x batch or corpus x corpus (the
-    incremental family's contract, substring edition). The oracle
-    derives the corpus's distinct window-key index, semi-joins the
-    batch's windows, and replays the SAME report tail as the full
-    row."""
+    incremental family's contract, substring edition). The corpus
+    index comes prebuilt from :func:`_substr_index` (the
+    incremental_near_dups convention); the row measures the
+    steady-state per-batch probe path. The oracle derives the
+    corpus's distinct window-key index, semi-joins the batch's
+    windows, and replays the SAME report tail as the full row."""
     docs = read_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % SUBSTR_BATCH_MOD == 0)
-    corpus = docs.filter(F.col("doc_id") % SUBSTR_BATCH_MOD != 0)
     return quality.substring_dedup_incremental(
-        new, corpus, min_tokens=SUBSTR_DEDUP_TOKENS
+        new,
+        min_tokens=SUBSTR_DEDUP_TOKENS,
+        corpus_keys=_substr_index(spark, sf_dir),
     )
 
 

@@ -769,18 +769,20 @@ def substring_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import quality
     from .formats import DOC_SCHEMA, jsonl_dir
-    from .llm_quality import SUBSTR_BATCH_MOD, SUBSTR_DEDUP_TOKENS
+    from .llm_quality import (
+        SUBSTR_BATCH_MOD,
+        SUBSTR_DEDUP_TOKENS,
+        _substr_index,
+    )
     from .llm_quality import substring_dedup_incremental as _batch_row
 
     work = shared_tmp_dir("loganalysis_stream_")
     try:
-        corpus = read_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % SUBSTR_BATCH_MOD != 0
-        )
-        # the frozen artifact: materialize once; every batch probes it
-        index = quality.build_substring_index(
-            corpus, min_tokens=SUBSTR_DEDUP_TOKENS
-        ).localCheckpoint(eager=True)
+        # the frozen artifact, parquet-materialized once per
+        # (session, sf_dir) and shared with the batch incremental row
+        # (production builds it when the corpus is committed); every
+        # micro-batch probes it
+        index = _substr_index(spark, sf_dir)
         docs = spark.readStream.schema(DOC_SCHEMA).json(
             f"{jsonl_dir(spark, sf_dir)}/docs"
         )
