@@ -324,6 +324,8 @@ def run_slice(
         ("substr_corpus_index", ("substring_dedup_incremental",
                                  "substring_dedup_stream"), (),
          _lazy(f"{_P}.llm_quality", "_substr_index")),
+        ("phash_corpus_sigs", ("phash_incremental",), (),
+         _lazy(f"{_P}.llm_multimodal", "_phash_corpus_sigs")),
         ("ivf_centroids", ("knn_ivf",), (),
          _lazy(f"{_P}.llm_similarity", "_ivf_centroids")),
         ("lm_bigram_model", ("lm_perplexity_filter",),

@@ -310,16 +310,22 @@ def pretrain_corpus_prep(
     # would otherwise each re-execute the whole quality->LM->exact->
     # LSH chain (measured 24.6 s -> the chain replayed per action; the
     # benchmark_contamination lineage-cut convention). Blocks are
-    # reclaimed by session.release_checkpoints.
-    survivors = survivors.localCheckpoint(eager=True)
+    # reclaimed by session.release_checkpoints. LAZY (r16): the first
+    # consumer is the DSIR fit's full aggregation, which computes
+    # every partition — the blocks materialize as its side effect,
+    # one fewer scheduled pass over the chain (the graph-seal
+    # convention).
+    survivors = survivors.localCheckpoint(eager=False)
     pred = F.col("doc_id") % DSIR_TARGET_MOD == 0
     weights = dsir.importance_weights(survivors, pred)
     # sel feeds two joins; without a cut each recomputes the fit +
-    # scoring pass (tiny frame: K rows)
+    # scoring pass (tiny frame: K rows). Lazy: both consumers sit in
+    # the final job's DAG — the first touch computes and persists the
+    # K rows, the second subtree reads the blocks.
     sel = (
         dsir.select_top_k(weights, PRETRAIN_DSIR_K, seed=DSIR_SEED)
         .select("doc_id", "logw")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     seldocs = survivors.join(sel, "doc_id")
     packed = quality.pack_chunks(
