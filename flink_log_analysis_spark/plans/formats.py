@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import read_table, shared_tmp_dir
+from ..session import read_table
 
 DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 EVENT_CSV_SCHEMA = (
@@ -41,28 +41,33 @@ _CSV_CACHE: dict[str, str] = {}
 
 def jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     """Manufacture ``documents`` as JSON-lines once per corpus."""
-    path = _JSONL_CACHE.get(sf_dir)
-    if path is None:
-        path = shared_tmp_dir("loganalysis_docs_jsonl_")
-        read_table(spark, sf_dir, "documents").write.mode("overwrite").json(
-            f"{path}/docs"
-        )
-        _JSONL_CACHE[sf_dir] = path
-    return path
+    from ..session import manufactured_input
+
+    return manufactured_input(
+        _JSONL_CACHE,
+        sf_dir,
+        "loganalysis_docs_jsonl_",
+        "docs",
+        lambda path: read_table(spark, sf_dir, "documents")
+        .write.mode("overwrite")
+        .json(f"{path}/docs"),
+    )
 
 
 def csv_dir(spark: SparkSession, sf_dir: str) -> str:
     """Manufacture ``events`` as quoted CSV once per corpus."""
-    path = _CSV_CACHE.get(sf_dir)
-    if path is None:
-        path = shared_tmp_dir("loganalysis_events_csv_")
+    from ..session import manufactured_input
+
+    def _build(path: str) -> None:
         read_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "ts", "props"
         ).write.mode("overwrite").option("header", "true").option(
             "timestampFormat", _TS_FMT
         ).csv(f"{path}/events")
-        _CSV_CACHE[sf_dir] = path
-    return path
+
+    return manufactured_input(
+        _CSV_CACHE, sf_dir, "loganalysis_events_csv_", "events", _build
+    )
 
 
 def documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,14 +113,17 @@ def orc_dir(spark: SparkSession, sf_dir: str) -> str:
     """Manufacture ``lineitem`` as ORC once per corpus (ORC is the
     other columnar interchange format warehouses hand over; Spark's
     reader/writer are built in — no external jars)."""
-    path = _ORC_CACHE.get(sf_dir)
-    if path is None:
-        path = shared_tmp_dir("loganalysis_lineitem_orc_")
-        read_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(
-            f"{path}/lineitem"
-        )
-        _ORC_CACHE[sf_dir] = path
-    return path
+    from ..session import manufactured_input
+
+    return manufactured_input(
+        _ORC_CACHE,
+        sf_dir,
+        "loganalysis_lineitem_orc_",
+        "lineitem",
+        lambda path: read_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .orc(f"{path}/lineitem"),
+    )
 
 
 def lineitem_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,14 +92,17 @@ _LINES_CACHE: dict[str, str] = {}
 
 
 def lines_dir(spark: SparkSession, sf_dir: str) -> str:
-    path = _LINES_CACHE.get(sf_dir)
-    if path is None:
-        from ..session import shared_tmp_dir
+    from ..session import manufactured_input
 
-        path = shared_tmp_dir("loganalysis_lines_")
-        _log_lines(spark, sf_dir).write.mode("overwrite").text(f"{path}/lines")
-        _LINES_CACHE[sf_dir] = path
-    return path
+    return manufactured_input(
+        _LINES_CACHE,
+        sf_dir,
+        "loganalysis_lines_",
+        "lines",
+        lambda path: _log_lines(spark, sf_dir)
+        .write.mode("overwrite")
+        .text(f"{path}/lines"),
+    )
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str, keep_non_200: bool) -> DataFrame:

@@ -54,15 +54,15 @@ _EVENTS_CACHE: dict[str, str] = {}
 
 
 def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    path = _EVENTS_CACHE.get(sf_dir)
-    if path is None:
-        from ..session import shared_tmp_dir
+    from ..session import manufactured_input
 
-        path = shared_tmp_dir("loganalysis_events_")
+    def _build(path: str) -> None:
         ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
         ev.write.mode("overwrite").parquet(f"{path}/events")
-        _EVENTS_CACHE[sf_dir] = path
-    return path
+
+    return manufactured_input(
+        _EVENTS_CACHE, sf_dir, "loganalysis_events_", "events", _build
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

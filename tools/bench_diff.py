@@ -17,8 +17,23 @@ def main() -> None:
     ap.add_argument("new")
     ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
-    old = json.load(open(args.old))["queries"]
-    new = json.load(open(args.new))["queries"]
+    old_doc = json.load(open(args.old))
+    new_doc = json.load(open(args.new))
+    # Methodology tag (ADVICE r16): bench.py stamps each detail file
+    # with the harness methodology it was measured under ("r17" =
+    # deep-warm + single timed execution; earlier files carry no tag =
+    # the retry-median era). Numbers are only like-for-like within one
+    # tag, so warn loudly on a mismatch.
+    old_m = old_doc.get("methodology", "pre-r17 (retry-median)")
+    new_m = new_doc.get("methodology", "pre-r17 (retry-median)")
+    if old_m != new_m:
+        print(
+            f"WARNING: methodology mismatch — old={old_m!r} vs "
+            f"new={new_m!r}; totals are NOT comparable like-for-like "
+            "(different timed-window semantics)."
+        )
+    old = old_doc["queries"]
+    new = new_doc["queries"]
     common = sorted(set(old) & set(new), key=lambda k: old[k] - new[k])
     only_new = {k: new[k] for k in new if k not in old}
     print(
