@@ -397,19 +397,55 @@ def lloyd_fit_local(
     by_hash = sorted(rows, key=lambda r: (_seed_hash(seed, r[0]), r[0]))
     cents = [list(xq) for _, xq in by_hash[:n_cells]]
     x = np.asarray([xq for _, xq in rows], dtype=np.int64)
+    # Envelope guard (ADVICE r16 — mirror assign_int_cells /
+    # _update_partials): int64 numpy must never silently wrap. Every
+    # centroid is either a seeding corpus row or a half-away-rounded
+    # mean of corpus rows (both bounded by max|x|), so ONE corpus-side
+    # magnitude check covers every round's distance arithmetic; the
+    # second term bounds the per-cell accumulated sums
+    # (n_rows * max|x| < 2^62 keeps np.add.at exact). Outside the
+    # envelope, each round runs the exact Python-int loop — slower,
+    # never wrong — the same fallback discipline as the distributed
+    # fit's per-batch check.
+    max_abs = int(np.abs(x).max()) if x.size else 0
+    use_np = (
+        x.size > 0
+        and max_abs <= _NP_ASSIGN_MAX_ABS
+        and x.shape[0] * max_abs < 2**62
+    )
     for _ in range(n_iter):
-        c = np.asarray(cents, dtype=np.int64)
-        diff = x[:, None, :] - c[None, :, :]
-        # argmin returns the FIRST minimum — ties toward the lower
-        # cell index, same as the (dist, cell) struct comparator.
-        best = (diff * diff).sum(axis=2).argmin(axis=1)
-        counts = np.bincount(best, minlength=n_cells)
-        sums = np.zeros((n_cells, x.shape[1]), dtype=np.int64)
-        np.add.at(sums, best, x)
+        if use_np:
+            c = np.asarray(cents, dtype=np.int64)
+            diff = x[:, None, :] - c[None, :, :]
+            # argmin returns the FIRST minimum — ties toward the lower
+            # cell index, same as the (dist, cell) struct comparator.
+            best = (diff * diff).sum(axis=2).argmin(axis=1)
+            counts = np.bincount(best, minlength=n_cells).tolist()
+            sums_np = np.zeros((n_cells, x.shape[1]), dtype=np.int64)
+            np.add.at(sums_np, best, x)
+            sums = sums_np.tolist()
+        else:
+            dim = len(cents[0]) if cents else 0
+            counts = [0] * n_cells
+            sums = [[0] * dim for _ in range(n_cells)]
+            for _id, xq in rows:
+                bi = min(
+                    range(n_cells),
+                    key=lambda ci: (
+                        sum(
+                            (int(a) - cents[ci][d]) ** 2
+                            for d, a in enumerate(xq)
+                        ),
+                        ci,
+                    ),
+                )
+                counts[bi] += 1
+                for d, a in enumerate(xq):
+                    sums[bi][d] += int(a)
         nxt = [
             [
                 _round_quotient(int(sums[ci][d]), int(counts[ci]))
-                for d in range(x.shape[1])
+                for d in range(len(sums[ci]))
             ]
             if counts[ci]
             else list(cents[ci])

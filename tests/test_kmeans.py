@@ -83,3 +83,23 @@ def test_seed_centroids_are_corpus_vectors_in_digest_order(spark):
     seeds7 = km.seed_centroids(q, n_cells=3, seed=7)
     assert seeds7 == km.seed_centroids(q, n_cells=3, seed=7)
     assert seeds != seeds7
+
+
+def test_local_fit_exact_outside_numpy_envelope():
+    """ADVICE r16: coordinates past _NP_ASSIGN_MAX_ABS must take the
+    exact Python-int path (int64 numpy squared distances would wrap),
+    keeping the local twin's answers identical to exact arithmetic."""
+    big = 4 * 10**17  # (2*big)^2 wraps int64 by ~10 orders of magnitude
+    rows = [
+        (0, [-big, -big]),
+        (1, [-big, -big + 2]),
+        (2, [big, big]),
+        (3, [big, big - 2]),
+    ]
+    cents = km.lloyd_fit_local(rows, n_cells=2, n_iter=4)
+    # Exact arithmetic puts each pair in its own cell and the centroid
+    # at the pair's exact mean; a wrapped distance matrix would
+    # scramble the assignment.
+    assert sorted(cents) == sorted(
+        [[-big, -big + 1], [big, big - 1]]
+    )
