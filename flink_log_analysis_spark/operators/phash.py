@@ -125,6 +125,32 @@ def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _np_block_sums(gray, grid: int):
+    """GRID x GRID int64 block channel sums of one grayscale matrix.
+
+    Block j of pixel (r, c) is (r*grid//h, c*grid//w) — that index is
+    monotone along each axis, so the 2-D block sums are two
+    add.reduceat passes over the int64 channel-sum matrix (exact
+    integer arithmetic, same values as the scalar loop). Images
+    smaller than the grid would repeat reduceat boundaries (whose
+    semantics there are NOT a plain sum), so they take the scalar
+    path."""
+    import numpy as np
+
+    h, w = gray.shape
+    if h >= grid and w >= grid:
+        starts_r = (np.arange(grid) * h + grid - 1) // grid
+        starts_c = (np.arange(grid) * w + grid - 1) // grid
+        return np.add.reduceat(
+            np.add.reduceat(gray, starts_r, axis=0), starts_c, axis=1
+        )
+    blocks = np.zeros((grid, grid), dtype=np.int64)
+    bi = np.arange(h) * grid // h
+    bj = np.arange(w) * grid // w
+    np.add.at(blocks, (bi[:, None], bj[None, :]), gray)
+    return blocks
+
+
 def block_stats(
     imgs: DataFrame, img_col: str = "img", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -142,29 +168,11 @@ def block_stats(
         import pandas as pd
 
         def one(buf: bytes):
-            # Vectorized decode + block sums (guide §4.2). Block j of
-            # pixel (r, c) is (r*grid//h, c*grid//w) — that index is
-            # monotone along each axis, so the 2-D block sums are two
-            # add.reduceat passes over the int64 channel-sum matrix
-            # (exact integer arithmetic, same values as the scalar
-            # loop). Images smaller than the grid would repeat
-            # reduceat boundaries (whose semantics there are NOT a
-            # plain sum), so they take the scalar path.
+            # Vectorized decode + block sums (guide §4.2; see
+            # _np_block_sums for the exactness argument).
             w, h, px = dec_arr(buf)
             gray = px.sum(axis=2, dtype=np.int64)
-            if h >= grid and w >= grid:
-                starts_r = (np.arange(grid) * h + grid - 1) // grid
-                starts_c = (np.arange(grid) * w + grid - 1) // grid
-                blocks = np.add.reduceat(
-                    np.add.reduceat(gray, starts_r, axis=0),
-                    starts_c,
-                    axis=1,
-                )
-            else:
-                blocks = np.zeros((grid, grid), dtype=np.int64)
-                bi = np.arange(h) * grid // h
-                bj = np.arange(w) * grid // w
-                np.add.at(blocks, (bi[:, None], bj[None, :]), gray)
+            blocks = _np_block_sums(gray, grid)
             bs = blocks.ravel().tolist()
             return (w, h, int(blocks.sum()), bs)
 
@@ -461,12 +469,104 @@ def dct_signatures(stats: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# Exactness envelope for the in-batch int64 DCT: every coefficient is
+# a 64-term sum of bsum * T[u][bi] * T[v][bj] with |T·T| <= 2^30, so
+# |C| <= 2^36 * max|bsum| (the same bound holds for the t@B@t.T
+# association order's intermediates) — int64 is exact while
+# max|bsum| < 2^27 ~ 1.34e8. Keep a round margin; a 4x4 RGB block
+# sums to ~1.2e4, five orders inside it, and a 10^6-pixel block
+# (7.65e8) would take the exact-Python-int fallback.
+_DCT_BSUM_MAX = 10**8
+
+
+def dct_signatures_arrow(
+    imgs: DataFrame,
+    img_col: str = "img",
+    id_col: str = "doc_id",
+    bsum_max: int = _DCT_BSUM_MAX,
+) -> DataFrame:
+    """(id, width, height, hash_hi, hash_lo): the DCT pHash computed
+    INSIDE the decode's Arrow batch (r17, guide §4.2) — decode, block
+    sums, the 8x8 fixed-point DCT (one int64 ``t @ B @ t.T``), the
+    63-coefficient median (an order statistic) and the bit fold all
+    happen per batch in numpy, so the 63x row-explode + 4032-row
+    broadcast join + two groupBys of the relational form
+    (:func:`dct_signatures`, kept for frames whose block stats come
+    from elsewhere) never reach the plan. Value-exact: the basis is
+    the same spliced integer table, int64 matmul is exact within the
+    checked envelope (:data:`_DCT_BSUM_MAX`, per image — exact
+    Python-int fallback outside it, never a silent wrap), the median
+    is the 32nd smallest of 63 integers on both paths, and every bit
+    comparison is integer-vs-integer.
+    ``tests/test_phash.py`` pins fused == relational."""
+    from .multimodal import _codecs_by_value
+
+    dec_arr = _codecs_by_value().decode_bmp_array
+    grid = PH_GRID
+    table = _dct_table()
+
+    def sig(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        t = np.asarray(table, dtype=np.int64)
+        w_lo = np.int64(1) << np.arange(1, 32)   # uv 1..31
+        w_hi = np.int64(1) << np.arange(0, 32)   # uv 32..63 -> bit uv-32
+
+        def one(buf: bytes):
+            w, h, px = dec_arr(buf)
+            gray = px.sum(axis=2, dtype=np.int64)
+            blocks = _np_block_sums(gray, grid)
+            if int(np.abs(blocks).max()) <= bsum_max:
+                flat = (t @ blocks @ t.T).ravel()[1:]  # uv = 1..63
+                med = int(np.partition(flat, 31)[31])
+                bits = flat > med
+            else:
+                bl = blocks.tolist()
+                coefs = [
+                    sum(
+                        table[u][bi] * table[v][bj] * bl[bi][bj]
+                        for bi in range(8)
+                        for bj in range(8)
+                    )
+                    for u in range(8)
+                    for v in range(8)
+                    if (u, v) != (0, 0)
+                ]
+                med = sorted(coefs)[31]
+                bits = np.asarray([c > med for c in coefs])
+            lo = int((w_lo * bits[:31]).sum())
+            hi = int((w_hi * bits[31:]).sum())
+            return (w, h, hi, lo)
+
+        for pdf in it:
+            cols = pdf[img_col].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": cols.map(lambda r: r[0]).astype("int32"),
+                    "height": cols.map(lambda r: r[1]).astype("int32"),
+                    "hash_hi": cols.map(lambda r: r[2]).astype("int64"),
+                    "hash_lo": cols.map(lambda r: r[3]).astype("int64"),
+                }
+            )
+
+    return imgs.mapInPandas(
+        sig,
+        schema=(
+            f"{id_col} bigint, width int, height int, "
+            "hash_hi bigint, hash_lo bigint"
+        ),
+    )
+
+
 def dct_phash_signatures(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Synthetic family -> real BMP codec -> block stats -> exact
-    fixed-point DCT -> median bits."""
-    return dct_signatures(block_stats(synth_images(df, id_col)), id_col)
+    """Synthetic family -> real BMP codec -> in-batch exact
+    fixed-point DCT -> median bits (one Arrow stage past the synth;
+    see :func:`dct_signatures_arrow`)."""
+    return dct_signatures_arrow(synth_images(df, id_col), id_col=id_col)
 
 
 # ------------------------------------------------------------ oracle

@@ -271,3 +271,45 @@ def test_block_stats_matches_scalar_loop(spark):
         assert got["width"] == w and got["height"] == h
         assert list(got["bsums"]) == bs
         assert got["total"] == sum(bs)
+
+
+def test_dct_arrow_matches_relational(spark):
+    """r17 fusion: the in-batch Arrow DCT signatures must equal the
+    relational explode/join/groupBy form value-for-value on the tiling
+    contract geometry, a sub-grid image (scalar block path), and a
+    non-tiling one."""
+    from flink_log_analysis_spark.operators import mediacodecs as mc
+
+    rows = []
+    for i, (w, h) in enumerate([(32, 32), (6, 5), (40, 24)]):
+        px = [
+            [((r * 7 + c * 13 + i * 31) % 256,) * 3 for c in range(w)]
+            for r in range(h)
+        ]
+        rows.append((i, bytearray(mc.encode_bmp(px))))
+    df = spark.createDataFrame(rows, "doc_id bigint, img binary")
+    rel = {
+        r["doc_id"]: r
+        for r in ph.dct_signatures(ph.block_stats(df)).collect()
+    }
+    fused = {r["doc_id"]: r for r in ph.dct_signatures_arrow(df).collect()}
+    assert set(rel) == set(fused)
+    for k in rel:
+        for col in ("width", "height", "hash_hi", "hash_lo"):
+            assert rel[k][col] == fused[k][col], (k, col)
+
+
+def test_dct_arrow_envelope_fallback_matches(spark):
+    """Forcing the exact-Python-int fallback (bsum_max=0) must give
+    the same hash words as the int64 numpy path."""
+    from flink_log_analysis_spark.operators import mediacodecs as mc
+
+    px = [[((r * 5 + c * 3) % 256,) * 3 for c in range(16)] for r in range(16)]
+    df = spark.createDataFrame(
+        [(0, bytearray(mc.encode_bmp(px)))], "doc_id bigint, img binary"
+    )
+    fast = ph.dct_signatures_arrow(df).collect()[0]
+    slow = ph.dct_signatures_arrow(df, bsum_max=0).collect()[0]
+    assert (fast["hash_hi"], fast["hash_lo"]) == (
+        slow["hash_hi"], slow["hash_lo"]
+    )
