@@ -409,10 +409,12 @@ def score_perplexity_kn(
     """Per-document ln-perplexity under the interpolated Kneser-Ney
     bigram reference model, with the keep verdict: (id, n_trans,
     n_oov, ppl, kept) — the same output contract, execution shape
-    (one broadcast attach + one widened projection, no shuffle), and
-    round-before-fold discipline as :func:`score_perplexity`; only
-    the smoothing expression differs (see
-    :func:`_kn_transition_score`)."""
+    (one broadcast attach + the same stacked widened projections, no
+    shuffle), and round-before-fold discipline as
+    :func:`score_perplexity` (including the r17 materialize-scored-
+    once split — the KN transition tree is even wider, four map
+    lookups per transition); only the smoothing expression differs
+    (see :func:`_kn_transition_score`)."""
     from ..session import ensure_min_partitions
 
     toks = tokens(F.col(text_col))
@@ -429,16 +431,20 @@ def score_perplexity_kn(
             vocab_size,
         ),
     )
-    n_trans = (F.size("toks") - 1).cast("int")
-    s = F.aggregate(
-        scored, F.lit(0.0), lambda a, t: a + t.getField("lp")
-    )
-    ppl = F.round(-s / n_trans, PPL_ROUND)
-    return j.select(
+    mid = j.select(
         F.col(id_col),
-        n_trans.alias("n_trans"),
+        (F.size("toks") - 1).cast("int").alias("n_trans"),
+        scored.alias("_scored"),
+    )
+    s = F.aggregate(
+        F.col("_scored"), F.lit(0.0), lambda a, t: a + t.getField("lp")
+    )
+    ppl = F.round(-s / F.col("n_trans"), PPL_ROUND)
+    return mid.select(
+        F.col(id_col),
+        F.col("n_trans"),
         F.aggregate(
-            scored, F.lit(0), lambda a, t: a + t.getField("oov")
+            F.col("_scored"), F.lit(0), lambda a, t: a + t.getField("oov")
         )
         .cast("int")
         .alias("n_oov"),
@@ -781,11 +787,22 @@ def score_perplexity(
     carry no bigram evidence and are out of the filter's scope).
     ``n_oov`` counts transitions unseen in the reference — the
     model-coverage diagnostic a curation team reads next to the
-    score. One broadcast attach + one projection; no shuffle. The
-    scan is widened first: the per-row expression (a token-pair
-    transform with two map lookups per transition) is exactly the
-    expression-heavy shape that serializes on a single-file local
-    scan (measured 23.0 s -> 3.2 s at sf0.1 on local[32])."""
+    score. One broadcast attach + two stacked projections; no
+    shuffle. The scan is widened first: the per-row expression (a
+    token-pair transform with two map lookups per transition) is
+    exactly the expression-heavy shape that serializes on a
+    single-file local scan (measured 23.0 s -> 3.2 s at sf0.1 on
+    local[32]).
+
+    The scored-transitions array is materialized ONCE in its own
+    projection and the aggregates/verdict read the named column (r17,
+    guide §1/§4): inlining ``scored`` into all three output
+    expressions tripled the higher-order expression tree, and the
+    JVM's first execution of that tree cost 10-22 s (fresh-JVM A/B;
+    ~3.7 s with the split, steady state 1.9 -> 1.4 s). CollapseProject
+    keeps the stacked selects apart because the shared column is
+    non-cheap and multiply referenced — verified in the plan dump
+    (two Project nodes, the transform evaluated once)."""
     from ..session import ensure_min_partitions
 
     toks = tokens(F.col(text_col))
@@ -801,16 +818,20 @@ def score_perplexity(
             vocab_size,
         ),
     )
-    n_trans = (F.size("toks") - 1).cast("int")
-    s = F.aggregate(
-        scored, F.lit(0.0), lambda a, t: a + t.getField("lp")
-    )
-    ppl = F.round(-s / n_trans, PPL_ROUND)
-    return j.select(
+    mid = j.select(
         F.col(id_col),
-        n_trans.alias("n_trans"),
+        (F.size("toks") - 1).cast("int").alias("n_trans"),
+        scored.alias("_scored"),
+    )
+    s = F.aggregate(
+        F.col("_scored"), F.lit(0.0), lambda a, t: a + t.getField("lp")
+    )
+    ppl = F.round(-s / F.col("n_trans"), PPL_ROUND)
+    return mid.select(
+        F.col(id_col),
+        F.col("n_trans"),
         F.aggregate(
-            scored, F.lit(0), lambda a, t: a + t.getField("oov")
+            F.col("_scored"), F.lit(0), lambda a, t: a + t.getField("oov")
         )
         .cast("int")
         .alias("n_oov"),
