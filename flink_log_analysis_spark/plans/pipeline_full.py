@@ -310,22 +310,27 @@ def pretrain_corpus_prep(
     # would otherwise each re-execute the whole quality->LM->exact->
     # LSH chain (measured 24.6 s -> the chain replayed per action; the
     # benchmark_contamination lineage-cut convention). Blocks are
-    # reclaimed by session.release_checkpoints. LAZY (r16): the first
-    # consumer is the DSIR fit's full aggregation, which computes
-    # every partition — the blocks materialize as its side effect,
-    # one fewer scheduled pass over the chain (the graph-seal
-    # convention).
-    survivors = survivors.localCheckpoint(eager=False)
+    # reclaimed by session.release_checkpoints. EAGER, deliberately
+    # (r17 — reverting the r16 lazy experiment per VERDICT item 3):
+    # lazy never converged on either host — 32-core interleaved A/B
+    # timed [81.2, 100.1, 16.8] / [13.8, 12.3, 22.5] lazy vs
+    # [12.1, 9.8, 9.1] / [39.1, 13.3, 13.5] eager (eager reaches the
+    # r15 9.9 s driver floor; lazy's best was 12.3), and the r16
+    # 8-core driver read lazy at [40.5, 31.3, 49.0]. The graph-seal
+    # lazy convention needs a single full-compute consumer to ride;
+    # this chain's first consumer mixes AQE re-planning with the DSIR
+    # fit's aggregation and the side-effect materialization is not
+    # dependable here.
+    survivors = survivors.localCheckpoint(eager=True)
     pred = F.col("doc_id") % DSIR_TARGET_MOD == 0
     weights = dsir.importance_weights(survivors, pred)
     # sel feeds two joins; without a cut each recomputes the fit +
-    # scoring pass (tiny frame: K rows). Lazy: both consumers sit in
-    # the final job's DAG — the first touch computes and persists the
-    # K rows, the second subtree reads the blocks.
+    # scoring pass (tiny frame: K rows). Eager with the survivor cut
+    # above (r17 revert, same A/B evidence).
     sel = (
         dsir.select_top_k(weights, PRETRAIN_DSIR_K, seed=DSIR_SEED)
         .select("doc_id", "logw")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     seldocs = survivors.join(sel, "doc_id")
     packed = quality.pack_chunks(
