@@ -74,41 +74,33 @@ def _plan_modules():
 # Names pinned to the driver's 50-entry audit window, in order.
 # Anything not listed here follows afterwards in module order.
 #
-# Round-16 rotation (VERDICT r15 "Next round" item 1): the 12-query
-# reference-parity core stays pinned. Then the 8 r15 post-window
-# newborns (gate + pytest green r15, never driver-audited):
-# quality_classifier_weights/_scores/_select/_stream (the GPT-3
-# page-filter family) and phash_signatures/_near_dups/_incremental +
-# dct_phash_signatures (the perceptual image-dedup family). Then the
-# 14 r11-stale heads (newest driver green = r11, computed across
-# CORRECTNESS_r01-r15): knn_pq_fitted_exact, knn_quantized,
-# log_sessions, log_sessions_stream, minhash_signatures,
-# near_dedup_best_docs, png_roundtrip, quality_ablation_web,
-# simhash, stateful_sessions, stratified_doc_sample,
-# supplier_fuzzy_dups, token_budget_select, weighted_doc_sample.
-# The remaining 16 slots are the alphabetically-first rows of the
-# 38-row r12-stale cohort (bm25_scores .. knn_pq_streamed); the 22
-# r12 rows left over (lineitem_global_stats, lm_perplexity_filter,
-# lm_perplexity_filter_3gram, lm_perplexity_filter_stream,
-# nation_market_share, nation_trade_flows, order_priority_check,
-# order_scalar_features, orders_cube, orders_rollup,
-# orders_snapshot_diff, parts_never_ordered, pricing_summary,
-# regional_revenue, salted_brand_revenue, small_quantity_revenue,
-# span_dedup, text_stats, tfidf_top_terms, top_customers_revenue,
-# top_orders_per_customer, train_split_assign) are the r17 stale
-# heads. After this window lands green, every registry row has been
-# driver-audited at least once and no row's newest driver green is
-# older than r12 — the freshness milestone item 1 asks for.
-# 12 + 8 + 14 + 16 = 50 exactly.
-#
-# Touched-path note: r16 code changes touch phash.py (ADVICE
-# chunk-geometry guard + comment fixes — phash_* in this window),
-# bench.py median fix (no engine change), tools/explain_audit.py
-# anchor fallback (tooling only), and the new r16 operator families
-# (distributed Lloyd k-means contract, byte-level BPE, the
-# image+text corpus-prep flagship) which register behind the window,
-# gate-green first — they join the 22 r12-stale leftovers as the
-# r17 window queue.
+# Round-17 rotation (VERDICT r16 "Next round" item 2): the 12-query
+# reference-parity core stays pinned. Then the POST-CHANGE block —
+# every row whose code moved in r16/r17 and therefore needs a fresh
+# driver oracle row (the r16 gap: the window was rotated before the
+# round's changes landed, so its riskiest rewrites held no
+# post-change driver row):
+#   - kmeans_lloyd_fit / kmeans_lloyd_contract / knn_ivf_lloyd —
+#     never driver-audited (r16 Arrow-partials rewrite; r17 local-twin
+#     envelope guard);
+#   - substring_dedup_incremental / substring_dedup_stream — r16
+#     prebuilt-index change;
+#   - pretrain_corpus_prep — r16 lazy checkpoints, r17 eager revert;
+#   - dct_phash_signatures — r17 in-batch Arrow DCT fusion;
+#   - lm_perplexity_filter_kn — r17 scorer two-stage split (the
+#     bigram filter + stream twins sit in the stale cohort below);
+#   - phash_signatures / phash_incremental — r17 _np_block_sums
+#     refactor through the codec tier;
+#   - documents_jsonl_roundtrip / events_csv_roundtrip /
+#     lineitem_orc_roundtrip — r17 manufactured_input reuse path;
+#   - windowed_event_counts_stream — r17 events-stream schema cache
+#     (also an r13-stale head).
+# Then the full 22-row r12-stale cohort named by the r16 rotation as
+# this round's stale heads (lineitem_global_stats .. train_split_
+# assign — includes lm_perplexity_filter and
+# lm_perplexity_filter_stream, r17-touched), and the 2 remaining
+# slots go to the alphabetically-first r13-stale heads (binary_meta,
+# bpe_large_vocab). 12 + 14 + 22 + 2 = 50 exactly.
 _DRIVER_WINDOW: list[str] = [
     # reference-parity core (keep a fresh row every round)
     "hot_section",
@@ -123,47 +115,49 @@ _DRIVER_WINDOW: list[str] = [
     "sql_hot_section",
     "sql_order_value_buckets",
     "sql_supplier_balance_rank",
-    # the 8 r15 post-window newborns (never driver-audited)
-    "quality_classifier_weights",
-    "quality_classifier_scores",
-    "quality_classifier_select",
-    "quality_classifier_stream",
-    "phash_signatures",
+    # post-change block (r16/r17 code moves needing fresh driver rows)
+    "kmeans_lloyd_fit",
+    "kmeans_lloyd_contract",
+    "knn_ivf_lloyd",
+    "substring_dedup_incremental",
+    "substring_dedup_stream",
+    "pretrain_corpus_prep",
     "dct_phash_signatures",
-    "phash_near_dups",
+    "lm_perplexity_filter_kn",
+    "phash_signatures",
     "phash_incremental",
-    # the 14 r11-stale heads
-    "knn_pq_fitted_exact",
-    "knn_quantized",
-    "log_sessions",
-    "log_sessions_stream",
-    "minhash_signatures",
-    "near_dedup_best_docs",
-    "png_roundtrip",
-    "quality_ablation_web",
-    "simhash",
-    "stateful_sessions",
-    "stratified_doc_sample",
-    "supplier_fuzzy_dups",
-    "token_budget_select",
-    "weighted_doc_sample",
-    # 16 alphabetically-first of the 38-row r12-stale cohort
-    "bm25_scores",
-    "corpus_prep",
-    "customer_segments_setops",
-    "distinct_parts_per_supplier",
-    "domain_quota_survivors",
-    "exact_dedup_groups",
-    "knn_ivf_appended",
-    "knn_ivf_compacted",
-    "knn_ivf_persisted",
-    "knn_ivf_persisted_tuned",
-    "knn_ivf_pq_persisted",
-    "knn_ivf_streamed",
-    "knn_pq_appended",
-    "knn_pq_compacted",
-    "knn_pq_persisted_rerank",
-    "knn_pq_streamed",
+    "documents_jsonl_roundtrip",
+    "events_csv_roundtrip",
+    "lineitem_orc_roundtrip",
+    "windowed_event_counts_stream",
+    # the 22-row r12-stale cohort (named as r17 heads by the r16
+    # rotation comment; lm_perplexity_filter + _stream also carry the
+    # r17 scorer split)
+    "lineitem_global_stats",
+    "lm_perplexity_filter",
+    "lm_perplexity_filter_3gram",
+    "lm_perplexity_filter_stream",
+    "nation_market_share",
+    "nation_trade_flows",
+    "order_priority_check",
+    "order_scalar_features",
+    "orders_cube",
+    "orders_rollup",
+    "orders_snapshot_diff",
+    "parts_never_ordered",
+    "pricing_summary",
+    "regional_revenue",
+    "salted_brand_revenue",
+    "small_quantity_revenue",
+    "span_dedup",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_customers_revenue",
+    "top_orders_per_customer",
+    "train_split_assign",
+    # r13-stale heads (alphabetical)
+    "binary_meta",
+    "bpe_large_vocab",
 ]
 
 

@@ -271,7 +271,11 @@ def _phash_corpus_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_checkpoints). bench.py prebuilds it (recorded under
     "phash_corpus_sigs") so the timed row measures the steady-state
     per-batch cost: the batch's own decode+hash plus the banded
-    join."""
+    join. Cache key is sf_dir with no content fingerprint (ADVICE
+    r16): regenerating the documents table at the same path within
+    one interpreter would leave this probing a stale table — fine
+    for the harness (testdata is immutable per process) and the
+    documented trade of the _corpus_index convention."""
     path = _PHASH_SIG_CACHE.get(sf_dir)
     if path is None:
         from ..session import shared_tmp_dir

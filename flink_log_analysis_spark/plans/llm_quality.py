@@ -181,7 +181,12 @@ def _substr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint) survives the harness's release_checkpoints()
     between queries. bench.py prebuilds it (recorded under
     "substr_corpus_index") so the timed rows measure the steady-state
-    per-batch probe path, exactly like incremental_near_dups."""
+    per-batch probe path, exactly like incremental_near_dups. Cache
+    key is sf_dir with no content fingerprint (ADVICE r16):
+    regeneration-in-process of the documents table would leave this
+    stale — acceptable because the harness's testdata is immutable
+    per interpreter (the _corpus_index convention's documented
+    trade)."""
     path = _SUBSTR_INDEX_CACHE.get(sf_dir)
     if path is None:
         from ..session import shared_tmp_dir

@@ -65,9 +65,18 @@ def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+_EVENTS_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_dir = f"{events_stream_dir(spark, sf_dir)}/events"
-    schema = spark.read.parquet(ev_dir).schema
+    # The mirror is written once per (session, sf_dir), so its schema
+    # is immutable for the cache key's lifetime — skip the per-call
+    # footer-read job (r16 candidate list item 1).
+    schema = _EVENTS_SCHEMA_CACHE.get(ev_dir)
+    if schema is None:
+        schema = spark.read.parquet(ev_dir).schema
+        _EVENTS_SCHEMA_CACHE[ev_dir] = schema
     return spark.readStream.schema(schema).parquet(ev_dir)
 
 
